@@ -1,0 +1,174 @@
+"""Posting-block encode/decode over Arrow batches (mapInPandas kernels).
+
+A *block* is one row of the ``postings`` table: up to ``BLOCK_DOCS`` docs of
+one term, docID-sorted, delta+varbyte compressed, carrying per-block
+``min_doc``/``max_doc`` (the skip-list block-max analogue,
+``SkipListReader.parseBlock`` / ``SkipListConstants.java:7``) and
+``block_max_score`` (per-block max BM25 partial — block-max WAND metadata).
+Parquet/Iceberg min/max column stats on these columns give block skipping at
+scan time; the decode kernels additionally prune blocks against a candidate
+set, which is the reference's ``tryRetainData`` semantics
+(``SkipListReader.java:87``) re-expressed batch-wise.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from .codecs import (
+    decode_positions_block,
+    decode_sorted,
+    encode_positions_block,
+    encode_sorted,
+    varbyte_decode,
+    varbyte_encode,
+)
+
+BLOCK_DOCS = 4096  # docs per block ≈ the reference's 8 KiB skip-list blocks
+
+POSTINGS_SCHEMA = (
+    "term_id long, n_docs int, doc_ids binary, tfs binary, positions binary, "
+    "min_doc long, max_doc long, block_max_score double"
+)
+
+
+def _encode_term_run(
+    term_id: int,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    pos_lists: list,
+    scores: np.ndarray,
+    block_docs: int,
+) -> Iterator[dict]:
+    """One term's docID-sorted run within a partition → block rows."""
+    n = doc_ids.size
+    for start in range(0, n, block_docs):
+        end = min(start + block_docs, n)
+        ids = doc_ids[start:end].astype(np.uint64)
+        yield {
+            "term_id": term_id,
+            "n_docs": end - start,
+            "doc_ids": encode_sorted(ids),
+            "tfs": varbyte_encode(tfs[start:end].astype(np.uint64)),
+            "positions": encode_positions_block(
+                [np.asarray(p, dtype=np.uint64) for p in pos_lists[start:end]]
+            ),
+            "min_doc": int(ids[0]),
+            "max_doc": int(ids[-1]),
+            "block_max_score": float(np.max(scores[start:end])),
+        }
+
+
+def encode_blocks(
+    batches: Iterator[pd.DataFrame], block_docs: int = BLOCK_DOCS
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel over a partition sorted by (term_id, doc_id).
+
+    Streams Arrow batches, carrying the current term's tail across batch
+    boundaries so a term spanning many batches still forms full blocks.
+    Input columns: term_id, doc_id, tf, positions, score_partial.
+    """
+    carry: pd.DataFrame | None = None
+
+    def flush(pdf: pd.DataFrame, keep_last_term: bool):
+        nonlocal carry
+        term_ids = pdf["term_id"].to_numpy()
+        doc_arr = pdf["doc_id"].to_numpy()
+        tf_arr = pdf["tf"].to_numpy()
+        score_arr = pdf["score_partial"].to_numpy()
+        pos_list = pdf["positions"].tolist()
+        # row ranges per term (input sorted by term_id)
+        change = np.flatnonzero(term_ids[1:] != term_ids[:-1]) + 1
+        bounds = np.concatenate([[0], change, [len(pdf)]])
+        last = len(bounds) - 2  # index of the final term's range
+        rows = []
+        for i in range(len(bounds) - 1):
+            if keep_last_term and i == last:
+                carry = pdf.iloc[bounds[i] :]
+                break
+            s, e = bounds[i], bounds[i + 1]
+            rows.extend(
+                _encode_term_run(
+                    int(term_ids[s]),
+                    doc_arr[s:e],
+                    tf_arr[s:e],
+                    pos_list[s:e],
+                    score_arr[s:e],
+                    block_docs,
+                )
+            )
+        return rows
+
+    for pdf in batches:
+        if carry is not None:
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+            carry = None
+        rows = flush(pdf, keep_last_term=True)
+        if rows:
+            yield pd.DataFrame(rows)
+    if carry is not None and len(carry):
+        rows = flush(carry, keep_last_term=False)
+        carry = None
+        if rows:
+            yield pd.DataFrame(rows)
+
+
+def decode_blocks(
+    batches: Iterator[pd.DataFrame],
+    with_positions: bool = False,
+    candidates: np.ndarray | None = None,
+) -> Iterator[pd.DataFrame]:
+    """Block rows → exploded (term_id, doc_id, tf[, positions]) rows.
+
+    ``candidates``: optional sorted uint64 doc-id array; blocks whose
+    [min_doc, max_doc] window contains no candidate are skipped without
+    decoding (skip-list forward-pointer semantics), and decoded ids are
+    intersected (ReverseIndexRetainFilter / tryRetainData).
+    """
+    for pdf in batches:
+        out_term, out_doc, out_tf = [], [], []
+        out_pos: list = []
+        for row in pdf.itertuples(index=False):
+            if candidates is not None:
+                lo = np.searchsorted(candidates, np.uint64(row.min_doc))
+                hi = np.searchsorted(candidates, np.uint64(row.max_doc), side="right")
+                if hi <= lo:
+                    continue  # block-skip: no candidate in range
+            doc_ids = decode_sorted(row.doc_ids)
+            tfs = varbyte_decode(row.tfs)
+            if candidates is not None:
+                mask = np.isin(doc_ids, candidates[lo:hi], assume_unique=True)
+                if not mask.any():
+                    continue
+            else:
+                mask = None
+            if with_positions:
+                counts, flat = decode_positions_block(row.positions, row.n_docs)
+                splits = np.cumsum(counts.astype(np.int64))[:-1]
+                plists = np.split(flat.astype(np.int64), splits)
+            if mask is not None:
+                doc_ids, tfs = doc_ids[mask], tfs[mask]
+                if with_positions:
+                    plists = [p for p, m in zip(plists, mask) if m]
+            out_term.append(np.full(doc_ids.size, row.term_id, dtype=np.int64))
+            out_doc.append(doc_ids.astype(np.int64))
+            out_tf.append(tfs.astype(np.int32))
+            if with_positions:
+                out_pos.extend(plists)
+        if not out_term:
+            continue
+        data = {
+            "term_id": np.concatenate(out_term),
+            "doc_id": np.concatenate(out_doc),
+            "tf": np.concatenate(out_tf),
+        }
+        if with_positions:
+            data["positions"] = out_pos
+        yield pd.DataFrame(data)
+
+
+DECODED_SCHEMA = "term_id long, doc_id long, tf int"
+DECODED_SCHEMA_POS = DECODED_SCHEMA + ", positions array<int>"

@@ -1,0 +1,178 @@
+"""Vectorized posting-list codecs: varbyte + delta coding, numpy only.
+
+Rebuilds the *semantics* of the reference's coded sequences on a columnar
+substrate:
+
+- varint/varbyte sequences with strictly-increasing delta coding mirror
+  ``code/libraries/coded-sequence/.../VarintCodedSequence.java:32-75``
+  (count prefix, then deltas of 1-based strictly increasing positions);
+- posting blocks with a per-block max doc id mirror the skip-list block
+  layout of ``code/libraries/skiplist/SkipListWriter.java`` /
+  ``SkipListConstants.java:7`` (8 KiB blocks, block-max forward pointers) —
+  in our design a block is a row of the ``postings`` table and min/max
+  columns replace forward pointers (Parquet/Iceberg column stats give the
+  skipping for free).
+
+All encode/decode paths are numpy-vectorized: no per-element Python loops
+over values (loops run over the ≤10 bytes of a varint, not over elements).
+LEB128: 7 payload bits per byte, high bit = continuation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MAX_VARINT_BYTES = 10  # 64 bits / 7
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode an array of unsigned 64-bit ints, vectorized.
+
+    Loop bound is the varint width (≤10), never the element count.
+    """
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes needed per value: ceil(bitlength/7), min 1
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    for _ in range(_MAX_VARINT_BYTES):
+        live = tmp > 0
+        if not live.any():
+            break
+        nbits[live] += 1
+        tmp >>= np.uint64(7)
+    nbytes = np.maximum(nbits, 1)
+    offsets = np.zeros(v.size + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=offsets[1:])
+    out = np.zeros(offsets[-1], dtype=np.uint8)
+    tmp = v.copy()
+    byte_pos = offsets[:-1].copy()
+    remaining = nbytes.copy()
+    for _ in range(_MAX_VARINT_BYTES):
+        live = remaining > 0
+        if not live.any():
+            break
+        chunk = (tmp[live] & np.uint64(0x7F)).astype(np.uint8)
+        cont = (remaining[live] > 1).astype(np.uint8) << 7
+        out[byte_pos[live]] = chunk | cont
+        tmp[live] >>= np.uint64(7)
+        byte_pos[live] += 1
+        remaining[live] -= 1
+    return out.tobytes()
+
+
+def varbyte_decode(buf: bytes | np.ndarray) -> np.ndarray:
+    """Decode LEB128 bytes back to uint64 array, vectorized via reduceat."""
+    b = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_end = b < 128
+    # group start = position 0 or previous byte was an end byte
+    starts = np.empty(b.size, dtype=bool)
+    starts[0] = True
+    starts[1:] = is_end[:-1]
+    start_idx = np.flatnonzero(starts)
+    # offset of each byte within its group
+    idx = np.arange(b.size, dtype=np.int64)
+    group_id = np.cumsum(starts) - 1
+    within = idx - start_idx[group_id]
+    contrib = (b.astype(np.uint64) & np.uint64(0x7F)) << (
+        np.uint64(7) * within.astype(np.uint64)
+    )
+    return np.bitwise_or.reduceat(contrib, start_idx)
+
+
+def delta_encode(sorted_values: np.ndarray) -> np.ndarray:
+    """First value absolute, then gaps. Input must be non-decreasing."""
+    v = np.ascontiguousarray(sorted_values, dtype=np.uint64)
+    if v.size == 0:
+        return v
+    out = np.empty_like(v)
+    out[0] = v[0]
+    np.subtract(v[1:], v[:-1], out=out[1:])
+    return out
+
+
+def delta_decode(deltas: np.ndarray) -> np.ndarray:
+    d = np.ascontiguousarray(deltas, dtype=np.uint64)
+    return np.cumsum(d, dtype=np.uint64)
+
+
+def encode_sorted(values: np.ndarray) -> bytes:
+    """delta + varbyte for a sorted uint64 array (doc ids within a block)."""
+    return varbyte_encode(delta_encode(np.asarray(values)))
+
+
+def decode_sorted(buf: bytes) -> np.ndarray:
+    return delta_decode(varbyte_decode(buf))
+
+
+# ---------------------------------------------------------------------------
+# Ragged position lists (one strictly-increasing 1-based list per doc).
+# Wire format of a block's positions payload:
+#   varbyte( [count_0..count_{n-1}] ++ [delta-coded positions, doc-major] )
+# Counts-first (not interleaved) keeps decode fully vectorized: the first
+# n values are counts, the rest split by cumsum(counts). The reference's
+# count-prefix-per-sequence (VarintCodedSequence.java:32-53) is semantically
+# identical; we hoist the prefixes to the block header region.
+# ---------------------------------------------------------------------------
+
+
+def encode_positions_block(
+    position_lists: list[np.ndarray] | np.ndarray, counts: np.ndarray | None = None
+) -> bytes:
+    """Encode per-doc position lists for one block.
+
+    Accepts either a list of arrays, or a flat doc-major array plus
+    ``counts``. Each list must be strictly increasing, 1-based.
+    """
+    if counts is None:
+        counts = np.array([len(p) for p in position_lists], dtype=np.uint64)
+        flat = (
+            np.concatenate([np.asarray(p, dtype=np.uint64) for p in position_lists])
+            if len(position_lists)
+            else np.empty(0, dtype=np.uint64)
+        )
+    else:
+        counts = np.ascontiguousarray(counts, dtype=np.uint64)
+        flat = np.ascontiguousarray(position_lists, dtype=np.uint64)
+    if flat.size:
+        # per-doc delta coding on the flat array: subtract predecessor, then
+        # restore absolute value at each doc start
+        starts = np.zeros(counts.size + 1, dtype=np.int64)
+        np.cumsum(counts.astype(np.int64), out=starts[1:])
+        doc_starts = starts[:-1][counts > 0]
+        deltas = np.empty_like(flat)
+        deltas[0] = flat[0]
+        np.subtract(flat[1:], flat[:-1], out=deltas[1:])
+        deltas[doc_starts] = flat[doc_starts]
+        payload = np.concatenate([counts, deltas])
+    else:
+        payload = counts
+    return varbyte_encode(payload)
+
+
+def decode_positions_block(buf: bytes, n_docs: int) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a block's positions payload → (counts, flat positions).
+
+    Flat array is doc-major; split points are ``cumsum(counts)``.
+    """
+    vals = varbyte_decode(buf)
+    counts = vals[:n_docs]
+    deltas = vals[n_docs:]
+    if deltas.size == 0:
+        return counts, deltas
+    starts = np.zeros(counts.size + 1, dtype=np.int64)
+    np.cumsum(counts.astype(np.int64), out=starts[1:])
+    doc_starts = starts[:-1][counts > 0]
+    # cumulative sum, reset at each doc start: cumsum(deltas) minus the
+    # running base captured just before each doc start
+    csum = np.cumsum(deltas, dtype=np.uint64)
+    base = np.zeros_like(csum)
+    seg_base = csum[doc_starts] - deltas[doc_starts]  # cumsum before segment
+    seg_id = np.zeros(deltas.size, dtype=np.int64)
+    seg_id[doc_starts] = 1
+    seg_id = np.cumsum(seg_id) - 1
+    base = seg_base[seg_id]
+    return counts, csum - base

@@ -1,0 +1,196 @@
+"""Inverted-index construction: journal → postings/lexicon/doc_stats.
+
+Re-expresses the reference's whole construction pipeline
+(``FullIndexConstructor`` → per-page ``FullPreindex`` → pairwise
+``FullPreindex.merge`` → finalize into skip lists + B-tree,
+``FullPreindex.java:76-228``) as one declarative Spark plan:
+
+    journal (doc_id, term_id, tf, positions, doc_len)
+      → join per-term df (lexicon) for block-max scores
+      → repartitionByRange(P, term_id, doc_id)        # the global merge
+      → sortWithinPartitions(term_id, doc_id)
+      → mapInPandas(encode_blocks)                    # finalize: block codec
+      → postings parquet (Iceberg in production)
+
+Why this is the right Spark shape at 100 TB:
+
+- **The shuffle IS the merge.** The reference's zero-RAM pairwise preindex
+  merge exists because a single node can't hold the index; Spark's
+  sort-merge shuffle with spill is the same external merge, already
+  distributed and fault-tolerant.
+- **Skew (north-rule requirement).** ``repartitionByRange(term_id, doc_id)``
+  range-samples the *composite* key, so a head term (a stop-word present in
+  ~every doc, SURVEY §8 risk 4) is automatically split across partitions at
+  doc_id boundaries — range salting without an explicit salt column. Each
+  split yields independent block rows (blocks of one term may come from many
+  partitions; query-side decode unions them), so no second merge pass is
+  needed. AQE skew-join splitting covers the df join.
+- **Resumability (north-rule requirement).** The build is divided into
+  ``n_buckets`` lineage units by ``pmod(term_id, n_buckets)``; each bucket
+  commits independently (parquet dir + manifest JSON with partition id,
+  input snapshot, postings bytes, term count, elapsed), mirroring the
+  reference's step-wise construction with persisted progress
+  (``FullIndexConstructor.java:50-74`` CONSTRUCT → FINALIZE → FINISHED).
+  A killed build resumes by skipping committed buckets; outputs are
+  byte-stable because every id derives from content hashes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+from functools import partial
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.blocks import BLOCK_DOCS, POSTINGS_SCHEMA, encode_blocks
+from ..functions.scoring import bm25_partial
+from . import ingest
+
+
+class IndexPaths:
+    def __init__(self, root: str):
+        self.root = root
+        self.postings = os.path.join(root, "postings")
+        self.lexicon = os.path.join(root, "lexicon")
+        self.doc_stats = os.path.join(root, "doc_stats")
+        self.manifest_dir = os.path.join(root, "manifest")
+        self.corpus_stats = os.path.join(root, "corpus_stats.json")
+
+    def bucket_dir(self, b: int) -> str:
+        return os.path.join(self.postings, f"part={b}")
+
+    def manifest_file(self, b: int) -> str:
+        return os.path.join(self.manifest_dir, f"part-{b}.json")
+
+
+def _write_json_atomic(path: str, payload: dict):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path))
+    with os.fdopen(fd, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, path)
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for dirpath, _, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(dirpath, f)) for f in files)
+    return total
+
+
+def build_index(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    root: str,
+    *,
+    n_buckets: int = 4,
+    block_docs: int = BLOCK_DOCS,
+    partitions: int | None = None,
+    input_snapshot_id: int = 0,
+    fail_after_bucket: int | None = None,
+) -> IndexPaths:
+    """Full build: transcripts → journal → {postings, lexicon, doc_stats}.
+
+    ``fail_after_bucket`` injects a crash after committing that many buckets
+    (used by the kill/resume test). Re-running with the same ``root`` resumes.
+    """
+    paths = IndexPaths(root)
+    os.makedirs(paths.root, exist_ok=True)
+    if partitions is None:
+        partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    # journal is consumed by several downstream jobs in this build → persist
+    # the expensive tokenize+shuffle once (on a cluster this would be an
+    # Iceberg staging table / DISK_ONLY persist)
+    journal = ingest.build_journal(transcripts).persist()
+    stats_done = os.path.exists(paths.corpus_stats)
+    if not stats_done:
+        ds = ingest.doc_stats(journal)
+        ds.write.mode("overwrite").parquet(paths.doc_stats)
+        cs = ingest.corpus_stats(ds).collect()[0]
+        terms = journal.filter(F.col("term").isNotNull())
+        lexicon = terms.groupBy("term_id", "term").agg(
+            F.count("*").alias("df"), F.sum("tf").alias("ctf")
+        )
+        lexicon.write.mode("overwrite").parquet(paths.lexicon)
+        _write_json_atomic(
+            paths.corpus_stats,
+            {"doc_count": cs["doc_count"], "avg_len": cs["avg_len"]},
+        )
+    with open(paths.corpus_stats) as f:
+        n_docs = json.load(f)["doc_count"]
+
+    lexicon_df = spark.read.parquet(paths.lexicon).select("term_id", "df")
+    terms = journal.filter(F.col("term").isNotNull())
+    committed = 0
+    for b in range(n_buckets):
+        if os.path.exists(paths.manifest_file(b)):
+            continue  # resume: bucket already committed
+        t0 = time.time()
+        bucket = terms.filter(F.pmod(F.col("term_id"), F.lit(n_buckets)) == b)
+        scored = (
+            bucket.join(lexicon_df, "term_id")
+            .select(
+                "term_id",
+                "doc_id",
+                "tf",
+                "positions",
+                bm25_partial(
+                    F.col("tf").cast("double"),
+                    F.col("doc_len").cast("double"),
+                    F.col("df").cast("double"),
+                    float(n_docs),
+                ).alias("score_partial"),
+            )
+        )
+        blocks = (
+            scored.repartitionByRange(partitions, "term_id", "doc_id")
+            .sortWithinPartitions("term_id", "doc_id")
+            .mapInPandas(
+                partial(encode_blocks, block_docs=block_docs),
+                schema=POSTINGS_SCHEMA,
+            )
+        )
+        out_dir = paths.bucket_dir(b)
+        shutil.rmtree(out_dir, ignore_errors=True)  # clear torn write
+        blocks.write.mode("overwrite").parquet(out_dir)
+        term_count = (
+            spark.read.parquet(out_dir).select("term_id").distinct().count()
+        )
+        _write_json_atomic(
+            paths.manifest_file(b),
+            {
+                "partition_id": b,
+                "input_snapshot_id": input_snapshot_id,
+                "postings_bytes": _dir_bytes(out_dir),
+                "term_count": term_count,
+                "elapsed_s": time.time() - t0,
+                "status": "committed",
+            },
+        )
+        committed += 1
+        if fail_after_bucket is not None and committed >= fail_after_bucket:
+            journal.unpersist()
+            raise RuntimeError(f"injected failure after {committed} buckets")
+    journal.unpersist()
+    return paths
+
+
+def read_manifest(paths: IndexPaths) -> list[dict]:
+    out = []
+    if os.path.isdir(paths.manifest_dir):
+        for fn in sorted(os.listdir(paths.manifest_dir)):
+            with open(os.path.join(paths.manifest_dir, fn)) as f:
+                out.append(json.load(f))
+    return out
+
+
+def read_postings(spark: SparkSession, paths: IndexPaths) -> DataFrame:
+    return spark.read.parquet(
+        *[paths.bucket_dir(m["partition_id"]) for m in read_manifest(paths)]
+    )

@@ -1,0 +1,290 @@
+"""Query execution: top-k BM25 over the block-compressed postings tables.
+
+Re-expresses the reference's 4-stage query pipeline
+(``IndexQueryExecution.java:118-210``: Lookup → Deduplicate → Preparation →
+Ranking) as one DataFrame DAG:
+
+- **plan** (driver, = ``SearchContext`` + ``CombinedIndexReader.createQueries``):
+  look up per-term document frequencies in the lexicon, order include terms
+  rarest-first (``CombinedIndexReader.java:94-97,119-130`` — selectivity
+  ordering is OURS to do; Catalyst cannot reorder a semi-join chain);
+- **lookup** (= EntrySource + ReverseIndexRetainFilter): decode the rarest
+  term's posting blocks into candidates, then for each further term decode
+  *pruned* blocks — the candidate doc-id set is shipped to executors and
+  blocks whose [min_doc, max_doc] window misses all candidates are skipped
+  undecoded (skip-list forward pointers; ``SkipListReader.tryRetainData``);
+- **exclusion** (= ReverseIndexRejectFilter): ``left_anti`` join;
+- **ranking**: per-term BM25 partials as JVM column expressions, aggregated
+  over the compiled query's OR-tree as max-over-paths of sum-along-path
+  (``CompiledQueryAggregates.intMaxSumAggregateOfIndexes``), then the
+  ascending ``normalize()`` transform (``IndexResultRankingService.java``);
+- **select**: ``orderBy(score).limit(k)`` (Spark's TakeOrdered = the top-k
+  heap, ``ResultPriorityQueue``) with an optional per-group result cap
+  (``row_number`` window = per-domain cap, ``IndexQueryExecution.java:162-177``).
+
+The time-budget / early-termination machinery (``IndexSearchBudget``) is
+deliberately omitted: this is a batch engine; block-max metadata + parquet
+min/max stats provide the scan pruning instead (SURVEY §2.6 O4 note).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import partial, reduce
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.blocks import DECODED_SCHEMA, DECODED_SCHEMA_POS, decode_blocks
+from ..functions.scoring import bm25_partial, normalize
+from ..plans.parser import ParsedQuery, parse_query
+from .index_build import IndexPaths, read_postings
+
+# Candidate sets up to this size are collected to the driver and shipped to
+# decode kernels for block pruning (the reference streams 512-id batches
+# through skip lists; our batch analogue prunes whole blocks). Above it we
+# fall back to a shuffle semi-join, which is what a 10^12-turn corpus needs
+# for stop-word-ish terms anyway.
+MAX_DRIVER_CANDIDATES = 2_000_000
+
+
+class IndexReader:
+    """Open handle on a built index (lexicon + postings + doc stats)."""
+
+    def __init__(self, spark: SparkSession, paths: IndexPaths):
+        self.spark = spark
+        self.paths = paths
+        self.postings = read_postings(spark, paths)
+        self.lexicon = spark.read.parquet(paths.lexicon)
+        self.doc_stats = spark.read.parquet(paths.doc_stats)
+        with open(paths.corpus_stats) as f:
+            stats = json.load(f)
+        self.n_docs = float(stats["doc_count"])
+
+    # --- planning -----------------------------------------------------
+    def term_stats(self, words: list[str]) -> dict[str, tuple[int, int]]:
+        """word → (term_id, df); missing words absent (df=0).
+
+        Driver-side lexicon probe (SearchContext.java:167-178 numHits) —
+        a pushed-down IN filter over the lexicon table, tiny result.
+        """
+        if not words:
+            return {}
+        rows = self.lexicon.filter(F.col("term").isin(words)).collect()
+        return {r["term"]: (r["term_id"], r["df"]) for r in rows}
+
+    # --- posting access ------------------------------------------------
+    def decode_term(
+        self,
+        term_id: int,
+        candidates: np.ndarray | None = None,
+        with_positions: bool = False,
+    ) -> DataFrame:
+        """One term's postings → (doc_id, tf[, positions]).
+
+        The term_id equality predicate prunes parquet row groups via min/max
+        stats (postings files are written sorted by term_id); the candidate
+        array prunes blocks before decode.
+        """
+        blocks = self.postings.filter(F.col("term_id") == term_id)
+        fn = partial(
+            decode_blocks, with_positions=with_positions, candidates=candidates
+        )
+        schema = DECODED_SCHEMA_POS if with_positions else DECODED_SCHEMA
+        return blocks.mapInPandas(fn, schema=schema).drop("term_id")
+
+
+def _safe(word: str) -> str:
+    """Column-name-safe token alias (terms may contain . - / : etc., which
+    break unquoted column references)."""
+    import zlib
+
+    return f"w{zlib.crc32(word.encode()):08x}"
+
+
+def _phrase_filter(cand: DataFrame, phrase: list[str]) -> DataFrame:
+    """Adjacency constraint via JVM array expressions (no Python).
+
+    A phrase t0..tm matches when some base position p has t_i at p+i for all
+    i — the offset-shifted position intersection of the reference
+    (``SequenceOperations.findIntersections``), expressed with
+    ``filter``/``array_contains`` so it stays in whole-stage codegen.
+    """
+    base = F.col(f"pos_{_safe(phrase[0])}")
+    cond = lambda p: reduce(  # noqa: E731
+        lambda acc, i: acc
+        & F.array_contains(F.col(f"pos_{_safe(phrase[i])}"), p + i),
+        range(1, len(phrase)),
+        F.lit(True),
+    )
+    return cand.filter(F.size(F.filter(base, cond)) > 0)
+
+
+def run_query(
+    reader: IndexReader,
+    query: str | ParsedQuery,
+    k: int = 10,
+    group_cap: int | None = None,
+    group_col: str = "conv_id",
+    round_score_to: int | None = None,
+) -> DataFrame:
+    """Top-k BM25 search. Returns (doc_id, conv_id, score, ...) ascending by
+    the reference's normalized score (lower = better)."""
+    pq = parse_query(query) if isinstance(query, str) else query
+    include_terms = pq.all_include_terms()
+    phrase_terms = sorted({w for ph in pq.phrases for w in ph})
+    stats = reader.term_stats(include_terms + pq.exclude + pq.priority)
+
+    # any required include term missing from the lexicon on an AND-only
+    # query → empty result; OR paths drop the missing alternatives
+    paths = pq.include.paths() if pq.include is not None else [[]]
+    live_paths = [p for p in paths if all(w in stats for w in p)]
+    def empty() -> DataFrame:
+        return (
+            reader.doc_stats.select("doc_id", "conv_id", "doc_len", "n_turns")
+            .withColumn("score", F.lit(0.0))
+            .limit(0)
+        )
+
+    if not live_paths or not include_terms:
+        return empty()
+    live_terms = sorted({w for p in live_paths for w in p} | set(phrase_terms))
+    if any(w not in stats for w in live_terms):
+        return empty()
+
+    # ---- candidate generation: rarest term drives, per OR-path union ----
+    # For the common single-path (pure AND) case this is one retain chain;
+    # multi-path queries union per-path candidate sets (U1) then dedup (A6).
+    need_pos = set(phrase_terms)
+
+    def term_df(word: str, candidates: np.ndarray | None) -> DataFrame:
+        tid = stats[word][0]
+        out = reader.decode_term(
+            tid, candidates=candidates, with_positions=word in need_pos
+        )
+        cols = [F.col("doc_id"), F.col("tf").alias(f"tf_{_safe(word)}")]
+        if word in need_pos:
+            cols.append(F.col("positions").alias(f"pos_{_safe(word)}"))
+        return out.select(*cols)
+
+    def path_candidates(path_terms: list[str]) -> DataFrame:
+        ordered = sorted(path_terms, key=lambda w: (stats[w][1], w))
+        driver_word = ordered[0]
+        cand = term_df(driver_word, None)
+        cand_ids: np.ndarray | None = None
+        if stats[driver_word][1] <= MAX_DRIVER_CANDIDATES and len(ordered) > 1:
+            cand_ids = np.sort(
+                np.array(
+                    [r["doc_id"] for r in cand.select("doc_id").collect()],
+                    dtype=np.int64,
+                ).astype(np.uint64)
+            )
+        for word in ordered[1:]:
+            cand = cand.join(term_df(word, cand_ids), "doc_id", "inner")
+        return cand
+
+    if len(live_paths) == 1:
+        path_set = sorted(set(live_paths[0]) | need_pos)
+        cand = path_candidates(path_set)
+    else:
+        frames = []
+        for p in live_paths:
+            pc = path_candidates(sorted(set(p) | need_pos))
+            # align columns across paths: missing term columns → null
+            frames.append(pc)
+        all_cols = sorted({c for fdf in frames for c in fdf.columns})
+        frames = [
+            fdf.select(
+                *[
+                    F.col(c) if c in fdf.columns else F.lit(None).alias(c)
+                    for c in all_cols
+                ]
+            )
+            for fdf in frames
+        ]
+        cand = reduce(lambda a, b: a.unionByName(b), frames)
+        agg = [
+            F.max(c).alias(c) for c in all_cols if c != "doc_id"
+        ]  # dedup doc_ids, keeping tf/pos from whichever path matched
+        cand = cand.groupBy("doc_id").agg(*agg)
+
+    # ---- exclusion: anti-join (ReverseIndexRejectFilter) ----
+    for word in pq.exclude:
+        if word in stats:
+            cand = cand.join(
+                reader.decode_term(stats[word][0]).select("doc_id"),
+                "doc_id",
+                "left_anti",
+            )
+
+    # ---- phrase constraints ----
+    for ph in pq.phrases:
+        cand = _phrase_filter(cand, ph)
+
+    # ---- doc metadata join + spec limits (ParamMatchingQueryFilter) ----
+    cand = cand.join(reader.doc_stats, "doc_id")
+    op_map = {">": "__gt__", "<": "__lt__", "=": "__eq__", ">=": "__ge__", "<=": "__le__"}
+    for lim in pq.limits:
+        col = {"turns": F.col("n_turns"), "len": F.col("doc_len")}[lim.field]
+        cand = cand.filter(getattr(col, op_map[lim.op])(F.lit(lim.value)))
+
+    # ---- scoring: per-term partials, max-over-paths of sum-along-path ----
+    def partial_col(word: str):
+        df_w = float(stats[word][1])
+        return bm25_partial(
+            F.coalesce(F.col(f"tf_{_safe(word)}").cast("double"), F.lit(0.0)),
+            F.col("doc_len").cast("double"),
+            F.lit(df_w),
+            reader.n_docs,
+        )
+
+    path_sums = []
+    for p in live_paths:
+        terms_in_path = sorted(set(p))
+        s = reduce(
+            lambda a, w: a + partial_col(w), terms_in_path, F.lit(0.0)
+        )
+        # a path only counts if every term matched (tf present)
+        present = reduce(
+            lambda a, w: a & F.col(f"tf_{_safe(w)}").isNotNull(), terms_in_path, F.lit(True)
+        )
+        path_sums.append(F.when(present, s).otherwise(F.lit(None)))
+    raw = path_sums[0] if len(path_sums) == 1 else F.greatest(*path_sums)
+
+    # priority terms: score bonus when present (reference multiplies by
+    # exp(priorityTermAdjustment/5); our transcript analogue gives each
+    # matched priority term a 1/5 exponent step)
+    prio_present = [w for w in pq.priority if w in stats]
+    if prio_present:
+        for w in prio_present:
+            cand = cand.join(
+                reader.decode_term(stats[w][0])
+                .select("doc_id", F.lit(1).alias(f"prio_{_safe(w)}")),
+                "doc_id",
+                "left",
+            )
+        n_prio = reduce(
+            lambda a, w: a
+            + F.when(F.col(f"prio_{_safe(w)}").isNotNull(), 1.0).otherwise(0.0),
+            prio_present,
+            F.lit(0.0),
+        )
+        raw = raw * F.exp(n_prio / 5.0)
+
+    scored = cand.withColumn("score", normalize(raw))
+    if round_score_to is not None:
+        scored = scored.withColumn("score", F.round(F.col("score"), round_score_to))
+
+    # ---- per-group cap + global top-k (ascending: lower = better) ----
+    if group_cap is not None:
+        w = Window.partitionBy(group_col).orderBy(F.col("score").asc(), F.col("doc_id"))
+        scored = scored.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") <= group_cap
+        ).drop("_rn")
+    return (
+        scored.orderBy(F.col("score").asc(), F.col("doc_id"))
+        .limit(k)
+        .select("doc_id", "conv_id", "doc_len", "n_turns", "score")
+    )

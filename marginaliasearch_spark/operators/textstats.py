@@ -1,0 +1,122 @@
+"""Text-analysis operators for a training-data pipeline.
+
+All pure JVM column expressions (whole-stage codegen, no Python): language
+ID (stopword-hit heuristic), quality scoring (length/punct/stopword ratios),
+token counting (whitespace + BPE-ish regex), and document fingerprinting.
+Each has an exact ANSI-SQL equivalent, so every one is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny deterministic stopword marker sets per language — a real pipeline
+# would use fastText/CLD3; the heuristic (count marker hits, argmax) is the
+# point here, and it is exactly reproducible in SQL
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "a", "in", "that"],
+    "es": ["el", "la", "de", "que", "y", "los", "en", "un"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "nicht", "mit"],
+}
+
+_WORD_SPLIT = "\\s+"
+# BPE-ish sub-word segmentation: letter runs, digit runs, single punctuation
+BPE_ISH_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id → whitespace token count + BPE-ish sub-token count."""
+    lower = F.lower(F.col(text_col))
+    ws = F.size(F.filter(F.split(F.trim(lower), _WORD_SPLIT), lambda t: t != ""))
+    bpe = F.size(F.regexp_extract_all(lower, F.lit(BPE_ISH_RE), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        ws.cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_tokens"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id → predicted language by marker-word hit counts (ties → 'und').
+
+    One narrow projection; marker matching via array_contains over the
+    token array stays in codegen.
+    """
+    toks = F.split(F.lower(F.col(text_col)), "[^a-z]+")
+    hit_cols = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        hits = F.size(F.filter(toks, lambda t: t.isin(markers)))  # noqa: B023
+        hit_cols.append(hits.alias(f"hits_{lang}"))
+    scored = docs.select("doc_id", *hit_cols)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    # deterministic argmax: first language (alphabetical) achieving the max
+    pred = F.lit("und")
+    for lang in reversed(langs):
+        pred = F.when(
+            (F.col(f"hits_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    return scored.select(
+        "doc_id", pred.alias("lang_pred"), best.alias("marker_hits")
+    )
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + a 0-1 score.
+
+    The classic pre-training quality gates (C4/Gopher-style rules) as one
+    projection: mean word length, punctuation density, stopword fraction.
+    """
+    text = F.col(text_col)
+    lower = F.lower(text)
+    n_chars = F.length(text)
+    words = F.filter(F.split(F.trim(lower), "\\s+"), lambda t: t != "")
+    n_words = F.size(words)
+    en_stops = LANG_MARKERS["en"]
+    stop_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(words, lambda t: t.isin(en_stops))) / n_words.cast("double"),
+    ).otherwise(F.lit(0.0))
+    punct_frac = F.when(
+        n_chars > 0,
+        F.size(F.regexp_extract_all(lower, F.lit("[^a-z0-9\\s]"), F.lit(0)))
+        / n_chars.cast("double"),
+    ).otherwise(F.lit(0.0))
+    mean_word_len = F.when(
+        n_words > 0,
+        F.aggregate(
+            words, F.lit(0.0), lambda acc, w: acc + F.length(w).cast("double")
+        )
+        / n_words.cast("double"),
+    ).otherwise(F.lit(0.0))
+    # score: in-range indicators averaged (each gate contributes 1/4)
+    gates = (
+        F.when((n_words >= 10) & (n_words <= 100000), 1.0).otherwise(0.0)
+        + F.when((mean_word_len >= 2.0) & (mean_word_len <= 12.0), 1.0).otherwise(0.0)
+        + F.when(punct_frac <= 0.2, 1.0).otherwise(0.0)
+        + F.when(stop_frac >= 0.01, 1.0).otherwise(0.0)
+    ) / 4.0
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(punct_frac, 6).alias("punct_frac"),
+        F.round(stop_frac, 6).alias("stop_frac"),
+        F.round(gates, 6).alias("quality"),
+    )
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id → content fingerprint of the normalized token stream.
+
+    md5 over the canonical (lowercased, whitespace-normalized) token join —
+    whitespace/case-insensitive exact-dup key, reproducible in any engine.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    return docs.select(
+        "doc_id", F.md5(F.array_join(toks, " ")).alias("fingerprint")
+    )

@@ -1,0 +1,167 @@
+"""Query parsing + compiled-query expression tree.
+
+Re-implements the *semantics* of the reference's query front-end in pure
+Python (driver-side planning, no cluster work):
+
+- token syntax from ``QueryParser.java:33-100``: bare terms (AND),
+  ``-term`` exclusion, ``"quoted phrase"``, ``?priorityTerm``, and
+  specification limits ``<field><op><value>`` (reference: ``year>2020``,
+  ``size<100``; our transcript analogues: ``turns``, ``len``);
+- the compiled-query grammar ``( a | b ) c`` — n-ary AND of items where an
+  item is a term or a parenthesized OR of sub-expressions
+  (``CompiledQueryParser.java:10-67``);
+- path enumeration over the AND/OR tree (the reference scores via
+  max-over-paths of sum-along-path, ``CompiledQueryAggregates.java:160-184``).
+
+Terms are normalized with the same tokenizer as ingestion so query-side and
+index-side term equivalence classes match (``SearchContext.java:159-160``
+hashes query keywords with the same hasher as the journal writer).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import pandas as pd
+
+from ..functions.tokenizer import tokenize_texts
+
+_LIMIT_RE = re.compile(r"^(?P<field>[a-z]+)(?P<op>>=|<=|=|>|<)(?P<value>\d+)$")
+
+
+@dataclass(frozen=True)
+class Term:
+    word: str
+
+    def paths(self) -> list[list[str]]:
+        return [[self.word]]
+
+    def all_terms(self) -> set[str]:
+        return {self.word}
+
+
+@dataclass(frozen=True)
+class And:
+    children: tuple
+
+    def paths(self) -> list[list[str]]:
+        out: list[list[str]] = [[]]
+        for c in self.children:
+            out = [p + q for p in out for q in c.paths()]
+        return out
+
+    def all_terms(self) -> set[str]:
+        return set().union(*(c.all_terms() for c in self.children))
+
+
+@dataclass(frozen=True)
+class Or:
+    children: tuple
+
+    def paths(self) -> list[list[str]]:
+        return [p for c in self.children for p in c.paths()]
+
+    def all_terms(self) -> set[str]:
+        return set().union(*(c.all_terms() for c in self.children))
+
+
+def parse_compiled(expr: str):
+    """Parse the reference's compiled-query string grammar ``( a | b ) c``.
+
+    AND binds by juxtaposition; ``|`` separates alternatives inside parens
+    (CompiledQueryParser semantics).
+    """
+    tokens = re.findall(r"\(|\)|\||[^\s()|]+", expr)
+    pos = 0
+
+    def parse_and(stop: set[str]):
+        nonlocal pos
+        items = []
+        while pos < len(tokens) and tokens[pos] not in stop:
+            t = tokens[pos]
+            if t == "(":
+                pos += 1
+                items.append(parse_or())
+                assert tokens[pos] == ")", "unbalanced parens"
+                pos += 1
+            else:
+                pos += 1
+                items.append(Term(t))
+        if not items:
+            raise ValueError(f"empty expression in {expr!r}")
+        return items[0] if len(items) == 1 else And(tuple(items))
+
+    def parse_or():
+        nonlocal pos
+        alts = [parse_and({")", "|"})]
+        while pos < len(tokens) and tokens[pos] == "|":
+            pos += 1
+            alts.append(parse_and({")", "|"}))
+        return alts[0] if len(alts) == 1 else Or(tuple(alts))
+
+    root = parse_and(set())
+    assert pos == len(tokens), f"trailing tokens in {expr!r}"
+    return root
+
+
+@dataclass
+class SpecLimit:
+    field: str  # 'turns' | 'len'
+    op: str
+    value: int
+
+
+@dataclass
+class ParsedQuery:
+    include: object | None = None  # And/Or/Term tree over normalized terms
+    exclude: list[str] = field(default_factory=list)
+    priority: list[str] = field(default_factory=list)
+    phrases: list[list[str]] = field(default_factory=list)
+    limits: list[SpecLimit] = field(default_factory=list)
+
+    def all_include_terms(self) -> list[str]:
+        terms: set[str] = set() if self.include is None else set(
+            self.include.all_terms()
+        )
+        for ph in self.phrases:
+            terms.update(ph)
+        return sorted(terms)
+
+
+def _normalize(word: str) -> list[str]:
+    """Query-side keyword normalization = the ingestion tokenizer."""
+    return [t for t in tokenize_texts(pd.Series([word])).iloc[0]]
+
+
+def parse_query(q: str) -> ParsedQuery:
+    """Human query string → ParsedQuery (QueryParser.java token semantics)."""
+    out = ParsedQuery()
+    and_items: list = []
+    for raw in re.findall(r'"[^"]*"|\([^)]*\)|\S+', q.strip()):
+        if raw.startswith('"') and raw.endswith('"'):
+            words = [w for tok in raw[1:-1].split() for w in _normalize(tok)]
+            if words:
+                out.phrases.append(words)
+                and_items.extend(Term(w) for w in words)
+            continue
+        if raw.startswith("("):
+            and_items.append(parse_compiled(raw.lower()))
+            continue
+        m = _LIMIT_RE.match(raw.lower())
+        if m:
+            out.limits.append(
+                SpecLimit(m.group("field"), m.group("op"), int(m.group("value")))
+            )
+            continue
+        if raw.startswith("-"):
+            out.exclude.extend(_normalize(raw[1:]))
+            continue
+        if raw.startswith("?"):
+            words = _normalize(raw[1:])
+            out.priority.extend(words)
+            continue
+        and_items.extend(Term(w) for w in _normalize(raw))
+    if and_items:
+        out.include = and_items[0] if len(and_items) == 1 else And(tuple(and_items))
+    return out

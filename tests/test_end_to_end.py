@@ -1,0 +1,228 @@
+"""End-to-end: build index → query → verify against arithmetic + numpy oracles.
+
+Ports the reference's integration test strategy:
+- factor-oracle set correctness (IndexQueryServiceIntegrationSmokeTest.java:
+  105-166 — docs are ints, words are factors, results checkable by division);
+- BM25 rank/score exactness vs the independent numpy oracle (FIXTURES T1b);
+- kill/resume build equivalence (north-rule resumability);
+- parallelism-invariance of the built index (determinism at N vs 4N).
+"""
+
+import numpy as np
+import pytest
+
+from marginaliasearch_spark.operators.index_build import (
+    build_index,
+    read_manifest,
+    read_postings,
+)
+from marginaliasearch_spark.operators.query_exec import IndexReader, run_query
+from marginaliasearch_spark.sources.transcripts import (
+    adversarial_corpus,
+    bm25_corpus,
+    factor_corpus,
+)
+
+from . import oracle_ref
+
+
+@pytest.fixture(scope="module")
+def factor_index(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("factor_idx"))
+    build_index(spark, factor_corpus(spark, 512), root, n_buckets=2)
+    return IndexReader(spark, root_paths(root))
+
+
+def root_paths(root):
+    from marginaliasearch_spark.operators.index_build import IndexPaths
+
+    return IndexPaths(root)
+
+
+def _convs(df):
+    return {int(r["conv_id"].removeprefix("conv")) for r in df.collect()}
+
+
+class TestFactorOracle:
+    def test_and_with_exclusion(self, factor_index):
+        # "2 3 5 -4" → multiples of 30 not divisible by 4 (reference smoke)
+        res = run_query(
+            factor_index, "factor2 factor3 factor5 -factor4", k=1000
+        )
+        expect = {i for i in range(1, 513) if i % 30 == 0 and i % 4 != 0}
+        assert _convs(res) == expect
+
+    def test_single_term(self, factor_index):
+        res = run_query(factor_index, "factor127", k=1000)
+        assert _convs(res) == {127, 254, 381, 508}
+
+    def test_and_pair(self, factor_index):
+        res = run_query(factor_index, "factor7 factor11", k=1000)
+        assert _convs(res) == {i for i in range(1, 513) if i % 77 == 0}
+
+    def test_missing_term_empty(self, factor_index):
+        assert run_query(factor_index, "factor9999", k=10).count() == 0
+
+    def test_or_paths(self, factor_index):
+        # ( factor509 | factor510 ) factor2 → even docs divisible by 509 or 510
+        res = run_query(factor_index, "( factor509 | factor510 ) factor2", k=1000)
+        expect = {
+            i
+            for i in range(1, 513)
+            if i % 2 == 0 and (i % 509 == 0 or i % 510 == 0)
+        }
+        assert _convs(res) == expect
+
+    def test_spec_limit_turns(self, factor_index):
+        # conversations have 1 + (i % 4) turns
+        res = run_query(factor_index, "factor128 turns>2", k=1000)
+        expect = {i for i in {128, 256, 384, 512} if 1 + (i % 4) > 2}
+        assert _convs(res) == expect
+
+    def test_topk_limit_and_order(self, factor_index):
+        res = run_query(factor_index, "factor2", k=5)
+        rows = res.collect()
+        assert len(rows) == 5
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores)  # ascending = best first
+
+
+class TestBm25Oracle:
+    @pytest.fixture(scope="class")
+    def corpus_and_reader(self, spark, tmp_path_factory):
+        df = bm25_corpus(spark, n_convs=200, seed=42)
+        rows = df.collect()
+        turns: dict[str, list[tuple[int, str]]] = {}
+        for r in rows:
+            turns.setdefault(r["conv_id"], []).append((r["turn_idx"], r["text"]))
+        docs = {cid: oracle_ref.assemble(t) for cid, t in turns.items()}
+        root = str(tmp_path_factory.mktemp("bm25_idx"))
+        build_index(spark, df, root, n_buckets=2)
+        return docs, IndexReader(spark, root_paths(root))
+
+    QUERIES = [
+        (["word00"], []),
+        (["word05"], []),
+        (["word30"], []),
+        (["word49"], []),
+        (["word00", "word01"], []),
+        (["word02", "word10"], []),
+        (["word01", "word20", "word03"], []),
+        (["word00"], ["word01"]),
+        (["word04", "word07"], ["word00"]),
+        (["word45", "word48"], []),
+    ]
+
+    @pytest.mark.parametrize("include,exclude", QUERIES)
+    def test_rank_and_score_exact(self, corpus_and_reader, include, exclude):
+        docs, reader = corpus_and_reader
+        expect = oracle_ref.bm25_rank(docs, include, exclude, k=10)
+        q = " ".join(include + [f"-{w}" for w in exclude])
+        got = [
+            (r["conv_id"], r["score"]) for r in run_query(reader, q, k=10).collect()
+        ]
+        assert len(got) == len(expect)
+        for (g_id, g_s), (e_id, e_s) in zip(got, expect):
+            assert abs(g_s - e_s) < 1e-9, (g_id, e_id)
+        # rank identity where scores are separated
+        for i, ((g_id, g_s), (e_id, e_s)) in enumerate(zip(got, expect)):
+            near_tie = any(
+                abs(e_s - other_s) < 1e-9
+                for j, (_, other_s) in enumerate(expect)
+                if j != i
+            )
+            if not near_tie:
+                assert g_id == e_id
+
+
+class TestPhrase:
+    @pytest.fixture(scope="class")
+    def adv_reader(self, spark, tmp_path_factory):
+        root = str(tmp_path_factory.mktemp("adv_idx"))
+        build_index(spark, adversarial_corpus(spark), root, n_buckets=1)
+        return IndexReader(spark, root_paths(root))
+
+    def test_phrase_match(self, adv_reader):
+        res = run_query(adv_reader, '"single turn conversation"', k=10)
+        assert [r["conv_id"] for r in res.collect()] == ["adv5"]
+
+    def test_phrase_order_matters(self, adv_reader):
+        res = run_query(adv_reader, '"conversation single"', k=10)
+        assert res.count() == 0
+
+    def test_separator_token_searchable(self, adv_reader):
+        res = run_query(adv_reader, "foo.bar-baz_qux", k=10)
+        assert [r["conv_id"] for r in res.collect()] == ["adv2"]
+
+    def test_overlong_token_not_indexed(self, adv_reader):
+        assert run_query(adv_reader, "x" * 80, k=10).count() == 0
+
+
+class TestResumability:
+    def test_kill_resume_identical(self, spark, tmp_path_factory):
+        df = factor_corpus(spark, 128)
+        root_a = str(tmp_path_factory.mktemp("resume_a"))
+        root_b = str(tmp_path_factory.mktemp("resume_b"))
+        build_index(spark, df, root_a, n_buckets=4)  # uninterrupted
+        with pytest.raises(RuntimeError, match="injected failure"):
+            build_index(spark, df, root_b, n_buckets=4, fail_after_bucket=2)
+        m = read_manifest(root_paths(root_b))
+        assert len(m) == 2  # partial commit survived
+        build_index(spark, df, root_b, n_buckets=4)  # resume
+        m2 = read_manifest(root_paths(root_b))
+        assert len(m2) == 4 and all(x["status"] == "committed" for x in m2)
+        # identical decoded content (orderless)
+        def decoded(root):
+            from marginaliasearch_spark.functions.blocks import (
+                DECODED_SCHEMA,
+                decode_blocks,
+            )
+
+            return {
+                (r["term_id"], r["doc_id"], r["tf"])
+                for r in read_postings(spark, root_paths(root))
+                .mapInPandas(decode_blocks, schema=DECODED_SCHEMA)
+                .collect()
+            }
+
+        assert decoded(root_a) == decoded(root_b)
+
+    def test_resume_skips_committed(self, spark, tmp_path_factory):
+        df = factor_corpus(spark, 64)
+        root = str(tmp_path_factory.mktemp("resume_skip"))
+        build_index(spark, df, root, n_buckets=3)
+        stamps = {
+            m["partition_id"]: m["elapsed_s"] for m in read_manifest(root_paths(root))
+        }
+        build_index(spark, df, root, n_buckets=3)  # no-op rerun
+        stamps2 = {
+            m["partition_id"]: m["elapsed_s"] for m in read_manifest(root_paths(root))
+        }
+        assert stamps == stamps2  # manifests untouched → buckets skipped
+
+
+class TestParallelismInvariance:
+    def test_same_index_at_4x_partitions(self, spark, tmp_path_factory):
+        """The built index's logical content must not depend on parallelism
+        (SURVEY §8 risk 5) — the precondition for N vs 4N scaling runs."""
+        from marginaliasearch_spark.functions.blocks import (
+            DECODED_SCHEMA,
+            decode_blocks,
+        )
+
+        df = bm25_corpus(spark, n_convs=60, seed=7)
+        roots = []
+        for parts in (2, 8):
+            root = str(tmp_path_factory.mktemp(f"par{parts}"))
+            build_index(spark, df, root, n_buckets=1, partitions=parts)
+            roots.append(root)
+
+        def decoded(root):
+            return {
+                (r["term_id"], r["doc_id"], r["tf"])
+                for r in read_postings(spark, root_paths(root))
+                .mapInPandas(decode_blocks, schema=DECODED_SCHEMA)
+                .collect()
+            }
+
+        assert decoded(roots[0]) == decoded(roots[1])
