@@ -1,0 +1,175 @@
+"""Benchmark harness: index-build throughput + headline query latencies.
+
+Default mode (what the driver runs per round):
+
+    python bench.py            # sf dir from $SPARK_GRAFT_SF_DIR (sf0.1),
+                               # cores from $SPARK_GRAFT_CPUS (default 32)
+
+prints ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": 0.1,
+     "build": {"turns": N, "sec": s, "turns_per_sec": r}, "cores": C}
+
+The build benchmark constructs the full inverted index (tokenize → journal →
+salt-free range shuffle → block encode → postings/lexicon/doc_stats) over a
+deterministic Zipf-skewed transcript corpus (head terms in >80% of docs — the
+worst-case skew the north rule calls out), generated distributively inside
+Spark so data creation scales with the cluster. Query benchmarks run the
+driver-contract queries from ``__spark_entry__`` against the sf-dir tables.
+
+Scaling mode (north-rule two-cluster-size evidence)::
+
+    python bench.py --scaling [--n 8]   # runs build at local[N] and
+                                        # local[4N] in fresh subprocesses,
+                                        # reports throughput + efficiency
+
+``--build-only --cores C`` is the subprocess entry used by --scaling.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Build-benchmark corpus: 20k convs x 10 turns x 40 tokens — 200k turns,
+# 8M token occurrences, Zipf s=1.1 over 20k vocab (head term df ~ corpus).
+BUILD_CONVS = 20_000
+BUILD_TURNS_PER_CONV = 10
+
+BENCH_QUERIES = [
+    "fulltext_bm25_single",
+    "fulltext_bm25_and",
+    "fulltext_bm25_exclude",
+    "fulltext_bm25_or",
+    "fulltext_bm25_phrase",
+    "index_lexicon_stats",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_quality",
+    "text_language_id",
+    "sim_cosine_topk",
+    "sim_lsh_topk",
+    "events_hourly",
+]
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def run_build(spark, workdir: str) -> dict:
+    from marginaliasearch_spark.operators.index_build import build_index
+    from marginaliasearch_spark.sources.transcripts import zipf_corpus
+
+    corpus = zipf_corpus(
+        spark, n_convs=BUILD_CONVS, turns_per_conv=BUILD_TURNS_PER_CONV
+    )
+    n_turns = BUILD_CONVS * BUILD_TURNS_PER_CONV
+    t0 = time.time()
+    build_index(spark, corpus, workdir, n_buckets=1)
+    sec = time.time() - t0
+    return {
+        "turns": n_turns,
+        "sec": round(sec, 3),
+        "turns_per_sec": round(n_turns / sec, 1),
+    }
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    # warm the documents index once so query timings measure queries,
+    # not the one-off build
+    entry_mod._get_reader(spark, sf_dir)
+    out: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        out[name] = round(time.time() - t0, 3)
+        _ = n
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--cores", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--build-only", action="store_true")
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--n", type=int, default=8, help="N for the N vs 4N scaling run")
+    args = ap.parse_args()
+
+    if args.scaling:
+        results = {}
+        for cores in (args.n, 4 * args.n):
+            proc = subprocess.run(
+                [sys.executable, __file__, "--build-only", "--cores", str(cores)],
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+            results[cores] = json.loads(line)["build"]
+        tp_n = results[args.n]["turns_per_sec"]
+        tp_4n = results[4 * args.n]["turns_per_sec"]
+        eff = (tp_4n / tp_n) / 4.0
+        print(
+            json.dumps(
+                {
+                    "metric": "index-build scaling N vs 4N (local threads)",
+                    "n_cores": args.n,
+                    "throughput_n": tp_n,
+                    "throughput_4n": tp_4n,
+                    "scaling_efficiency": round(eff, 3),
+                    "turns": results[args.n]["turns"],
+                }
+            )
+        )
+        return
+
+    import shutil
+    import tempfile
+
+    from marginaliasearch_spark.session import get_spark
+
+    spark = get_spark("bench", cores=args.cores)
+    workdir = tempfile.mkdtemp(prefix="msq_bench_idx_")
+    try:
+        build = run_build(spark, workdir)
+        queries = {} if args.build_only else run_queries(spark, args.sf_dir)
+        total = build["sec"] + sum(queries.values())
+        print(
+            json.dumps(
+                {
+                    "metric": "index-build (200k Zipf turns) + headline queries wall time",
+                    "value": round(total, 3),
+                    "unit": "sec",
+                    "queries": queries,
+                    "sf": _sf_of(args.sf_dir),
+                    "build": build,
+                    "cores": args.cores,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

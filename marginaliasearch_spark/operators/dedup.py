@@ -279,11 +279,13 @@ def simhash_pairs(
         "doc_id",
         "simhash",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(nbands - 1)),
-                lambda i: F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(
-                    F.lit((1 << width) - 1)
-                ),
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for i in range(nbands)
+                ]
             )
         ).alias("band", "band_val"),
     )

@@ -129,9 +129,16 @@ def run_query(
     group_cap: int | None = None,
     group_col: str = "conv_id",
     round_score_to: int | None = None,
+    tie_break: F.Column | None = None,
 ) -> DataFrame:
     """Top-k BM25 search. Returns (doc_id, conv_id, score, ...) ascending by
-    the reference's normalized score (lower = better)."""
+    the reference's normalized score (lower = better).
+
+    ``tie_break``: optional column expression used instead of ``doc_id`` to
+    break score ties deterministically (e.g. an external id recoverable from
+    ``conv_id`` so results are comparable with an engine that does not know
+    our hash-based doc ids).
+    """
     pq = parse_query(query) if isinstance(query, str) else query
     include_terms = pq.all_include_terms()
     phrase_terms = sorted({w for ph in pq.phrases for w in ph})
@@ -278,13 +285,14 @@ def run_query(
         scored = scored.withColumn("score", F.round(F.col("score"), round_score_to))
 
     # ---- per-group cap + global top-k (ascending: lower = better) ----
+    tb = F.col("doc_id") if tie_break is None else tie_break
     if group_cap is not None:
-        w = Window.partitionBy(group_col).orderBy(F.col("score").asc(), F.col("doc_id"))
+        w = Window.partitionBy(group_col).orderBy(F.col("score").asc(), tb)
         scored = scored.withColumn("_rn", F.row_number().over(w)).filter(
             F.col("_rn") <= group_cap
         ).drop("_rn")
     return (
-        scored.orderBy(F.col("score").asc(), F.col("doc_id"))
+        scored.orderBy(F.col("score").asc(), tb)
         .limit(k)
         .select("doc_id", "conv_id", "doc_len", "n_turns", "score")
     )

@@ -131,7 +131,7 @@ def zipf_corpus(
     probs /= probs.sum()
     cdf = np.cumsum(probs)
     n_turns_total = n_convs * turns_per_conv
-    base = np.uint64(seed) * np.uint64(0xA076_1D64_78BD_642F)
+    base = np.uint64((seed * 0xA076_1D64_78BD_642F) % (1 << 64))
 
     def gen(batches):
         for pdf in batches:
