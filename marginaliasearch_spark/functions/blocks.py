@@ -4,11 +4,19 @@ A *block* is one row of the ``postings`` table: up to ``BLOCK_DOCS`` docs of
 one term, docID-sorted, delta+varbyte compressed, carrying per-block
 ``min_doc``/``max_doc`` (the skip-list block-max analogue,
 ``SkipListReader.parseBlock`` / ``SkipListConstants.java:7``) and
-``block_max_score`` (per-block max BM25 partial — block-max WAND metadata).
+``max_tf_norm`` (per-block max of the BM25 tf-normalization factor). A
+block's score upper bound is ``idf(term) * max_tf_norm`` — idf is a per-term
+constant, so storing the idf-free factor keeps the document-frequency join
+OUT of the build's shuffle path (block-max WAND metadata at zero join cost).
 Parquet/Iceberg min/max column stats on these columns give block skipping at
 scan time; the decode kernels additionally prune blocks against a candidate
 set, which is the reference's ``tryRetainData`` semantics
 (``SkipListReader.java:87``) re-expressed batch-wise.
+
+The journal already carries positions as per-(doc, term) varbyte runs, and
+varbyte is byte-aligned per value, so a block's positions payload is the
+plain byte concatenation of its rows' runs — encode does no position
+re-coding at all.
 """
 
 from __future__ import annotations
@@ -19,9 +27,8 @@ import numpy as np
 import pandas as pd
 
 from .codecs import (
-    decode_positions_block,
+    decode_positions,
     decode_sorted,
-    encode_positions_block,
     encode_sorted,
     varbyte_decode,
     varbyte_encode,
@@ -31,7 +38,7 @@ BLOCK_DOCS = 4096  # docs per block ≈ the reference's 8 KiB skip-list blocks
 
 POSTINGS_SCHEMA = (
     "term_id long, n_docs int, doc_ids binary, tfs binary, positions binary, "
-    "min_doc long, max_doc long, block_max_score double"
+    "min_doc long, max_doc long, max_tf_norm double"
 )
 
 
@@ -39,8 +46,8 @@ def _encode_term_run(
     term_id: int,
     doc_ids: np.ndarray,
     tfs: np.ndarray,
-    pos_lists: list,
-    scores: np.ndarray,
+    pos_bytes: list[bytes],
+    tf_norms: np.ndarray,
     block_docs: int,
 ) -> Iterator[dict]:
     """One term's docID-sorted run within a partition → block rows."""
@@ -53,12 +60,10 @@ def _encode_term_run(
             "n_docs": end - start,
             "doc_ids": encode_sorted(ids),
             "tfs": varbyte_encode(tfs[start:end].astype(np.uint64)),
-            "positions": encode_positions_block(
-                [np.asarray(p, dtype=np.uint64) for p in pos_lists[start:end]]
-            ),
+            "positions": b"".join(pos_bytes[start:end]),
             "min_doc": int(ids[0]),
             "max_doc": int(ids[-1]),
-            "block_max_score": float(np.max(scores[start:end])),
+            "max_tf_norm": float(np.max(tf_norms[start:end])),
         }
 
 
@@ -69,7 +74,7 @@ def encode_blocks(
 
     Streams Arrow batches, carrying the current term's tail across batch
     boundaries so a term spanning many batches still forms full blocks.
-    Input columns: term_id, doc_id, tf, positions, score_partial.
+    Input columns: term_id, doc_id, tf, positions (varbyte binary), tf_norm.
     """
     carry: pd.DataFrame | None = None
 
@@ -78,7 +83,7 @@ def encode_blocks(
         term_ids = pdf["term_id"].to_numpy()
         doc_arr = pdf["doc_id"].to_numpy()
         tf_arr = pdf["tf"].to_numpy()
-        score_arr = pdf["score_partial"].to_numpy()
+        score_arr = pdf["tf_norm"].to_numpy()
         pos_list = pdf["positions"].tolist()
         # row ranges per term (input sorted by term_id)
         change = np.flatnonzero(term_ids[1:] != term_ids[:-1]) + 1
@@ -146,8 +151,8 @@ def decode_blocks(
             else:
                 mask = None
             if with_positions:
-                counts, flat = decode_positions_block(row.positions, row.n_docs)
-                splits = np.cumsum(counts.astype(np.int64))[:-1]
+                flat = decode_positions(row.positions, tfs)
+                splits = np.cumsum(tfs.astype(np.int64))[:-1]
                 plists = np.split(flat.astype(np.int64), splits)
             if mask is not None:
                 doc_ids, tfs = doc_ids[mask], tfs[mask]

@@ -25,14 +25,20 @@ import numpy as np
 _MAX_VARINT_BYTES = 10  # 64 bits / 7
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
+def varbyte_encode_with_offsets(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     """LEB128-encode an array of unsigned 64-bit ints, vectorized.
+
+    Also returns the per-value byte offsets (length n+1), so callers can
+    slice the encoded stream at value boundaries (used by the journal writer
+    to cut one big batch encode into per-(doc, term) byte runs — varbyte is
+    byte-aligned per value, so concatenation of slices is itself a valid
+    varbyte stream).
 
     Loop bound is the varint width (≤10), never the element count.
     """
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return b"", np.zeros(1, dtype=np.int64)
     # bytes needed per value: ceil(bitlength/7), min 1
     nbits = np.zeros(v.shape, dtype=np.int64)
     tmp = v.copy()
@@ -59,7 +65,11 @@ def varbyte_encode(values: np.ndarray) -> bytes:
         tmp[live] >>= np.uint64(7)
         byte_pos[live] += 1
         remaining[live] -= 1
-    return out.tobytes()
+    return out.tobytes(), offsets
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    return varbyte_encode_with_offsets(values)[0]
 
 
 def varbyte_decode(buf: bytes | np.ndarray) -> np.ndarray:
@@ -110,19 +120,56 @@ def decode_sorted(buf: bytes) -> np.ndarray:
 
 # ---------------------------------------------------------------------------
 # Ragged position lists (one strictly-increasing 1-based list per doc).
-# Wire format of a block's positions payload:
-#   varbyte( [count_0..count_{n-1}] ++ [delta-coded positions, doc-major] )
-# Counts-first (not interleaved) keeps decode fully vectorized: the first
-# n values are counts, the rest split by cumsum(counts). The reference's
-# count-prefix-per-sequence (VarintCodedSequence.java:32-53) is semantically
-# identical; we hoist the prefixes to the block header region.
+# Wire format of a positions payload: varbyte(delta-coded positions,
+# doc-major, delta reset at each doc's first position). There is NO count
+# region — the per-doc counts equal the term frequencies, which travel in
+# their own ``tfs`` column, so storing them again would duplicate bytes. The
+# reference's count-prefix-per-sequence (VarintCodedSequence.java:32-53) is
+# semantically identical; we hoist the prefixes into the tfs column.
+#
+# Because varbyte is byte-aligned per value, a per-(doc, term) encoded run is
+# itself a valid payload, and a block's payload is the plain byte
+# concatenation of its rows' runs — the block encoder does zero re-coding.
 # ---------------------------------------------------------------------------
 
 
-def encode_positions_block(
+def segmented_delta(flat: np.ndarray, seg_starts: np.ndarray) -> np.ndarray:
+    """Delta-code a doc-major flat array with a reset at each segment start.
+
+    ``seg_starts`` are indices into ``flat`` (empty segments excluded).
+    """
+    flat = np.ascontiguousarray(flat, dtype=np.uint64)
+    if flat.size == 0:
+        return flat
+    deltas = np.empty_like(flat)
+    deltas[0] = flat[0]
+    np.subtract(flat[1:], flat[:-1], out=deltas[1:])
+    deltas[seg_starts] = flat[seg_starts]
+    return deltas
+
+
+def segmented_undelta(deltas: np.ndarray, seg_starts: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`segmented_delta` — cumsum with reset per segment."""
+    if deltas.size == 0:
+        return deltas
+    csum = np.cumsum(deltas, dtype=np.uint64)
+    seg_base = csum[seg_starts] - deltas[seg_starts]  # cumsum before segment
+    seg_id = np.zeros(deltas.size, dtype=np.int64)
+    seg_id[seg_starts] = 1
+    seg_id = np.cumsum(seg_id) - 1
+    return csum - seg_base[seg_id]
+
+
+def _doc_starts(counts: np.ndarray) -> np.ndarray:
+    starts = np.zeros(counts.size + 1, dtype=np.int64)
+    np.cumsum(counts.astype(np.int64), out=starts[1:])
+    return starts[:-1][counts > 0]
+
+
+def encode_positions(
     position_lists: list[np.ndarray] | np.ndarray, counts: np.ndarray | None = None
 ) -> bytes:
-    """Encode per-doc position lists for one block.
+    """Encode per-doc position lists (count-free payload, see above).
 
     Accepts either a list of arrays, or a flat doc-major array plus
     ``counts``. Each list must be strictly increasing, 1-based.
@@ -137,42 +184,18 @@ def encode_positions_block(
     else:
         counts = np.ascontiguousarray(counts, dtype=np.uint64)
         flat = np.ascontiguousarray(position_lists, dtype=np.uint64)
-    if flat.size:
-        # per-doc delta coding on the flat array: subtract predecessor, then
-        # restore absolute value at each doc start
-        starts = np.zeros(counts.size + 1, dtype=np.int64)
-        np.cumsum(counts.astype(np.int64), out=starts[1:])
-        doc_starts = starts[:-1][counts > 0]
-        deltas = np.empty_like(flat)
-        deltas[0] = flat[0]
-        np.subtract(flat[1:], flat[:-1], out=deltas[1:])
-        deltas[doc_starts] = flat[doc_starts]
-        payload = np.concatenate([counts, deltas])
-    else:
-        payload = counts
-    return varbyte_encode(payload)
+    if flat.size == 0:
+        return b""
+    return varbyte_encode(segmented_delta(flat, _doc_starts(counts)))
 
 
-def decode_positions_block(buf: bytes, n_docs: int) -> tuple[np.ndarray, np.ndarray]:
-    """Decode a block's positions payload → (counts, flat positions).
+def decode_positions(buf: bytes, counts: np.ndarray) -> np.ndarray:
+    """Decode a positions payload → flat doc-major positions.
 
-    Flat array is doc-major; split points are ``cumsum(counts)``.
+    ``counts`` is the per-doc position count (= the tfs column); split
+    points of the returned flat array are ``cumsum(counts)``.
     """
-    vals = varbyte_decode(buf)
-    counts = vals[:n_docs]
-    deltas = vals[n_docs:]
+    deltas = varbyte_decode(buf)
     if deltas.size == 0:
-        return counts, deltas
-    starts = np.zeros(counts.size + 1, dtype=np.int64)
-    np.cumsum(counts.astype(np.int64), out=starts[1:])
-    doc_starts = starts[:-1][counts > 0]
-    # cumulative sum, reset at each doc start: cumsum(deltas) minus the
-    # running base captured just before each doc start
-    csum = np.cumsum(deltas, dtype=np.uint64)
-    base = np.zeros_like(csum)
-    seg_base = csum[doc_starts] - deltas[doc_starts]  # cumsum before segment
-    seg_id = np.zeros(deltas.size, dtype=np.int64)
-    seg_id[doc_starts] = 1
-    seg_id = np.cumsum(seg_id) - 1
-    base = seg_base[seg_id]
-    return counts, csum - base
+        return deltas
+    return segmented_undelta(deltas, _doc_starts(np.asarray(counts)))

@@ -43,6 +43,11 @@ TURN_BREAK_COST = 2  # +2 padding between regions
 
 # Word = alnum runs joined by separators .-_/:+*@# (never leading/trailing).
 _TOKEN_RE = re.compile(r"[a-z0-9]+(?:[.\-_/:+*@#][a-z0-9]+)*")
+# One alternation pass also captures turn-break markers, so tokenization is a
+# single C-level findall per document (no Python-level split loop).
+_TOKEN_OR_BREAK_RE = re.compile(
+    r"\x00turn\x00|[a-z0-9]+(?:[.\-_/:+*@#][a-z0-9]+)*"
+)
 _POSSESSIVE_RE = re.compile(r"'s\b")
 
 # Deterministic small English stopword set (reference ships a stopword list;
@@ -68,21 +73,10 @@ def tokenize_texts(texts: pd.Series) -> pd.Series:
     """
     flat = flatten_unicode(texts)
     flat = flat.str.replace(_POSSESSIVE_RE, "", regex=True)
-    # reinstate break markers post-lowering (the marker is \x00-delimited and
-    # unaffected by NFKC/lowercase, but regex split would eat it) — tokenize
-    # segment-wise around markers.
-    out = []
-    for text in flat.tolist():
-        if TURN_BREAK in text:
-            toks: list[str] = []
-            for i, seg in enumerate(text.split(TURN_BREAK)):
-                if i:
-                    toks.append(TURN_BREAK)
-                toks.extend(_TOKEN_RE.findall(seg))
-            out.append(toks)
-        else:
-            out.append(_TOKEN_RE.findall(text))
-    return pd.Series(out, index=texts.index)
+    # the \x00-delimited break marker survives NFKC/lowercase and is matched
+    # by the alternation, so each document is one findall pass
+    findall = _TOKEN_OR_BREAK_RE.findall
+    return pd.Series([findall(t) for t in flat.tolist()], index=texts.index)
 
 
 def assign_positions(tokens: list[str]) -> tuple[list[str], np.ndarray, int]:

@@ -25,13 +25,15 @@ Why this is the right Spark shape at 100 TB:
   split yields independent block rows (blocks of one term may come from many
   partitions; query-side decode unions them), so no second merge pass is
   needed. AQE skew-join splitting covers the df join.
-- **Resumability (north-rule requirement).** The build is divided into
-  ``n_buckets`` lineage units by ``pmod(term_id, n_buckets)``; each bucket
-  commits independently (parquet dir + manifest JSON with partition id,
-  input snapshot, postings bytes, term count, elapsed), mirroring the
-  reference's step-wise construction with persisted progress
+- **Resumability (north-rule requirement).** Three checkpointed steps:
+  (0) the journal staging table (tokenize+assembly paid once, committed via
+  parquet ``_SUCCESS``), (1) doc/lexicon/corpus stats, (2) postings buckets
+  — ``pmod(term_id, n_buckets)`` lineage units, each committing
+  independently (parquet dir + manifest JSON with partition id, input
+  snapshot, postings bytes, term count, elapsed), mirroring the reference's
+  step-wise construction with persisted progress
   (``FullIndexConstructor.java:50-74`` CONSTRUCT → FINALIZE → FINISHED).
-  A killed build resumes by skipping committed buckets; outputs are
+  A killed build resumes by skipping committed steps; outputs are
   byte-stable because every id derives from content hashes.
 """
 
@@ -48,13 +50,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.blocks import BLOCK_DOCS, POSTINGS_SCHEMA, encode_blocks
-from ..functions.scoring import bm25_partial
+from ..functions.scoring import tf_norm
 from . import ingest
 
 
 class IndexPaths:
     def __init__(self, root: str):
         self.root = root
+        self.journal = os.path.join(root, "journal")
         self.postings = os.path.join(root, "postings")
         self.lexicon = os.path.join(root, "lexicon")
         self.doc_stats = os.path.join(root, "doc_stats")
@@ -104,10 +107,19 @@ def build_index(
     if partitions is None:
         partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    # journal is consumed by several downstream jobs in this build → persist
-    # the expensive tokenize+shuffle once (on a cluster this would be an
-    # Iceberg staging table / DISK_ONLY persist)
-    journal = ingest.build_journal(transcripts).persist()
+    # Step 0 — journal staging table (resumable artifact: the expensive
+    # tokenize+assembly shuffle is paid once and survives a crash; on a
+    # cluster this is an Iceberg staging table / snapshot). The _SUCCESS
+    # marker parquet leaves behind is the commit record.
+    journal_done = os.path.exists(os.path.join(paths.journal, "_SUCCESS"))
+    if not journal_done:
+        shutil.rmtree(paths.journal, ignore_errors=True)  # clear torn write
+        ingest.build_journal(transcripts).write.mode("overwrite").parquet(
+            paths.journal
+        )
+    journal = spark.read.parquet(paths.journal)
+
+    # Step 1 — forward index + lexicon + corpus stats
     stats_done = os.path.exists(paths.corpus_stats)
     if not stats_done:
         ds = ingest.doc_stats(journal)
@@ -122,10 +134,8 @@ def build_index(
             paths.corpus_stats,
             {"doc_count": cs["doc_count"], "avg_len": cs["avg_len"]},
         )
-    with open(paths.corpus_stats) as f:
-        n_docs = json.load(f)["doc_count"]
-
-    lexicon_df = spark.read.parquet(paths.lexicon).select("term_id", "df")
+    # Step 2 — postings buckets (independently committed lineage units)
+    lexicon_df = spark.read.parquet(paths.lexicon).select("term_id")
     terms = journal.filter(F.col("term").isNotNull())
     committed = 0
     for b in range(n_buckets):
@@ -133,20 +143,17 @@ def build_index(
             continue  # resume: bucket already committed
         t0 = time.time()
         bucket = terms.filter(F.pmod(F.col("term_id"), F.lit(n_buckets)) == b)
-        scored = (
-            bucket.join(lexicon_df, "term_id")
-            .select(
-                "term_id",
-                "doc_id",
-                "tf",
-                "positions",
-                bm25_partial(
-                    F.col("tf").cast("double"),
-                    F.col("doc_len").cast("double"),
-                    F.col("df").cast("double"),
-                    float(n_docs),
-                ).alias("score_partial"),
-            )
+        # the idf factor is a per-term constant, so the block-max metadata
+        # stores the idf-free tf-normalization max — no document-frequency
+        # join in the build's shuffle path (query side multiplies by idf)
+        scored = bucket.select(
+            "term_id",
+            "doc_id",
+            "tf",
+            "positions",
+            tf_norm(
+                F.col("tf").cast("double"), F.col("doc_len").cast("double")
+            ).alias("tf_norm"),
         )
         blocks = (
             scored.repartitionByRange(partitions, "term_id", "doc_id")
@@ -159,9 +166,11 @@ def build_index(
         out_dir = paths.bucket_dir(b)
         shutil.rmtree(out_dir, ignore_errors=True)  # clear torn write
         blocks.write.mode("overwrite").parquet(out_dir)
-        term_count = (
-            spark.read.parquet(out_dir).select("term_id").distinct().count()
-        )
+        # lineage metric: distinct terms in this bucket, from the (small)
+        # lexicon rather than a rescan of the written postings
+        term_count = lexicon_df.filter(
+            F.pmod(F.col("term_id"), F.lit(n_buckets)) == b
+        ).count()
         _write_json_atomic(
             paths.manifest_file(b),
             {
@@ -175,9 +184,7 @@ def build_index(
         )
         committed += 1
         if fail_after_bucket is not None and committed >= fail_after_bucket:
-            journal.unpersist()
             raise RuntimeError(f"injected failure after {committed} buckets")
-    journal.unpersist()
     return paths
 
 

@@ -27,6 +27,7 @@ per-group overhead is amortized (no per-conversation applyInPandas groups).
 
 from __future__ import annotations
 
+import itertools
 from collections.abc import Iterator
 
 import numpy as np
@@ -34,11 +35,21 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.codecs import segmented_delta, varbyte_encode_with_offsets
 from ..functions.ids import doc_id_for_conv, term_id_expr
-from ..functions.tokenizer import TURN_BREAK, assign_positions, tokenize_texts
+from ..functions.tokenizer import (
+    MAX_WORD_LENGTH,
+    STOPWORDS,
+    TURN_BREAK,
+    TURN_BREAK_COST,
+    tokenize_texts,
+)
 
+# positions travel pre-encoded (per-(doc, term) varbyte of 1-based deltas) so
+# the postings shuffle moves compact bytes and the block encoder is a plain
+# byte concatenation (see functions/blocks.py)
 JOURNAL_SCHEMA = (
-    "conv_id string, term string, tf int, positions array<int>, "
+    "conv_id string, term string, tf int, positions binary, "
     "doc_len int, n_turns int"
 )
 
@@ -48,44 +59,94 @@ _BREAK_SEP = f" {TURN_BREAK} "
 def _tokenize_convs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Arrow-batched: (conv_id, full_text, n_turns) → per-(conv, term) rows.
 
+    Fully batch-vectorized position assignment + (doc, term) fold: tokens of
+    the whole Arrow batch are flattened once, ``pd.factorize`` maps them to
+    vocabulary codes so all per-token attributes (stopword, break, length)
+    are computed per *unique* term, positions come from one segmented cumsum,
+    and the fold to per-(doc, term) rows is a single stable lexsort. The only
+    per-document Python work is the regex findall.
+
     Emits one sentinel row (term=NULL, tf=0) per conversation so documents
     with no indexable terms still appear in doc_stats.
     """
     for pdf in batches:
-        token_lists = tokenize_texts(pdf["full_text"])
-        conv_ids: list[str] = []
-        terms: list[str | None] = []
-        poss: list[list[int]] = []
-        doc_lens: list[int] = []
-        n_turns_out: list[int] = []
-        for conv_id, n_turns, tokens in zip(
-            pdf["conv_id"], pdf["n_turns"], token_lists
-        ):
-            kept, positions, doc_len = assign_positions(tokens)
-            # sentinel row → doc_stats
-            conv_ids.append(conv_id)
-            terms.append(None)
-            poss.append([])
-            doc_lens.append(doc_len)
-            n_turns_out.append(int(n_turns))
-            if kept:
-                # fold to per-term position lists (order within group is
-                # ascending because positions are emitted in doc order)
-                s = pd.Series(positions, index=pd.Index(kept, name="term"))
-                grouped = s.groupby(level=0, sort=False).agg(list)
-                conv_ids.extend([conv_id] * len(grouped))
-                terms.extend(grouped.index.tolist())
-                poss.extend(grouped.tolist())
-                doc_lens.extend([doc_len] * len(grouped))
-                n_turns_out.extend([int(n_turns)] * len(grouped))
+        token_lists = tokenize_texts(pdf["full_text"]).tolist()
+        conv_arr = pdf["conv_id"].to_numpy(dtype=object)
+        n_turns_arr = pdf["n_turns"].to_numpy(dtype=np.int64)
+        n_docs = len(token_lists)
+        lens = np.fromiter(
+            (len(t) for t in token_lists), dtype=np.int64, count=n_docs
+        )
+        doc_bounds = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(lens, out=doc_bounds[1:])
+        flat_tokens = np.array(
+            list(itertools.chain.from_iterable(token_lists)), dtype=object
+        )
+        if flat_tokens.size:
+            codes, uniques = pd.factorize(flat_tokens)
+            uniq = np.asarray(uniques, dtype=object)
+            u_break = np.fromiter(
+                (u == TURN_BREAK for u in uniq), dtype=bool, count=uniq.size
+            )
+            u_stop = np.fromiter(
+                (u in STOPWORDS for u in uniq), dtype=bool, count=uniq.size
+            )
+            u_len = np.fromiter(
+                (len(u) for u in uniq), dtype=np.int64, count=uniq.size
+            )
+            is_break = u_break[codes]
+            # 1-based positions: words burn 1 slot, breaks burn 2
+            costs = np.where(is_break, TURN_BREAK_COST, 1)
+            gcum = np.cumsum(costs)
+            ext = np.concatenate([[0], gcum])  # ext[i] = slots before token i
+            doc_idx = np.repeat(np.arange(n_docs), lens)
+            positions = gcum - ext[doc_bounds[:-1]][doc_idx]
+            word_mask = ~is_break
+            wcum = np.concatenate([[0], np.cumsum(word_mask)])
+            doc_len_arr = wcum[doc_bounds[1:]] - wcum[doc_bounds[:-1]]
+            keep = word_mask & ~u_stop[codes] & (u_len[codes] <= MAX_WORD_LENGTH)
+            kd, kc, kp = doc_idx[keep], codes[keep], positions[keep]
+            # stable sort by (doc, term code): positions stay ascending
+            order = np.lexsort((kc, kd))
+            kd, kc, kp = kd[order], kc[order], kp[order]
+            if kd.size:
+                change = np.flatnonzero(
+                    (kd[1:] != kd[:-1]) | (kc[1:] != kc[:-1])
+                ) + 1
+                bounds = np.concatenate([[0], change, [kd.size]])
+            else:
+                bounds = np.zeros(1, dtype=np.int64)
+            grp_starts = bounds[:-1].astype(np.int64)
+            tf = np.diff(bounds).astype(np.int64)
+            deltas = segmented_delta(kp.astype(np.uint64), grp_starts)
+            enc, offs = varbyte_encode_with_offsets(deltas)
+            byte_bounds = offs[bounds]
+            pos_bytes = [
+                enc[byte_bounds[i] : byte_bounds[i + 1]]
+                for i in range(tf.size)
+            ]
+            g_doc = kd[grp_starts]
+            g_term = uniq[kc[grp_starts]]
+        else:
+            doc_len_arr = np.zeros(n_docs, dtype=np.int64)
+            tf = np.empty(0, dtype=np.int64)
+            pos_bytes = []
+            g_doc = np.empty(0, dtype=np.int64)
+            g_term = np.empty(0, dtype=object)
         yield pd.DataFrame(
             {
-                "conv_id": conv_ids,
-                "term": terms,
-                "tf": [len(p) for p in poss],
-                "positions": poss,
-                "doc_len": doc_lens,
-                "n_turns": n_turns_out,
+                "conv_id": np.concatenate([conv_arr, conv_arr[g_doc]]),
+                "term": np.concatenate(
+                    [np.full(n_docs, None, dtype=object), g_term]
+                ),
+                "tf": np.concatenate([np.zeros(n_docs, dtype=np.int64), tf]),
+                "positions": [b""] * n_docs + pos_bytes,
+                "doc_len": np.concatenate(
+                    [doc_len_arr, doc_len_arr[g_doc]]
+                ),
+                "n_turns": np.concatenate(
+                    [n_turns_arr, n_turns_arr[g_doc]]
+                ),
             }
         )
 

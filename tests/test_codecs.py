@@ -10,14 +10,15 @@ import numpy as np
 import pytest
 
 from marginaliasearch_spark.functions.codecs import (
-    decode_positions_block,
+    decode_positions,
     decode_sorted,
     delta_decode,
     delta_encode,
-    encode_positions_block,
+    encode_positions,
     encode_sorted,
     varbyte_decode,
     varbyte_encode,
+    varbyte_encode_with_offsets,
 )
 
 
@@ -75,25 +76,47 @@ def test_positions_block_roundtrip(seed):
             np.uint64
         )
         lists.append(p)
-    buf = encode_positions_block(lists)
-    counts, flat = decode_positions_block(buf, n_docs)
-    assert counts.tolist() == [len(p) for p in lists]
+    buf = encode_positions(lists)
+    counts = np.array([len(p) for p in lists], dtype=np.uint64)
+    flat = decode_positions(buf, counts)
     expect = (
         np.concatenate(lists) if any(len(p) for p in lists) else np.empty(0, np.uint64)
     )
     np.testing.assert_array_equal(flat, expect)
 
 
-def test_positions_block_flat_input():
+def test_positions_flat_input():
     counts = np.array([2, 0, 3], dtype=np.uint64)
     flat = np.array([1, 5, 2, 4, 9], dtype=np.uint64)
-    buf = encode_positions_block(flat, counts=counts)
-    c, f = decode_positions_block(buf, 3)
-    np.testing.assert_array_equal(c, counts)
+    buf = encode_positions(flat, counts=counts)
+    f = decode_positions(buf, counts)
     np.testing.assert_array_equal(f, flat)
 
 
 def test_positions_all_empty():
-    buf = encode_positions_block([np.empty(0, np.uint64)] * 4)
-    c, f = decode_positions_block(buf, 4)
-    assert c.tolist() == [0, 0, 0, 0] and f.size == 0
+    buf = encode_positions([np.empty(0, np.uint64)] * 4)
+    assert buf == b""
+    f = decode_positions(buf, np.zeros(4, dtype=np.uint64))
+    assert f.size == 0
+
+
+def test_positions_concat_equals_block_encode():
+    """Byte concatenation of per-doc runs == one-shot block encode (the
+    invariant the journal→block pipeline relies on)."""
+    lists = [
+        np.array([1, 4, 9], dtype=np.uint64),
+        np.array([2], dtype=np.uint64),
+        np.array([3, 7], dtype=np.uint64),
+    ]
+    whole = encode_positions(lists)
+    per_doc = b"".join(encode_positions([p]) for p in lists)
+    assert whole == per_doc
+
+
+def test_varbyte_offsets_slicing():
+    vals = np.array([0, 127, 128, 2**40, 5], dtype=np.uint64)
+    buf, offs = varbyte_encode_with_offsets(vals)
+    assert offs[0] == 0 and offs[-1] == len(buf)
+    for i, v in enumerate(vals):
+        piece = buf[offs[i] : offs[i + 1]]
+        assert varbyte_decode(piece).tolist() == [int(v)]
