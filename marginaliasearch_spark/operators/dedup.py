@@ -107,25 +107,66 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return z ^ (z >> np.uint64(31))
 
 
-def _stable_hash64(s: str) -> int:
-    """Deterministic 64-bit string hash (blake2b) — Python's built-in hash()
-    is process-randomized and would break cross-executor determinism."""
-    import hashlib
+def _stable_hash_tokens(tokens: np.ndarray) -> np.ndarray:
+    """Deterministic vectorized 64-bit hash of an object array of strings.
 
-    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
+    ``pd.util.hash_array`` (fixed default key) is C-speed and stable across
+    processes — Python's built-in hash() is randomized and would break
+    cross-executor determinism.
+    """
+    return _splitmix64(pd.util.hash_array(tokens, categorize=False))
 
 
-def _shingle_hashes(text: str, width: int) -> np.ndarray:
-    toks = [t for t in text.lower().split() if t]
-    if len(toks) < width:
-        toks = toks + [""] * (width - len(toks))
-    shingles = {" ".join(toks[i : i + width]) for i in range(len(toks) - width + 1)}
-    h = np.fromiter(
-        (_stable_hash64(s) for s in sorted(shingles)),
-        dtype=np.uint64,
-        count=len(shingles),
+# distinct odd multipliers per shingle slot (order-sensitive window mix)
+_SHINGLE_MIX = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5,
+     0x85EBCA77C2B2AE63, 0x2545F4914F6CDD1D, 0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53],
+    dtype=np.uint64,
+)
+
+
+def _shingle_hashes_batch(
+    texts: pd.Series, width: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Whitespace-tokenize a batch → (flat shingle hashes, per-doc counts).
+
+    Fully vectorized: tokens of the whole batch are factorized once, string
+    hashing happens per *unique* token, and a shingle's hash is an
+    order-sensitive mix of its window's token hashes (no per-shingle string
+    building). Docs shorter than ``width`` contribute one truncated-window
+    shingle; empty docs contribute none.
+    """
+    token_lists = [t.lower().split() for t in texts.fillna("")]
+    n_docs = len(token_lists)
+    lens = np.fromiter((len(t) for t in token_lists), np.int64, count=n_docs)
+    flat = np.array(
+        [tok for toks in token_lists for tok in toks], dtype=object
     )
-    return _splitmix64(h)
+    if flat.size == 0:
+        return np.empty(0, np.uint64), np.zeros(n_docs, np.int64)
+    codes, uniques = pd.factorize(flat)
+    th = _stable_hash_tokens(np.asarray(uniques, dtype=object))[codes]
+    doc_bounds = np.zeros(n_docs + 1, np.int64)
+    np.cumsum(lens, out=doc_bounds[1:])
+    doc_idx = np.repeat(np.arange(n_docs), lens)
+    # a window starting at flat index s is valid if it fits inside s's doc;
+    # docs with 0 < len < width get one truncated window at their start
+    n_sh = np.where(lens > 0, np.maximum(lens - width + 1, 1), 0)
+    mixed = th * _SHINGLE_MIX[0]
+    for k in range(1, width):
+        contrib = np.zeros_like(th)
+        contrib[: th.size - k] = th[k:] * _SHINGLE_MIX[k % len(_SHINGLE_MIX)]
+        # zero the contribution where slot k crosses a doc boundary
+        # (only matters for truncated windows of short docs)
+        cross = doc_idx.copy()
+        cross[: th.size - k] = doc_idx[k:]
+        contrib[cross != doc_idx] = 0
+        mixed += contrib
+    sh_all = _splitmix64(mixed)
+    # window start s (global) is valid iff s - doc_start < n_sh[doc]
+    offset_in_doc = np.arange(th.size) - doc_bounds[:-1][doc_idx]
+    start_ok = offset_in_doc < n_sh[doc_idx]
+    return sh_all[start_ok], n_sh
 
 
 def minhash_signatures(
@@ -137,26 +178,39 @@ def minhash_signatures(
 ) -> DataFrame:
     """doc_id → array<long> minhash signature (shingle → k permutations).
 
-    Permutation i is the affine map ``(a_i * h + b_i) mod 2^61-1`` with
-    (a, b) drawn from a seeded RNG — deterministic across runs/parallelism.
+    Permutation k is ``splitmix64((h * a_k) ^ b_k)`` (odd multiplier + xor
+    mask from a seeded RNG) — deterministic across runs/parallelism, and
+    empirically unbiased on structured shingle hashes where a plain
+    xor-seed family correlates across permutations. The min over a doc's
+    shingles is one ``np.minimum.reduceat`` per permutation (no per-doc
+    Python).
     """
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, int(_MERSENNE), size=num_hashes, dtype=np.uint64)
-    b = rng.integers(0, int(_MERSENNE), size=num_hashes, dtype=np.uint64)
+    mults = (
+        rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64) << np.uint64(1)
+    ) | np.uint64(1)
+    seeds = rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64)
+    empty_sig = np.full(num_hashes, np.iinfo(np.int64).max, dtype=np.int64)
 
     def sig_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            sigs = []
-            for text in pdf[text_col].fillna(""):
-                h = _shingle_hashes(text, shingle_width) % _MERSENNE
-                if h.size == 0:
-                    sigs.append(np.full(num_hashes, int(_MERSENNE), dtype=np.int64))
-                    continue
-                # (k, n) affine maps, min over shingles
-                vals = (a[:, None] * h[None, :] + b[:, None]) % _MERSENNE
-                sigs.append(vals.min(axis=1).astype(np.int64))
+            sh, counts = _shingle_hashes_batch(pdf[text_col], shingle_width)
+            n_docs = len(pdf)
+            sig = np.tile(empty_sig, (n_docs, 1))
+            nz = counts > 0
+            if sh.size:
+                starts = np.zeros(n_docs + 1, np.int64)
+                np.cumsum(counts, out=starts[1:])
+                nz_starts = starts[:-1][nz]
+                for k in range(num_hashes):
+                    vals = _splitmix64((sh * mults[k]) ^ seeds[k]) >> np.uint64(
+                        1
+                    )  # int64-safe
+                    sig[nz, k] = np.minimum.reduceat(vals, nz_starts).astype(
+                        np.int64
+                    )
             yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "signature": [s.tolist() for s in sigs]}
+                {"doc_id": pdf["doc_id"], "signature": list(sig)}
             )
 
     return docs.select("doc_id", text_col).mapInPandas(
@@ -231,30 +285,37 @@ def minhash_lsh_pairs(
 # --- SimHash ---------------------------------------------------------------
 
 
-def simhash_bits(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """doc_id → 64-bit simhash over token hashes (numpy bit-vote kernel)."""
+def simhash_bits(
+    docs: DataFrame, text_col: str = "text", shingle_width: int = 3
+) -> DataFrame:
+    """doc_id → 64-bit simhash over *shingle* hashes (numpy bit-vote kernel).
+
+    Shingle features (not unigrams) are what make simhash discriminative on
+    template-heavy corpora: documents sharing vocabulary but differing in
+    phrasing land far apart, so the downstream banded hamming join stays
+    selective instead of degenerating toward all-pairs.
+    """
 
     def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bit_idx = np.arange(64, dtype=np.uint64)
+        powers = (np.uint64(1) << bit_idx).astype(np.uint64)
         for pdf in it:
-            out = np.zeros(len(pdf), dtype=np.int64)
-            for i, text in enumerate(pdf[text_col].fillna("")):
-                toks = [t for t in text.lower().split() if t]
-                if not toks:
-                    continue
-                h = _splitmix64(
-                    np.fromiter(
-                        (_stable_hash64(t) for t in toks),
-                        dtype=np.uint64,
-                        count=len(toks),
-                    )
+            sh, counts = _shingle_hashes_batch(pdf[text_col], shingle_width)
+            n_docs = len(pdf)
+            out = np.zeros(n_docs, dtype=np.int64)
+            nz = counts > 0
+            if sh.size:
+                starts = np.zeros(n_docs + 1, np.int64)
+                np.cumsum(counts, out=starts[1:])
+                bits = ((sh[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(
+                    np.int64
                 )
-                bits = (h[:, None] >> bit_idx[None, :]) & np.uint64(1)
-                votes = bits.sum(axis=0) * 2 - len(toks)  # >0 → bit set
-                word = np.uint64(0)
-                for j in np.flatnonzero(votes > 0):
-                    word |= np.uint64(1) << np.uint64(j)
-                out[i] = np.int64(word.astype(np.int64))
+                votes = np.add.reduceat(bits, starts[:-1][nz], axis=0)
+                set_bits = votes * 2 > counts[nz][:, None]  # majority vote
+                words = (set_bits.astype(np.uint64) * powers[None, :]).sum(
+                    axis=1, dtype=np.uint64
+                )
+                out[nz] = words.astype(np.int64)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
 
     return docs.select("doc_id", text_col).mapInPandas(

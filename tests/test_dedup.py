@@ -1,0 +1,115 @@
+"""Dedup-operator tests: planted near-duplicates must be found, and the
+banded LSH / pigeonhole joins must agree with brute force on small corpora
+(mirrors the reference's fuzz-vs-brute-force strategy,
+SkipListFuzzTests.java:74-260, applied to our training-data ops)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from marginaliasearch_spark.operators import dedup
+
+WORDS = [
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet",
+    "kilo lima mike november oscar papa quebec romeo sierra tango",
+    "uniform victor whiskey xray yankee zulu one two three four",
+]
+
+
+def _corpus(spark):
+    rng = np.random.default_rng(7)
+    vocab = [f"tok{i}" for i in range(400)]
+    rows = []
+    for i in range(40):
+        toks = rng.choice(vocab, size=60).tolist()
+        rows.append((i, " ".join(toks)))
+    # planted near-dup pair: 60 tokens, 2 substituted (≈93% shingle overlap)
+    base = rng.choice(vocab, size=60).tolist()
+    mod = list(base)
+    mod[10], mod[40] = "changed1", "changed2"
+    rows.append((100, " ".join(base)))
+    rows.append((101, " ".join(mod)))
+    # planted exact dup of doc 0
+    rows.append((102, rows[0][1]))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return _corpus(spark).cache()
+
+
+class TestExactDedup:
+    def test_exact_group(self, spark, corpus):
+        out = dedup.exact_dedup(corpus).collect()
+        groups = {r["doc_id"]: r["n_dups"] for r in out}
+        assert groups[0] == 2  # doc 0 + its copy 102, keeper = min id
+        assert 102 not in groups
+
+
+class TestMinHash:
+    def test_planted_pair_found(self, spark, corpus):
+        pairs = dedup.minhash_lsh_pairs(corpus, threshold=0.5).collect()
+        found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+        assert (100, 101) in found
+        assert (0, 102) in found  # exact dup: est_jaccard 1.0
+        exact = [r for r in pairs if (r["doc_a"], r["doc_b"]) == (0, 102)]
+        assert exact[0]["est_jaccard"] == 1.0
+
+    def test_no_random_pairs_at_high_threshold(self, spark, corpus):
+        pairs = dedup.minhash_lsh_pairs(corpus, threshold=0.9).collect()
+        found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+        assert found <= {(100, 101), (0, 102)}
+
+    def test_signature_deterministic_across_partitioning(self, spark, corpus):
+        s1 = dedup.minhash_signatures(corpus.repartition(1)).collect()
+        s8 = dedup.minhash_signatures(corpus.repartition(8)).collect()
+        d1 = {r["doc_id"]: r["signature"] for r in s1}
+        d8 = {r["doc_id"]: r["signature"] for r in s8}
+        assert d1 == d8
+
+
+class TestSimHash:
+    def test_planted_pair_within_hamming(self, spark, corpus):
+        sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash_bits(corpus).collect()}
+        assert sh[0] == sh[102]  # identical text → identical simhash
+        ham = bin((sh[100] ^ sh[101]) & (2**64 - 1)).count("1")
+        assert ham <= 10  # 93% feature overlap keeps hashes close
+
+    def test_banded_join_equals_brute_force(self, spark, corpus):
+        """Pigeonhole banding must recover exactly the ≤max_hamming pairs."""
+        max_h = 6
+        sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash_bits(corpus).collect()}
+        ids = sorted(sh)
+        brute = {
+            (a, b)
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if bin((sh[a] ^ sh[b]) & (2**64 - 1)).count("1") <= max_h
+        }
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in dedup.simhash_pairs(corpus, max_hamming=max_h).collect()
+        }
+        assert got == brute
+
+    def test_empty_and_short_docs(self, spark):
+        docs = spark.createDataFrame(
+            [(1, ""), (2, "one"), (3, "one two"), (4, None)],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["simhash"] for r in dedup.simhash_bits(docs).collect()}
+        assert out[1] == 0 and out[4] == 0
+        assert out[2] != 0 and out[3] != 0
+
+
+class TestJaccard:
+    def test_exact_jaccard_values(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b c d"), (2, "a b c e"), (3, "x y z w")],
+            "doc_id long, text string",
+        )
+        out = dedup.jaccard_candidates(docs, threshold=0.5).collect()
+        pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out}
+        assert pairs == {(1, 2): pytest.approx(3 / 5)}
