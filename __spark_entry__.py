@@ -39,7 +39,11 @@ from pyspark.sql import functions as F
 from marginaliasearch_spark.functions.tokenizer import STOPWORDS
 from marginaliasearch_spark.operators import dedup, multimodal, similarity, textstats
 from marginaliasearch_spark.operators.index_build import IndexPaths, build_index
-from marginaliasearch_spark.operators.query_exec import IndexReader, run_query
+from marginaliasearch_spark.operators.query_exec import (
+    IndexReader,
+    RankingParams,
+    run_query,
+)
 from marginaliasearch_spark.sources.transcripts import documents_as_transcripts
 
 # ---------------------------------------------------------------------------
@@ -117,7 +121,9 @@ def _get_reader(spark: SparkSession, sf_dir: str) -> IndexReader:
     return _READERS[key]
 
 
-def _search(query: str, k: int = _K) -> Callable[[SparkSession, str], DataFrame]:
+def _search(
+    query: str, k: int = _K, positional: bool = False
+) -> Callable[[SparkSession, str], DataFrame]:
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         reader = _get_reader(spark, sf_dir)
         res = run_query(
@@ -126,6 +132,7 @@ def _search(query: str, k: int = _K) -> Callable[[SparkSession, str], DataFrame]
             k=k,
             round_score_to=6,
             tie_break=F.col("conv_id").cast("long"),
+            ranking=RankingParams(positional=True) if positional else None,
         )
         return res.select(
             F.col("conv_id").cast("long").alias("doc_id"), "score"
@@ -157,6 +164,7 @@ def _bm25_sql(
     phrases: list[list[str]] | None = None,
     len_gt: int | None = None,
     k: int = _K,
+    positional: list[str] | None = None,
 ) -> str:
     all_terms = sorted({w for p in paths for w in p})
     single_path = len(paths) == 1
@@ -203,6 +211,56 @@ def _bm25_sql(
         )
     if len_gt is not None:
         wheres.append(f"d.doc_len > {len_gt}")
+    extra_ctes = ""
+    if positional:
+        # mirrors scoring.first_position_bonus / verbatim_bonus /
+        # proximity_bonus over the SAME tok positions the engine indexes
+        n = len(positional)
+        fp_subs = ", ".join(
+            f"(SELECT min(pos) FROM tok q WHERE q.doc_id = d.doc_id"
+            f" AND q.term = '{w}')"
+            for w in positional
+        )
+        bonus = f"2.5 / sqrt(greatest({fp_subs}, 1))"
+        if n >= 2:
+            vb_conds = " AND ".join(
+                f"EXISTS (SELECT 1 FROM tok v{j} WHERE v{j}.doc_id = p0.doc_id"
+                f" AND v{j}.term = '{positional[j]}' AND v{j}.pos = p0.pos + {j})"
+                for j in range(1, n)
+            )
+            extra_ctes += f"""
+, vb AS (
+  SELECT p0.doc_id, count(*)::BIGINT AS cnt FROM tok p0
+  WHERE p0.term = '{positional[0]}' AND {vb_conds}
+  GROUP BY p0.doc_id
+)"""
+            joins.append("LEFT JOIN vb ON vb.doc_id = d.doc_id")
+            bonus += (
+                f" + coalesce(CASE WHEN vb.cnt > 0 THEN {n}.0 *"
+                f" (1.0 + ln(1.0 + sqrt(vb.cnt::DOUBLE))) END, 0.0)"
+            )
+        if n > 2:
+            px_joins = " ".join(
+                f"JOIN tok x{j} ON x{j}.doc_id = x0.doc_id"
+                f" AND x{j}.term = '{positional[j]}'"
+                for j in range(1, n)
+            )
+            adj = [f"(x{j}.pos - {j})" for j in range(n)]
+            spread = (
+                f"greatest({', '.join(adj)}) - least({', '.join(adj)})"
+            )
+            extra_ctes += f"""
+, px AS (
+  SELECT x0.doc_id, min({spread})::BIGINT AS md FROM tok x0 {px_joins}
+  WHERE x0.term = '{positional[0]}'
+  GROUP BY x0.doc_id
+)"""
+            joins.append("LEFT JOIN px ON px.doc_id = d.doc_id")
+            bonus += (
+                f" + coalesce(CASE WHEN px.md > 0 AND px.md < {n + 8}"
+                f" THEN 0.5 * 2.0 / (0.1 + sqrt(px.md::DOUBLE)) END, 0.0)"
+            )
+        raw = f"({raw}) + ({bonus})"
     if priority:
         for j, w in enumerate(priority):
             joins.append(
@@ -216,6 +274,7 @@ def _bm25_sql(
         raw = f"({raw}) * exp(({n_prio}) / 5.0)"
     where_sql = ("WHERE " + " AND ".join(wheres)) if wheres else ""
     return f"""{_COMMON}
+{extra_ctes}
 , cand AS (
   SELECT d.doc_id, round(sqrt(501.0 / (1.0 + {raw})), 6) AS score
   FROM doclen d
@@ -375,6 +434,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fulltext_bm25_phrase": _search('"batch batch"'),
         "fulltext_bm25_priority": _search("?dup spark"),
         "fulltext_bm25_limit": _search("scan len>25"),
+        # positional ranking (first-position + verbatim + proximity, §5)
+        "fulltext_positional": _search("batch scan", positional=True),
+        "fulltext_proximity": _search("customer query slow", positional=True),
         # --- index stats tables (A1/A2/A3, S6 forward index) ---
         "index_lexicon_stats": _q_lexicon,
         "index_doc_stats": _q_doc_stats,
@@ -427,6 +489,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "fulltext_bm25_priority": _bm25_sql([["spark"]], priority=["dup"]),
         "fulltext_bm25_limit": _bm25_sql([["scan"]], len_gt=25),
+        "fulltext_positional": _bm25_sql(
+            [["batch", "scan"]], positional=["batch", "scan"]
+        ),
+        "fulltext_proximity": _bm25_sql(
+            [["customer", "query", "slow"]],
+            positional=["customer", "query", "slow"],
+        ),
         "index_lexicon_stats": f"""{_COMMON}
 SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS ctf
 FROM tf GROUP BY term""",

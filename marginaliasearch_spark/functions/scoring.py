@@ -48,3 +48,51 @@ def normalize(value: Column, penalty: Column | float = 0.0) -> Column:
     """Reference's ascending score transform (lower = better)."""
     p = F.lit(penalty) if isinstance(penalty, (int, float)) else penalty
     return F.sqrt((SCALE + 20.0 * p) / (1.0 + value))
+
+
+# ---------------------------------------------------------------------------
+# Positional bonuses (IndexResultRankingService.java:133-135, 360-402,
+# 489-507; defaults TcfFirstPositionWeight=2.5, TcfProximityWeight=0.5,
+# PrototypeRankingParameters.java:21-22). For plain-text transcripts every
+# position is in the BODY span, so the tag-weighted variants collapse to the
+# BODY constants (full-match weight 1.0, attenuation 0.5).
+# ---------------------------------------------------------------------------
+
+TCF_FIRST_POSITION_WEIGHT = 2.5
+TCF_PROXIMITY_WEIGHT = 0.5
+VERBATIM_BODY_WEIGHT = 1.0  # weights_full[BODY]
+VERBATIM_BODY_ATTENUATION = 0.5  # attenuation[BODY]
+
+
+def first_position_bonus(first_position: Column) -> Column:
+    """``2.5 / sqrt(max over query terms of the term's first position)``
+    (:133; UnorderedMatches tracks the max of first positions, :595)."""
+    return TCF_FIRST_POSITION_WEIGHT / F.sqrt(
+        F.greatest(first_position.cast("double"), F.lit(1.0))
+    )
+
+
+def proximity_bonus(min_dist: Column, n_terms: int) -> Column:
+    """``0.5 * 2/(0.1 + sqrt(minDist))`` when ``0 < minDist < n_terms+8``
+    (:376-381); minDist is the smallest max-min spread over one position per
+    term, order-adjusted by the term's query index (SequenceOperations
+    .minDistance). Applies only to 3+-term queries (:374 length > 2)."""
+    d = min_dist.cast("double")
+    return F.when(
+        (d > 0) & (d < F.lit(float(n_terms + 8))),
+        TCF_PROXIMITY_WEIGHT * 2.0 / (0.1 + F.sqrt(d)),
+    ).otherwise(F.lit(0.0))
+
+
+def verbatim_bonus(phrase_count: Column, n_terms: int) -> Column:
+    """BODY full-group verbatim score: ``1.0 * n_terms *
+    (1 + ln(1 + cnt^0.5))`` for cnt > 0 in-order full-query phrase matches
+    (:489-507 — transcript positions carry no HTML tags, so every match is
+    the mixed/BODY case)."""
+    c = phrase_count.cast("double")
+    return F.when(
+        c > 0,
+        VERBATIM_BODY_WEIGHT
+        * float(n_terms)
+        * (1.0 + F.log(1.0 + F.pow(c, VERBATIM_BODY_ATTENUATION))),
+    ).otherwise(F.lit(0.0))

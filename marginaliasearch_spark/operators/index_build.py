@@ -86,6 +86,16 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
+_TIMING = os.environ.get("MSQ_BUILD_TIMING", "") == "1"
+
+
+def _mark(t0: float, label: str) -> float:
+    now = time.time()
+    if _TIMING:
+        print(f"[build_index] {label}: {now - t0:.1f}s", flush=True)
+    return now
+
+
 def build_index(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -111,6 +121,7 @@ def build_index(
     # tokenize+assembly shuffle is paid once and survives a crash; on a
     # cluster this is an Iceberg staging table / snapshot). The _SUCCESS
     # marker parquet leaves behind is the commit record.
+    tmark = time.time()
     journal_done = os.path.exists(os.path.join(paths.journal, "_SUCCESS"))
     if not journal_done:
         shutil.rmtree(paths.journal, ignore_errors=True)  # clear torn write
@@ -118,6 +129,7 @@ def build_index(
             paths.journal
         )
     journal = spark.read.parquet(paths.journal)
+    tmark = _mark(tmark, "journal")
 
     # Step 1 — forward index + lexicon + corpus stats
     stats_done = os.path.exists(paths.corpus_stats)
@@ -134,6 +146,7 @@ def build_index(
             paths.corpus_stats,
             {"doc_count": cs["doc_count"], "avg_len": cs["avg_len"]},
         )
+    tmark = _mark(tmark, "stats")
     # Step 2 — postings buckets (independently committed lineage units)
     lexicon_df = spark.read.parquet(paths.lexicon).select("term_id")
     terms = journal.filter(F.col("term").isNotNull())
@@ -182,6 +195,7 @@ def build_index(
                 "status": "committed",
             },
         )
+        tmark = _mark(tmark, f"bucket {b}")
         committed += 1
         if fail_after_bucket is not None and committed >= fail_after_bucket:
             raise RuntimeError(f"injected failure after {committed} buckets")

@@ -31,16 +31,85 @@ from __future__ import annotations
 
 import json
 import os
+from dataclasses import dataclass
 from functools import partial, reduce
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.blocks import DECODED_SCHEMA, DECODED_SCHEMA_POS, decode_blocks
-from ..functions.scoring import bm25_partial, normalize
+from ..functions.scoring import (
+    bm25_partial,
+    first_position_bonus,
+    normalize,
+    proximity_bonus,
+    verbatim_bonus,
+)
 from ..plans.parser import ParsedQuery, parse_query
 from .index_build import IndexPaths, read_postings
+
+
+@dataclass(frozen=True)
+class RankingParams:
+    """Optional ranking features beyond the BM25 core.
+
+    ``positional=True`` adds the reference's positional bonuses
+    (first-position, verbatim phrase, proximity — SURVEY §5) to the raw
+    score before normalization. Divergence note: the reference skips
+    position lists longer than 16 entries inside its proximity scan
+    (PhraseConstraintGroupList.java, a CPU guard for its row-at-a-time
+    scorer); our vectorized kernel computes the exact min spread over all
+    positions.
+    """
+
+    positional: bool = False
+
+
+def _min_spread_kernel(lists: pd.Series) -> pd.Series:
+    """Smallest max-min spread picking one value per sub-list (inputs are
+    already order-adjusted by the term's query index). 0 when any list is
+    missing/empty or fewer than 2 lists — callers treat 0 as "no bonus"
+    (SequenceOperations.minDistance semantics)."""
+    out = np.zeros(len(lists), dtype=np.int32)
+    for r, ls in enumerate(lists):
+        if ls is None:
+            continue
+        seqs = [np.asarray(l, dtype=np.int64) for l in ls if l is not None]
+        if len(seqs) != len(ls) or len(seqs) < 2 or any(s.size == 0 for s in seqs):
+            continue
+        vals = np.concatenate(seqs)
+        labels = np.repeat(
+            np.arange(len(seqs)), [s.size for s in seqs]
+        )
+        order = np.argsort(vals, kind="stable")
+        vals, labels = vals[order], labels[order]
+        k = len(seqs)
+        count = np.zeros(k, dtype=np.int64)
+        have = 0
+        best = -1
+        left = 0
+        for right in range(vals.size):
+            c = labels[right]
+            count[c] += 1
+            if count[c] == 1:
+                have += 1
+            while have == k:
+                spread = int(vals[right] - vals[left])
+                best = spread if best < 0 else min(best, spread)
+                cl = labels[left]
+                count[cl] -= 1
+                if count[cl] == 0:
+                    have -= 1
+                left += 1
+        out[r] = max(best, 0)
+    return pd.Series(out)
+
+
+def _min_spread_udf(col: F.Column) -> F.Column:
+    # pandas_udf is created lazily — the decorator needs an active session
+    return F.pandas_udf(_min_spread_kernel, "int")(col)
 
 # Candidate sets up to this size are collected to the driver and shipped to
 # decode kernels for block pruning (the reference streams 512-id batches
@@ -130,6 +199,7 @@ def run_query(
     group_col: str = "conv_id",
     round_score_to: int | None = None,
     tie_break: F.Column | None = None,
+    ranking: RankingParams | None = None,
 ) -> DataFrame:
     """Top-k BM25 search. Returns (doc_id, conv_id, score, ...) ascending by
     the reference's normalized score (lower = better).
@@ -164,7 +234,8 @@ def run_query(
     # ---- candidate generation: rarest term drives, per OR-path union ----
     # For the common single-path (pure AND) case this is one retain chain;
     # multi-path queries union per-path candidate sets (U1) then dedup (A6).
-    need_pos = set(phrase_terms)
+    positional = ranking is not None and ranking.positional
+    need_pos = set(phrase_terms) | (set(live_terms) if positional else set())
 
     def term_df(word: str, candidates: np.ndarray | None) -> DataFrame:
         tid = stats[word][0]
@@ -259,6 +330,51 @@ def run_query(
         )
         path_sums.append(F.when(present, s).otherwise(F.lit(None)))
     raw = path_sums[0] if len(path_sums) == 1 else F.greatest(*path_sums)
+
+    # ---- positional bonuses (first-position, verbatim, proximity — §5) ----
+    if positional:
+        # the "full group" = include terms in query appearance order
+        ordered = [w for w in pq.ordered_include_terms() if w in stats]
+        pos_of = {w: F.col(f"pos_{_safe(w)}") for w in ordered}
+        first_pos = F.greatest(
+            *[
+                F.coalesce(F.element_at(pos_of[w], 1), F.lit(1))
+                for w in ordered
+            ],
+            F.lit(1),
+        )
+        bonuses = first_position_bonus(first_pos)
+        if len(ordered) >= 2:
+            base = pos_of[ordered[0]]
+            adj_cond = lambda p: reduce(  # noqa: E731
+                lambda acc, i: acc
+                & F.array_contains(pos_of[ordered[i]], p + i),
+                range(1, len(ordered)),
+                F.lit(True),
+            )
+            all_present = reduce(
+                lambda a, w: a & pos_of[w].isNotNull(), ordered, F.lit(True)
+            )
+            phrase_cnt = F.when(
+                all_present, F.size(F.filter(base, adj_cond))
+            ).otherwise(F.lit(0))
+            bonuses = bonuses + verbatim_bonus(phrase_cnt, len(ordered))
+        if len(ordered) > 2:
+            # NB: a two-arg lambda would be treated by F.transform as
+            # (element, index) — build single-arg closures per term offset
+            def _shift(i: int):
+                return lambda p: p - F.lit(i)
+
+            adjusted = F.array(
+                *[
+                    F.transform(pos_of[w], _shift(i))
+                    for i, w in enumerate(ordered)
+                ]
+            )
+            bonuses = bonuses + proximity_bonus(
+                _min_spread_udf(adjusted), len(ordered)
+            )
+        raw = raw + bonuses
 
     # priority terms: score bonus when present (reference multiplies by
     # exp(priorityTermAdjustment/5); our transcript analogue gives each

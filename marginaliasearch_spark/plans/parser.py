@@ -128,6 +128,26 @@ class ParsedQuery:
             terms.update(ph)
         return sorted(terms)
 
+    def ordered_include_terms(self) -> list[str]:
+        """Include terms in query appearance order (first occurrence wins) —
+        the reference's "full group" term order (QueryFactory builds the
+        full phrase constraint from the query string in order)."""
+
+        def walk(node) -> list[str]:
+            if node is None:
+                return []
+            if isinstance(node, Term):
+                return [node.word]
+            return [w for c in node.children for w in walk(c)]
+
+        seen: dict[str, None] = {}
+        for w in walk(self.include):
+            seen.setdefault(w)
+        for ph in self.phrases:
+            for w in ph:
+                seen.setdefault(w)
+        return list(seen)
+
 
 def _normalize(word: str) -> list[str]:
     """Query-side keyword normalization = the ingestion tokenizer."""

@@ -29,15 +29,69 @@ def assemble(turns: list[tuple[int, str]]) -> list[str]:
     return out
 
 
+def assemble_positions(turns: list[tuple[int, str]]) -> list[tuple[str, int]]:
+    """Token stream with 1-based positions; stopword-free corpora assumed;
+    each turn boundary burns 2 extra slots (the reference's +2 inter-region
+    padding, DocumentPositionMapper.java:33-39)."""
+    out: list[tuple[str, int]] = []
+    slot = 0
+    for i, (_, text) in enumerate(sorted(turns)):
+        if i:
+            slot += 2
+        for t in tokenize(text):
+            slot += 1
+            out.append((t, slot))
+    return out
+
+
+def positional_bonuses(
+    positioned: list[tuple[str, int]], include: list[str]
+) -> float:
+    """First-position + verbatim + proximity bonuses (SURVEY §5 formulas),
+    brute-force implementation independent of the engine kernels."""
+    pos_of: dict[str, list[int]] = {}
+    for t, p in positioned:
+        pos_of.setdefault(t, []).append(p)
+    plists = [pos_of.get(t, []) for t in include]
+    if any(not p for p in plists):
+        return 0.0
+    # first position: max over terms of the term's first occurrence
+    first = max(max(p[0] for p in plists), 1)
+    bonus = 2.5 / math.sqrt(first)
+    # verbatim: count of in-order full-phrase matches (BODY weights)
+    if len(include) >= 2:
+        cnt = sum(
+            1
+            for p in plists[0]
+            if all((p + i) in pos_of.get(include[i], ()) for i in range(1, len(include)))
+        )
+        if cnt > 0:
+            bonus += 1.0 * len(include) * (1.0 + math.log(1.0 + cnt**0.5))
+    # proximity: min spread of order-adjusted positions, 3+ terms only
+    if len(include) > 2:
+        import itertools
+
+        adj = [[p - i for p in pl] for i, pl in enumerate(plists)]
+        best = min(
+            max(combo) - min(combo) for combo in itertools.product(*adj)
+        )
+        if 0 < best < len(include) + 8:
+            bonus += 0.5 * 2.0 / (0.1 + math.sqrt(best))
+    return bonus
+
+
 def bm25_rank(
     docs: dict[str, list[str]],
     include: list[str],
     exclude: list[str] = (),
     k: int = 10,
+    positions: dict[str, list[tuple[str, int]]] | None = None,
 ) -> list[tuple[str, float]]:
     """AND query over token-list docs → ascending-normalized top-k.
 
     Returns [(conv_id, score)] sorted ascending by score (lower = better).
+    ``positions``: conv_id → positioned token stream; when given, positional
+    bonuses are added to the raw score (include order = query order).
     """
     n_docs = len(docs)
     df: dict[str, int] = {}
@@ -53,12 +107,14 @@ def bm25_rank(
             continue
         doc_len = len(terms)
         raw = 0.0
-        for q in include:
+        for q in sorted(set(include)):
             n = df[q]
             idf = math.log(1.0 + (n_docs - n + 0.5) / (n + 0.5))
             c = terms.count(q)
             tf = c * (K1 + 1.0) / (c + K1 * (1.0 - B + B * doc_len / AVG_LENGTH))
             raw += idf * tf
+        if positions is not None:
+            raw += positional_bonuses(positions[conv_id], include)
         score = math.sqrt(501.0 / (1.0 + raw))
         results.append((conv_id, score))
     results.sort(key=lambda r: (r[1], r[0]))
