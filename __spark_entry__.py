@@ -43,6 +43,7 @@ from marginaliasearch_spark.operators.query_exec import (
     IndexReader,
     RankingParams,
     run_query,
+    run_query_wand,
 )
 from marginaliasearch_spark.sources.transcripts import documents_as_transcripts
 
@@ -155,6 +156,21 @@ def _partial_sql(alias: str, term: str) -> str:
         f" * ({alias}.tf::DOUBLE * 2.2)"
         f" / ({alias}.tf::DOUBLE + 1.2 * (0.5 + (0.5 * d.doc_len::DOUBLE) / 5000.0))"
     )
+
+
+def _search_wand(query: str, k: int = _K) -> Callable[[SparkSession, str], DataFrame]:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        reader = _get_reader(spark, sf_dir)
+        res = run_query_wand(
+            reader,
+            query,
+            k=k,
+            round_score_to=6,
+            tie_break=F.col("conv_id").cast("long"),
+        )
+        return res.select(F.col("conv_id").cast("long").alias("doc_id"), "score")
+
+    return fn
 
 
 def _bm25_sql(
@@ -437,6 +453,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # positional ranking (first-position + verbatim + proximity, §5)
         "fulltext_positional": _search("batch scan", positional=True),
         "fulltext_proximity": _search("customer query slow", positional=True),
+        # block-max WAND two-phase top-k (exact; same oracle as plain BM25)
+        "fulltext_wand": _search_wand("query -slow"),
         # --- index stats tables (A1/A2/A3, S6 forward index) ---
         "index_lexicon_stats": _q_lexicon,
         "index_doc_stats": _q_doc_stats,
@@ -496,6 +514,7 @@ def oracle_sql() -> dict[str, str]:
             [["customer", "query", "slow"]],
             positional=["customer", "query", "slow"],
         ),
+        "fulltext_wand": _bm25_sql([["query"]], exclude=["slow"]),
         "index_lexicon_stats": f"""{_COMMON}
 SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS ctf
 FROM tf GROUP BY term""",

@@ -61,6 +61,7 @@ class IndexPaths:
         self.postings = os.path.join(root, "postings")
         self.lexicon = os.path.join(root, "lexicon")
         self.doc_stats = os.path.join(root, "doc_stats")
+        self.term_bounds = os.path.join(root, "term_bounds")
         self.manifest_dir = os.path.join(root, "manifest")
         self.corpus_stats = os.path.join(root, "corpus_stats.json")
 
@@ -199,6 +200,17 @@ def build_index(
         committed += 1
         if fail_after_bucket is not None and committed >= fail_after_bucket:
             raise RuntimeError(f"injected failure after {committed} buckets")
+
+    # Step 3 — per-term score bounds for block-max WAND pruning: the global
+    # max tf-norm per term (score ub = idf * max_tf_norm). Tiny aggregation
+    # over block metadata only (no posting payload is read — column pruning).
+    if not os.path.exists(os.path.join(paths.term_bounds, "_SUCCESS")):
+        shutil.rmtree(paths.term_bounds, ignore_errors=True)
+        read_postings(spark, paths).groupBy("term_id").agg(
+            F.max("max_tf_norm").alias("max_tf_norm"),
+            F.count("*").alias("n_blocks"),
+        ).coalesce(1).write.mode("overwrite").parquet(paths.term_bounds)
+    tmark = _mark(tmark, "term_bounds")
     return paths
 
 

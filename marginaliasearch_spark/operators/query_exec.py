@@ -150,14 +150,25 @@ class IndexReader:
         term_id: int,
         candidates: np.ndarray | None = None,
         with_positions: bool = False,
+        min_tf_norm: float | None = None,
+        top_blocks: int | None = None,
     ) -> DataFrame:
         """One term's postings → (doc_id, tf[, positions]).
 
         The term_id equality predicate prunes parquet row groups via min/max
         stats (postings files are written sorted by term_id); the candidate
-        array prunes blocks before decode.
+        array prunes blocks before decode. ``min_tf_norm`` is the block-max
+        WAND cut: blocks whose score upper bound (idf * max_tf_norm) cannot
+        reach the current top-k threshold are skipped at the parquet scan
+        (predicate on the max_tf_norm column → row-group stats pruning).
+        ``top_blocks`` restricts to the N highest-max_tf_norm blocks (the
+        threshold-estimation phase of two-phase top-k).
         """
         blocks = self.postings.filter(F.col("term_id") == term_id)
+        if min_tf_norm is not None:
+            blocks = blocks.filter(F.col("max_tf_norm") >= min_tf_norm)
+        if top_blocks is not None:
+            blocks = blocks.orderBy(F.desc("max_tf_norm")).limit(top_blocks)
         fn = partial(
             decode_blocks, with_positions=with_positions, candidates=candidates
         )
@@ -200,6 +211,8 @@ def run_query(
     round_score_to: int | None = None,
     tie_break: F.Column | None = None,
     ranking: RankingParams | None = None,
+    _driver_top_blocks: int | None = None,
+    _driver_min_tf_norm: float | None = None,
 ) -> DataFrame:
     """Top-k BM25 search. Returns (doc_id, conv_id, score, ...) ascending by
     the reference's normalized score (lower = better).
@@ -240,7 +253,11 @@ def run_query(
     def term_df(word: str, candidates: np.ndarray | None) -> DataFrame:
         tid = stats[word][0]
         out = reader.decode_term(
-            tid, candidates=candidates, with_positions=word in need_pos
+            tid,
+            candidates=candidates,
+            with_positions=word in need_pos,
+            min_tf_norm=_driver_min_tf_norm,
+            top_blocks=_driver_top_blocks,
         )
         cols = [F.col("doc_id"), F.col("tf").alias(f"tf_{_safe(word)}")]
         if word in need_pos:
@@ -411,4 +428,69 @@ def run_query(
         scored.orderBy(F.col("score").asc(), tb)
         .limit(k)
         .select("doc_id", "conv_id", "doc_len", "n_turns", "score")
+    )
+
+
+def run_query_wand(
+    reader: IndexReader,
+    query: str | ParsedQuery,
+    k: int = 10,
+    **kw,
+) -> DataFrame:
+    """Two-phase block-max top-k (the north-star's block-max WAND,
+    re-expressed for a batch engine) — EXACT same results as ``run_query``:
+
+    - **phase 1** runs the normal pipeline with the term's postings
+      restricted to its highest-``max_tf_norm`` blocks, yielding k valid
+      result scores. The kth of them is a *lower bound* θ on the true kth
+      best raw score (it is the kth best of a subset of the true candidate
+      set, with every exclusion/limit filter applied).
+    - **phase 2** re-runs the full pipeline with the scan predicate
+      ``max_tf_norm >= θ / idf`` pushed to the postings parquet scan — any
+      block whose score upper bound ``idf * max_tf_norm`` cannot reach θ is
+      skipped via row-group column stats, undecoded. A doc only in skipped
+      blocks has raw < θ ≤ true-kth-raw, so it cannot enter the top k.
+
+    Eligible shape: exactly one include term (no phrases / priority /
+    positional ranking / group cap); exclusions and spec limits are fine —
+    both phases apply them identically. Ineligible queries fall back to the
+    plain pipeline. At 10^12-turn scale this is the difference between
+    scanning a head term's full posting list and touching a handful of
+    blocks.
+    """
+    import math
+
+    pq = parse_query(query) if isinstance(query, str) else query
+    include = pq.all_include_terms()
+    eligible = (
+        len(include) == 1
+        and not pq.phrases
+        and not pq.priority
+        and kw.get("group_cap") is None
+        and (kw.get("ranking") is None or not kw["ranking"].positional)
+    )
+    if not eligible:
+        return run_query(reader, pq, k=k, **kw)
+    word = include[0]
+    stats = reader.term_stats([word])
+    if word not in stats:
+        return run_query(reader, pq, k=k, **kw)
+    df_w = float(stats[word][1])
+    idf_w = math.log(1.0 + (reader.n_docs - df_w + 0.5) / (df_w + 0.5))
+    if idf_w <= 0:
+        return run_query(reader, pq, k=k, **kw)
+    # phase 1 — threshold from the best blocks (enough blocks to cover k)
+    n_blocks = max(1, -(-2 * k // 4096))
+    kw1 = {**kw, "round_score_to": None}
+    probe = run_query(
+        reader, pq, k=k, _driver_top_blocks=n_blocks, **kw1
+    ).collect()
+    if len(probe) < k:
+        return run_query(reader, pq, k=k, **kw)  # tiny list: no cut possible
+    kth_score = probe[-1]["score"]
+    # relative epsilon guards the float round-trip through normalize() —
+    # pruning may only ever be conservative
+    theta_raw = (501.0 / (kth_score * kth_score) - 1.0) * (1.0 - 1e-9)
+    return run_query(
+        reader, pq, k=k, _driver_min_tf_norm=theta_raw / idf_w, **kw
     )

@@ -1,0 +1,77 @@
+"""Block-max WAND two-phase top-k: must return exactly run_query's results
+while scanning strictly fewer posting blocks (the north-star's block-max
+pruning, re-expressed as a parquet scan predicate on max_tf_norm)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from marginaliasearch_spark.operators.index_build import IndexPaths, build_index
+from marginaliasearch_spark.operators.query_exec import (
+    IndexReader,
+    run_query,
+    run_query_wand,
+)
+from marginaliasearch_spark.sources.transcripts import bm25_corpus
+
+
+@pytest.fixture(scope="module")
+def reader(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("wandidx"))
+    # tiny blocks (16 docs) so head terms span many blocks and pruning has
+    # something to skip
+    build_index(spark, bm25_corpus(spark, 300), root, n_buckets=1, block_docs=16)
+    return IndexReader(spark, IndexPaths(root))
+
+
+def _pairs(rows):
+    return [(r["conv_id"], round(r["score"], 9)) for r in rows]
+
+
+@pytest.mark.parametrize(
+    "query",
+    [
+        "word00",  # head term, many blocks
+        "word30",  # rarer term
+        "word00 -word45",  # exclusion applies in both phases
+        "word01 len>40",  # spec limit applies in both phases
+    ],
+)
+def test_wand_equals_plain(spark, reader, query):
+    plain = _pairs(run_query(reader, query, k=10).collect())
+    wand = _pairs(run_query_wand(reader, query, k=10).collect())
+    assert wand == plain
+
+
+def test_wand_fallback_multi_term(spark, reader):
+    q = "word00 word01"
+    assert _pairs(run_query_wand(reader, q, k=5).collect()) == _pairs(
+        run_query(reader, q, k=5).collect()
+    )
+
+
+def test_wand_k_larger_than_result(spark, reader):
+    q = "word45"
+    assert _pairs(run_query_wand(reader, q, k=500).collect()) == _pairs(
+        run_query(reader, q, k=500).collect()
+    )
+
+
+def test_wand_cut_actually_prunes_blocks(spark, reader):
+    """The θ-derived scan predicate must skip a nontrivial share of the head
+    term's blocks for a small k."""
+    word = "word00"
+    tid, df = reader.term_stats([word])[word]
+    total_blocks = reader.postings.filter(F.col("term_id") == tid).count()
+    assert total_blocks >= 10  # head term spans many 16-doc blocks
+    plain = run_query(reader, word, k=5).collect()
+    kth = plain[-1]["score"]
+    theta_raw = 501.0 / (kth * kth) - 1.0
+    idf = math.log(1.0 + (reader.n_docs - df + 0.5) / (df + 0.5))
+    kept = reader.postings.filter(
+        (F.col("term_id") == tid)
+        & (F.col("max_tf_norm") >= theta_raw / idf)
+    ).count()
+    assert kept < total_blocks  # pruning is real
+    assert kept >= 1
