@@ -51,7 +51,7 @@ from marginaliasearch_spark.sources.transcripts import documents_as_transcripts
 # shared constants (must mirror the engine AND the oracle SQL)
 # ---------------------------------------------------------------------------
 
-_CACHE_VERSION = "v4"  # bump on any postings/journal wire-format change
+_CACHE_VERSION = "v5"  # bump on any postings/journal wire-format change
 _K = 20
 # deterministic query vector for similarity search (inlined into oracle SQL)
 _QVEC = [float((i * 37) % 19 - 9) / 10.0 for i in range(64)]
@@ -455,6 +455,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fulltext_proximity": _search("customer query slow", positional=True),
         # block-max WAND two-phase top-k (exact; same oracle as plain BM25)
         "fulltext_wand": _search_wand("query -slow"),
+        # role gates (F8): driver docs are all role=user, so in:user is a
+        # pass-through gate and in:system filters everything out
+        "fulltext_gate_pass": _search("spark join in:user"),
+        "fulltext_gate_empty": _search("spark join in:system"),
         # --- index stats tables (A1/A2/A3, S6 forward index) ---
         "index_lexicon_stats": _q_lexicon,
         "index_doc_stats": _q_doc_stats,
@@ -515,6 +519,9 @@ def oracle_sql() -> dict[str, str]:
             positional=["customer", "query", "slow"],
         ),
         "fulltext_wand": _bm25_sql([["query"]], exclude=["slow"]),
+        "fulltext_gate_pass": _bm25_sql([["spark", "join"]]),
+        "fulltext_gate_empty": f"""{_COMMON}
+SELECT doc_id, 0.0 AS score FROM doclen WHERE 1 = 0""",
         "index_lexicon_stats": f"""{_COMMON}
 SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS ctf
 FROM tf GROUP BY term""",

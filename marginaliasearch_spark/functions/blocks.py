@@ -38,7 +38,7 @@ BLOCK_DOCS = 4096  # docs per block ≈ the reference's 8 KiB skip-list blocks
 
 POSTINGS_SCHEMA = (
     "term_id long, n_docs int, doc_ids binary, tfs binary, positions binary, "
-    "min_doc long, max_doc long, max_tf_norm double"
+    "flags binary, min_doc long, max_doc long, max_tf_norm double"
 )
 
 
@@ -47,6 +47,7 @@ def _encode_term_run(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     pos_bytes: list[bytes],
+    flags: np.ndarray,
     tf_norms: np.ndarray,
     block_docs: int,
 ) -> Iterator[dict]:
@@ -61,6 +62,7 @@ def _encode_term_run(
             "doc_ids": encode_sorted(ids),
             "tfs": varbyte_encode(tfs[start:end].astype(np.uint64)),
             "positions": b"".join(pos_bytes[start:end]),
+            "flags": varbyte_encode(flags[start:end].astype(np.uint64)),
             "min_doc": int(ids[0]),
             "max_doc": int(ids[-1]),
             "max_tf_norm": float(np.max(tf_norms[start:end])),
@@ -83,6 +85,7 @@ def encode_blocks(
         term_ids = pdf["term_id"].to_numpy()
         doc_arr = pdf["doc_id"].to_numpy()
         tf_arr = pdf["tf"].to_numpy()
+        flag_arr = pdf["flags"].to_numpy()
         score_arr = pdf["tf_norm"].to_numpy()
         pos_list = pdf["positions"].tolist()
         # row ranges per term (input sorted by term_id)
@@ -101,6 +104,7 @@ def encode_blocks(
                     doc_arr[s:e],
                     tf_arr[s:e],
                     pos_list[s:e],
+                    flag_arr[s:e],
                     score_arr[s:e],
                     block_docs,
                 )
@@ -134,7 +138,7 @@ def decode_blocks(
     intersected (ReverseIndexRetainFilter / tryRetainData).
     """
     for pdf in batches:
-        out_term, out_doc, out_tf = [], [], []
+        out_term, out_doc, out_tf, out_flags = [], [], [], []
         out_pos: list = []
         for row in pdf.itertuples(index=False):
             if candidates is not None:
@@ -144,6 +148,7 @@ def decode_blocks(
                     continue  # block-skip: no candidate in range
             doc_ids = decode_sorted(row.doc_ids)
             tfs = varbyte_decode(row.tfs)
+            flags = varbyte_decode(row.flags)
             if candidates is not None:
                 mask = np.isin(doc_ids, candidates[lo:hi], assume_unique=True)
                 if not mask.any():
@@ -155,12 +160,13 @@ def decode_blocks(
                 splits = np.cumsum(tfs.astype(np.int64))[:-1]
                 plists = np.split(flat.astype(np.int64), splits)
             if mask is not None:
-                doc_ids, tfs = doc_ids[mask], tfs[mask]
+                doc_ids, tfs, flags = doc_ids[mask], tfs[mask], flags[mask]
                 if with_positions:
                     plists = [p for p, m in zip(plists, mask) if m]
             out_term.append(np.full(doc_ids.size, row.term_id, dtype=np.int64))
             out_doc.append(doc_ids.astype(np.int64))
             out_tf.append(tfs.astype(np.int32))
+            out_flags.append(flags.astype(np.int32))
             if with_positions:
                 out_pos.extend(plists)
         if not out_term:
@@ -169,11 +175,12 @@ def decode_blocks(
             "term_id": np.concatenate(out_term),
             "doc_id": np.concatenate(out_doc),
             "tf": np.concatenate(out_tf),
+            "flags": np.concatenate(out_flags),
         }
         if with_positions:
             data["positions"] = out_pos
         yield pd.DataFrame(data)
 
 
-DECODED_SCHEMA = "term_id long, doc_id long, tf int"
+DECODED_SCHEMA = "term_id long, doc_id long, tf int, flags int"
 DECODED_SCHEMA_POS = DECODED_SCHEMA + ", positions array<int>"

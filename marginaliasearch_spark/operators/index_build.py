@@ -62,6 +62,7 @@ class IndexPaths:
         self.lexicon = os.path.join(root, "lexicon")
         self.doc_stats = os.path.join(root, "doc_stats")
         self.term_bounds = os.path.join(root, "term_bounds")
+        self.prio = os.path.join(root, "prio")
         self.manifest_dir = os.path.join(root, "manifest")
         self.corpus_stats = os.path.join(root, "corpus_stats.json")
 
@@ -165,6 +166,7 @@ def build_index(
             "doc_id",
             "tf",
             "positions",
+            "flags",
             tf_norm(
                 F.col("tf").cast("double"), F.col("doc_len").cast("double")
             ).alias("tf_norm"),
@@ -200,6 +202,41 @@ def build_index(
         committed += 1
         if fail_after_bucket is not None and committed >= fail_after_bucket:
             raise RuntimeError(f"injected failure after {committed} buckets")
+
+    # Step 2.5 — priority tier: postings restricted to occurrences carrying
+    # priority flags (system/tool turns), positions stripped — the analogue
+    # of the reference's prio reverse index (doc-ids-only, record size 1,
+    # PrioPreindex.java:130; "contains only docs where the term carries
+    # priority flags", code/index/readme.md). A flag-gated query generates
+    # candidates from this much smaller tier first (two-tier head union,
+    # CombinedIndexReader.java:152-176).
+    if not os.path.exists(os.path.join(paths.prio, "_SUCCESS")):
+        shutil.rmtree(paths.prio, ignore_errors=True)
+        prio = terms.filter(
+            F.col("flags").bitwiseAND(F.lit(ingest.PRIORITY_FLAGS)) != 0
+        ).select(
+            "term_id",
+            "doc_id",
+            "tf",
+            F.lit(b"").alias("positions"),
+            "flags",
+            tf_norm(
+                F.col("tf").cast("double"), F.col("doc_len").cast("double")
+            ).alias("tf_norm"),
+        )
+        (
+            prio.repartitionByRange(
+                max(1, partitions // 4), "term_id", "doc_id"
+            )
+            .sortWithinPartitions("term_id", "doc_id")
+            .mapInPandas(
+                partial(encode_blocks, block_docs=block_docs),
+                schema=POSTINGS_SCHEMA,
+            )
+            .write.mode("overwrite")
+            .parquet(paths.prio)
+        )
+    tmark = _mark(tmark, "prio tier")
 
     # Step 3 — per-term score bounds for block-max WAND pruning: the global
     # max tf-norm per term (score ub = idf * max_tf_norm). Tiny aggregation

@@ -49,11 +49,27 @@ from ..functions.tokenizer import (
 # the postings shuffle moves compact bytes and the block encoder is a plain
 # byte concatenation (see functions/blocks.py)
 JOURNAL_SCHEMA = (
-    "conv_id string, term string, tf int, positions binary, "
+    "conv_id string, term string, tf int, positions binary, flags int, "
     "doc_len int, n_turns int"
 )
 
 _BREAK_SEP = f" {TURN_BREAK} "
+
+# Term flags — the transcript analogue of the reference's WordFlags byte
+# (WordFlags.java:6-39 Title/Subjects/Site/...; term metadata low byte,
+# IndexQueryExecution.java:351-353). A term's flag bit is set when it occurs
+# in a turn with that role; TOOL additionally when the turn carries a tool
+# annotation. Flags drive the query-strategy gate (reference F8,
+# IndexResultRankingService.java:226-260) and the priority-tier membership
+# (prio index holds flagged occurrences, code/index/readme.md).
+FLAG_SYSTEM = 1  # role='system' — the TITLE-analogue span
+FLAG_ASSISTANT = 2
+FLAG_USER = 4
+FLAG_TOOL = 8  # role='tool' OR tool annotation present
+ROLE_FLAG = {"system": FLAG_SYSTEM, "assistant": FLAG_ASSISTANT, "user": FLAG_USER, "tool": FLAG_TOOL}
+# flags that admit a term occurrence into the priority tier (the reference's
+# prio index takes Title/Subjects/... flagged words)
+PRIORITY_FLAGS = FLAG_SYSTEM | FLAG_TOOL
 
 
 def _tokenize_convs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -73,7 +89,22 @@ def _tokenize_convs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         token_lists = tokenize_texts(pdf["full_text"]).tolist()
         conv_arr = pdf["conv_id"].to_numpy(dtype=object)
         n_turns_arr = pdf["n_turns"].to_numpy(dtype=np.int64)
+        turn_flag_lists = pdf["turn_flags"].tolist()
+        flat_turn_flags = (
+            np.concatenate(
+                [np.asarray(t, dtype=np.int64) for t in turn_flag_lists]
+            )
+            if turn_flag_lists
+            else np.empty(0, dtype=np.int64)
+        )
         n_docs = len(token_lists)
+        turn_offsets = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(
+            np.fromiter(
+                (len(t) for t in turn_flag_lists), dtype=np.int64, count=n_docs
+            ),
+            out=turn_offsets[1:],
+        )
         lens = np.fromiter(
             (len(t) for t in token_lists), dtype=np.int64, count=n_docs
         )
@@ -104,11 +135,22 @@ def _tokenize_convs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             word_mask = ~is_break
             wcum = np.concatenate([[0], np.cumsum(word_mask)])
             doc_len_arr = wcum[doc_bounds[1:]] - wcum[doc_bounds[:-1]]
+            # token's turn = number of break tokens before it within its doc
+            bext = np.concatenate([[0], np.cumsum(is_break)[:-1]])
+            turn_of_token = bext - bext[doc_bounds[:-1]][doc_idx]
+            tok_flags = flat_turn_flags[
+                turn_offsets[:-1][doc_idx] + turn_of_token
+            ]
             keep = word_mask & ~u_stop[codes] & (u_len[codes] <= MAX_WORD_LENGTH)
-            kd, kc, kp = doc_idx[keep], codes[keep], positions[keep]
+            kd, kc, kp, kf = (
+                doc_idx[keep],
+                codes[keep],
+                positions[keep],
+                tok_flags[keep],
+            )
             # stable sort by (doc, term code): positions stay ascending
             order = np.lexsort((kc, kd))
-            kd, kc, kp = kd[order], kc[order], kp[order]
+            kd, kc, kp, kf = kd[order], kc[order], kp[order], kf[order]
             if kd.size:
                 change = np.flatnonzero(
                     (kd[1:] != kd[:-1]) | (kc[1:] != kc[:-1])
@@ -127,12 +169,18 @@ def _tokenize_convs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             ]
             g_doc = kd[grp_starts]
             g_term = uniq[kc[grp_starts]]
+            g_flags = (
+                np.bitwise_or.reduceat(kf, grp_starts)
+                if kf.size
+                else np.empty(0, dtype=np.int64)
+            )
         else:
             doc_len_arr = np.zeros(n_docs, dtype=np.int64)
             tf = np.empty(0, dtype=np.int64)
             pos_bytes = []
             g_doc = np.empty(0, dtype=np.int64)
             g_term = np.empty(0, dtype=object)
+            g_flags = np.empty(0, dtype=np.int64)
         yield pd.DataFrame(
             {
                 "conv_id": np.concatenate([conv_arr, conv_arr[g_doc]]),
@@ -141,6 +189,9 @@ def _tokenize_convs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 ),
                 "tf": np.concatenate([np.zeros(n_docs, dtype=np.int64), tf]),
                 "positions": [b""] * n_docs + pos_bytes,
+                "flags": np.concatenate(
+                    [np.zeros(n_docs, dtype=np.int64), g_flags]
+                ),
                 "doc_len": np.concatenate(
                     [doc_len_arr, doc_len_arr[g_doc]]
                 ),
@@ -153,15 +204,29 @@ def _tokenize_convs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def build_journal(transcripts: DataFrame, rank: int = 0) -> DataFrame:
     """transcripts → journal(doc_id, conv_id, term, term_id, tf, positions,
-    doc_len, n_turns). Sentinel rows have term NULL."""
+    flags, doc_len, n_turns). Sentinel rows have term NULL."""
+    sorted_turns = F.array_sort(
+        F.collect_list(F.struct("turn_idx", "text", "role", "tool"))
+    )
     conv_docs = transcripts.groupBy("conv_id").agg(
         F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
-                lambda s: s["text"],
-            ),
-            _BREAK_SEP,
+            F.transform(sorted_turns, lambda s: s["text"]), _BREAK_SEP
         ).alias("full_text"),
+        # per-turn flag byte, aligned with the turn segments of full_text
+        F.transform(
+            sorted_turns,
+            lambda s: F.coalesce(
+                F.when(s["role"] == "system", F.lit(FLAG_SYSTEM))
+                .when(s["role"] == "assistant", F.lit(FLAG_ASSISTANT))
+                .when(s["role"] == "user", F.lit(FLAG_USER))
+                .when(s["role"] == "tool", F.lit(FLAG_TOOL)),
+                F.lit(0),
+            ).bitwiseOR(
+                F.when(
+                    F.coalesce(s["tool"], F.lit("")) != "", F.lit(FLAG_TOOL)
+                ).otherwise(F.lit(0))
+            ),
+        ).alias("turn_flags"),
         F.count("*").cast("int").alias("n_turns"),
     )
     journal = conv_docs.mapInPandas(_tokenize_convs, schema=JOURNAL_SCHEMA)
@@ -172,6 +237,7 @@ def build_journal(transcripts: DataFrame, rank: int = 0) -> DataFrame:
         term_id_expr("term").alias("term_id"),
         "tf",
         "positions",
+        "flags",
         "doc_len",
         "n_turns",
     )

@@ -49,6 +49,7 @@ from ..functions.scoring import (
 )
 from ..plans.parser import ParsedQuery, parse_query
 from .index_build import IndexPaths, read_postings
+from .ingest import PRIORITY_FLAGS, ROLE_FLAG
 
 
 @dataclass(frozen=True)
@@ -128,6 +129,12 @@ class IndexReader:
         self.postings = read_postings(spark, paths)
         self.lexicon = spark.read.parquet(paths.lexicon)
         self.doc_stats = spark.read.parquet(paths.doc_stats)
+        # optional priority tier (flagged occurrences only, much smaller)
+        self.prio = (
+            spark.read.parquet(paths.prio)
+            if os.path.exists(os.path.join(paths.prio, "_SUCCESS"))
+            else None
+        )
         with open(paths.corpus_stats) as f:
             stats = json.load(f)
         self.n_docs = float(stats["doc_count"])
@@ -152,8 +159,9 @@ class IndexReader:
         with_positions: bool = False,
         min_tf_norm: float | None = None,
         top_blocks: int | None = None,
+        tier: str = "full",
     ) -> DataFrame:
-        """One term's postings → (doc_id, tf[, positions]).
+        """One term's postings → (doc_id, tf, flags[, positions]).
 
         The term_id equality predicate prunes parquet row groups via min/max
         stats (postings files are written sorted by term_id); the candidate
@@ -164,7 +172,8 @@ class IndexReader:
         ``top_blocks`` restricts to the N highest-max_tf_norm blocks (the
         threshold-estimation phase of two-phase top-k).
         """
-        blocks = self.postings.filter(F.col("term_id") == term_id)
+        source = self.prio if (tier == "prio" and self.prio is not None) else self.postings
+        blocks = source.filter(F.col("term_id") == term_id)
         if min_tf_norm is not None:
             blocks = blocks.filter(F.col("max_tf_norm") >= min_tf_norm)
         if top_blocks is not None:
@@ -250,6 +259,21 @@ def run_query(
     positional = ranking is not None and ranking.positional
     need_pos = set(phrase_terms) | (set(live_terms) if positional else set())
 
+    # role gate (in:system ...) → required flag mask per matched term
+    gate_mask = 0
+    for g in pq.gates:
+        if g not in ROLE_FLAG:
+            raise ValueError(f"unknown role gate 'in:{g}'")
+        gate_mask |= ROLE_FLAG[g]
+    # a gate within the priority flags runs entirely on the (much smaller)
+    # priority tier: every gate-passing (doc, term) occurrence is flagged,
+    # hence present there (two-tier head, CombinedIndexReader.java:152-176)
+    prio_ok = (
+        gate_mask != 0
+        and (gate_mask & ~PRIORITY_FLAGS) == 0
+        and reader.prio is not None
+    )
+
     def term_df(word: str, candidates: np.ndarray | None) -> DataFrame:
         tid = stats[word][0]
         out = reader.decode_term(
@@ -258,8 +282,11 @@ def run_query(
             with_positions=word in need_pos,
             min_tf_norm=_driver_min_tf_norm,
             top_blocks=_driver_top_blocks,
+            tier="prio" if (prio_ok and word not in need_pos) else "full",
         )
         cols = [F.col("doc_id"), F.col("tf").alias(f"tf_{_safe(word)}")]
+        if gate_mask:
+            cols.append(F.col("flags").alias(f"flags_{_safe(word)}"))
         if word in need_pos:
             cols.append(F.col("positions").alias(f"pos_{_safe(word)}"))
         return out.select(*cols)
@@ -304,6 +331,15 @@ def run_query(
             F.max(c).alias(c) for c in all_cols if c != "doc_id"
         ]  # dedup doc_ids, keeping tf/pos from whichever path matched
         cand = cand.groupBy("doc_id").agg(*agg)
+
+    # ---- role gate (F8): every matched include term must carry the flags ----
+    if gate_mask:
+        for w in live_terms:
+            fc = F.col(f"flags_{_safe(w)}")
+            cand = cand.filter(
+                fc.isNull()
+                | (fc.bitwiseAND(F.lit(gate_mask)) == F.lit(gate_mask))
+            )
 
     # ---- exclusion: anti-join (ReverseIndexRejectFilter) ----
     for word in pq.exclude:

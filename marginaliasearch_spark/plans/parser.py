@@ -119,6 +119,10 @@ class ParsedQuery:
     priority: list[str] = field(default_factory=list)
     phrases: list[list[str]] = field(default_factory=list)
     limits: list[SpecLimit] = field(default_factory=list)
+    # role gates: ``in:system`` etc. — every include term must carry the
+    # role's flag in the matched doc (the reference's query-strategy gate,
+    # QueryStrategy REQUIRE_FIELD_*, IndexResultRankingService.java:226-260)
+    gates: list[str] = field(default_factory=list)
 
     def all_include_terms(self) -> list[str]:
         terms: set[str] = set() if self.include is None else set(
@@ -167,6 +171,9 @@ def parse_query(q: str) -> ParsedQuery:
             continue
         if raw.startswith("("):
             and_items.append(parse_compiled(raw.lower()))
+            continue
+        if raw.lower().startswith("in:"):
+            out.gates.append(raw[3:].lower())
             continue
         m = _LIMIT_RE.match(raw.lower())
         if m:
