@@ -291,10 +291,29 @@ def run_query(
             cols.append(F.col("positions").alias(f"pos_{_safe(word)}"))
         return out.select(*cols)
 
+    # conv: restrictions (F5 doc-range analogue): resolve conversation ids
+    # to doc ids via the forward index (tiny driver probe) and seed the
+    # driver term's decode with them — blocks outside the doc-id windows
+    # are skipped undecoded (ReverseIndexRetainDocumentRangeFilter)
+    conv_doc_ids: np.ndarray | None = None
+    if pq.convs:
+        rows_ = (
+            reader.doc_stats.filter(F.col("conv_id").isin(pq.convs))
+            .select("doc_id")
+            .collect()
+        )
+        conv_doc_ids = np.sort(
+            np.array([r["doc_id"] for r in rows_], dtype=np.int64).astype(
+                np.uint64
+            )
+        )
+        if conv_doc_ids.size == 0:
+            return empty()
+
     def path_candidates(path_terms: list[str]) -> DataFrame:
         ordered = sorted(path_terms, key=lambda w: (stats[w][1], w))
         driver_word = ordered[0]
-        cand = term_df(driver_word, None)
+        cand = term_df(driver_word, conv_doc_ids)
         cand_ids: np.ndarray | None = None
         if stats[driver_word][1] <= MAX_DRIVER_CANDIDATES and len(ordered) > 1:
             cand_ids = np.sort(
@@ -356,6 +375,8 @@ def run_query(
 
     # ---- doc metadata join + spec limits (ParamMatchingQueryFilter) ----
     cand = cand.join(reader.doc_stats, "doc_id")
+    if pq.convs_exclude:
+        cand = cand.filter(~F.col("conv_id").isin(pq.convs_exclude))
     op_map = {">": "__gt__", "<": "__lt__", "=": "__eq__", ">=": "__ge__", "<=": "__le__"}
     for lim in pq.limits:
         col = {"turns": F.col("n_turns"), "len": F.col("doc_len")}[lim.field]
@@ -465,6 +486,37 @@ def run_query(
         .limit(k)
         .select("doc_id", "conv_id", "doc_len", "n_turns", "score")
     )
+
+
+def decorate_results(
+    results: DataFrame, transcripts: DataFrame, n_turns: int = 1
+) -> DataFrame:
+    """Join top-k results back to the source transcripts for display — the
+    reference's document-DB decoration join (docId → url/title/description,
+    ``IndexQueryExecution.java:189-207``); for transcripts the decoration is
+    the first ``n_turns`` turns' text plus the opening role.
+
+    The (tiny) result set is broadcast into the transcript scan, so the
+    big table is touched once with a semi-join — never the other way round.
+    """
+    hits = transcripts.join(
+        F.broadcast(results.select("conv_id")), "conv_id", "left_semi"
+    )
+    snippets = (
+        hits.filter(F.col("turn_idx") < n_turns)
+        .groupBy("conv_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+                    lambda s: s["text"],
+                ),
+                " ",
+            ).alias("snippet"),
+            F.min_by("role", "turn_idx").alias("first_role"),
+        )
+    )
+    return results.join(F.broadcast(snippets), "conv_id", "left")
 
 
 def run_query_wand(

@@ -123,6 +123,12 @@ class ParsedQuery:
     # role's flag in the matched doc (the reference's query-strategy gate,
     # QueryStrategy REQUIRE_FIELD_*, IndexResultRankingService.java:226-260)
     gates: list[str] = field(default_factory=list)
+    # conversation restrictions: ``conv:<id>`` include / ``-conv:<id>``
+    # exclude — the transcript analogue of the reference's site:domain
+    # docId-range filters (ReverseIndexRetain/RejectDocumentRangeFilter,
+    # ranges from CombinedIndexReader.java:255-265)
+    convs: list[str] = field(default_factory=list)
+    convs_exclude: list[str] = field(default_factory=list)
 
     def all_include_terms(self) -> list[str]:
         terms: set[str] = set() if self.include is None else set(
@@ -174,6 +180,12 @@ def parse_query(q: str) -> ParsedQuery:
             continue
         if raw.lower().startswith("in:"):
             out.gates.append(raw[3:].lower())
+            continue
+        if raw.lower().startswith("conv:"):
+            out.convs.append(raw[5:])
+            continue
+        if raw.lower().startswith("-conv:"):
+            out.convs_exclude.append(raw[6:])
             continue
         m = _LIMIT_RE.match(raw.lower())
         if m:

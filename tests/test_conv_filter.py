@@ -1,0 +1,58 @@
+"""conv:<id> doc-range filters (F5 analogue) + result decoration join (J7)."""
+
+import pytest
+
+from marginaliasearch_spark.operators.index_build import IndexPaths, build_index
+from marginaliasearch_spark.operators.query_exec import (
+    IndexReader,
+    decorate_results,
+    run_query,
+)
+from marginaliasearch_spark.sources.transcripts import factor_corpus
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    corpus = factor_corpus(spark, 128).cache()
+    root = str(tmp_path_factory.mktemp("convidx"))
+    build_index(spark, corpus, root, n_buckets=1)
+    return corpus, IndexReader(spark, IndexPaths(root))
+
+
+def test_conv_include(spark, built):
+    _, reader = built
+    got = {
+        r["conv_id"]
+        for r in run_query(reader, "factor2 conv:conv12 conv:conv30", k=50).collect()
+    }
+    assert got == {"conv12", "conv30"}
+
+
+def test_conv_exclude(spark, built):
+    _, reader = built
+    base = {r["conv_id"] for r in run_query(reader, "factor30", k=50).collect()}
+    got = {
+        r["conv_id"]
+        for r in run_query(reader, "factor30 -conv:conv60", k=50).collect()
+    }
+    assert got == base - {"conv60"}
+    assert "conv60" in base
+
+
+def test_conv_include_no_match(spark, built):
+    _, reader = built
+    assert run_query(reader, "factor2 conv:nope", k=5).count() == 0
+
+
+def test_decoration_join(spark, built):
+    corpus, reader = built
+    res = run_query(reader, "factor64", k=5)
+    dec = decorate_results(res, corpus, n_turns=2).collect()
+    assert len(dec) == res.count()
+    first_turns = {}
+    for r in corpus.filter("turn_idx < 2").collect():
+        first_turns.setdefault(r["conv_id"], []).append((r["turn_idx"], r["text"]))
+    for row in dec:
+        expect = " ".join(t for _, t in sorted(first_turns[row["conv_id"]]))
+        assert row["snippet"] == expect
+        assert row["first_role"] == "user"  # turn 0 role in factor corpus

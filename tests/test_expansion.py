@@ -1,0 +1,101 @@
+"""Query-expansion tests: variant admission against the lexicon and
+end-to-end OR-path execution (reference QueryExpansion strategy semantics
+adapted to the transcript lexicon)."""
+
+import datetime
+
+import pytest
+
+from marginaliasearch_spark.operators.index_build import IndexPaths, build_index
+from marginaliasearch_spark.operators.query_exec import IndexReader, run_query
+from marginaliasearch_spark.plans.expansion import (
+    candidate_variants,
+    expand_query,
+)
+
+_TS = datetime.datetime(2025, 1, 1)
+
+
+def _row(cid, text):
+    return (cid, 0, "user", text, "", _TS)
+
+
+@pytest.fixture(scope="module")
+def reader(spark, tmp_path_factory):
+    rows = [
+        _row("c1", "the lawn-chair was green"),
+        _row("c2", "a lawnchair on the porch"),
+        _row("c3", "lawn chair for sale"),
+        _row("c4", "my mp3 player is loud"),
+        _row("c5", "the mp-3 format spec"),
+        _row("c6", "calling the tool_call api"),
+        _row("c7", "one chair left"),
+        _row("c8", "three chairs left"),
+        # make 'toolcall' dictionary-frequent so joinTerms admits the join
+        *[_row(f"tc{i}", "toolcall toolcall toolcall") for i in range(6)],
+        _row("c9", "tool call sequence"),
+        *[_row(f"pad{i}", f"filler{i} text noise") for i in range(20)],
+    ]
+    corpus = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    root = str(tmp_path_factory.mktemp("expidx"))
+    build_index(spark, corpus, root, n_buckets=1)
+    return IndexReader(spark, IndexPaths(root))
+
+
+def test_candidate_variants_shapes():
+    c = candidate_variants(["lawn-chair"])
+    assert "lawnchair" in c
+    c = candidate_variants(["mp3"])
+    assert "mp-3" in c
+    c = candidate_variants(["lawn", "chair"])
+    assert "lawnchair" in c and "lawn_chair" in c
+    c = candidate_variants(["trs", "80"])
+    assert "trs-80" in c and "trs80" in c
+    c = candidate_variants(["chairs"])
+    assert "chair" in c
+    c = candidate_variants(["chair"])
+    assert "chairs" in c
+
+
+def _convs(reader, q):
+    pq = expand_query(reader, q)
+    return {r["conv_id"] for r in run_query(reader, pq, k=100).collect()}
+
+
+def test_join_dashes_expansion(spark, reader):
+    # 'lawn-chair' matches both the dashed and the joined spelling
+    assert _convs(reader, "lawn-chair") == {"c1", "c2"}
+
+
+def test_split_word_num_expansion(spark, reader):
+    assert _convs(reader, "mp3") == {"c4", "c5"}
+
+
+def test_join_terms_requires_dictionary_support(spark, reader):
+    # 'toolcall' is frequent → joined branch; 'tool_call' is indexed → the
+    # ngramAll branch matches c6 as well (reference ngramAll semantics)
+    assert _convs(reader, "tool call") == {
+        "c6", "c9", *{f"tc{i}" for i in range(6)}
+    }
+    # 'lawn chair' does NOT join: 'lawnchair' ctf (1) <= ctf(lawn)+ctf(chair)
+    assert _convs(reader, "lawn chair") == {"c3"}
+
+
+def test_plural_expansion(spark, reader):
+    # both spellings reach all docs containing either form (c3 has 'chair')
+    assert _convs(reader, "chairs") == {"c3", "c7", "c8"}
+    assert _convs(reader, "chair") == {"c3", "c7", "c8"}
+
+
+def test_expansion_keeps_exclusions_and_gates(spark, reader):
+    pq = expand_query(reader, "mp3 -format")
+    got = {r["conv_id"] for r in run_query(reader, pq, k=100).collect()}
+    assert got == {"c4"}
+
+
+def test_no_expansion_for_unknown_variants(spark, reader):
+    # 'filler3' has no indexed variants → single-path query unchanged
+    assert _convs(reader, "filler3") == {"pad3"}
