@@ -86,6 +86,20 @@ class TestFactorOracle:
         scores = [r["score"] for r in rows]
         assert scores == sorted(scores)  # ascending = best first
 
+    def test_group_cap(self, factor_index):
+        """A7 per-group result cap: ≤cap best-scoring rows per group
+        (IndexQueryExecution.java:162-177 resultsByDomain)."""
+        full = run_query(factor_index, "factor2", k=1000).collect()
+        capped = run_query(
+            factor_index, "factor2", k=1000, group_cap=2, group_col="n_turns"
+        ).collect()
+        # expected: best 2 per n_turns group by (score, doc_id)
+        best: dict[int, list] = {}
+        for r in sorted(full, key=lambda r: (r["score"], r["doc_id"])):
+            best.setdefault(r["n_turns"], []).append(r["conv_id"])
+        expect = {c for lst in best.values() for c in lst[:2]}
+        assert {r["conv_id"] for r in capped} == expect
+
 
 class TestBm25Oracle:
     @pytest.fixture(scope="class")
