@@ -159,17 +159,21 @@ def main() -> None:
         # shared sandbox varies ±15%
         results: dict[int, dict] = {}
         all_runs: dict[int, list] = {}
+        # each cell runs through spark-submit --py-files (the north rule's
+        # deployment shape; swap local[N] for a cluster master URL on a
+        # real deployment)
+        submit = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools", "submit.sh")
         for cores in (args.n, 4 * args.n):
             runs = []
             for _ in range(args.repeat):
                 proc = subprocess.run(
                     [
-                        sys.executable,
-                        __file__,
-                        "--build-only",
-                        "--scaling-corpus",
-                        "--cores",
-                        str(cores),
+                        "bash",
+                        submit,
+                        f"local[{cores}]",
+                        "--convs",
+                        str(SCALING_CONVS),
+                        "--warmup",
                     ],
                     capture_output=True,
                     text=True,

@@ -39,6 +39,13 @@ def varbyte_encode_with_offsets(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
         return b"", np.zeros(1, dtype=np.int64)
+    # fast path: all values fit one varint byte (the dominant case for
+    # position deltas) — the payload IS the value array
+    if (v < 128).all():
+        return (
+            v.astype(np.uint8).tobytes(),
+            np.arange(v.size + 1, dtype=np.int64),
+        )
     # bytes needed per value: ceil(bitlength/7), min 1
     nbits = np.zeros(v.shape, dtype=np.int64)
     tmp = v.copy()

@@ -9,7 +9,7 @@ Rebuilds the reference's document-ingestion entry point
    stable turn ordering), with a break marker between turns that the
    tokenizer charges 2 position slots (the reference's +2 inter-region
    padding, ``DocumentPositionMapper.java:33-39``).
-2. Arrow-batched ``mapInPandas``: tokenize, assign 1-based positions, fold to
+2. Arrow-batched ``mapInArrow``: tokenize, assign 1-based positions, fold to
    per-(doc, term) rows (term, tf, positions).
 3. JVM-side: ``term_id = xxhash64(term)``, ``doc_id`` from the rank-monotone
    layout (functions/ids.py).
@@ -72,8 +72,9 @@ ROLE_FLAG = {"system": FLAG_SYSTEM, "assistant": FLAG_ASSISTANT, "user": FLAG_US
 PRIORITY_FLAGS = FLAG_SYSTEM | FLAG_TOOL
 
 
-def _tokenize_convs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Arrow-batched: (conv_id, full_text, n_turns) → per-(conv, term) rows.
+def _tokenize_convs(batches: "Iterator") -> "Iterator":
+    """Arrow-batched (``mapInArrow``): (conv_id, full_text, n_turns,
+    turn_flags) RecordBatches → per-(conv, term) journal RecordBatches.
 
     Fully batch-vectorized position assignment + (doc, term) fold: tokens of
     the whole Arrow batch are flattened once, ``pd.factorize`` maps them to
@@ -82,29 +83,32 @@ def _tokenize_convs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     and the fold to per-(doc, term) rows is a single stable lexsort. The only
     per-document Python work is the regex findall.
 
+    Output is built as Arrow arrays directly — the per-row varbyte position
+    runs become ONE binary column from (offsets, buffer) with zero copies
+    and zero per-row bytes objects, and string columns come from dictionary
+    ``take`` on the batch vocabulary (pandas block consolidation was ~half
+    the kernel's wall time before this).
+
     Emits one sentinel row (term=NULL, tf=0) per conversation so documents
     with no indexable terms still appear in doc_stats.
     """
-    for pdf in batches:
-        token_lists = tokenize_texts(pdf["full_text"]).tolist()
-        conv_arr = pdf["conv_id"].to_numpy(dtype=object)
-        n_turns_arr = pdf["n_turns"].to_numpy(dtype=np.int64)
-        turn_flag_lists = pdf["turn_flags"].tolist()
-        flat_turn_flags = (
-            np.concatenate(
-                [np.asarray(t, dtype=np.int64) for t in turn_flag_lists]
-            )
-            if turn_flag_lists
-            else np.empty(0, dtype=np.int64)
+    import pyarrow as pa
+
+    for rb in batches:
+        conv_pa = rb.column(rb.schema.get_field_index("conv_id"))
+        texts = pd.Series(
+            rb.column(rb.schema.get_field_index("full_text")).to_pylist()
         )
+        token_lists = tokenize_texts(texts).tolist()
+        n_turns_arr = np.asarray(
+            rb.column(rb.schema.get_field_index("n_turns")), dtype=np.int64
+        )
+        tf_col = rb.column(rb.schema.get_field_index("turn_flags"))
+        if isinstance(tf_col, pa.ChunkedArray):
+            tf_col = tf_col.combine_chunks()
+        flat_turn_flags = np.asarray(tf_col.values, dtype=np.int64)
+        turn_offsets = np.asarray(tf_col.offsets, dtype=np.int64)
         n_docs = len(token_lists)
-        turn_offsets = np.zeros(n_docs + 1, dtype=np.int64)
-        np.cumsum(
-            np.fromiter(
-                (len(t) for t in turn_flag_lists), dtype=np.int64, count=n_docs
-            ),
-            out=turn_offsets[1:],
-        )
         lens = np.fromiter(
             (len(t) for t in token_lists), dtype=np.int64, count=n_docs
         )
@@ -163,42 +167,67 @@ def _tokenize_convs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             deltas = segmented_delta(kp.astype(np.uint64), grp_starts)
             enc, offs = varbyte_encode_with_offsets(deltas)
             byte_bounds = offs[bounds]
-            pos_bytes = [
-                enc[byte_bounds[i] : byte_bounds[i + 1]]
-                for i in range(tf.size)
-            ]
             g_doc = kd[grp_starts]
-            g_term = uniq[kc[grp_starts]]
+            g_codes = kc[grp_starts]
             g_flags = (
                 np.bitwise_or.reduceat(kf, grp_starts)
                 if kf.size
                 else np.empty(0, dtype=np.int64)
             )
+            term_dict = pa.array(uniq.tolist(), type=pa.string())
         else:
             doc_len_arr = np.zeros(n_docs, dtype=np.int64)
             tf = np.empty(0, dtype=np.int64)
-            pos_bytes = []
+            enc = b""
+            byte_bounds = np.zeros(1, dtype=np.int64)
             g_doc = np.empty(0, dtype=np.int64)
-            g_term = np.empty(0, dtype=object)
+            g_codes = np.empty(0, dtype=np.int64)
             g_flags = np.empty(0, dtype=np.int64)
-        yield pd.DataFrame(
-            {
-                "conv_id": np.concatenate([conv_arr, conv_arr[g_doc]]),
-                "term": np.concatenate(
-                    [np.full(n_docs, None, dtype=object), g_term]
+            term_dict = pa.array([], type=pa.string())
+
+        n_rows = n_docs + g_doc.size
+        # positions: ONE binary array over the batch encode buffer — the
+        # first n_docs rows (sentinels) are empty, then each group's byte
+        # run, cut by offsets (varbyte is byte-aligned per value)
+        offsets32 = np.concatenate(
+            [np.zeros(n_docs, dtype=np.int32), byte_bounds.astype(np.int32)]
+        )
+        positions_col = pa.Array.from_buffers(
+            pa.binary(),
+            n_rows,
+            [None, pa.py_buffer(offsets32.tobytes()), pa.py_buffer(enc)],
+        )
+        all_docs = pa.array(
+            np.concatenate([np.arange(n_docs, dtype=np.int64), g_doc])
+        )
+        conv_col = conv_pa.take(all_docs)
+        term_col = pa.concat_arrays(
+            [pa.nulls(n_docs, pa.string()), term_dict.take(pa.array(g_codes))]
+        )
+        i32 = lambda a: pa.array(a.astype(np.int32))  # noqa: E731
+        yield pa.RecordBatch.from_arrays(
+            [
+                conv_col.combine_chunks()
+                if isinstance(conv_col, pa.ChunkedArray)
+                else conv_col,
+                term_col,
+                i32(np.concatenate([np.zeros(n_docs, dtype=np.int64), tf])),
+                positions_col,
+                i32(
+                    np.concatenate([np.zeros(n_docs, dtype=np.int64), g_flags])
                 ),
-                "tf": np.concatenate([np.zeros(n_docs, dtype=np.int64), tf]),
-                "positions": [b""] * n_docs + pos_bytes,
-                "flags": np.concatenate(
-                    [np.zeros(n_docs, dtype=np.int64), g_flags]
-                ),
-                "doc_len": np.concatenate(
-                    [doc_len_arr, doc_len_arr[g_doc]]
-                ),
-                "n_turns": np.concatenate(
-                    [n_turns_arr, n_turns_arr[g_doc]]
-                ),
-            }
+                i32(np.concatenate([doc_len_arr, doc_len_arr[g_doc]])),
+                i32(np.concatenate([n_turns_arr, n_turns_arr[g_doc]])),
+            ],
+            names=[
+                "conv_id",
+                "term",
+                "tf",
+                "positions",
+                "flags",
+                "doc_len",
+                "n_turns",
+            ],
         )
 
 
@@ -229,7 +258,7 @@ def build_journal(transcripts: DataFrame, rank: int = 0) -> DataFrame:
         ).alias("turn_flags"),
         F.count("*").cast("int").alias("n_turns"),
     )
-    journal = conv_docs.mapInPandas(_tokenize_convs, schema=JOURNAL_SCHEMA)
+    journal = conv_docs.mapInArrow(_tokenize_convs, schema=JOURNAL_SCHEMA)
     return journal.select(
         doc_id_for_conv("conv_id", rank),
         "conv_id",

@@ -146,7 +146,18 @@ def zipf_corpus(
             texts = [
                 " ".join(f"z{j}" for j in row) for row in tok_idx
             ]
-            role_idx = (_splitmix64(ids) % np.uint64(4)).astype(np.int64)
+            # realistic agent-transcript role mix (random-uniform roles
+            # would mark ~3/4 of postings as priority-flagged and distort
+            # the prio tier): turn 0 is 'system' for 1 conv in 8, turns
+            # alternate user/assistant, ~5% of turns are 'tool'
+            u = _splitmix64(ids + np.uint64(17))
+            role_idx = np.where(turn % 2 == 0, 0, 1).astype(np.int64)  # user/assistant
+            role_idx = np.where(
+                (turn == 0) & (conv % 8 == 0), 2, role_idx
+            )  # system opener
+            role_idx = np.where(
+                (u % np.uint64(20) == 0) & (turn > 0), 3, role_idx
+            )  # tool (_ROLES order: user, assistant, system, tool)
             yield pd.DataFrame(
                 {
                     "conv_id": [f"zc{c:08d}" for c in conv],

@@ -113,3 +113,21 @@ class TestJaccard:
         out = dedup.jaccard_candidates(docs, threshold=0.5).collect()
         pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out}
         assert pairs == {(1, 2): pytest.approx(3 / 5)}
+
+    @pytest.mark.parametrize("threshold", [0.3, 0.5, 0.8])
+    def test_prefix_filter_is_exact(self, spark, corpus, threshold):
+        """Prefix + size filtering must not change the result set (the
+        filters only drop pairs that provably cannot reach τ)."""
+        fast = {
+            (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+            for r in dedup.jaccard_candidates(
+                corpus, threshold=threshold, prefix_filter=True
+            ).collect()
+        }
+        slow = {
+            (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+            for r in dedup.jaccard_candidates(
+                corpus, threshold=threshold, prefix_filter=False
+            ).collect()
+        }
+        assert fast == slow
