@@ -108,11 +108,14 @@ def build_index(
     partitions: int | None = None,
     input_snapshot_id: int = 0,
     fail_after_bucket: int | None = None,
+    ranks: DataFrame | None = None,
 ) -> IndexPaths:
     """Full build: transcripts → journal → {postings, lexicon, doc_stats}.
 
     ``fail_after_bucket`` injects a crash after committing that many buckets
     (used by the kill/resume test). Re-running with the same ``root`` resumes.
+    ``ranks``: optional (conv_id, rank) table stamped into doc-id high bits
+    (see ingest.build_journal / ingest.conv_ranks_by_quality).
     """
     paths = IndexPaths(root)
     os.makedirs(paths.root, exist_ok=True)
@@ -127,9 +130,9 @@ def build_index(
     journal_done = os.path.exists(os.path.join(paths.journal, "_SUCCESS"))
     if not journal_done:
         shutil.rmtree(paths.journal, ignore_errors=True)  # clear torn write
-        ingest.build_journal(transcripts).write.mode("overwrite").parquet(
-            paths.journal
-        )
+        ingest.build_journal(transcripts, ranks=ranks).write.mode(
+            "overwrite"
+        ).parquet(paths.journal)
     journal = spark.read.parquet(paths.journal)
     tmark = _mark(tmark, "journal")
 

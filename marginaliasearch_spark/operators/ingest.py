@@ -49,8 +49,8 @@ from ..functions.tokenizer import (
 # the postings shuffle moves compact bytes and the block encoder is a plain
 # byte concatenation (see functions/blocks.py)
 JOURNAL_SCHEMA = (
-    "conv_id string, term string, tf int, positions binary, flags int, "
-    "doc_len int, n_turns int"
+    "conv_id string, doc_id long, term string, tf int, positions binary, "
+    "flags int, doc_len int, n_turns int"
 )
 
 _BREAK_SEP = f" {TURN_BREAK} "
@@ -96,6 +96,9 @@ def _tokenize_convs(batches: "Iterator") -> "Iterator":
 
     for rb in batches:
         conv_pa = rb.column(rb.schema.get_field_index("conv_id"))
+        docid_arr = np.asarray(
+            rb.column(rb.schema.get_field_index("doc_id")), dtype=np.int64
+        )
         texts = pd.Series(
             rb.column(rb.schema.get_field_index("full_text")).to_pylist()
         )
@@ -210,6 +213,9 @@ def _tokenize_convs(batches: "Iterator") -> "Iterator":
                 conv_col.combine_chunks()
                 if isinstance(conv_col, pa.ChunkedArray)
                 else conv_col,
+                pa.array(
+                    np.concatenate([docid_arr, docid_arr[g_doc]])
+                ),
                 term_col,
                 i32(np.concatenate([np.zeros(n_docs, dtype=np.int64), tf])),
                 positions_col,
@@ -221,6 +227,7 @@ def _tokenize_convs(batches: "Iterator") -> "Iterator":
             ],
             names=[
                 "conv_id",
+                "doc_id",
                 "term",
                 "tf",
                 "positions",
@@ -231,9 +238,20 @@ def _tokenize_convs(batches: "Iterator") -> "Iterator":
         )
 
 
-def build_journal(transcripts: DataFrame, rank: int = 0) -> DataFrame:
+def build_journal(
+    transcripts: DataFrame,
+    rank: int = 0,
+    ranks: DataFrame | None = None,
+) -> DataFrame:
     """transcripts → journal(doc_id, conv_id, term, term_id, tf, positions,
-    flags, doc_len, n_turns). Sentinel rows have term NULL."""
+    flags, doc_len, n_turns). Sentinel rows have term NULL.
+
+    ``ranks``: optional (conv_id, rank 0..63) table — rank is stamped into
+    the doc id's high bits so docID-sorted posting lists are best-document-
+    first (the reference's sort=rank trick, UrlIdCodec.java:3-7; stamped by
+    DocIdRewriter during construction). The join shares the groupBy's
+    conv_id key, so it adds no extra shuffle of the big side.
+    """
     sorted_turns = F.array_sort(
         F.collect_list(F.struct("turn_idx", "text", "role", "tool"))
     )
@@ -258,9 +276,20 @@ def build_journal(transcripts: DataFrame, rank: int = 0) -> DataFrame:
         ).alias("turn_flags"),
         F.count("*").cast("int").alias("n_turns"),
     )
+    if ranks is not None:
+        # conv-level join — co-keyed with the groupBy output (conv_id), so
+        # only the (small) rank side shuffles; done BEFORE tokenization so
+        # the per-(doc, term) explosion never carries a join
+        conv_docs = conv_docs.join(ranks, "conv_id", "left")
+        rank_col: F.Column | int = F.coalesce(F.col("rank"), F.lit(rank))
+    else:
+        rank_col = rank
+    conv_docs = conv_docs.withColumn(
+        "doc_id", doc_id_for_conv("conv_id", rank_col)
+    ).select("conv_id", "doc_id", "full_text", "turn_flags", "n_turns")
     journal = conv_docs.mapInArrow(_tokenize_convs, schema=JOURNAL_SCHEMA)
     return journal.select(
-        doc_id_for_conv("conv_id", rank),
+        "doc_id",
         "conv_id",
         "term",
         term_id_expr("term").alias("term_id"),
@@ -269,6 +298,30 @@ def build_journal(transcripts: DataFrame, rank: int = 0) -> DataFrame:
         "flags",
         "doc_len",
         "n_turns",
+    )
+
+
+def conv_ranks_by_quality(transcripts: DataFrame, buckets: int = 64) -> DataFrame:
+    """(conv_id, rank 0..buckets-1), rank 0 = best — quality-derived rank
+    buckets for the doc-id high bits (the transcript analogue of the
+    reference's domain-quality rank, stamped so docID order = quality order,
+    UrlIdCodec.java:3-7). Quality = the C4/Gopher-style gates over the
+    assembled conversation text (operators/textstats.quality_scores)."""
+    from .textstats import quality_scores
+
+    conv_text = transcripts.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+                lambda s: s["text"],
+            ),
+            " ",
+        ).alias("text")
+    )
+    q = quality_scores(conv_text.select(F.col("conv_id").alias("doc_id"), "text"))
+    return q.select(
+        F.col("doc_id").alias("conv_id"),
+        ((1.0 - F.col("quality")) * (buckets - 1)).cast("int").alias("rank"),
     )
 
 
