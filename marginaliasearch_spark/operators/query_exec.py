@@ -159,6 +159,7 @@ class IndexReader:
         with_positions: bool = False,
         min_tf_norm: float | None = None,
         top_blocks: int | None = None,
+        first_blocks: int | None = None,
         tier: str = "full",
     ) -> DataFrame:
         """One term's postings → (doc_id, tf, flags[, positions]).
@@ -170,7 +171,11 @@ class IndexReader:
         reach the current top-k threshold are skipped at the parquet scan
         (predicate on the max_tf_norm column → row-group stats pruning).
         ``top_blocks`` restricts to the N highest-max_tf_norm blocks (the
-        threshold-estimation phase of two-phase top-k).
+        threshold-estimation phase of two-phase top-k). ``first_blocks``
+        restricts to the N lowest-doc-id blocks — with rank-stamped ids
+        (functions/ids.py) those hold the best-quality documents, which is
+        the reference's budgeted-scan semantics (IndexSearchBudget: a
+        truncated scan is sound BECAUSE docID order is quality order).
         """
         source = self.prio if (tier == "prio" and self.prio is not None) else self.postings
         blocks = source.filter(F.col("term_id") == term_id)
@@ -178,6 +183,8 @@ class IndexReader:
             blocks = blocks.filter(F.col("max_tf_norm") >= min_tf_norm)
         if top_blocks is not None:
             blocks = blocks.orderBy(F.desc("max_tf_norm")).limit(top_blocks)
+        if first_blocks is not None:
+            blocks = blocks.orderBy("min_doc").limit(first_blocks)
         fn = partial(
             decode_blocks, with_positions=with_positions, candidates=candidates
         )
@@ -220,6 +227,7 @@ def run_query(
     round_score_to: int | None = None,
     tie_break: F.Column | None = None,
     ranking: RankingParams | None = None,
+    budget_blocks: int | None = None,
     _driver_top_blocks: int | None = None,
     _driver_min_tf_norm: float | None = None,
 ) -> DataFrame:
@@ -230,6 +238,12 @@ def run_query(
     break score ties deterministically (e.g. an external id recoverable from
     ``conv_id`` so results are comparable with an engine that does not know
     our hash-based doc ids).
+
+    ``budget_blocks``: opt-in approximate mode — only the driver term's
+    first N blocks in doc-id order are scanned. With rank-stamped ids this
+    is the reference's budgeted scan (IndexSearchBudget): truncation is
+    sound because docID order is quality order, so the scanned prefix holds
+    the best documents.
     """
     pq = parse_query(query) if isinstance(query, str) else query
     include_terms = pq.all_include_terms()
@@ -274,14 +288,17 @@ def run_query(
         and reader.prio is not None
     )
 
-    def term_df(word: str, candidates: np.ndarray | None) -> DataFrame:
+    def term_df(
+        word: str, candidates: np.ndarray | None, is_driver: bool = False
+    ) -> DataFrame:
         tid = stats[word][0]
         out = reader.decode_term(
             tid,
             candidates=candidates,
             with_positions=word in need_pos,
-            min_tf_norm=_driver_min_tf_norm,
-            top_blocks=_driver_top_blocks,
+            min_tf_norm=_driver_min_tf_norm if is_driver else None,
+            top_blocks=_driver_top_blocks if is_driver else None,
+            first_blocks=budget_blocks if is_driver else None,
             tier="prio" if (prio_ok and word not in need_pos) else "full",
         )
         cols = [F.col("doc_id"), F.col("tf").alias(f"tf_{_safe(word)}")]
@@ -313,7 +330,7 @@ def run_query(
     def path_candidates(path_terms: list[str]) -> DataFrame:
         ordered = sorted(path_terms, key=lambda w: (stats[w][1], w))
         driver_word = ordered[0]
-        cand = term_df(driver_word, conv_doc_ids)
+        cand = term_df(driver_word, conv_doc_ids, is_driver=True)
         cand_ids: np.ndarray | None = None
         if stats[driver_word][1] <= MAX_DRIVER_CANDIDATES and len(ordered) > 1:
             cand_ids = np.sort(

@@ -69,3 +69,20 @@ def test_queries_unaffected_by_rank(spark, built):
     corpus, _, reader = built
     got = {r["conv_id"] for r in run_query(reader, "common topic", k=100).collect()}
     assert got == {r["conv_id"] for r in corpus.select("conv_id").distinct().collect()}
+
+
+def test_budgeted_scan_returns_best_rank_prefix(spark, tmp_path_factory, built):
+    """O4 budgeted scan: with rank-stamped ids and small blocks, scanning
+    only the first blocks of a posting list yields best-rank docs only."""
+    corpus, ranks, _ = built
+    root = str(tmp_path_factory.mktemp("budgetidx"))
+    build_index(spark, corpus, root, n_buckets=1, ranks=ranks, block_docs=8)
+    reader = IndexReader(spark, IndexPaths(root))
+    full = {r["conv_id"] for r in run_query(reader, "common", k=100).collect()}
+    assert len(full) == 40
+    got = {
+        r["conv_id"]
+        for r in run_query(reader, "common", k=100, budget_blocks=2).collect()
+    }
+    assert 0 < len(got) < len(full)
+    assert all(c.startswith("good") for c in got)  # best-rank prefix only

@@ -1,0 +1,68 @@
+"""Similarity-search tests: exact baseline recovers planted neighbors, ANN
+variants (LSH bucket probe, IVF lists) achieve useful recall against the
+exact top-k, and the embedding near-dup join finds planted duplicates."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from marginaliasearch_spark.operators import similarity
+
+DIM = 32
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((300, DIM)).astype(np.float32)
+    # planted near-duplicate pair: 900/901 almost identical
+    vecs[251] = vecs[250] + rng.standard_normal(DIM).astype(np.float32) * 0.01
+    rows = [(i, v.tolist()) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df.cache(), vecs
+
+
+def test_exact_top1_is_planted_neighbor(spark, emb):
+    df, vecs = emb
+    q = (vecs[42] + 0.05 * np.random.default_rng(1).standard_normal(DIM)).tolist()
+    top = similarity.cosine_topk(df, q, k=1).collect()
+    assert top[0]["vec_id"] == 42
+
+
+@pytest.mark.parametrize("variant", ["lsh", "ivf"])
+def test_ann_recall_vs_exact(spark, emb, variant):
+    df, vecs = emb
+    rng = np.random.default_rng(3)
+    recalls = []
+    for trial in range(5):
+        q = vecs[int(rng.integers(0, 300))].astype(np.float64)
+        q = (q + 0.1 * rng.standard_normal(DIM)).tolist()
+        exact = {r["vec_id"] for r in similarity.cosine_topk(df, q, k=10).collect()}
+        if variant == "lsh":
+            with_b = similarity.add_lsh_bucket(df, DIM, n_planes=6)
+            approx = {
+                r["vec_id"]
+                for r in similarity.lsh_bucket_topk(
+                    with_b, q, k=10, n_planes=6, multiprobe_hamming=2
+                ).collect()
+            }
+        else:
+            approx = {
+                r["vec_id"]
+                for r in similarity.ivf_topk(
+                    df, q, k=10, n_centroids=8, nprobe=4
+                ).collect()
+            }
+        recalls.append(len(exact & approx) / 10.0)
+    assert np.mean(recalls) >= 0.5, recalls
+
+
+def test_neardup_pairs_find_planted(spark, emb):
+    df, _ = emb
+    pairs = similarity.embedding_neardup_pairs(
+        df, threshold=0.95, dim=DIM, n_planes=4
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (250, 251) in found
+    for r in pairs:
+        assert r["cosine"] >= 0.95
