@@ -185,11 +185,16 @@ class IndexReader:
             blocks = blocks.orderBy(F.desc("max_tf_norm")).limit(top_blocks)
         if first_blocks is not None:
             blocks = blocks.orderBy("min_doc").limit(first_blocks)
+        # column pruning into the parquet scan: the positions payload (the
+        # widest column) is only read when the query needs positions
+        cols = ["term_id", "n_docs", "doc_ids", "tfs", "flags", "min_doc", "max_doc"]
+        if with_positions:
+            cols.insert(4, "positions")
         fn = partial(
             decode_blocks, with_positions=with_positions, candidates=candidates
         )
         schema = DECODED_SCHEMA_POS if with_positions else DECODED_SCHEMA
-        return blocks.mapInPandas(fn, schema=schema).drop("term_id")
+        return blocks.select(*cols).mapInPandas(fn, schema=schema).drop("term_id")
 
 
 def _safe(word: str) -> str:
