@@ -337,7 +337,16 @@ def run_query(
         driver_word = ordered[0]
         cand = term_df(driver_word, conv_doc_ids, is_driver=True)
         cand_ids: np.ndarray | None = None
-        if stats[driver_word][1] <= MAX_DRIVER_CANDIDATES and len(ordered) > 1:
+        # ship the driver's doc ids to the other terms' decode kernels only
+        # when those terms' posting lists are big enough that block skipping
+        # pays for the extra collect job (at small df a plain join is
+        # cheaper; at head-term scale the pruning is the whole ballgame)
+        rest_df = sum(stats[w][1] for w in ordered[1:])
+        if (
+            len(ordered) > 1
+            and stats[driver_word][1] <= MAX_DRIVER_CANDIDATES
+            and rest_df > 50_000
+        ):
             cand_ids = np.sort(
                 np.array(
                     [r["doc_id"] for r in cand.select("doc_id").collect()],
