@@ -234,7 +234,7 @@ def run_query(
     ranking: RankingParams | None = None,
     budget_blocks: int | None = None,
     _driver_top_blocks: int | None = None,
-    _driver_min_tf_norm: float | None = None,
+    _driver_min_tf_norm: dict[str, float] | None = None,
 ) -> DataFrame:
     """Top-k BM25 search. Returns (doc_id, conv_id, score, ...) ascending by
     the reference's normalized score (lower = better).
@@ -301,7 +301,9 @@ def run_query(
             tid,
             candidates=candidates,
             with_positions=word in need_pos,
-            min_tf_norm=_driver_min_tf_norm if is_driver else None,
+            min_tf_norm=(_driver_min_tf_norm or {}).get(word)
+            if is_driver
+            else None,
             top_blocks=_driver_top_blocks if is_driver else None,
             first_blocks=budget_blocks if is_driver else None,
             tier="prio" if (prio_ok and word not in need_pos) else "full",
@@ -570,19 +572,30 @@ def run_query_wand(
       skipped via row-group column stats, undecoded. A doc only in skipped
       blocks has raw < θ ≤ true-kth-raw, so it cannot enter the top k.
 
-    Eligible shape: exactly one include term (no phrases / priority /
-    positional ranking / group cap); exclusions and spec limits are fine —
-    both phases apply them identically. Ineligible queries fall back to the
-    plain pipeline. At 10^12-turn scale this is the difference between
-    scanning a head term's full posting list and touching a handful of
-    blocks.
+    Eligible shapes (no phrases / priority / positional ranking / group
+    cap; exclusions and spec limits are fine — both phases apply them
+    identically):
+
+    - **one include term** — the cut prunes that term's blocks;
+    - **pure OR of single terms** (``( a | b | c )``) — the score is the
+      max over matched terms' single-term scores, so each term prunes
+      against its OWN bound ``idf_t * max_tf_norm_t >= θ``. A contribution
+      living only in pruned blocks is provably < θ, so it can neither put a
+      doc into the top k nor be a surviving doc's best path.
+
+    Ineligible queries fall back to the plain pipeline. At 10^12-turn
+    scale this is the difference between scanning a head term's full
+    posting list and touching a handful of blocks.
     """
     import math
 
     pq = parse_query(query) if isinstance(query, str) else query
     include = pq.all_include_terms()
+    paths = pq.include.paths() if pq.include is not None else []
     eligible = (
-        len(include) == 1
+        len(include) >= 1
+        and paths
+        and all(len(p) == 1 for p in paths)
         and not pq.phrases
         and not pq.priority
         and kw.get("group_cap") is None
@@ -590,15 +603,19 @@ def run_query_wand(
     )
     if not eligible:
         return run_query(reader, pq, k=k, **kw)
-    word = include[0]
-    stats = reader.term_stats([word])
-    if word not in stats:
+    stats = reader.term_stats(include)
+    live = [w for w in include if w in stats]
+    if not live:
         return run_query(reader, pq, k=k, **kw)
-    df_w = float(stats[word][1])
-    idf_w = math.log(1.0 + (reader.n_docs - df_w + 0.5) / (df_w + 0.5))
-    if idf_w <= 0:
+
+    def idf_of(w: str) -> float:
+        df_w = float(stats[w][1])
+        return math.log(1.0 + (reader.n_docs - df_w + 0.5) / (df_w + 0.5))
+
+    idfs = {w: idf_of(w) for w in live}
+    if any(v <= 0 for v in idfs.values()):
         return run_query(reader, pq, k=k, **kw)
-    # phase 1 — threshold from the best blocks (enough blocks to cover k)
+    # phase 1 — threshold from each term's best blocks (enough to cover k)
     n_blocks = max(1, -(-2 * k // 4096))
     kw1 = {**kw, "round_score_to": None}
     probe = run_query(
@@ -610,6 +627,5 @@ def run_query_wand(
     # relative epsilon guards the float round-trip through normalize() —
     # pruning may only ever be conservative
     theta_raw = (501.0 / (kth_score * kth_score) - 1.0) * (1.0 - 1e-9)
-    return run_query(
-        reader, pq, k=k, _driver_min_tf_norm=theta_raw / idf_w, **kw
-    )
+    cuts = {w: theta_raw / idfs[w] for w in live}
+    return run_query(reader, pq, k=k, _driver_min_tf_norm=cuts, **kw)

@@ -44,6 +44,19 @@ def test_wand_equals_plain(spark, reader, query):
     assert wand == plain
 
 
+@pytest.mark.parametrize(
+    "query",
+    [
+        "( word00 | word30 )",  # head + rare term, per-term cuts
+        "( word01 | word02 | word40 ) -word45",
+    ],
+)
+def test_wand_or_of_single_terms_equals_plain(spark, reader, query):
+    plain = _pairs(run_query(reader, query, k=10).collect())
+    wand = _pairs(run_query_wand(reader, query, k=10).collect())
+    assert wand == plain
+
+
 def test_wand_fallback_multi_term(spark, reader):
     q = "word00 word01"
     assert _pairs(run_query_wand(reader, q, k=5).collect()) == _pairs(
