@@ -36,6 +36,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from marginaliasearch_spark.functions import sql_oracles
 from marginaliasearch_spark.functions.tokenizer import STOPWORDS
 from marginaliasearch_spark.operators import dedup, multimodal, similarity, textstats
 from marginaliasearch_spark.operators.index_build import IndexPaths, build_index
@@ -352,11 +353,17 @@ def _q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.8)
+    out = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.8)
+    return out.select(
+        "doc_a", "doc_b", F.round(F.col("est_jaccard"), 6).alias("est_jaccard")
+    )
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+    out = dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+    return out.select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -403,12 +410,19 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.synth_media(spark, n=64)
-    return multimodal.image_features(media, fake=True)
+    feats = multimodal.image_features(media, fake=True)
+    return feats.select(
+        "media_id",
+        *[F.round(F.col(c), 6).alias(c) for c in multimodal.FEATURE_COLS],
+    )
 
 
 def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.synth_media(spark, n=64)
-    return multimodal.frame_sample(media.filter(F.col("kind") == "video"))
+    out = multimodal.frame_sample(media.filter(F.col("kind") == "video"))
+    return out.select(
+        "media_id", F.col("frame_idx").cast("long").alias("frame_idx"), "frame_hex"
+    )
 
 
 def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -553,6 +567,8 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE n_common / (sa.set_size + sb.set_size - n_common) >= 0.8""",
+        "dedup_minhash_lsh": sql_oracles.minhash_lsh_sql(threshold=0.8),
+        "dedup_simhash": sql_oracles.simhash_sql(max_hamming=3),
         "text_token_counts": """
 SELECT doc_id,
   len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
@@ -627,6 +643,10 @@ s AS (
 )
 SELECT vec_id, round(dot / (nrm * {qnorm}), 6) AS cosine
 FROM s ORDER BY cosine DESC, vec_id LIMIT 10""",
+        "sim_lsh_topk": sql_oracles.lsh_topk_sql(_QVEC, k=10, n_planes=8),
+        "sim_ivf_topk": sql_oracles.ivf_topk_sql(_QVEC, k=10),
+        "mm_image_features": sql_oracles.image_features_sql(n=64),
+        "mm_frame_sample": sql_oracles.frame_sample_sql(n=64),
         "events_hourly": """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        event_type, count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value

@@ -1,0 +1,351 @@
+"""DuckDB oracle-SQL generators for the approximate-dedup operators.
+
+Each generator emits ONE SQL statement that recomputes the operator's
+output from the raw ``documents`` view, using the identical hash pipeline
+as the Spark side (md5 token hashes → order-sensitive shingle mix →
+splitmix64 — see operators/dedup.py) re-expressed through the wrapping
+64-bit arithmetic helpers in sql64.py.
+
+Why these oracles are EXACT (not rows-only) despite the operators being
+"approximate": the approximation is in *which document pairs meet* (LSH
+banding), not in the similarity computed for a pair. Both banding schemes
+carry a pigeonhole guarantee —
+
+- minhash: a pair agreeing on ``>= nh - bands + 1`` of ``nh`` components
+  must agree on one full band (``bands`` bands of ``nh/bands`` rows hold at
+  most ``bands * (nh/bands - 1) = nh - bands`` agreements with no complete
+  band). With ``ceil(threshold*nh) >= nh - bands + 1`` every pair the
+  threshold accepts is guaranteed to collide in some bucket, so
+  banded-join + threshold-filter == all-pairs + threshold-filter.
+- simhash: ``max_hamming + 1`` bands can't all differ when at most
+  ``max_hamming`` bits differ, so every within-budget pair collides.
+
+The generators assert the pigeonhole precondition and then emit the
+all-pairs form (fine at oracle scale, sf=0.01; the Spark side keeps the
+banded form, which is the 100-TB path).
+"""
+
+from __future__ import annotations
+
+import math
+
+from ..operators.dedup import _SHINGLE_MIX, MINHASH_EMPTY_SENTINEL, minhash_params
+from . import sql64
+
+
+def shingle_ctes(width: int = 3, table: str = "documents") -> str:
+    """CTE chain ``mraw → msh``: doc_id → one row per shingle hash.
+
+    Mirrors ``dedup._shingle_hashes_batch``: whitespace-tokenize lowered
+    text, md5-hash tokens, mix each width-window with the per-slot odd
+    constants (missing slots of a truncated window contribute 0), finalize
+    with splitmix64.
+    """
+    assert width <= len(_SHINGLE_MIX)
+    slot = [sql64.mul64_const(f"t{k}.h", int(_SHINGLE_MIX[k])) for k in range(width)]
+    combined = slot[0]
+    for k in range(1, width):
+        combined = sql64.add64(combined, f"coalesce({slot[k]}, 0::UBIGINT)")
+    joins = "\n  ".join(
+        (
+            f"JOIN mth t0 ON t0.doc_id = s.doc_id AND t0.pos = s.p"
+            if k == 0
+            else f"LEFT JOIN mth t{k} ON t{k}.doc_id = s.doc_id AND t{k}.pos = s.p + {k}"
+        )
+        for k in range(width)
+    )
+    return f"""
+mraw AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS l
+  FROM {table}
+),
+mtok AS (
+  SELECT doc_id, unnest(l) AS tok, unnest(range(1, len(l) + 1)) AS pos FROM mraw
+),
+mth AS (SELECT doc_id, pos, {sql64.md5_u64('tok')} AS h FROM mtok),
+mlen AS (SELECT doc_id, len(l)::BIGINT AS L FROM mraw),
+mstart AS (
+  SELECT doc_id, unnest(range(1, greatest(L - {width - 1}, 1) + 1)) AS p
+  FROM mlen WHERE L > 0
+),
+msh0 AS (
+  SELECT s.doc_id, {combined} AS m
+  FROM mstart s
+  {joins}
+),
+msh AS (SELECT doc_id, {sql64.sm64('m')} AS sh FROM msh0)"""
+
+
+def minhash_lsh_sql(
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_width: int = 3,
+    seed: int = 42,
+) -> str:
+    """Exact oracle for ``dedup.minhash_lsh_pairs`` (same defaults)."""
+    assert math.ceil(threshold * num_hashes) >= num_hashes - bands + 1, (
+        "banded LSH is only exact (pigeonhole) when every threshold-passing "
+        "pair must fill a band; lower thresholds need a rows-only check"
+    )
+    mults, seeds = minhash_params(num_hashes, seed)
+    mult_lits = ", ".join(f"{int(m)}::UBIGINT" for m in mults)
+    seed_lits = ", ".join(f"{int(s)}::UBIGINT" for s in seeds)
+    y = sql64.xor64(sql64.mul64("sh.sh", "p.mult"), "p.seedv")
+    return f"""WITH {shingle_ctes(shingle_width)},
+mperm AS (
+  SELECT unnest(range({num_hashes})) AS k,
+         unnest([{mult_lits}]) AS mult,
+         unnest([{seed_lits}]) AS seedv
+),
+mv0 AS (SELECT sh.doc_id, p.k, {y} AS y FROM msh sh CROSS JOIN mperm p),
+mv AS (SELECT doc_id, k, ({sql64.sm64('y')} >> 1)::BIGINT AS v FROM mv0),
+msig0 AS (SELECT doc_id, k, min(v) AS v FROM mv GROUP BY doc_id, k),
+msig AS (
+  SELECT d.doc_id, kk.k, coalesce(s.v, {MINHASH_EMPTY_SENTINEL}) AS v
+  FROM (SELECT doc_id FROM documents) d
+  CROSS JOIN (SELECT unnest(range({num_hashes})) AS k) kk
+  LEFT JOIN msig0 s ON s.doc_id = d.doc_id AND s.k = kk.k
+),
+magree AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS c
+  FROM msig a JOIN msig b ON a.k = b.k AND a.v = b.v AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, round(c / {num_hashes}.0, 6) AS est_jaccard
+FROM magree WHERE c / {num_hashes}.0 >= {threshold!r}"""
+
+
+def simhash_sql(max_hamming: int = 3, shingle_width: int = 3) -> str:
+    """Exact oracle for ``dedup.simhash_pairs`` (same defaults)."""
+    assert 64 % (max_hamming + 1) == 0
+    return f"""WITH {shingle_ctes(shingle_width)},
+mn AS (SELECT doc_id, count(*)::BIGINT AS n FROM msh GROUP BY doc_id),
+mvote AS (
+  SELECT s.doc_id, b.bit, sum(((s.sh >> b.bit) & 1::UBIGINT)::BIGINT) AS vv
+  FROM msh s CROSS JOIN (SELECT unnest(range(64)) AS bit) b
+  GROUP BY 1, 2
+),
+mword AS (
+  SELECT v.doc_id,
+         sum(CASE WHEN 2 * v.vv > n.n THEN (1::HUGEINT << v.bit)
+                  ELSE 0::HUGEINT END) AS w
+  FROM mvote v JOIN mn n USING (doc_id) GROUP BY 1
+),
+msim AS (
+  SELECT d.doc_id,
+         coalesce(
+           CASE WHEN w >= 9223372036854775808::HUGEINT
+                THEN (w - {sql64.TWO64})::BIGINT
+                ELSE w::BIGINT END, 0) AS sh
+  FROM (SELECT doc_id FROM documents) d LEFT JOIN mword USING (doc_id)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
+FROM msim a JOIN msim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}"""
+
+
+# --- multimodal oracles -----------------------------------------------------
+
+
+def media_ctes(n: int = 64) -> str:
+    """CTE ``m2``: regenerate operators/multimodal.synth_media in SQL
+    (media_id, payload_hex, kind, duration_ms)."""
+    blocks = " || ".join(
+        f"md5('media:' || media_id || ':{b}')" for b in range(4)
+    )
+    return f"""
+mm AS (SELECT unnest(range({n})) AS media_id),
+m2 AS (
+  SELECT media_id, {blocks} AS payload_hex,
+         CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         (500 + (media_id * 3589) % 4500)::BIGINT AS duration_ms
+  FROM mm
+)"""
+
+
+def image_features_sql(n: int = 64) -> str:
+    """Exact oracle for ``multimodal.image_features`` over the synthetic
+    media table (fake decoder: splitmix64 pixels seeded by md5(payload))."""
+    from ..operators.multimodal import _BIN_DIV, _N_PIX, HIST_BINS
+
+    n_vals = _N_PIX * 3
+    mean_cols = ", ".join(
+        f"round(sum(CASE WHEN ch = {c} THEN v END)::DOUBLE / {_N_PIX}.0 / 255.0, 6)"
+        f" AS mean_{name}"
+        for c, name in enumerate("rgb")
+    )
+    hist_cols = ", ".join(
+        f"round(coalesce(sum(CASE WHEN bin = {b} THEN cnt END), 0)::DOUBLE"
+        f" / {_N_PIX}.0, 6) AS h{b}"
+        for b in range(HIST_BINS)
+    )
+    return f"""WITH {media_ctes(n)},
+seed AS (
+  SELECT media_id, ('0x' || substr(md5(payload_hex), 1, 16))::UBIGINT AS s
+  FROM m2
+),
+pix0 AS (
+  SELECT media_id, p, {sql64.add64('s', 'p::UBIGINT')} AS x
+  FROM seed CROSS JOIN (SELECT unnest(range({n_vals})) AS p) pp
+),
+pix AS (
+  SELECT media_id, p // 3 AS pxl, p % 3 AS ch,
+         ({sql64.sm64('x')} & 255::UBIGINT)::BIGINT AS v
+  FROM pix0
+),
+chans AS (SELECT media_id, {mean_cols} FROM pix GROUP BY media_id),
+inten AS (
+  SELECT media_id, pxl, least(sum(v) // {_BIN_DIV}, {HIST_BINS - 1}) AS bin
+  FROM pix GROUP BY media_id, pxl
+),
+hist0 AS (SELECT media_id, bin, count(*)::BIGINT AS cnt FROM inten GROUP BY 1, 2),
+hist AS (SELECT media_id, {hist_cols} FROM hist0 GROUP BY media_id)
+SELECT c.* , h.h0, h.h1, h.h2, h.h3, h.h4, h.h5, h.h6, h.h7
+FROM chans c JOIN hist h USING (media_id)"""
+
+
+def frame_sample_sql(n: int = 64, every_ms: int = 1000) -> str:
+    """Exact oracle for ``multimodal.frame_sample`` over the synthetic
+    media table's video rows."""
+    return f"""WITH {media_ctes(n)},
+seedh AS (
+  SELECT media_id, md5(payload_hex) AS sh, duration_ms
+  FROM m2 WHERE kind = 'video'
+),
+fr AS (
+  SELECT media_id, sh,
+         unnest(range(greatest(duration_ms // {every_ms}, 1))) AS frame_idx
+  FROM seedh
+)
+SELECT media_id, frame_idx::BIGINT AS frame_idx,
+       md5(sh || ':' || frame_idx) AS frame_hex
+FROM fr"""
+
+
+# --- similarity-search oracles ---------------------------------------------
+#
+# Floating-point exactness: DuckDB's list_sum is NOT a plain left-to-right
+# fold (measured: it matches sequential accumulation on only ~half of random
+# 64-term inputs), so every dot product whose SIGN or ARGMAX matters is
+# emitted as an explicit left-associated `e[1]*w1 + e[2]*w2 + ...` chain —
+# the exact op sequence similarity._seq_dots performs on the Spark side.
+# Final cosine values are rounded to 6 decimals on both sides, which absorbs
+# summation-order noise, so only bucket/centroid decisions need the chains.
+
+
+def _dot_lit_chain(col: str, w, cast: str = "::DOUBLE") -> str:
+    """Left-assoc dot of an array column with a Python float vector."""
+    return " + ".join(
+        f"{col}[{i + 1}]{cast} * {float(x)!r}" for i, x in enumerate(w)
+    )
+
+
+def _dot_col_chain(a: str, b: str, dim: int, cast: str = "::DOUBLE") -> str:
+    """Left-assoc dot of two array columns."""
+    return " + ".join(
+        f"{a}[{i + 1}]{cast} * {b}[{i + 1}]{cast}" for i in range(dim)
+    )
+
+
+def _sq_chain(col: str, dim: int, cast: str = "::DOUBLE") -> str:
+    """Left-assoc sum of squares of an array column."""
+    return " + ".join(
+        f"{col}[{i + 1}]{cast} * {col}[{i + 1}]{cast}" for i in range(dim)
+    )
+
+
+def _cosine_topk_tail(qvec, k: int, src: str) -> str:
+    """cosine top-k of the `{src}` CTE (vec_id, embedding) vs a literal
+    query vector — mirrors similarity.cosine_topk + round(·, 6)."""
+    import numpy as np
+
+    qnorm = repr(float(np.linalg.norm(np.asarray(qvec, dtype=np.float64))))
+    dim = len(qvec)
+    return f"""
+s AS (
+  SELECT vec_id,
+         ({_dot_lit_chain('embedding', qvec)}) AS dot,
+         sqrt({_sq_chain('embedding', dim)}) AS nrm
+  FROM {src}
+)
+SELECT vec_id, round(dot / (nrm * {qnorm}), 6) AS cosine
+FROM s ORDER BY cosine DESC, vec_id LIMIT {k}"""
+
+
+def lsh_topk_sql(
+    qvec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    multiprobe_hamming: int = 1,
+) -> str:
+    """Exact oracle for ``similarity.lsh_bucket_topk`` over the
+    ``embeddings`` view (bucket = sign pattern vs the seeded hyperplanes,
+    probes inlined from the deterministic driver-side probe set)."""
+    from ..operators.similarity import _hyperplanes, lsh_probe_set
+
+    planes = _hyperplanes(len(qvec), n_planes, seed)
+    probes = lsh_probe_set(qvec, n_planes, seed, multiprobe_hamming)
+    bucket = " + ".join(
+        f"CASE WHEN ({_dot_lit_chain('embedding', planes[j])}) > 0"
+        f" THEN {1 << j} ELSE 0 END"
+        for j in range(n_planes)
+    )
+    return f"""WITH b AS (
+  SELECT vec_id, embedding, ({bucket})::BIGINT AS bucket FROM embeddings
+),
+cands AS (
+  SELECT vec_id, embedding FROM b
+  WHERE bucket IN ({', '.join(str(p) for p in probes)})
+),{_cosine_topk_tail(qvec, k, 'cands')}"""
+
+
+def ivf_topk_sql(
+    qvec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> str:
+    """Exact oracle for ``similarity.ivf_topk`` over the ``embeddings``
+    view. Centroid choice (md5-ordered sample), probe ranking, and argmax
+    assignment (ties → ascending centroid id) all recomputed in SQL with
+    order-pinned float chains."""
+    import numpy as np
+
+    dim = len(qvec)
+    qnorm = repr(float(np.linalg.norm(np.asarray(qvec, dtype=np.float64))))
+    return f"""WITH hh AS (
+  SELECT vec_id, embedding,
+         ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::UBIGINT AS hv
+  FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cid, embedding AS cemb FROM hh ORDER BY hv, vec_id LIMIT {n_centroids}
+),
+cstat AS (
+  SELECT cid, cemb, sqrt({_sq_chain('cemb', dim)}) AS cn,
+         ({_dot_lit_chain('cemb', qvec)}) AS cqdot
+  FROM cent
+),
+probes AS (
+  SELECT cid FROM cstat ORDER BY cqdot / (cn * {qnorm}) DESC, cid LIMIT {nprobe}
+),
+assign0 AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         ({_dot_col_chain('e.embedding', 'c.cemb', dim)})
+           / (sqrt({_sq_chain('e.embedding', dim)}) * c.cn) AS cosv
+  FROM embeddings e CROSS JOIN cstat c
+),
+assign AS (
+  SELECT vec_id, embedding, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cosv DESC, cid) AS rn
+  FROM assign0
+),
+cands AS (
+  SELECT vec_id, embedding FROM assign
+  WHERE rn = 1 AND cid IN (SELECT cid FROM probes)
+),{_cosine_topk_tail(qvec, k, 'cands')}"""

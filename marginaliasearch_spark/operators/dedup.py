@@ -16,10 +16,13 @@ row-level work is numpy inside ``mapInPandas``/``pandas_udf``.
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -136,9 +139,24 @@ def jaccard_candidates(
     else:
         a = tok_f.select(F.col("doc_id").alias("doc_a"), "tok")
         b = tok_f.select(F.col("doc_id").alias("doc_b"), "tok")
-        inter = (
+        cand_pairs = (
             a.join(b, "tok")
             .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        # verification counts over the FULL token relation (not tok_f), so
+        # max_df only prunes candidate *generation* — both branches return
+        # the same jaccard values and pair sets for any pair they emit
+        inter = (
+            cand_pairs.join(
+                tok.select(F.col("doc_id").alias("doc_a"), "tok"), "doc_a"
+            )
+            .join(
+                tok.select(F.col("doc_id").alias("doc_b"), "tok"),
+                ["doc_b", "tok"],
+                "inner",
+            )
             .groupBy("doc_a", "doc_b")
             .agg(F.count("*").alias("n_common"))
         )
@@ -167,14 +185,19 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return z ^ (z >> np.uint64(31))
 
 
-def _stable_hash_tokens(tokens: np.ndarray) -> np.ndarray:
-    """Deterministic vectorized 64-bit hash of an object array of strings.
-
-    ``pd.util.hash_array`` (fixed default key) is C-speed and stable across
-    processes — Python's built-in hash() is randomized and would break
-    cross-executor determinism.
-    """
-    return _splitmix64(pd.util.hash_array(tokens, categorize=False))
+def _md5_u64_tokens(tokens: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit hash (first 8 md5 bytes, big-endian) of an
+    object array of strings — called on *unique* tokens only (post
+    dictionary-encode), so the per-batch Python cost is O(vocab), not
+    O(corpus). md5 is the one cryptographic hash DuckDB ships, which is
+    what lets the LSH correctness oracles recompute the identical shingle
+    hashes in pure SQL (sql64.md5_u64)."""
+    out = np.empty(tokens.size, dtype=np.uint64)
+    for i, tok in enumerate(tokens):
+        out[i] = int.from_bytes(
+            hashlib.md5(tok.encode("utf-8")).digest()[:8], "big"
+        )
+    return out
 
 
 # distinct odd multipliers per shingle slot (order-sensitive window mix)
@@ -190,22 +213,31 @@ def _shingle_hashes_batch(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Whitespace-tokenize a batch → (flat shingle hashes, per-doc counts).
 
-    Fully vectorized: tokens of the whole batch are factorized once, string
-    hashing happens per *unique* token, and a shingle's hash is an
-    order-sensitive mix of its window's token hashes (no per-shingle string
-    building). Docs shorter than ``width`` contribute one truncated-window
-    shingle; empty docs contribute none.
+    Tokenization runs in pyarrow compute (``utf8_lower`` +
+    ``utf8_split_whitespace`` — C++, off the GIL), string hashing happens
+    per *unique* token (dictionary-encode), and a shingle's hash is an
+    order-sensitive mix of its window's token hashes (no per-shingle
+    string building). Docs shorter than ``width`` contribute one
+    truncated-window shingle; empty docs contribute none.
     """
-    token_lists = [t.lower().split() for t in texts.fillna("")]
-    n_docs = len(token_lists)
-    lens = np.fromiter((len(t) for t in token_lists), np.int64, count=n_docs)
-    flat = np.array(
-        [tok for toks in token_lists for tok in toks], dtype=object
-    )
-    if flat.size == 0:
+    n_docs = len(texts)
+    arr = pa.array(texts.fillna("").astype(str), type=pa.string())
+    toks = pc.utf8_split_whitespace(pc.utf8_lower(arr))
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat_all = toks.flatten()
+    # arrow's split keeps ''-tokens at leading/trailing whitespace;
+    # Python's str.split() (and the SQL oracle's list_filter) drop them
+    keep = pc.not_equal(flat_all, "")
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    cs = np.zeros(len(flat_all) + 1, dtype=np.int64)
+    np.cumsum(keep_np, out=cs[1:])
+    lens = cs[offsets[1:]] - cs[offsets[:-1]]
+    if int(lens.sum()) == 0:
         return np.empty(0, np.uint64), np.zeros(n_docs, np.int64)
-    codes, uniques = pd.factorize(flat)
-    th = _stable_hash_tokens(np.asarray(uniques, dtype=object))[codes]
+    de = flat_all.filter(keep).dictionary_encode()
+    codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniques = np.asarray(de.dictionary.to_pylist(), dtype=object)
+    th = _md5_u64_tokens(uniques)[codes]
     doc_bounds = np.zeros(n_docs + 1, np.int64)
     np.cumsum(lens, out=doc_bounds[1:])
     doc_idx = np.repeat(np.arange(n_docs), lens)
@@ -229,6 +261,23 @@ def _shingle_hashes_batch(
     return sh_all[start_ok], n_sh
 
 
+def minhash_params(
+    num_hashes: int = 64, seed: int = 42
+) -> tuple[np.ndarray, np.ndarray]:
+    """The (odd multiplier, xor mask) permutation family, seeded — shared
+    between ``minhash_signatures`` and the DuckDB oracle generator so both
+    sides compute bit-identical signatures."""
+    rng = np.random.default_rng(seed)
+    mults = (
+        rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64) << np.uint64(1)
+    ) | np.uint64(1)
+    seeds = rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64)
+    return mults, seeds
+
+
+MINHASH_EMPTY_SENTINEL = np.iinfo(np.int64).max
+
+
 def minhash_signatures(
     docs: DataFrame,
     num_hashes: int = 64,
@@ -245,12 +294,8 @@ def minhash_signatures(
     shingles is one ``np.minimum.reduceat`` per permutation (no per-doc
     Python).
     """
-    rng = np.random.default_rng(seed)
-    mults = (
-        rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64) << np.uint64(1)
-    ) | np.uint64(1)
-    seeds = rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64)
-    empty_sig = np.full(num_hashes, np.iinfo(np.int64).max, dtype=np.int64)
+    mults, seeds = minhash_params(num_hashes, seed)
+    empty_sig = np.full(num_hashes, MINHASH_EMPTY_SENTINEL, dtype=np.int64)
 
     def sig_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -1,12 +1,18 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Image/audio/video payloads are carried as ``binary`` columns with a typed
-metadata struct; decode / feature-extraction / resize / frame-sample run as
-Arrow-batched ``mapInPandas`` kernels. The actual media decoding is STUBBED
-(this container ships no image/audio libs): ``decode_image`` raises
+Image/audio/video payloads are carried as ``binary`` columns with typed
+metadata; decode / feature-extraction / frame-sample run as Arrow-batched
+``mapInPandas`` kernels. The actual media decoding is STUBBED (this
+container ships no image/audio libs): ``decode_image`` raises
 ``NotImplementedError`` unless ``fake=True``, in which case a deterministic
-fake decoder (content-hash-seeded numpy) exercises the full Spark plumbing —
-schema, batching, partitioning — which IS what this module tests and ships.
+fake decoder (content-hash-seeded splitmix64 pixels) exercises the full
+Spark plumbing — schema, batching, partitioning — which IS what this module
+tests and ships.
+
+The fake decoder and the synthetic media table are built from md5 +
+splitmix64 only, so the driver's DuckDB correctness oracle recomputes the
+identical features/frames in pure SQL (functions/sql_oracles.py) — the
+plumbing gets a hash-exact check, not a rows-only one.
 """
 
 from __future__ import annotations
@@ -19,14 +25,26 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import _splitmix64
+
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, mime string, "
     "width int, height int, duration_ms int"
 )
 
+IMG_H = IMG_W = 32
+_N_PIX = IMG_H * IMG_W  # 1024 pixels, 3 channels
+HIST_BINS = 8
+# intensity bin = min((r+g+b) // 96, 7): integer arithmetic, identical in
+# numpy and SQL (np.histogram's float bin edges are not replayable in SQL)
+_BIN_DIV = 96
 
-def _seed_from_payload(payload: bytes) -> int:
-    return int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(), "little")
+
+def _seed_from_payload(payload: bytes) -> np.uint64:
+    """First 8 md5 bytes of the payload's lowercase hex — matches the SQL
+    twin ``('0x' || substr(md5(payload_hex), 1, 16))::UBIGINT``."""
+    digest = hashlib.md5(payload.hex().encode()).digest()
+    return np.uint64(int.from_bytes(digest[:8], "big"))
 
 
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
@@ -37,35 +55,44 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
             "image decoding requires an image library not present in this "
             "container; pass fake=True for the deterministic test decoder"
         )
-    rng = np.random.default_rng(_seed_from_payload(payload))
-    return rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    seed = _seed_from_payload(payload)
+    idx = np.arange(_N_PIX * 3, dtype=np.uint64)
+    vals = (_splitmix64(seed + idx) & np.uint64(255)).astype(np.uint8)
+    return vals.reshape(IMG_H, IMG_W, 3)
+
+
+FEATURE_COLS = ["mean_r", "mean_g", "mean_b"] + [f"h{b}" for b in range(HIST_BINS)]
+FEATURES_SCHEMA = "media_id long, " + ", ".join(f"{c} double" for c in FEATURE_COLS)
 
 
 def image_features(
     media: DataFrame, fake: bool = True, payload_col: str = "payload"
 ) -> DataFrame:
-    """media_id → pooled feature vector (mean RGB + intensity histogram).
+    """media_id → pooled features as SCALAR columns (mean RGB + 8-bin
+    intensity histogram).
 
-    The Spark-side contract is real: binary in, fixed-width float array out,
-    one Arrow batch at a time; swap the fake decoder for a real one and
-    nothing else changes.
+    Scalar columns (not array<float>) so downstream tabular tooling — and
+    the driver's canonicalizer — can sort/hash them. The Spark-side
+    contract is real: binary in, fixed-width features out, one Arrow batch
+    at a time; swap the fake decoder for a real one and nothing changes.
     """
 
     def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = []
+            out = {c: [] for c in FEATURE_COLS}
             for payload in pdf[payload_col]:
-                img = decode_image(bytes(payload), fake=fake).astype(np.float64)
-                mean_rgb = img.mean(axis=(0, 1)) / 255.0
-                hist, _ = np.histogram(img.mean(axis=2), bins=8, range=(0, 255))
-                hist = hist / hist.sum()
-                feats.append(np.concatenate([mean_rgb, hist]).astype(np.float32))
-            yield pd.DataFrame(
-                {"media_id": pdf["media_id"], "features": [f.tolist() for f in feats]}
-            )
+                img = decode_image(bytes(payload), fake=fake)
+                flat = img.reshape(-1, 3).astype(np.int64)
+                for c, name in enumerate(FEATURE_COLS[:3]):
+                    out[name].append(float(flat[:, c].sum()) / _N_PIX / 255.0)
+                bins = np.minimum(flat.sum(axis=1) // _BIN_DIV, HIST_BINS - 1)
+                counts = np.bincount(bins, minlength=HIST_BINS)
+                for b in range(HIST_BINS):
+                    out[f"h{b}"].append(float(counts[b]) / _N_PIX)
+            yield pd.DataFrame({"media_id": pdf["media_id"], **out})
 
     return media.select("media_id", payload_col).mapInPandas(
-        batch, schema="media_id long, features array<float>"
+        batch, schema=FEATURES_SCHEMA
     )
 
 
@@ -75,9 +102,9 @@ def frame_sample(
     fake: bool = True,
     payload_col: str = "payload",
 ) -> DataFrame:
-    """Video → one row per sampled frame (media_id, frame_idx, frame binary).
+    """Video → one row per sampled frame (media_id, frame_idx, frame_hex).
 
-    Frame extraction is faked (hash-derived bytes); the explode shape —
+    Frame extraction is faked (md5-derived frame ids); the explode shape —
     a mapInPandas that yields MORE rows than it receives, partition-local,
     no shuffle — is the real pattern for 100 TB video tables.
     """
@@ -89,42 +116,45 @@ def frame_sample(
                 pdf["media_id"], pdf[payload_col], pdf["duration_ms"]
             ):
                 n_frames = max(1, int(dur or 0) // every_ms)
-                seed = _seed_from_payload(bytes(payload))
+                seed_hex = hashlib.md5(
+                    bytes(payload).hex().encode()
+                ).hexdigest()
                 for i in range(n_frames):
                     ids.append(mid)
                     idxs.append(i)
                     frames.append(
-                        hashlib.blake2b(
-                            f"{seed}:{i}".encode(), digest_size=16
-                        ).digest()
+                        hashlib.md5(f"{seed_hex}:{i}".encode()).hexdigest()
                     )
             yield pd.DataFrame(
-                {"media_id": ids, "frame_idx": idxs, "frame": frames}
+                {"media_id": ids, "frame_idx": idxs, "frame_hex": frames}
             )
 
     return media.select("media_id", payload_col, "duration_ms").mapInPandas(
-        batch, schema="media_id long, frame_idx int, frame binary"
+        batch, schema="media_id long, frame_idx int, frame_hex string"
     )
 
 
-def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table for tests."""
-    rng = np.random.default_rng(seed)
+def synth_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake media table, regenerable in pure SQL
+    (sql_oracles.media_ctes): payload = 64 md5-chained bytes, metadata
+    derived from media_id by closed-form arithmetic."""
     rows = []
     for i in range(n):
-        payload = rng.integers(0, 256, size=128, dtype=np.uint8).tobytes()
+        payload_hex = "".join(
+            hashlib.md5(f"media:{i}:{b}".encode()).hexdigest() for b in range(4)
+        )
         kind = ["image", "audio", "video"][i % 3]
         rows.append(
             (
                 i,
                 kind,
-                bytearray(payload),
+                bytearray(bytes.fromhex(payload_hex)),
                 {"image": "image/jpeg", "audio": "audio/wav", "video": "video/mp4"}[
                     kind
                 ],
-                32,
-                32,
-                int(rng.integers(500, 5000)),
+                IMG_W,
+                IMG_H,
+                500 + (i * 3589) % 4500,
             )
         )
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

@@ -78,10 +78,28 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+def _seq_dots(vecs: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """Row-wise dot products accumulated strictly left-to-right in float64.
+
+    Not ``vecs @ w`` (BLAS blocks/reorders the summation): the DuckDB
+    correctness oracles re-express the same dot as an explicit left-assoc
+    ``e[1]*w1 + e[2]*w2 + ...`` chain, and sign/argmax decisions must land
+    identically on both sides, so the accumulation order is pinned.
+    Still vectorized across rows (one fused multiply-add per dimension).
+    """
+    vecs = np.asarray(vecs, dtype=np.float64)
+    w = np.asarray(w, dtype=np.float64)
+    acc = vecs[:, 0] * w[0]
+    for i in range(1, w.size):
+        acc = acc + vecs[:, i] * w[i]
+    return acc
+
+
 def _sign_bucket(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
-    bits = (vecs @ planes.T) > 0
-    weights = (1 << np.arange(planes.shape[0], dtype=np.int64))[None, :]
-    return (bits * weights).sum(axis=1)
+    out = np.zeros(np.asarray(vecs).shape[0], dtype=np.int64)
+    for j in range(planes.shape[0]):
+        out |= (_seq_dots(vecs, planes[j]) > 0).astype(np.int64) << np.int64(j)
+    return out
 
 
 def add_lsh_bucket(
@@ -121,6 +139,19 @@ def lsh_bucket_topk(
 ) -> DataFrame:
     """Approximate top-k: scan only buckets within ``multiprobe_hamming`` of
     the query's sign pattern, then exact cosine on the survivors."""
+    probes = lsh_probe_set(qvec, n_planes, seed, multiprobe_hamming)
+    cands = emb_with_bucket.filter(F.col("bucket").isin(probes))
+    return cosine_topk(cands, qvec, k, id_col, vec_col)
+
+
+def lsh_probe_set(
+    qvec: list[float],
+    n_planes: int = 8,
+    seed: int = 42,
+    multiprobe_hamming: int = 1,
+) -> list[int]:
+    """The (deterministic) bucket ids a query probes — driver-side only,
+    shared with the DuckDB oracle generator."""
     q = np.asarray(qvec, dtype=np.float64)
     planes = _hyperplanes(q.size, n_planes, seed)
     qb = int(_sign_bucket(q[None, :], planes)[0])
@@ -133,8 +164,46 @@ def lsh_bucket_topk(
             for i in range(n_planes)
             for j in range(i + 1, n_planes)
         )
-    cands = emb_with_bucket.filter(F.col("bucket").isin(sorted(probes)))
-    return cosine_topk(cands, qvec, k, id_col, vec_col)
+    return sorted(probes)
+
+
+def md5_order_col(id_col: str) -> F.Column:
+    """Deterministic pseudo-random sort key: first 60 bits of md5(id).
+
+    Partition-layout-independent (unlike ``limit()`` sampling) and
+    SQL-mirrorable (DuckDB: ``('0x'||substr(md5(id::VARCHAR),1,15))::UBIGINT``).
+    """
+    return F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray]:
+    """(centroid ids, centroid vectors) — the ``n_centroids`` vectors with
+    the smallest (md5-hash, id) keys, returned in ascending-id order.
+
+    A deterministic uniform sample that is byte-identical at any
+    parallelism / partition layout — ``limit()`` without an order is not
+    (it returns whichever partitions answer first).
+    """
+    rows = (
+        emb.select(id_col, vec_col)
+        .withColumn("_h", md5_order_col(id_col))
+        .orderBy("_h", id_col)
+        .limit(n_centroids)
+        .collect()
+    )
+    rows.sort(key=lambda r: r[id_col])
+    cids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    cents = np.array(
+        [[float(x) for x in r[vec_col]] for r in rows], dtype=np.float64
+    )
+    return cids, cents
 
 
 def ivf_topk(
@@ -143,44 +212,51 @@ def ivf_topk(
     k: int = 10,
     n_centroids: int = 16,
     nprobe: int = 4,
-    seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    sample_size: int = 2048,
 ) -> DataFrame:
-    """IVF: assign vectors to seeded-sample centroids (one k-means++-ish
-    pass), probe the nprobe nearest lists. Deterministic, two narrow scans."""
-    sample = np.stack(
-        [
-            np.asarray(r[vec_col], dtype=np.float64)
-            for r in emb.select(vec_col).limit(sample_size).collect()
-        ]
-    )
-    rng = np.random.default_rng(seed)
-    idx = rng.choice(sample.shape[0], size=min(n_centroids, sample.shape[0]), replace=False)
-    centroids = sample[idx]
-    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    """IVF: assign vectors to deterministically-sampled centroids, probe the
+    ``nprobe`` nearest inverted lists, exact cosine on the survivors.
+
+    Fully deterministic at any partition layout (centroid choice is
+    md5-keyed, assignment argmax tie-breaks on ascending centroid id) and
+    float-order-pinned (``_seq_dots``) so the DuckDB oracle reproduces the
+    identical candidate lists. Assumes no all-zero vectors (no norm guard —
+    the oracle has none either).
+    """
+    cids, cents = ivf_centroids(emb, n_centroids, id_col, vec_col)
+    ones = np.ones(cents.shape[1])
+    # sqrt of the left-assoc chain of squares (x*1.0 is exact, so feeding
+    # the squares through _seq_dots pins the same summation order as the
+    # oracle's `e[1]*e[1] + e[2]*e[2] + ...` SQL chain)
+    cn = np.sqrt(_seq_dots(cents * cents, ones))
+    q = np.asarray(qvec, dtype=np.float64)
+    qnorm = float(np.sqrt(_seq_dots((q * q)[None, :], ones)[0]))
+    # probe ranking mirrors the oracle: dot/(cn*qnorm) desc, centroid id asc
+    cq = _seq_dots(cents, q) / (cn * qnorm)
+    order = np.lexsort((cids, -cq))
+    probe_ids = [int(cids[j]) for j in order[:nprobe]]
 
     def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            vn = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+            nv = np.sqrt(_seq_dots(vecs * vecs, np.ones(vecs.shape[1])))
+            cos = np.empty((vecs.shape[0], cents.shape[0]))
+            for j in range(cents.shape[0]):
+                cos[:, j] = _seq_dots(vecs, cents[j]) / (nv * cn[j])
+            best = np.argmax(cos, axis=1)  # first max = smallest cid on ties
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
                     vec_col: pdf[vec_col],
-                    "list_id": np.argmax(vn @ cn.T, axis=1).astype(np.int32),
+                    "list_id": cids[best],
                 }
             )
 
-    dim = len(qvec)
     assigned = emb.select(id_col, vec_col).mapInPandas(
-        assign, schema=f"{id_col} long, {vec_col} array<float>, list_id int"
+        assign, schema=f"{id_col} long, {vec_col} array<float>, list_id long"
     )
-    q = np.asarray(qvec, dtype=np.float64)
-    qn = q / np.linalg.norm(q)
-    probe_lists = np.argsort(-(cn @ qn))[:nprobe].tolist()
-    cands = assigned.filter(F.col("list_id").isin(probe_lists))
+    cands = assigned.filter(F.col("list_id").isin(probe_ids))
     return cosine_topk(cands, qvec, k, id_col, vec_col)
 
 

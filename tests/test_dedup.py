@@ -114,20 +114,34 @@ class TestJaccard:
         pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out}
         assert pairs == {(1, 2): pytest.approx(3 / 5)}
 
-    @pytest.mark.parametrize("threshold", [0.3, 0.5, 0.8])
-    def test_prefix_filter_is_exact(self, spark, corpus, threshold):
+    @pytest.mark.parametrize(
+        "threshold,max_df", [(0.3, None), (0.5, None), (0.8, None), (0.5, 25)]
+    )
+    def test_prefix_filter_is_exact(self, spark, corpus, threshold, max_df):
         """Prefix + size filtering must not change the result set (the
-        filters only drop pairs that provably cannot reach τ)."""
+        filters only drop pairs that provably cannot reach τ), and with
+        ``max_df`` set both branches must still compute jaccard over the
+        FULL token sets (only candidate *generation* is pruned)."""
         fast = {
             (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
             for r in dedup.jaccard_candidates(
-                corpus, threshold=threshold, prefix_filter=True
+                corpus, threshold=threshold, max_df=max_df, prefix_filter=True
             ).collect()
         }
         slow = {
             (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
             for r in dedup.jaccard_candidates(
-                corpus, threshold=threshold, prefix_filter=False
+                corpus, threshold=threshold, max_df=max_df, prefix_filter=False
             ).collect()
         }
         assert fast == slow
+        if max_df is not None:
+            # jaccard values must equal the unfiltered run's for shared pairs
+            full = {
+                (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+                for r in dedup.jaccard_candidates(
+                    corpus, threshold=threshold, prefix_filter=False
+                ).collect()
+            }
+            for pair, j in fast.items():
+                assert full[pair] == j

@@ -57,6 +57,17 @@ def test_ann_recall_vs_exact(spark, emb, variant):
     assert np.mean(recalls) >= 0.5, recalls
 
 
+def test_ivf_partition_invariant(spark, emb):
+    """Centroid sampling is md5-keyed (not limit()-order-dependent), so the
+    IVF answer must be byte-identical at any partition layout — the same
+    determinism-at-any-parallelism invariant the index build carries."""
+    df, vecs = emb
+    q = vecs[7].astype(np.float64).tolist()
+    r1 = similarity.ivf_topk(df.repartition(1), q, k=5, n_centroids=8).collect()
+    r8 = similarity.ivf_topk(df.repartition(8), q, k=5, n_centroids=8).collect()
+    assert r1 == r8
+
+
 def test_neardup_pairs_find_planted(spark, emb):
     df, _ = emb
     pairs = similarity.embedding_neardup_pairs(
