@@ -52,7 +52,7 @@ from marginaliasearch_spark.sources.transcripts import documents_as_transcripts
 # shared constants (must mirror the engine AND the oracle SQL)
 # ---------------------------------------------------------------------------
 
-_CACHE_VERSION = "v5"  # bump on any postings/journal wire-format change
+_CACHE_VERSION = "v6"  # bump on any postings/journal wire-format change
 _K = 20
 # deterministic query vector for similarity search (inlined into oracle SQL)
 _QVEC = [float((i * 37) % 19 - 9) / 10.0 for i in range(64)]
@@ -467,8 +467,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # positional ranking (first-position + verbatim + proximity, §5)
         "fulltext_positional": _search("batch scan", positional=True),
         "fulltext_proximity": _search("customer query slow", positional=True),
-        # block-max WAND two-phase top-k (exact; same oracle as plain BM25)
+        # block-max WAND two-phase top-k (exact; same oracle as plain BM25);
+        # the AND shape exercises the residual per-term cut on every leg of
+        # the intersection (SkipListReader block-max retain analogue)
         "fulltext_wand": _search_wand("query -slow"),
+        "fulltext_wand_and": _search_wand("spark join -dup"),
         # role gates (F8): driver docs are all role=user, so in:user is a
         # pass-through gate and in:system filters everything out
         "fulltext_gate_pass": _search("spark join in:user"),
@@ -533,6 +536,7 @@ def oracle_sql() -> dict[str, str]:
             positional=["customer", "query", "slow"],
         ),
         "fulltext_wand": _bm25_sql([["query"]], exclude=["slow"]),
+        "fulltext_wand_and": _bm25_sql([["spark", "join"]], exclude=["dup"]),
         "fulltext_gate_pass": _bm25_sql([["spark", "join"]]),
         "fulltext_gate_empty": f"""{_COMMON}
 SELECT doc_id, 0.0 AS score FROM doclen WHERE 1 = 0""",

@@ -132,11 +132,16 @@ def decode_blocks(
 ) -> Iterator[pd.DataFrame]:
     """Block rows → exploded (term_id, doc_id, tf[, positions]) rows.
 
-    ``candidates``: optional sorted uint64 doc-id array; blocks whose
-    [min_doc, max_doc] window contains no candidate are skipped without
-    decoding (skip-list forward-pointer semantics), and decoded ids are
-    intersected (ReverseIndexRetainFilter / tryRetainData).
+    ``candidates``: optional sorted uint64 doc-id array — or a Spark
+    ``Broadcast`` wrapping one (unwrapped lazily HERE, on the executor, so
+    a large candidate set is torrent-shipped once per executor instead of
+    serialized into every task closure); blocks whose [min_doc, max_doc]
+    window contains no candidate are skipped without decoding (skip-list
+    forward-pointer semantics), and decoded ids are intersected
+    (ReverseIndexRetainFilter / tryRetainData).
     """
+    if candidates is not None and hasattr(candidates, "value"):
+        candidates = candidates.value
     for pdf in batches:
         out_term, out_doc, out_tf, out_flags = [], [], [], []
         out_pos: list = []

@@ -147,9 +147,15 @@ def build_index(
             F.count("*").alias("df"), F.sum("tf").alias("ctf")
         )
         lexicon.write.mode("overwrite").parquet(paths.lexicon)
+        # block_docs is recorded so the query side can size WAND probe
+        # budgets from the index's ACTUAL block geometry (not a constant)
         _write_json_atomic(
             paths.corpus_stats,
-            {"doc_count": cs["doc_count"], "avg_len": cs["avg_len"]},
+            {
+                "doc_count": cs["doc_count"],
+                "avg_len": cs["avg_len"],
+                "block_docs": block_docs,
+            },
         )
     tmark = _mark(tmark, "stats")
     # Step 2 — postings buckets (independently committed lineage units)

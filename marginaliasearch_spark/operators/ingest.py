@@ -145,6 +145,12 @@ def _tokenize_convs(batches: "Iterator") -> "Iterator":
             # token's turn = number of break tokens before it within its doc
             bext = np.concatenate([[0], np.cumsum(is_break)[:-1]])
             turn_of_token = bext - bext[doc_bounds[:-1]][doc_idx]
+            # defensive clip: assembly strips break-sentinel bytes from turn
+            # text, so counts line up — but a miscount must never read a
+            # neighboring conversation's flags
+            turn_of_token = np.minimum(
+                turn_of_token, n_turns_arr[doc_idx] - 1
+            )
             tok_flags = flat_turn_flags[
                 turn_offsets[:-1][doc_idx] + turn_of_token
             ]
@@ -252,8 +258,22 @@ def build_journal(
     DocIdRewriter during construction). The join shares the groupBy's
     conv_id key, so it adds no extra shuffle of the big side.
     """
+    # turn text is sanitized INSIDE the collected struct: NULL text would be
+    # silently dropped by array_join (fewer break markers than turn_flags
+    # entries, so later tokens would read the wrong turn's flags), and a
+    # literal NUL could smuggle the \x00turn\x00 break sentinel into the
+    # text (extra break tokens → flag misalignment / IndexError). The
+    # journal's per-turn text-equality invariant is unaffected for any text
+    # free of NUL control bytes.
+    clean_text = F.regexp_replace(
+        F.coalesce(F.col("text"), F.lit("")), "\x00", ""
+    )
     sorted_turns = F.array_sort(
-        F.collect_list(F.struct("turn_idx", "text", "role", "tool"))
+        F.collect_list(
+            F.struct(
+                F.col("turn_idx"), clean_text.alias("text"), F.col("role"), F.col("tool")
+            )
+        )
     )
     conv_docs = transcripts.groupBy("conv_id").agg(
         F.array_join(

@@ -68,43 +68,78 @@ class RankingParams:
     positional: bool = False
 
 
+def _min_spread_batch(
+    out: np.ndarray,
+    row_ids: list[int],
+    seqs: list[np.ndarray],
+    k: int,
+) -> None:
+    """Vectorized k-way min-spread for a bucket of rows sharing list
+    count ``k`` (``seqs`` holds k arrays per row, row-major).
+
+    The classic smallest-covering-window: with all (value, label) pairs of
+    a row sorted by value, the best window ending at position g spans from
+    ``m(g) = min over labels of last-occurrence(label) <= g``; the answer
+    is ``min over g of vals[g] - vals[m(g)]``. Last-occurrence per label is
+    one ``np.maximum.accumulate`` over the whole batch (row boundaries
+    handled by comparing against the row's start offset — a stale index
+    from a previous row is always below it), so the scan is O(k·N) numpy
+    with no Python loop over positions (the reference bounds this scan
+    per candidate too: SequenceOperations.java:195-230).
+    """
+    lens = np.fromiter((s.size for s in seqs), np.int64, count=len(seqs))
+    vals = np.concatenate(seqs)
+    labels = np.repeat(np.tile(np.arange(k), len(row_ids)), lens)
+    rows = np.repeat(
+        np.repeat(np.asarray(row_ids, dtype=np.int64), k), lens
+    )
+    order = np.lexsort((vals, rows))
+    vals, labels, rows = vals[order], labels[order], rows[order]
+    n = vals.size
+    seg_mask = np.empty(n, dtype=bool)
+    seg_mask[0] = True
+    seg_mask[1:] = rows[1:] != rows[:-1]
+    seg_starts = np.flatnonzero(seg_mask)
+    idx = np.arange(n)
+    row_start = np.maximum.accumulate(np.where(seg_mask, idx, 0))
+    m = np.full(n, n, dtype=np.int64)
+    valid = np.ones(n, dtype=bool)
+    for lab in range(k):
+        last = np.maximum.accumulate(np.where(labels == lab, idx, -1))
+        valid &= last >= row_start
+        np.minimum(m, last, out=m)
+    big = np.iinfo(np.int64).max
+    spread = np.where(valid, vals - vals[np.clip(m, 0, n - 1)], big)
+    per_row = np.minimum.reduceat(spread, seg_starts)
+    res = np.where(per_row == big, 0, per_row)
+    out[rows[seg_starts]] = np.maximum(res, 0)
+
+
 def _min_spread_kernel(lists: pd.Series) -> pd.Series:
     """Smallest max-min spread picking one value per sub-list (inputs are
     already order-adjusted by the term's query index). 0 when any list is
     missing/empty or fewer than 2 lists — callers treat 0 as "no bonus"
-    (SequenceOperations.minDistance semantics)."""
+    (SequenceOperations.minDistance semantics).
+
+    Python touches each row only to validate shape and collect sub-array
+    references; all position-level work is batched numpy
+    (``_min_spread_batch``) — no per-row sliding-window loop.
+    """
     out = np.zeros(len(lists), dtype=np.int32)
+    buckets: dict[int, tuple[list[int], list[np.ndarray]]] = {}
     for r, ls in enumerate(lists):
-        if ls is None:
+        if ls is None or len(ls) < 2:
             continue
-        seqs = [np.asarray(l, dtype=np.int64) for l in ls if l is not None]
-        if len(seqs) != len(ls) or len(seqs) < 2 or any(s.size == 0 for s in seqs):
+        seqs = [
+            np.asarray(l, dtype=np.int64) for l in ls if l is not None and len(l)
+        ]
+        if len(seqs) != len(ls):
             continue
-        vals = np.concatenate(seqs)
-        labels = np.repeat(
-            np.arange(len(seqs)), [s.size for s in seqs]
-        )
-        order = np.argsort(vals, kind="stable")
-        vals, labels = vals[order], labels[order]
-        k = len(seqs)
-        count = np.zeros(k, dtype=np.int64)
-        have = 0
-        best = -1
-        left = 0
-        for right in range(vals.size):
-            c = labels[right]
-            count[c] += 1
-            if count[c] == 1:
-                have += 1
-            while have == k:
-                spread = int(vals[right] - vals[left])
-                best = spread if best < 0 else min(best, spread)
-                cl = labels[left]
-                count[cl] -= 1
-                if count[cl] == 0:
-                    have -= 1
-                left += 1
-        out[r] = max(best, 0)
+        rows_b, seqs_b = buckets.setdefault(len(ls), ([], []))
+        rows_b.append(r)
+        seqs_b.extend(seqs)
+    for k, (row_ids, seqs) in buckets.items():
+        _min_spread_batch(out, row_ids, seqs, k)
     return pd.Series(out)
 
 
@@ -138,6 +173,21 @@ class IndexReader:
         with open(paths.corpus_stats) as f:
             stats = json.load(f)
         self.n_docs = float(stats["doc_count"])
+        # actual block geometry of this index (older indexes predate the
+        # stat; fall back to the build default) — sizes WAND probe budgets
+        from ..functions.blocks import BLOCK_DOCS
+
+        self.block_docs = int(stats.get("block_docs", BLOCK_DOCS))
+
+    def term_bounds(self, term_ids: list[int]) -> dict[int, float]:
+        """term_id → global max tf-norm (score UB = idf * max_tf_norm) from
+        the tiny term_bounds table — a driver-side pushed-IN probe, the
+        skip-list global-max analogue (SkipListReader block maxima)."""
+        if not term_ids:
+            return {}
+        tb = self.spark.read.parquet(self.paths.term_bounds)
+        rows = tb.filter(F.col("term_id").isin(term_ids)).collect()
+        return {r["term_id"]: float(r["max_tf_norm"]) for r in rows}
 
     # --- planning -----------------------------------------------------
     def term_stats(self, words: list[str]) -> dict[str, tuple[int, int]]:
@@ -297,13 +347,14 @@ def run_query(
         word: str, candidates: np.ndarray | None, is_driver: bool = False
     ) -> DataFrame:
         tid = stats[word][0]
+        # min_tf_norm cuts apply to EVERY term's scan (block-max pruning on
+        # each leg of an intersection, SkipListReader.java:87 tryRetainData
+        # + block max); top/first-block budgets stay driver-only
         out = reader.decode_term(
             tid,
             candidates=candidates,
             with_positions=word in need_pos,
-            min_tf_norm=(_driver_min_tf_norm or {}).get(word)
-            if is_driver
-            else None,
+            min_tf_norm=(_driver_min_tf_norm or {}).get(word),
             top_blocks=_driver_top_blocks if is_driver else None,
             first_blocks=budget_blocks if is_driver else None,
             tier="prio" if (prio_ok and word not in need_pos) else "full",
@@ -349,12 +400,16 @@ def run_query(
             and stats[driver_word][1] <= MAX_DRIVER_CANDIDATES
             and rest_df > 50_000
         ):
-            cand_ids = np.sort(
+            arr = np.sort(
                 np.array(
                     [r["doc_id"] for r in cand.select("doc_id").collect()],
                     dtype=np.int64,
                 ).astype(np.uint64)
             )
+            # a broadcast, not a closure capture: at the 2M-id cap this is
+            # 16 MB shipped once per executor (torrent) instead of once per
+            # task of every subsequent term scan
+            cand_ids = reader.spark.sparkContext.broadcast(arr)
         for word in ordered[1:]:
             cand = cand.join(term_df(word, cand_ids), "doc_id", "inner")
         return cand
@@ -363,26 +418,96 @@ def run_query(
         path_set = sorted(set(live_paths[0]) | need_pos)
         cand = path_candidates(path_set)
     else:
-        frames = []
-        for p in live_paths:
-            pc = path_candidates(sorted(set(p) | need_pos))
-            # align columns across paths: missing term columns → null
-            frames.append(pc)
-        all_cols = sorted({c for fdf in frames for c in fdf.columns})
-        frames = [
-            fdf.select(
-                *[
-                    F.col(c) if c in fdf.columns else F.lit(None).alias(c)
-                    for c in all_cols
-                ]
+        # multi-path (OR): decode each DISTINCT term exactly once — a term
+        # shared by several paths gets one postings scan, not one per path —
+        # and fold everything through a single union + pivot aggregation
+        # (one shuffle on doc_id replaces the per-path join chains plus the
+        # old union+groupBy(max) dedup)
+        #
+        # candidate pruning: a doc matching path p contains p's rarest term,
+        # so the union of per-path rarest-term doc ids is a superset of all
+        # results — collected once (one job) and broadcast into every
+        # distinct term's decode, which prunes the head terms' block scans
+        # exactly as the single-path retain chain does
+        cand_ids = None
+        drivers = sorted(
+            {
+                min(sorted(set(p) | need_pos), key=lambda w: (stats[w][1], w))
+                for p in live_paths
+            }
+        )
+        drv_df = sum(stats[w][1] for w in drivers)
+        rest_df = sum(stats[w][1] for w in live_terms) - drv_df
+        if drv_df <= MAX_DRIVER_CANDIDATES and rest_df > 50_000:
+            id_frames = [
+                reader.decode_term(
+                    stats[w][0],
+                    candidates=conv_doc_ids,
+                    tier="prio" if (prio_ok and w not in need_pos) else "full",
+                ).select("doc_id")
+                for w in drivers
+            ]
+            ids = reduce(lambda a, b: a.unionByName(b), id_frames)
+            arr = np.unique(
+                np.array(
+                    [r["doc_id"] for r in ids.collect()], dtype=np.int64
+                ).astype(np.uint64)
             )
-            for fdf in frames
-        ]
-        cand = reduce(lambda a, b: a.unionByName(b), frames)
-        agg = [
-            F.max(c).alias(c) for c in all_cols if c != "doc_id"
-        ]  # dedup doc_ids, keeping tf/pos from whichever path matched
-        cand = cand.groupBy("doc_id").agg(*agg)
+            cand_ids = reader.spark.sparkContext.broadcast(arr)
+        elif conv_doc_ids is not None:
+            cand_ids = reader.spark.sparkContext.broadcast(conv_doc_ids)
+        frames = []
+        for i, w in enumerate(live_terms):
+            tdf = reader.decode_term(
+                stats[w][0],
+                candidates=cand_ids,
+                with_positions=w in need_pos,
+                min_tf_norm=(_driver_min_tf_norm or {}).get(w),
+                top_blocks=_driver_top_blocks,
+                tier="prio" if (prio_ok and w not in need_pos) else "full",
+            )
+            sel = [
+                F.col("doc_id"),
+                F.lit(i).alias("ti"),
+                F.col("tf"),
+                F.col("flags"),
+                (
+                    F.col("positions")
+                    if w in need_pos
+                    else F.lit(None).cast("array<int>")
+                ).alias("positions"),
+            ]
+            frames.append(tdf.select(*sel))
+        allt = reduce(lambda a, b: a.unionByName(b), frames)
+        aggs = []
+        for i, w in enumerate(live_terms):
+            tfi = F.when(F.col("ti") == i, F.col("tf"))
+            aggs.append(F.max(tfi).alias(f"tf_{_safe(w)}"))
+            if gate_mask:
+                aggs.append(
+                    F.max(F.when(F.col("ti") == i, F.col("flags"))).alias(
+                        f"flags_{_safe(w)}"
+                    )
+                )
+            if w in need_pos:
+                aggs.append(
+                    F.max(F.when(F.col("ti") == i, F.col("positions"))).alias(
+                        f"pos_{_safe(w)}"
+                    )
+                )
+        cand = allt.groupBy("doc_id").agg(*aggs)
+        # retain docs where at least one path matched in full (mirrors the
+        # old per-path inner-join chains: need_pos terms are mandatory)
+        def _path_present(p: list[str]) -> F.Column:
+            return reduce(
+                lambda a, w: a & F.col(f"tf_{_safe(w)}").isNotNull(),
+                sorted(set(p) | need_pos),
+                F.lit(True),
+            )
+
+        cand = cand.filter(
+            reduce(lambda a, p: a | _path_present(p), live_paths, F.lit(False))
+        )
 
     # ---- role gate (F8): every matched include term must carry the flags ----
     if gate_mask:
@@ -582,6 +707,20 @@ def run_query_wand(
       against its OWN bound ``idf_t * max_tf_norm_t >= θ``. A contribution
       living only in pruned blocks is provably < θ, so it can neither put a
       doc into the top k nor be a surviving doc's best path.
+    - **pure AND** (``a b c``) — term t prunes against the *residual*
+      bound: a top-k doc has ``Σ_u s_u >= θ`` and ``s_u <= UB_u`` (idf ×
+      the term's GLOBAL max tf-norm from the term_bounds table), so any
+      block with ``idf_t * block_max_tf_norm < θ - Σ_{u≠t} UB_u`` cannot
+      hold a top-k doc — the conservative per-term cut of the reference's
+      skip-list block-max retain (``SkipListReader.java:87``,
+      ``SkipListConstants.java:22-28``). Pruning a doc's block on ANY term
+      drops it from the intersection, which is sound because its total is
+      provably < θ.
+
+    When the caller rounds scores (``round_score_to``), θ is inverted from
+    the kth score widened by half a rounding quantum — a doc just below
+    the unrounded kth can round into a tie and win the deterministic
+    tie-break, so the cut must keep it.
 
     Ineligible queries fall back to the plain pipeline. At 10^12-turn
     scale this is the difference between scanning a head term's full
@@ -592,10 +731,11 @@ def run_query_wand(
     pq = parse_query(query) if isinstance(query, str) else query
     include = pq.all_include_terms()
     paths = pq.include.paths() if pq.include is not None else []
+    pure_or = bool(paths) and all(len(p) == 1 for p in paths)
+    pure_and = len(paths) == 1 and len(paths[0]) >= 1
     eligible = (
         len(include) >= 1
-        and paths
-        and all(len(p) == 1 for p in paths)
+        and (pure_or or pure_and)
         and not pq.phrases
         and not pq.priority
         and kw.get("group_cap") is None
@@ -615,8 +755,10 @@ def run_query_wand(
     idfs = {w: idf_of(w) for w in live}
     if any(v <= 0 for v in idfs.values()):
         return run_query(reader, pq, k=k, **kw)
-    # phase 1 — threshold from each term's best blocks (enough to cover k)
-    n_blocks = max(1, -(-2 * k // 4096))
+    # phase 1 — threshold from each term's best blocks, budgeted from the
+    # index's ACTUAL block geometry (an index built with small blocks needs
+    # proportionally more of them to cover k candidates)
+    n_blocks = max(1, -(-2 * k // reader.block_docs))
     kw1 = {**kw, "round_score_to": None}
     probe = run_query(
         reader, pq, k=k, _driver_top_blocks=n_blocks, **kw1
@@ -624,8 +766,26 @@ def run_query_wand(
     if len(probe) < k:
         return run_query(reader, pq, k=k, **kw)  # tiny list: no cut possible
     kth_score = probe[-1]["score"]
+    round_to = kw.get("round_score_to")
+    if round_to is not None:
+        # widen to the worst score that could still round-tie with the kth
+        kth_score = round(kth_score, round_to) + 0.5 * 10.0 ** (-round_to)
     # relative epsilon guards the float round-trip through normalize() —
     # pruning may only ever be conservative
     theta_raw = (501.0 / (kth_score * kth_score) - 1.0) * (1.0 - 1e-9)
-    cuts = {w: theta_raw / idfs[w] for w in live}
+    if pure_or:  # includes the single-term case (residual would equal θ)
+        cuts = {w: theta_raw / idfs[w] for w in live}
+    else:
+        bounds = reader.term_bounds([stats[w][0] for w in live])
+        if any(stats[w][0] not in bounds for w in live):
+            return run_query(reader, pq, k=k, **kw)
+        ub = {w: idfs[w] * bounds[stats[w][0]] for w in live}
+        ub_total = sum(ub.values())
+        cuts = {}
+        for w in live:
+            residual = theta_raw - (ub_total - ub[w])
+            if residual > 0:
+                cuts[w] = residual / idfs[w]
+        if not cuts:
+            return run_query(reader, pq, k=k, **kw)  # no pruning possible
     return run_query(reader, pq, k=k, _driver_min_tf_norm=cuts, **kw)

@@ -103,3 +103,39 @@ def test_unknown_gate_raises(spark, built):
     _, reader = built
     with pytest.raises(ValueError, match="unknown role gate"):
         run_query(reader, "word01 in:nosuchrole", k=5)
+
+
+def test_null_text_and_sentinel_keep_flags_aligned(spark):
+    """A NULL turn and a literal \\x00turn\\x00 sentinel in the input must
+    not shift the token→turn flag mapping (journal assembly coalesces NULL
+    text and strips NUL bytes, so break-marker count == n_turns - 1)."""
+    from marginaliasearch_spark.operators.ingest import build_journal
+
+    rows = [
+        # conv a: system turn, NULL user turn, tool turn — the tool-turn
+        # token must still carry FLAG_TOOL even with the NULL turn between
+        ("a", 0, "system", "sysword", None, None),
+        ("a", 1, "user", None, None, None),
+        ("a", 2, "tool", "toolword", "calc", None),
+        # conv b: user text smuggles the break sentinel — must not create
+        # an extra turn segment (assistant token keeps FLAG_ASSISTANT)
+        ("b", 0, "user", "plain \x00turn\x00 user2", None, None),
+        ("b", 1, "assistant", "answord", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    j = {
+        (r["conv_id"], r["term"]): r["flags"]
+        for r in build_journal(df).filter(F.col("term").isNotNull()).collect()
+    }
+    assert j[("a", "sysword")] == FLAG_SYSTEM
+    assert j[("a", "toolword")] == FLAG_TOOL
+    assert j[("b", "plain")] == FLAG_USER
+    assert j[("b", "user2")] == FLAG_USER
+    assert j[("b", "answord")] == FLAG_ASSISTANT
+    # NULs stripped → the sentinel degrades to the harmless word "turn"
+    # (indexed as user text), NOT a turn-break marker
+    assert j[("b", "turn")] == FLAG_USER

@@ -57,11 +57,32 @@ def test_wand_or_of_single_terms_equals_plain(spark, reader, query):
     assert wand == plain
 
 
-def test_wand_fallback_multi_term(spark, reader):
+@pytest.mark.parametrize(
+    "query",
+    [
+        "word00 word01",  # two head terms, residual cuts on both scans
+        "word00 word01 word02",
+        "word00 word30",  # head + rare: rare term's UB dominates
+        "word00 word01 -word45",  # exclusion applies in both phases
+    ],
+)
+def test_wand_and_equals_plain(spark, reader, query):
+    """Pure-AND intersections use the residual per-term cut
+    (θ - Σ other-terms' global UB) and must stay EXACT."""
+    for k in (3, 10):
+        plain = _pairs(run_query(reader, query, k=k).collect())
+        wand = _pairs(run_query_wand(reader, query, k=k).collect())
+        assert wand == plain
+
+
+def test_wand_and_equals_plain_rounded(spark, reader):
+    """With round_score_to set, θ must widen by the rounding quantum so a
+    doc that round-ties with the kth result is never pruned."""
     q = "word00 word01"
-    assert _pairs(run_query_wand(reader, q, k=5).collect()) == _pairs(
-        run_query(reader, q, k=5).collect()
-    )
+    for r in (2, 4, 6):
+        plain = _pairs(run_query(reader, q, k=10, round_score_to=r).collect())
+        wand = _pairs(run_query_wand(reader, q, k=10, round_score_to=r).collect())
+        assert wand == plain
 
 
 def test_wand_k_larger_than_result(spark, reader):
