@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from marginaliasearch_spark.functions import sql_oracles
 from marginaliasearch_spark.functions.tokenizer import STOPWORDS
 from marginaliasearch_spark.operators import dedup, multimodal, similarity, textstats
+from marginaliasearch_spark.operators import ingest as ingest_ops
 from marginaliasearch_spark.operators.index_build import IndexPaths, build_index
 from marginaliasearch_spark.operators.query_exec import (
     IndexReader,
@@ -52,7 +53,7 @@ from marginaliasearch_spark.sources.transcripts import documents_as_transcripts
 # shared constants (must mirror the engine AND the oracle SQL)
 # ---------------------------------------------------------------------------
 
-_CACHE_VERSION = "v6"  # bump on any postings/journal wire-format change
+_CACHE_VERSION = "v7"  # bump on any postings/journal wire-format change
 _K = 20
 # deterministic query vector for similarity search (inlined into oracle SQL)
 _QVEC = [float((i * 37) % 19 - 9) / 10.0 for i in range(64)]
@@ -110,12 +111,16 @@ def _get_reader(spark: SparkSession, sf_dir: str) -> IndexReader:
         old_parts = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "32")
         try:
+            tx = documents_as_transcripts(spark, sf_dir)
             build_index(
                 spark,
-                documents_as_transcripts(spark, sf_dir),
+                tx,
                 root,
                 n_buckets=1,
                 partitions=32,
+                # quality-derived rank buckets stamped into doc-id high bits
+                # (drives the penalties ranking mode + budgeted scans)
+                ranks=ingest_ops.conv_ranks_by_quality(tx),
             )
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", old_parts)
@@ -124,17 +129,28 @@ def _get_reader(spark: SparkSession, sf_dir: str) -> IndexReader:
 
 
 def _search(
-    query: str, k: int = _K, positional: bool = False
+    query: str,
+    k: int = _K,
+    positional: bool = False,
+    flag_score: bool = False,
+    penalties: bool = False,
 ) -> Callable[[SparkSession, str], DataFrame]:
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         reader = _get_reader(spark, sf_dir)
+        ranking = (
+            RankingParams(
+                positional=positional, flag_score=flag_score, penalties=penalties
+            )
+            if (positional or flag_score or penalties)
+            else None
+        )
         res = run_query(
             reader,
             query,
             k=k,
             round_score_to=6,
             tie_break=F.col("conv_id").cast("long"),
-            ranking=RankingParams(positional=True) if positional else None,
+            ranking=ranking,
         )
         return res.select(
             F.col("conv_id").cast("long").alias("doc_id"), "score"
@@ -174,6 +190,24 @@ def _search_wand(query: str, k: int = _K) -> Callable[[SparkSession, str], DataF
     return fn
 
 
+# role of a document = doc_id % 4 (documents_as_transcripts):
+# 0=system, 1=assistant, 2=user, 3=tool. Flag pseudo-count weights mirror
+# scoring.FLAG_WEIGHT_* (system 1.5, tool 1.25, assistant 0.25, user 0).
+_ROLE_QCOUNT_SQL = (
+    "(CASE d.doc_id % 4 WHEN 0 THEN 1.5 WHEN 1 THEN 0.25"
+    " WHEN 3 THEN 1.25 ELSE 0.0 END)"
+)
+
+
+def _flag_partial_sql(term: str) -> str:
+    dfq = f"(SELECT df::DOUBLE FROM stats WHERE term = '{term}')"
+    q = _ROLE_QCOUNT_SQL
+    return (
+        f"ln(1.0 + ((SELECT n FROM corpus) - {dfq} + 0.5) / ({dfq} + 0.5))"
+        f" * ({q} * 2.2) / ({q} + 1.2)"
+    )
+
+
 def _bm25_sql(
     paths: list[list[str]],
     exclude: list[str] | None = None,
@@ -182,6 +216,9 @@ def _bm25_sql(
     len_gt: int | None = None,
     k: int = _K,
     positional: list[str] | None = None,
+    role_mod: int | None = None,
+    flag_score: bool = False,
+    penalties: bool = False,
 ) -> str:
     all_terms = sorted({w for p in paths for w in p})
     single_path = len(paths) == 1
@@ -198,6 +235,9 @@ def _bm25_sql(
         s = "0.0"
         for w in terms_in_path:
             s = f"{s} + {_partial_sql(alias_of[w], w)}"
+        if flag_score:
+            fs = " + ".join(_flag_partial_sql(w) for w in terms_in_path)
+            s = f"{s} + 0.5 * ({fs})"
         present = " AND ".join(f"{alias_of[w]}.tf IS NOT NULL" for w in terms_in_path)
         path_sums.append((s, present))
     if single_path:
@@ -228,7 +268,61 @@ def _bm25_sql(
         )
     if len_gt is not None:
         wheres.append(f"d.doc_len > {len_gt}")
+    if role_mod is not None:
+        # role gate on single-turn docs = congruence class of doc_id % 4
+        wheres.append(f"d.doc_id % 4 = {role_mod}")
     extra_ctes = ""
+    score_sql = f"round(sqrt(501.0 / (1.0 + {{raw}})), 6)"
+    pen_join = ""
+    if penalties:
+        # mirrors scoring.document_penalty over the quality-derived rank
+        # bucket (same quality formula as the text_quality oracle; rank =
+        # trunc((1-quality)*63) matches Spark's cast-to-int). Constants are
+        # repr'd from scoring.py so the float ops match term for term.
+        from marginaliasearch_spark.functions import scoring as _sc
+
+        en_sql_pen = ", ".join(f"'{w}'" for w in textstats.LANG_MARKERS["en"])
+        bonus = (
+            f"((CASE WHEN dl.doc_len > {_sc.SHORT_DOC_THRESHOLD} THEN 0.0"
+            f" ELSE {-_sc.SHORT_DOC_PENALTY!r} END)"
+            f" + (-(qr.r) * {_sc.QUALITY_PENALTY!r})"
+            f" + (({float(_sc.MAX_RANK)!r} - qr.r) * {_sc.DOMAIN_RANK_BONUS!r}))"
+        )
+        extra_ctes += f"""
+, qbase AS (
+  SELECT doc_id, lower(text) AS lw, length(text)::BIGINT AS n_chars,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     t -> t <> '') AS words
+  FROM documents
+),
+qfeat AS (
+  SELECT doc_id, n_chars, len(words)::BIGINT AS n_words,
+    CASE WHEN len(words) > 0 THEN
+      len(list_filter(words, t -> t IN ({en_sql_pen}))) / len(words)::DOUBLE
+    ELSE 0.0 END AS stop_frac,
+    CASE WHEN n_chars > 0 THEN
+      len(regexp_extract_all(lw, '[^a-z0-9\\s]')) / n_chars::DOUBLE
+    ELSE 0.0 END AS punct_frac,
+    CASE WHEN len(words) > 0 THEN
+      list_sum(list_transform(words, w -> length(w)::DOUBLE)) / len(words)::DOUBLE
+    ELSE 0.0 END AS mean_word_len
+  FROM qbase
+),
+qrank AS (
+  SELECT doc_id, floor((1.0 - (
+    (CASE WHEN n_words >= 10 AND n_words <= 100000 THEN 1.0 ELSE 0.0 END)
+    + (CASE WHEN mean_word_len >= 2.0 AND mean_word_len <= 12.0 THEN 1.0 ELSE 0.0 END)
+    + (CASE WHEN punct_frac <= 0.2 THEN 1.0 ELSE 0.0 END)
+    + (CASE WHEN stop_frac >= 0.01 THEN 1.0 ELSE 0.0 END)
+  ) / 4.0) * 63) AS r
+  FROM qfeat
+),
+pen AS (
+  SELECT qr.doc_id, greatest(0.0, -{bonus}) AS p
+  FROM qrank qr JOIN doclen dl ON dl.doc_id = qr.doc_id
+)"""
+        pen_join = "JOIN pen ON pen.doc_id = d.doc_id"
+        score_sql = "round(sqrt((501.0 + 20.0 * pen.p) / (1.0 + {raw})), 6)"
     if positional:
         # mirrors scoring.first_position_bonus / verbatim_bonus /
         # proximity_bonus over the SAME tok positions the engine indexes
@@ -290,12 +384,14 @@ def _bm25_sql(
         )
         raw = f"({raw}) * exp(({n_prio}) / 5.0)"
     where_sql = ("WHERE " + " AND ".join(wheres)) if wheres else ""
+    score = score_sql.format(raw=raw)
     return f"""{_COMMON}
 {extra_ctes}
 , cand AS (
-  SELECT d.doc_id, round(sqrt(501.0 / (1.0 + {raw})), 6) AS score
+  SELECT d.doc_id, {score} AS score
   FROM doclen d
   {os.linesep.join(joins)}
+  {pen_join}
   {where_sql}
 )
 SELECT doc_id, score FROM cand ORDER BY score ASC, doc_id ASC LIMIT {k}
@@ -472,10 +568,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the intersection (SkipListReader block-max retain analogue)
         "fulltext_wand": _search_wand("query -slow"),
         "fulltext_wand_and": _search_wand("spark join -dup"),
-        # role gates (F8): driver docs are all role=user, so in:user is a
-        # pass-through gate and in:system filters everything out
+        # role gates (F8): driver docs cycle roles by doc_id % 4 (the
+        # transcripts adapter), so in:user selects the %4==2 class and a
+        # two-role gate is unsatisfiable on single-turn docs
         "fulltext_gate_pass": _search("spark join in:user"),
-        "fulltext_gate_empty": _search("spark join in:system"),
+        "fulltext_gate_empty": _search("spark join in:system in:user"),
+        # flag-BM25 (score_bFlags) + document penalties (normalize's
+        # penalty argument) — reference ranking features over role flags
+        # and the quality-derived rank bucket
+        "fulltext_bm25_flags": _search("spark join", flag_score=True),
+        "fulltext_bm25_penalty": _search("scan", penalties=True),
         # --- index stats tables (A1/A2/A3, S6 forward index) ---
         "index_lexicon_stats": _q_lexicon,
         "index_doc_stats": _q_doc_stats,
@@ -537,9 +639,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "fulltext_wand": _bm25_sql([["query"]], exclude=["slow"]),
         "fulltext_wand_and": _bm25_sql([["spark", "join"]], exclude=["dup"]),
-        "fulltext_gate_pass": _bm25_sql([["spark", "join"]]),
+        "fulltext_gate_pass": _bm25_sql([["spark", "join"]], role_mod=2),
         "fulltext_gate_empty": f"""{_COMMON}
 SELECT doc_id, 0.0 AS score FROM doclen WHERE 1 = 0""",
+        "fulltext_bm25_flags": _bm25_sql([["spark", "join"]], flag_score=True),
+        "fulltext_bm25_penalty": _bm25_sql([["scan"]], penalties=True),
         "index_lexicon_stats": f"""{_COMMON}
 SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS ctf
 FROM tf GROUP BY term""",

@@ -51,6 +51,81 @@ def normalize(value: Column, penalty: Column | float = 0.0) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Flag-BM25 (``score_bFlags``): a second BM25 over flag-derived pseudo-counts
+# at weight 0.5 * bm25Weight (IndexResultRankingService.java:139-141,
+# TermFlagsGraphVisitor.java:30-81). Per term the reference sums weights of
+# the word's flag bits (Title 1.5, Subjects 1.25, NamesWords 0.25, ...) and
+# saturates with b = 0 — "priority terms are independent of document length"
+# (TermFlagsGraphVisitor.java:35). Transcript analogue of the flag weights:
+# SYSTEM turns play Title, TOOL turns play Subjects, ASSISTANT turns play
+# NamesWords; plain USER turns are the body (no flag score), so an all-user
+# corpus scores identically with or without the flag term.
+# ---------------------------------------------------------------------------
+
+FLAG_BM25_WEIGHT = 0.5 * BM25_WEIGHT
+FLAG_WEIGHT_SYSTEM = 1.5
+FLAG_WEIGHT_TOOL = 1.25
+FLAG_WEIGHT_ASSISTANT = 0.25
+
+
+def flag_qcount(flags: Column) -> Column:
+    """Flag bits → pseudo-count (TermFlagsGraphVisitor.evaluatePriorityScore
+    analogue over ingest's role-flag byte: SYSTEM=1, ASSISTANT=2, TOOL=8)."""
+    def bit(mask: int, w: float) -> Column:
+        return F.when(flags.bitwiseAND(F.lit(mask)) != 0, F.lit(w)).otherwise(
+            F.lit(0.0)
+        )
+
+    return (
+        bit(1, FLAG_WEIGHT_SYSTEM)
+        + bit(8, FLAG_WEIGHT_TOOL)
+        + bit(2, FLAG_WEIGHT_ASSISTANT)
+    )
+
+
+def flags_partial(flags: Column, df: Column, n_docs: Column | float) -> Column:
+    """One term's flag-BM25 contribution: ``idf * q(k1+1)/(q+k1)`` (b = 0,
+    length-independent; q = 0 → 0, so unflagged occurrences are free)."""
+    q = flag_qcount(flags)
+    return idf(df, n_docs) * (q * (K1 + 1.0)) / (q + K1)
+
+
+# ---------------------------------------------------------------------------
+# Document bonus/penalty (calculateDocumentBonus,
+# IndexResultRankingService.java:281-360): the negative part feeds
+# ``normalize(value, penalty)`` (:155-158 ``-min(0, documentBonus)``; positive
+# bonus is only allowed to offset penalties, never to boost). Constants from
+# PrototypeRankingParameters.java:12-16. Transcript analogue: the 6-bit
+# quality-derived rank bucket stamped in the doc id's high bits (ids.py,
+# rank 0 = best of 64) plays both the reference's 8-bit domain rank
+# (rankingBonus, :306) and its quality byte (qualityPenalty, :621-630);
+# the short-document penalty carries over unchanged (:308-309).
+# ---------------------------------------------------------------------------
+
+SHORT_DOC_THRESHOLD = 2000  # setShortDocumentThreshold
+SHORT_DOC_PENALTY = 2.0  # setShortDocumentPenalty
+QUALITY_PENALTY = 1.0 / 15.0  # setQualityPenalty
+DOMAIN_RANK_BONUS = 1.0 / 100.0  # setDomainRankBonus
+MAX_RANK = 63  # 6-bit rank bucket (reference: 8-bit, 255)
+
+
+def document_bonus(doc_len: Column, rank: Column) -> Column:
+    """Signed bonus; callers clamp to the penalty via ``-min(0, bonus)``."""
+    r = rank.cast("double")
+    length_pen = F.when(
+        doc_len > F.lit(SHORT_DOC_THRESHOLD), F.lit(0.0)
+    ).otherwise(F.lit(-SHORT_DOC_PENALTY))
+    quality_pen = -r * F.lit(QUALITY_PENALTY)
+    rank_bonus = (F.lit(float(MAX_RANK)) - r) * F.lit(DOMAIN_RANK_BONUS)
+    return length_pen + quality_pen + rank_bonus
+
+
+def document_penalty(doc_len: Column, rank: Column) -> Column:
+    """``-min(0, documentBonus)`` — the magnitude of the net penalty."""
+    return -F.least(F.lit(0.0), document_bonus(doc_len, rank))
+
+
+# ---------------------------------------------------------------------------
 # Positional bonuses (IndexResultRankingService.java:133-135, 360-402,
 # 489-507; defaults TcfFirstPositionWeight=2.5, TcfProximityWeight=0.5,
 # PrototypeRankingParameters.java:21-22). For plain-text transcripts every

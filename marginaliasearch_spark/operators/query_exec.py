@@ -41,8 +41,11 @@ from pyspark.sql import functions as F
 
 from ..functions.blocks import DECODED_SCHEMA, DECODED_SCHEMA_POS, decode_blocks
 from ..functions.scoring import (
+    FLAG_BM25_WEIGHT,
     bm25_partial,
+    document_penalty,
     first_position_bonus,
+    flags_partial,
     normalize,
     proximity_bonus,
     verbatim_bonus,
@@ -63,9 +66,19 @@ class RankingParams:
     (PhraseConstraintGroupList.java, a CPU guard for its row-at-a-time
     scorer); our vectorized kernel computes the exact min spread over all
     positions.
+
+    ``flag_score=True`` adds the reference's second BM25 over flag-derived
+    pseudo-counts (``score_bFlags``, IndexResultRankingService.java:139-141)
+    at weight 0.5 — see scoring.flags_partial.
+
+    ``penalties=True`` feeds the document bonus/penalty (short-doc +
+    rank-bucket quality, scoring.document_penalty) into ``normalize``'s
+    penalty argument (IndexResultRankingService.java:155-158) instead of 0.
     """
 
     positional: bool = False
+    flag_score: bool = False
+    penalties: bool = False
 
 
 def _min_spread_batch(
@@ -326,6 +339,8 @@ def run_query(
     # For the common single-path (pure AND) case this is one retain chain;
     # multi-path queries union per-path candidate sets (U1) then dedup (A6).
     positional = ranking is not None and ranking.positional
+    flag_score = ranking is not None and ranking.flag_score
+    penalties = ranking is not None and ranking.penalties
     need_pos = set(phrase_terms) | (set(live_terms) if positional else set())
 
     # role gate (in:system ...) → required flag mask per matched term
@@ -360,7 +375,7 @@ def run_query(
             tier="prio" if (prio_ok and word not in need_pos) else "full",
         )
         cols = [F.col("doc_id"), F.col("tf").alias(f"tf_{_safe(word)}")]
-        if gate_mask:
+        if gate_mask or flag_score:
             cols.append(F.col("flags").alias(f"flags_{_safe(word)}"))
         if word in need_pos:
             cols.append(F.col("positions").alias(f"pos_{_safe(word)}"))
@@ -483,7 +498,7 @@ def run_query(
         for i, w in enumerate(live_terms):
             tfi = F.when(F.col("ti") == i, F.col("tf"))
             aggs.append(F.max(tfi).alias(f"tf_{_safe(w)}"))
-            if gate_mask:
+            if gate_mask or flag_score:
                 aggs.append(
                     F.max(F.when(F.col("ti") == i, F.col("flags"))).alias(
                         f"flags_{_safe(w)}"
@@ -550,12 +565,27 @@ def run_query(
             reader.n_docs,
         )
 
+    def flag_partial_col(word: str):
+        df_w = float(stats[word][1])
+        return flags_partial(
+            F.coalesce(F.col(f"flags_{_safe(word)}"), F.lit(0)),
+            F.lit(df_w),
+            reader.n_docs,
+        )
+
     path_sums = []
     for p in live_paths:
         terms_in_path = sorted(set(p))
         s = reduce(
             lambda a, w: a + partial_col(w), terms_in_path, F.lit(0.0)
         )
+        if flag_score:
+            # score_bFlags: the same max-over-paths aggregate over the
+            # flag-derived pseudo-counts, at half the BM25 weight
+            # (IndexResultRankingService.java:139-141)
+            s = s + FLAG_BM25_WEIGHT * reduce(
+                lambda a, w: a + flag_partial_col(w), terms_in_path, F.lit(0.0)
+            )
         # a path only counts if every term matched (tf present)
         present = reduce(
             lambda a, w: a & F.col(f"tf_{_safe(w)}").isNotNull(), terms_in_path, F.lit(True)
@@ -628,7 +658,13 @@ def run_query(
         )
         raw = raw * F.exp(n_prio / 5.0)
 
-    scored = cand.withColumn("score", normalize(raw))
+    if penalties:
+        # rank bucket lives in the doc id's high bits (ids.py layout)
+        rank_col = F.shiftrightunsigned(F.col("doc_id"), 57)
+        pen = document_penalty(F.col("doc_len").cast("double"), rank_col)
+        scored = cand.withColumn("score", normalize(raw, pen))
+    else:
+        scored = cand.withColumn("score", normalize(raw))
     if round_score_to is not None:
         scored = scored.withColumn("score", F.round(F.col("score"), round_score_to))
 
@@ -739,7 +775,14 @@ def run_query_wand(
         and not pq.phrases
         and not pq.priority
         and kw.get("group_cap") is None
-        and (kw.get("ranking") is None or not kw["ranking"].positional)
+        and (
+            kw.get("ranking") is None
+            or not (
+                kw["ranking"].positional
+                or kw["ranking"].flag_score
+                or kw["ranking"].penalties
+            )
+        )
     )
     if not eligible:
         return run_query(reader, pq, k=k, **kw)

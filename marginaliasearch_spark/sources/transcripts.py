@@ -212,11 +212,22 @@ def adversarial_corpus(spark: SparkSession) -> DataFrame:
 
 
 def documents_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One document = one single-turn conversation; the turn's role cycles
+    deterministically with ``doc_id % 4`` (system/assistant/user/tool) so
+    role-flag surface — gates, the priority tier, flag-BM25 — is exercised
+    on driver data AND remains recomputable in the DuckDB oracles as a pure
+    ``doc_id % 4`` expression."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    role = (
+        F.when(F.pmod("doc_id", F.lit(4)) == 0, F.lit("system"))
+        .when(F.pmod("doc_id", F.lit(4)) == 1, F.lit("assistant"))
+        .when(F.pmod("doc_id", F.lit(4)) == 2, F.lit("user"))
+        .otherwise(F.lit("tool"))
+    )
     return docs.select(
         F.col("doc_id").cast("string").alias("conv_id"),
         F.lit(0).alias("turn_idx"),
-        F.lit("user").alias("role"),
+        role.alias("role"),
         F.col("text"),
         F.lit("").alias("tool"),
         F.lit(_EPOCH).cast("timestamp").alias("ts"),

@@ -80,18 +80,50 @@ def positional_bonuses(
     return bonus
 
 
+def flag_pseudo_count(roles: set[str]) -> float:
+    """Role set of a term's occurrences → flag pseudo-count (the transcript
+    analogue of TermFlagsGraphVisitor.evaluatePriorityScore weights)."""
+    q = 0.0
+    if "system" in roles:
+        q += 1.5
+    if "tool" in roles:
+        q += 1.25
+    if "assistant" in roles:
+        q += 0.25
+    return q
+
+
+def document_penalty(doc_len: int, rank: int) -> float:
+    """-min(0, documentBonus): short-doc penalty (threshold 2000, penalty 2)
+    + quality penalty (rank/15) offset by the rank bonus ((63-rank)/100) —
+    IndexResultRankingService.java:281-360 constants, transcript rank
+    bucket in place of the 8-bit domain rank."""
+    bonus = (
+        (0.0 if doc_len > 2000 else -2.0)
+        + (-rank * (1.0 / 15.0))
+        + ((63.0 - rank) * (1.0 / 100.0))
+    )
+    return max(0.0, -bonus)
+
+
 def bm25_rank(
     docs: dict[str, list[str]],
     include: list[str],
     exclude: list[str] = (),
     k: int = 10,
     positions: dict[str, list[tuple[str, int]]] | None = None,
+    term_roles: dict[str, dict[str, set[str]]] | None = None,
+    ranks: dict[str, int] | None = None,
 ) -> list[tuple[str, float]]:
     """AND query over token-list docs → ascending-normalized top-k.
 
     Returns [(conv_id, score)] sorted ascending by score (lower = better).
     ``positions``: conv_id → positioned token stream; when given, positional
     bonuses are added to the raw score (include order = query order).
+    ``term_roles``: conv_id → term → set of roles of turns containing it;
+    when given, the flag-BM25 term (score_bFlags, weight 0.5, b=0) is added.
+    ``ranks``: conv_id → rank bucket; when given, the document penalty feeds
+    normalize() instead of 0.
     """
     n_docs = len(docs)
     df: dict[str, int] = {}
@@ -113,9 +145,13 @@ def bm25_rank(
             c = terms.count(q)
             tf = c * (K1 + 1.0) / (c + K1 * (1.0 - B + B * doc_len / AVG_LENGTH))
             raw += idf * tf
+            if term_roles is not None:
+                qc = flag_pseudo_count(term_roles[conv_id].get(q, set()))
+                raw += 0.5 * idf * (qc * (K1 + 1.0)) / (qc + K1)
         if positions is not None:
             raw += positional_bonuses(positions[conv_id], include)
-        score = math.sqrt(501.0 / (1.0 + raw))
+        p = document_penalty(doc_len, ranks[conv_id]) if ranks is not None else 0.0
+        score = math.sqrt((501.0 + 20.0 * p) / (1.0 + raw))
         results.append((conv_id, score))
     results.sort(key=lambda r: (r[1], r[0]))
     return results[:k]
