@@ -134,6 +134,7 @@ def _search(
     positional: bool = False,
     flag_score: bool = False,
     penalties: bool = False,
+    lang: str | None = None,
 ) -> Callable[[SparkSession, str], DataFrame]:
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         reader = _get_reader(spark, sf_dir)
@@ -151,6 +152,7 @@ def _search(
             round_score_to=6,
             tie_break=F.col("conv_id").cast("long"),
             ranking=ranking,
+            lang=lang,
         )
         return res.select(
             F.col("conv_id").cast("long").alias("doc_id"), "score"
@@ -166,13 +168,42 @@ def _search(
 # ---------------------------------------------------------------------------
 
 
-def _partial_sql(alias: str, term: str) -> str:
-    dfq = f"(SELECT df::DOUBLE FROM stats WHERE term = '{term}')"
+def _partial_sql(
+    alias: str, term: str, stats_t: str = "stats", corpus_t: str = "corpus"
+) -> str:
+    dfq = f"(SELECT df::DOUBLE FROM {stats_t} WHERE term = '{term}')"
     return (
-        f"ln(1.0 + ((SELECT n FROM corpus) - {dfq} + 0.5) / ({dfq} + 0.5))"
+        f"ln(1.0 + ((SELECT n FROM {corpus_t}) - {dfq} + 0.5) / ({dfq} + 0.5))"
         f" * ({alias}.tf::DOUBLE * 2.2)"
         f" / ({alias}.tf::DOUBLE + 1.2 * (0.5 + (0.5 * d.doc_len::DOUBLE) / 5000.0))"
     )
+
+
+def _lang_ctes() -> str:
+    """CTE ``dlang``: doc_id → predicted language, the SQL twin of
+    textstats.lang_pred_col (same marker sets, same alphabetical-argmax
+    tie-break) — what the journal stamps per document."""
+    langs = sorted(textstats.LANG_MARKERS)
+    hits = ", ".join(
+        "len(list_filter(toks, t -> t IN ({m})))::BIGINT AS hits_{l}".format(
+            m=", ".join(f"'{w}'" for w in textstats.LANG_MARKERS[lang]), l=lang
+        )
+        for lang in langs
+    )
+    case = " ".join(
+        f"WHEN hits_{lang} = best AND best > 0 THEN '{lang}'" for lang in langs
+    )
+    best = ", ".join(f"hits_{lang}" for lang in langs)
+    return f"""
+, dl0 AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z]+') AS toks
+  FROM documents
+),
+dlh AS (SELECT doc_id, {hits} FROM dl0),
+dlang AS (
+  SELECT doc_id, CASE {case} ELSE 'und' END AS lang
+  FROM (SELECT doc_id, {best}, greatest({best}) AS best FROM dlh)
+)"""
 
 
 def _search_wand(query: str, k: int = _K) -> Callable[[SparkSession, str], DataFrame]:
@@ -219,8 +250,10 @@ def _bm25_sql(
     role_mod: int | None = None,
     flag_score: bool = False,
     penalties: bool = False,
+    lang: str | None = None,
 ) -> str:
     all_terms = sorted({w for p in paths for w in p})
+    stats_t, corpus_t = ("stats_l", "corpus_l") if lang else ("stats", "corpus")
     single_path = len(paths) == 1
     joins, wheres = [], []
     for i, w in enumerate(all_terms):
@@ -234,7 +267,7 @@ def _bm25_sql(
         terms_in_path = sorted(set(p))
         s = "0.0"
         for w in terms_in_path:
-            s = f"{s} + {_partial_sql(alias_of[w], w)}"
+            s = f"{s} + {_partial_sql(alias_of[w], w, stats_t, corpus_t)}"
         if flag_score:
             fs = " + ".join(_flag_partial_sql(w) for w in terms_in_path)
             s = f"{s} + 0.5 * ({fs})"
@@ -272,6 +305,20 @@ def _bm25_sql(
         # role gate on single-turn docs = congruence class of doc_id % 4
         wheres.append(f"d.doc_id % 4 = {role_mod}")
     extra_ctes = ""
+    if lang:
+        # lang-scoped stats: df/N over that language's documents only, and
+        # candidates restricted to them (per-language lexicon analogue)
+        extra_ctes += _lang_ctes()
+        extra_ctes += f"""
+, stats_l AS (
+  SELECT term, count(*)::BIGINT AS df
+  FROM tf JOIN dlang USING (doc_id) WHERE lang = '{lang}' GROUP BY term
+),
+corpus_l AS (SELECT count(*)::DOUBLE AS n FROM dlang WHERE lang = '{lang}')"""
+        wheres.append(
+            f"EXISTS (SELECT 1 FROM dlang dn WHERE dn.doc_id = d.doc_id"
+            f" AND dn.lang = '{lang}')"
+        )
     score_sql = f"round(sqrt(501.0 / (1.0 + {{raw}})), 6)"
     pen_join = ""
     if penalties:
@@ -578,6 +625,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and the quality-derived rank bucket
         "fulltext_bm25_flags": _search("spark join", flag_score=True),
         "fulltext_bm25_penalty": _search("scan", penalties=True),
+        # per-language index surface: df/IDF and candidates scoped to the
+        # journal-stamped language (453 en / 47 und docs at sf0.01, so the
+        # statistics genuinely differ from the global lexicon's)
+        "fulltext_bm25_lang": _search("spark join", lang="en"),
         # --- index stats tables (A1/A2/A3, S6 forward index) ---
         "index_lexicon_stats": _q_lexicon,
         "index_doc_stats": _q_doc_stats,
@@ -644,6 +695,7 @@ def oracle_sql() -> dict[str, str]:
 SELECT doc_id, 0.0 AS score FROM doclen WHERE 1 = 0""",
         "fulltext_bm25_flags": _bm25_sql([["spark", "join"]], flag_score=True),
         "fulltext_bm25_penalty": _bm25_sql([["scan"]], penalties=True),
+        "fulltext_bm25_lang": _bm25_sql([["spark", "join"]], lang="en"),
         "index_lexicon_stats": f"""{_COMMON}
 SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS ctf
 FROM tf GROUP BY term""",

@@ -61,6 +61,7 @@ class IndexPaths:
         self.postings = os.path.join(root, "postings")
         self.lexicon = os.path.join(root, "lexicon")
         self.doc_stats = os.path.join(root, "doc_stats")
+        self.lexicon_lang = os.path.join(root, "lexicon_lang")
         self.term_bounds = os.path.join(root, "term_bounds")
         self.prio = os.path.join(root, "prio")
         self.manifest_dir = os.path.join(root, "manifest")
@@ -86,6 +87,14 @@ def _dir_bytes(path: str) -> int:
     for dirpath, _, files in os.walk(path):
         total += sum(os.path.getsize(os.path.join(dirpath, f)) for f in files)
     return total
+
+
+def _stem_lexicon(batches):
+    from ..functions.stemmer import porter_stem
+
+    for pdf in batches:
+        pdf["stem"] = [porter_stem(t) for t in pdf["term"]]
+        yield pdf
 
 
 _TIMING = os.environ.get("MSQ_BUILD_TIMING", "") == "1"
@@ -146,7 +155,27 @@ def build_index(
         lexicon = terms.groupBy("term_id", "term").agg(
             F.count("*").alias("df"), F.sum("tf").alias("ctf")
         )
+        # Porter-stem each lexicon entry at build time (O(vocab), the one
+        # place per-string Python is proportionate) — the reference stems
+        # every dictionary term for expansion (QueryExpansion.java:21;
+        # TermFrequencyDict getTermFreqStemmed), and a stemmed lexicon
+        # makes "variants of word w" one pushed-filter probe at query time
+        lexicon = lexicon.mapInPandas(
+            _stem_lexicon,
+            schema="term_id long, term string, df long, ctf long, stem string",
+        )
         lexicon.write.mode("overwrite").parquet(paths.lexicon)
+        # per-language lexicon statistics (reference: one WordLexicon per
+        # language, WordLexicon.java:34-41) — same aggregation keyed by the
+        # journal's language stamp; lang-scoped queries take df/IDF here so
+        # a multilingual corpus doesn't mix statistics across languages
+        terms.groupBy("term_id", "term", "lang").agg(
+            F.count("*").alias("df"), F.sum("tf").alias("ctf")
+        ).write.mode("overwrite").parquet(paths.lexicon_lang)
+        lang_counts = {
+            r["lang"]: r["cnt"]
+            for r in ds.groupBy("lang").agg(F.count("*").alias("cnt")).collect()
+        }
         # block_docs is recorded so the query side can size WAND probe
         # budgets from the index's ACTUAL block geometry (not a constant)
         _write_json_atomic(
@@ -155,6 +184,7 @@ def build_index(
                 "doc_count": cs["doc_count"],
                 "avg_len": cs["avg_len"],
                 "block_docs": block_docs,
+                "lang_doc_counts": lang_counts,
             },
         )
     tmark = _mark(tmark, "stats")

@@ -50,7 +50,7 @@ from ..functions.tokenizer import (
 # byte concatenation (see functions/blocks.py)
 JOURNAL_SCHEMA = (
     "conv_id string, doc_id long, term string, tf int, positions binary, "
-    "flags int, doc_len int, n_turns int"
+    "flags int, doc_len int, n_turns int, lang string"
 )
 
 _BREAK_SEP = f" {TURN_BREAK} "
@@ -96,6 +96,7 @@ def _tokenize_convs(batches: "Iterator") -> "Iterator":
 
     for rb in batches:
         conv_pa = rb.column(rb.schema.get_field_index("conv_id"))
+        lang_pa = rb.column(rb.schema.get_field_index("lang"))
         docid_arr = np.asarray(
             rb.column(rb.schema.get_field_index("doc_id")), dtype=np.int64
         )
@@ -210,6 +211,7 @@ def _tokenize_convs(batches: "Iterator") -> "Iterator":
             np.concatenate([np.arange(n_docs, dtype=np.int64), g_doc])
         )
         conv_col = conv_pa.take(all_docs)
+        lang_col = lang_pa.take(all_docs)
         term_col = pa.concat_arrays(
             [pa.nulls(n_docs, pa.string()), term_dict.take(pa.array(g_codes))]
         )
@@ -230,6 +232,9 @@ def _tokenize_convs(batches: "Iterator") -> "Iterator":
                 ),
                 i32(np.concatenate([doc_len_arr, doc_len_arr[g_doc]])),
                 i32(np.concatenate([n_turns_arr, n_turns_arr[g_doc]])),
+                lang_col.combine_chunks()
+                if isinstance(lang_col, pa.ChunkedArray)
+                else lang_col,
             ],
             names=[
                 "conv_id",
@@ -240,6 +245,7 @@ def _tokenize_convs(batches: "Iterator") -> "Iterator":
                 "flags",
                 "doc_len",
                 "n_turns",
+                "lang",
             ],
         )
 
@@ -304,9 +310,16 @@ def build_journal(
         rank_col: F.Column | int = F.coalesce(F.col("rank"), F.lit(rank))
     else:
         rank_col = rank
-    conv_docs = conv_docs.withColumn(
-        "doc_id", doc_id_for_conv("conv_id", rank_col)
-    ).select("conv_id", "doc_id", "full_text", "turn_flags", "n_turns")
+    from .textstats import lang_pred_col
+
+    conv_docs = (
+        conv_docs.withColumn("doc_id", doc_id_for_conv("conv_id", rank_col))
+        # per-document language stamp (reference: languageIsoCode in the
+        # journal, IndexJournalPage.java:22; per-language lexicons,
+        # WordLexicon.java:34-41) — JVM expression, rides the same pass
+        .withColumn("lang", lang_pred_col(F.col("full_text")))
+        .select("conv_id", "doc_id", "full_text", "turn_flags", "n_turns", "lang")
+    )
     journal = conv_docs.mapInArrow(_tokenize_convs, schema=JOURNAL_SCHEMA)
     return journal.select(
         "doc_id",
@@ -318,6 +331,7 @@ def build_journal(
         "flags",
         "doc_len",
         "n_turns",
+        "lang",
     )
 
 
@@ -346,10 +360,11 @@ def conv_ranks_by_quality(transcripts: DataFrame, buckets: int = 64) -> DataFram
 
 
 def doc_stats(journal: DataFrame) -> DataFrame:
-    """doc_id → (conv_id, doc_len, n_turns); reads only sentinel rows, so no
-    shuffle (the reference's forward index, ForwardIndexConverter.java:65-160)."""
+    """doc_id → (conv_id, doc_len, n_turns, lang); reads only sentinel rows,
+    so no shuffle (the reference's forward index,
+    ForwardIndexConverter.java:65-160)."""
     return journal.filter(F.col("term").isNull()).select(
-        "doc_id", "conv_id", "doc_len", "n_turns"
+        "doc_id", "conv_id", "doc_len", "n_turns", "lang"
     )
 
 

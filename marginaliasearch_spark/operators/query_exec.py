@@ -186,6 +186,16 @@ class IndexReader:
         with open(paths.corpus_stats) as f:
             stats = json.load(f)
         self.n_docs = float(stats["doc_count"])
+        # per-language doc counts + lexicon (reference: per-language
+        # WordLexicon) — lang-scoped queries score with these
+        self.lang_doc_counts = {
+            k: float(v) for k, v in stats.get("lang_doc_counts", {}).items()
+        }
+        self.lexicon_lang = (
+            spark.read.parquet(paths.lexicon_lang)
+            if os.path.exists(os.path.join(paths.lexicon_lang, "_SUCCESS"))
+            else None
+        )
         # actual block geometry of this index (older indexes predate the
         # stat; fall back to the build default) — sizes WAND probe budgets
         from ..functions.blocks import BLOCK_DOCS
@@ -203,15 +213,25 @@ class IndexReader:
         return {r["term_id"]: float(r["max_tf_norm"]) for r in rows}
 
     # --- planning -----------------------------------------------------
-    def term_stats(self, words: list[str]) -> dict[str, tuple[int, int]]:
+    def term_stats(
+        self, words: list[str], lang: str | None = None
+    ) -> dict[str, tuple[int, int]]:
         """word → (term_id, df); missing words absent (df=0).
 
         Driver-side lexicon probe (SearchContext.java:167-178 numHits) —
         a pushed-down IN filter over the lexicon table, tiny result.
+        ``lang`` scopes df to one language's lexicon (a word unused in that
+        language is 'missing' there, like the reference's per-language
+        WordLexicon lookup).
         """
         if not words:
             return {}
-        rows = self.lexicon.filter(F.col("term").isin(words)).collect()
+        src = self.lexicon
+        if lang is not None:
+            if self.lexicon_lang is None:
+                raise ValueError("index has no per-language lexicon")
+            src = self.lexicon_lang.filter(F.col("lang") == lang)
+        rows = src.filter(F.col("term").isin(words)).collect()
         return {r["term"]: (r["term_id"], r["df"]) for r in rows}
 
     # --- posting access ------------------------------------------------
@@ -296,6 +316,7 @@ def run_query(
     tie_break: F.Column | None = None,
     ranking: RankingParams | None = None,
     budget_blocks: int | None = None,
+    lang: str | None = None,
     _driver_top_blocks: int | None = None,
     _driver_min_tf_norm: dict[str, float] | None = None,
 ) -> DataFrame:
@@ -316,7 +337,12 @@ def run_query(
     pq = parse_query(query) if isinstance(query, str) else query
     include_terms = pq.all_include_terms()
     phrase_terms = sorted({w for ph in pq.phrases for w in ph})
-    stats = reader.term_stats(include_terms + pq.exclude + pq.priority)
+    # lang-scoped queries take df/N from that language's lexicon partition
+    # and restrict candidates to its documents (per-language index surface)
+    stats = reader.term_stats(include_terms + pq.exclude + pq.priority, lang=lang)
+    n_corpus = (
+        reader.lang_doc_counts.get(lang, 0.0) if lang is not None else reader.n_docs
+    )
 
     # any required include term missing from the lexicon on an AND-only
     # query → empty result; OR paths drop the missing alternatives
@@ -548,6 +574,8 @@ def run_query(
 
     # ---- doc metadata join + spec limits (ParamMatchingQueryFilter) ----
     cand = cand.join(reader.doc_stats, "doc_id")
+    if lang is not None:
+        cand = cand.filter(F.col("lang") == lang)
     if pq.convs_exclude:
         cand = cand.filter(~F.col("conv_id").isin(pq.convs_exclude))
     op_map = {">": "__gt__", "<": "__lt__", "=": "__eq__", ">=": "__ge__", "<=": "__le__"}
@@ -562,7 +590,7 @@ def run_query(
             F.coalesce(F.col(f"tf_{_safe(word)}").cast("double"), F.lit(0.0)),
             F.col("doc_len").cast("double"),
             F.lit(df_w),
-            reader.n_docs,
+            n_corpus,
         )
 
     def flag_partial_col(word: str):
@@ -570,7 +598,7 @@ def run_query(
         return flags_partial(
             F.coalesce(F.col(f"flags_{_safe(word)}"), F.lit(0)),
             F.lit(df_w),
-            reader.n_docs,
+            n_corpus,
         )
 
     path_sums = []
@@ -775,6 +803,7 @@ def run_query_wand(
         and not pq.phrases
         and not pq.priority
         and kw.get("group_cap") is None
+        and kw.get("lang") is None
         and (
             kw.get("ranking") is None
             or not (

@@ -38,6 +38,26 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def lang_pred_col(text: F.Column) -> F.Column:
+    """Predicted-language column expression (marker-word hit argmax,
+    ties → alphabetical, no hits → 'und') — shared between the analysis
+    operator and the journal's per-document language stamp (the reference
+    journals ``languageIsoCode``, IndexJournalPage.java:22)."""
+    toks = F.split(F.lower(text), "[^a-z]+")
+    langs = sorted(LANG_MARKERS)
+    hits = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(LANG_MARKERS[lang])))  # noqa: B023
+        for lang in langs
+    }
+    best = F.greatest(*[hits[lang] for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):
+        pred = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(
+            pred
+        )
+    return pred
+
+
 def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """doc_id → predicted language by marker-word hit counts (ties → 'und').
 

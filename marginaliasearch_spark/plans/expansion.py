@@ -14,9 +14,15 @@ term-frequency dictionary (the reference's ``TermFrequencyDict``; our
 - ``ngramAll``    — the whole query as one ``_``-joined token (:95-107) —
   kept only when the joined token actually exists in the lexicon (our
   tokenizer preserves ``_``/``-``-joined tokens, so such terms are real);
-- ``nounPluralForms`` — last-word plural/singular variants (:169-180),
-  heuristic s/es/ies rules filtered by lexicon presence (the reference uses
-  a dictionary; we have no POS data for transcripts).
+- ``nounPluralForms`` — last-word variants (:167-178): Porter stem-class
+  mates from the (build-time stemmed) lexicon — the Snowball stemming the
+  reference applies to every graph word (``QueryExpansion.java:21``) —
+  plus the irregular singular/plural table (``NounVariants.java``
+  analogue, functions/stemmer.py).
+
+``joinTerms`` admission compares STEMMED collection frequencies
+(``dict.getTermFreqStemmed``, :147-153), which the lexicon's ``stem``
+column provides via a grouped probe.
 
 ``categoryKeywords`` (recipe → category:food, :123-138) is web-specific
 and intentionally out of scope.
@@ -31,27 +37,14 @@ from __future__ import annotations
 import re
 from dataclasses import replace
 
+from ..functions.stemmer import noun_variants, porter_stem
 from .parser import And, Or, ParsedQuery, Term, parse_query
 
 _NUM_BOUNDARY = re.compile(r"^(?:[0-9]+[a-z]+|[a-z]+[0-9]+)$")
 _SPLIT_NUM = re.compile(r"(?<=[0-9])(?=[a-z])|(?<=[a-z])(?=[0-9])")
 JOIN_CTF_FLOOR = 1000  # reference: scoreCombo > 1000 admits the join
 MAX_PATHS = 32
-
-
-def _plural_variants(word: str) -> list[str]:
-    out = []
-    if word.endswith("ies") and len(word) > 4:
-        out.append(word[:-3] + "y")
-    if word.endswith("es") and len(word) > 3:
-        out.append(word[:-2])
-    if word.endswith("s") and not word.endswith("ss") and len(word) > 2:
-        out.append(word[:-1])
-    else:
-        out.extend([word + "s", word + "es"])
-    if word.endswith("y") and len(word) > 2:
-        out.append(word[:-1] + "ies")
-    return [v for v in out if v != word]
+MAX_LAST_WORD_VARIANTS = 4  # stem-mates kept per last word (by ctf desc)
 
 
 def candidate_variants(words: list[str]) -> dict[str, list[tuple]]:
@@ -77,19 +70,24 @@ def candidate_variants(words: list[str]) -> dict[str, list[tuple]]:
             add(a + "-" + b, "alphanum", i, 2)
     if len(words) > 1:
         add("_".join(words), "ngram", 0, len(words))  # ngramAll
-    if words:
-        for v in _plural_variants(words[-1]):
-            add(v, "plural", len(words) - 1, 1)
     return cands
 
 
 def expand_terms(
-    words: list[str], stats: dict[str, tuple[int, int]]
+    words: list[str],
+    stats: dict[str, tuple[int, int]],
+    last_variants: list[str] = (),
+    stem_ctf: dict[str, int] | None = None,
 ) -> object | None:
     """Build the expanded And/Or include tree for an AND term list.
 
     ``stats``: term → (df, ctf) for every original word and candidate
     variant present in the lexicon (absent = unknown term).
+    ``last_variants``: lexicon-verified alternatives for the final word
+    (stem-class mates + irregular noun forms), already capped.
+    ``stem_ctf``: stem → summed collection frequency; when given, join
+    admission uses stemmed frequencies like the reference
+    (``dict.getTermFreqStemmed``), else falls back to surface-term ctf.
     """
     if not words:
         return None
@@ -98,22 +96,33 @@ def expand_terms(
     def ctf(t: str) -> int:
         return stats.get(t, (0, 0))[1]
 
+    def stemmed_ctf(t: str) -> int:
+        if stem_ctf is None:
+            return ctf(t)
+        return stem_ctf.get(porter_stem(t), 0)
+
     # per-position single-word alternatives
     alts: list[list[str]] = [[w] for w in words]
+    for v in last_variants:
+        if v not in alts[-1]:
+            alts[-1].append(v)
     # span variants: (start, length) → [replacement terms]
     spans: dict[tuple[int, int], list[str]] = {}
     for term, places in cands.items():
         if term not in stats:
             continue  # variant never indexed → dead branch
         for kind, pos, span in places:
-            if kind in ("word", "plural"):
+            if kind == "word":
                 if term not in alts[pos]:
                     alts[pos].append(term)
             elif kind == "alphanum" or kind == "ngram":
                 spans.setdefault((pos, span), []).append(term)
             elif kind == "join":
                 a, b = words[pos], words[pos + 1]
-                if ctf(term) > ctf(a) + ctf(b) or ctf(term) > JOIN_CTF_FLOOR:
+                if (
+                    stemmed_ctf(term) > stemmed_ctf(a) + stemmed_ctf(b)
+                    or stemmed_ctf(term) > JOIN_CTF_FLOOR
+                ):
                     spans.setdefault((pos, 2), []).append(term)
 
     # enumerate token sequences: at each position pick an alternative, or
@@ -166,7 +175,11 @@ def expand_query(reader, query: str | ParsedQuery) -> ParsedQuery:
         return pq
     probe = sorted(set(words) | set(candidate_variants(words)))
     stats = {w: (df, ctf) for w, (tid, df, ctf) in _probe(reader, probe).items()}
-    tree = expand_terms(words, stats)
+    last_variants = _last_word_variants(reader, words[-1])
+    stem_ctf = _stem_ctf_probe(
+        reader, words + list(candidate_variants(words))
+    )
+    tree = expand_terms(words, stats, last_variants, stem_ctf)
     return replace(pq, include=tree)
 
 
@@ -176,3 +189,46 @@ def _probe(reader, terms: list[str]) -> dict[str, tuple[int, int, int]]:
 
     rows = reader.lexicon.filter(F.col("term").isin(terms)).collect()
     return {r["term"]: (r["term_id"], r["df"], r["ctf"]) for r in rows}
+
+
+def _last_word_variants(reader, word: str) -> list[str]:
+    """Lexicon-verified variants of the last word: Porter stem-class mates
+    (regular plurals + derivations) and irregular noun forms, ranked by
+    collection frequency and capped — one pushed-filter lexicon probe."""
+    from pyspark.sql import functions as F
+
+    s = porter_stem(word)
+    irregular = noun_variants(word)
+    if "stem" in reader.lexicon.columns:
+        cond = F.col("stem") == s
+        if irregular:
+            cond = cond | F.col("term").isin(irregular)
+        rows = reader.lexicon.filter(cond).select("term", "ctf").collect()
+    elif irregular:  # pre-stem-column index: irregular table only
+        rows = (
+            reader.lexicon.filter(F.col("term").isin(irregular))
+            .select("term", "ctf")
+            .collect()
+        )
+    else:
+        return []
+    ranked = sorted(rows, key=lambda r: (-r["ctf"], r["term"]))
+    out = [r["term"] for r in ranked if r["term"] != word]
+    return out[:MAX_LAST_WORD_VARIANTS]
+
+
+def _stem_ctf_probe(reader, terms: list[str]) -> dict[str, int] | None:
+    """stem → summed ctf over the lexicon for the stems of ``terms`` (the
+    reference's ``getTermFreqStemmed``); None on a pre-stem-column index."""
+    from pyspark.sql import functions as F
+
+    if "stem" not in reader.lexicon.columns:
+        return None
+    stems = sorted({porter_stem(t) for t in terms})
+    rows = (
+        reader.lexicon.filter(F.col("stem").isin(stems))
+        .groupBy("stem")
+        .agg(F.sum("ctf").alias("ctf"))
+        .collect()
+    )
+    return {r["stem"]: int(r["ctf"]) for r in rows}

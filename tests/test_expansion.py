@@ -34,6 +34,12 @@ def reader(spark, tmp_path_factory):
         # make 'toolcall' dictionary-frequent so joinTerms admits the join
         *[_row(f"tc{i}", "toolcall toolcall toolcall") for i in range(6)],
         _row("c9", "tool call sequence"),
+        # irregular plural + derivational stem-mates for last-word variants
+        _row("m1", "a mouse in the wall"),
+        _row("m2", "two mice in the attic"),
+        _row("r1", "they run daily"),
+        _row("r2", "she was running fast"),
+        _row("r3", "three runs scored"),
         *[_row(f"pad{i}", f"filler{i} text noise") for i in range(20)],
     ]
     corpus = spark.createDataFrame(
@@ -54,10 +60,6 @@ def test_candidate_variants_shapes():
     assert "lawnchair" in c and "lawn_chair" in c
     c = candidate_variants(["trs", "80"])
     assert "trs-80" in c and "trs80" in c
-    c = candidate_variants(["chairs"])
-    assert "chair" in c
-    c = candidate_variants(["chair"])
-    assert "chairs" in c
 
 
 def _convs(reader, q):
@@ -86,8 +88,25 @@ def test_join_terms_requires_dictionary_support(spark, reader):
 
 def test_plural_expansion(spark, reader):
     # both spellings reach all docs containing either form (c3 has 'chair')
+    # — 'chair'/'chairs' share the Porter stem, so each probes the other
+    # via the stemmed lexicon
     assert _convs(reader, "chairs") == {"c3", "c7", "c8"}
     assert _convs(reader, "chair") == {"c3", "c7", "c8"}
+
+
+def test_irregular_plural_expansion(spark, reader):
+    """mouse↔mice carry different Porter stems — the NounVariants-analogue
+    irregular table must bridge them (VERDICT: plural heuristic missed
+    irregular forms)."""
+    assert _convs(reader, "mouse") == {"m1", "m2"}
+    assert _convs(reader, "mice") == {"m1", "m2"}
+
+
+def test_derivational_stem_class_expansion(spark, reader):
+    """run/running/runs all stem to 'run', so any one of them (as the last
+    query word) expands to the whole lexicon stem class."""
+    for q in ("run", "running", "runs"):
+        assert _convs(reader, q) == {"r1", "r2", "r3"}, q
 
 
 def test_expansion_keeps_exclusions_and_gates(spark, reader):
