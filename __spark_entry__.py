@@ -53,7 +53,7 @@ from marginaliasearch_spark.sources.transcripts import documents_as_transcripts
 # shared constants (must mirror the engine AND the oracle SQL)
 # ---------------------------------------------------------------------------
 
-_CACHE_VERSION = "v7"  # bump on any postings/journal wire-format change
+_CACHE_VERSION = "v8"  # bump on any postings/journal wire-format change
 _K = 20
 # deterministic query vector for similarity search (inlined into oracle SQL)
 _QVEC = [float((i * 37) % 19 - 9) / 10.0 for i in range(64)]
@@ -134,15 +134,19 @@ def _search(
     positional: bool = False,
     flag_score: bool = False,
     penalties: bool = False,
+    weighted: bool = False,
     lang: str | None = None,
 ) -> Callable[[SparkSession, str], DataFrame]:
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         reader = _get_reader(spark, sf_dir)
         ranking = (
             RankingParams(
-                positional=positional, flag_score=flag_score, penalties=penalties
+                positional=positional,
+                flag_score=flag_score,
+                penalties=penalties,
+                weighted_counts=weighted,
             )
-            if (positional or flag_score or penalties)
+            if (positional or flag_score or penalties or weighted)
             else None
         )
         res = run_query(
@@ -168,14 +172,28 @@ def _search(
 # ---------------------------------------------------------------------------
 
 
+# role-span weight of a single-turn doc (ingest.WEIGHT_Q4_*): system 2.5,
+# tool 1.25, body 1.0 — every occurrence in the doc carries the doc's role
+_ROLE_WEIGHT_SQL = (
+    "(CASE d.doc_id % 4 WHEN 0 THEN 2.5 WHEN 3 THEN 1.25 ELSE 1.0 END)"
+)
+
+
 def _partial_sql(
-    alias: str, term: str, stats_t: str = "stats", corpus_t: str = "corpus"
+    alias: str,
+    term: str,
+    stats_t: str = "stats",
+    corpus_t: str = "corpus",
+    weighted: bool = False,
 ) -> str:
     dfq = f"(SELECT df::DOUBLE FROM {stats_t} WHERE term = '{term}')"
+    c = f"{alias}.tf::DOUBLE"
+    if weighted:
+        c = f"({alias}.tf::DOUBLE * {_ROLE_WEIGHT_SQL})"
     return (
         f"ln(1.0 + ((SELECT n FROM {corpus_t}) - {dfq} + 0.5) / ({dfq} + 0.5))"
-        f" * ({alias}.tf::DOUBLE * 2.2)"
-        f" / ({alias}.tf::DOUBLE + 1.2 * (0.5 + (0.5 * d.doc_len::DOUBLE) / 5000.0))"
+        f" * ({c} * 2.2)"
+        f" / ({c} + 1.2 * (0.5 + (0.5 * d.doc_len::DOUBLE) / 5000.0))"
     )
 
 
@@ -251,6 +269,7 @@ def _bm25_sql(
     flag_score: bool = False,
     penalties: bool = False,
     lang: str | None = None,
+    weighted: bool = False,
 ) -> str:
     all_terms = sorted({w for p in paths for w in p})
     stats_t, corpus_t = ("stats_l", "corpus_l") if lang else ("stats", "corpus")
@@ -267,7 +286,7 @@ def _bm25_sql(
         terms_in_path = sorted(set(p))
         s = "0.0"
         for w in terms_in_path:
-            s = f"{s} + {_partial_sql(alias_of[w], w, stats_t, corpus_t)}"
+            s = f"{s} + {_partial_sql(alias_of[w], w, stats_t, corpus_t, weighted)}"
         if flag_score:
             fs = " + ".join(_flag_partial_sql(w) for w in terms_in_path)
             s = f"{s} + 0.5 * ({fs})"
@@ -629,6 +648,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # journal-stamped language (453 en / 47 und docs at sf0.01, so the
         # statistics genuinely differ from the global lexicon's)
         "fulltext_bm25_lang": _search("spark join", lang="en"),
+        # role-span-weighted BM25 counts (tag-weighted c analogue)
+        "fulltext_bm25_weighted": _search("spark join", weighted=True),
         # --- index stats tables (A1/A2/A3, S6 forward index) ---
         "index_lexicon_stats": _q_lexicon,
         "index_doc_stats": _q_doc_stats,
@@ -696,6 +717,7 @@ SELECT doc_id, 0.0 AS score FROM doclen WHERE 1 = 0""",
         "fulltext_bm25_flags": _bm25_sql([["spark", "join"]], flag_score=True),
         "fulltext_bm25_penalty": _bm25_sql([["scan"]], penalties=True),
         "fulltext_bm25_lang": _bm25_sql([["spark", "join"]], lang="en"),
+        "fulltext_bm25_weighted": _bm25_sql([["spark", "join"]], weighted=True),
         "index_lexicon_stats": f"""{_COMMON}
 SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS ctf
 FROM tf GROUP BY term""",

@@ -37,8 +37,9 @@ from .codecs import (
 BLOCK_DOCS = 4096  # docs per block ≈ the reference's 8 KiB skip-list blocks
 
 POSTINGS_SCHEMA = (
-    "term_id long, n_docs int, doc_ids binary, tfs binary, positions binary, "
-    "flags binary, min_doc long, max_doc long, max_tf_norm double"
+    "term_id long, n_docs int, doc_ids binary, tfs binary, wtfs binary, "
+    "positions binary, flags binary, min_doc long, max_doc long, "
+    "max_tf_norm double"
 )
 
 
@@ -46,6 +47,7 @@ def _encode_term_run(
     term_id: int,
     doc_ids: np.ndarray,
     tfs: np.ndarray,
+    wtfs: np.ndarray,
     pos_bytes: list[bytes],
     flags: np.ndarray,
     tf_norms: np.ndarray,
@@ -61,6 +63,9 @@ def _encode_term_run(
             "n_docs": end - start,
             "doc_ids": encode_sorted(ids),
             "tfs": varbyte_encode(tfs[start:end].astype(np.uint64)),
+            # role-span-weighted counts, quarter-scaled to stay integral
+            # (weights are multiples of 0.25 — UnorderedMatches weights)
+            "wtfs": varbyte_encode(wtfs[start:end].astype(np.uint64)),
             "positions": b"".join(pos_bytes[start:end]),
             "flags": varbyte_encode(flags[start:end].astype(np.uint64)),
             "min_doc": int(ids[0]),
@@ -85,6 +90,7 @@ def encode_blocks(
         term_ids = pdf["term_id"].to_numpy()
         doc_arr = pdf["doc_id"].to_numpy()
         tf_arr = pdf["tf"].to_numpy()
+        wtf_arr = pdf["wtf_q4"].to_numpy()
         flag_arr = pdf["flags"].to_numpy()
         score_arr = pdf["tf_norm"].to_numpy()
         pos_list = pdf["positions"].tolist()
@@ -103,6 +109,7 @@ def encode_blocks(
                     int(term_ids[s]),
                     doc_arr[s:e],
                     tf_arr[s:e],
+                    wtf_arr[s:e],
                     pos_list[s:e],
                     flag_arr[s:e],
                     score_arr[s:e],
@@ -128,6 +135,7 @@ def encode_blocks(
 def decode_blocks(
     batches: Iterator[pd.DataFrame],
     with_positions: bool = False,
+    with_wtf: bool = False,
     candidates: np.ndarray | None = None,
 ) -> Iterator[pd.DataFrame]:
     """Block rows → exploded (term_id, doc_id, tf[, positions]) rows.
@@ -144,6 +152,7 @@ def decode_blocks(
         candidates = candidates.value
     for pdf in batches:
         out_term, out_doc, out_tf, out_flags = [], [], [], []
+        out_wtf: list = []
         out_pos: list = []
         for row in pdf.itertuples(index=False):
             if candidates is not None:
@@ -154,6 +163,8 @@ def decode_blocks(
             doc_ids = decode_sorted(row.doc_ids)
             tfs = varbyte_decode(row.tfs)
             flags = varbyte_decode(row.flags)
+            if with_wtf:
+                wtfs = varbyte_decode(row.wtfs)
             if candidates is not None:
                 mask = np.isin(doc_ids, candidates[lo:hi], assume_unique=True)
                 if not mask.any():
@@ -166,12 +177,16 @@ def decode_blocks(
                 plists = np.split(flat.astype(np.int64), splits)
             if mask is not None:
                 doc_ids, tfs, flags = doc_ids[mask], tfs[mask], flags[mask]
+                if with_wtf:
+                    wtfs = wtfs[mask]
                 if with_positions:
                     plists = [p for p, m in zip(plists, mask) if m]
             out_term.append(np.full(doc_ids.size, row.term_id, dtype=np.int64))
             out_doc.append(doc_ids.astype(np.int64))
             out_tf.append(tfs.astype(np.int32))
             out_flags.append(flags.astype(np.int32))
+            if with_wtf:
+                out_wtf.append(wtfs.astype(np.int32))
             if with_positions:
                 out_pos.extend(plists)
         if not out_term:
@@ -182,10 +197,23 @@ def decode_blocks(
             "tf": np.concatenate(out_tf),
             "flags": np.concatenate(out_flags),
         }
+        if with_wtf:
+            data["wtf_q4"] = np.concatenate(out_wtf)
         if with_positions:
             data["positions"] = out_pos
         yield pd.DataFrame(data)
 
 
 DECODED_SCHEMA = "term_id long, doc_id long, tf int, flags int"
-DECODED_SCHEMA_POS = DECODED_SCHEMA + ", positions array<int>"
+
+
+def decoded_schema(with_positions: bool = False, with_wtf: bool = False) -> str:
+    s = DECODED_SCHEMA
+    if with_wtf:
+        s += ", wtf_q4 int"
+    if with_positions:
+        s += ", positions array<int>"
+    return s
+
+
+DECODED_SCHEMA_POS = decoded_schema(with_positions=True)

@@ -204,6 +204,7 @@ def build_index(
             "term_id",
             "doc_id",
             "tf",
+            "wtf_q4",
             "positions",
             "flags",
             tf_norm(
@@ -257,6 +258,7 @@ def build_index(
             "term_id",
             "doc_id",
             "tf",
+            "wtf_q4",
             F.lit(b"").alias("positions"),
             "flags",
             tf_norm(

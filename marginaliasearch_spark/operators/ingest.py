@@ -49,9 +49,20 @@ from ..functions.tokenizer import (
 # the postings shuffle moves compact bytes and the block encoder is a plain
 # byte concatenation (see functions/blocks.py)
 JOURNAL_SCHEMA = (
-    "conv_id string, doc_id long, term string, tf int, positions binary, "
-    "flags int, doc_len int, n_turns int, lang string"
+    "conv_id string, doc_id long, term string, tf int, wtf_q4 int, "
+    "positions binary, flags int, doc_len int, n_turns int, lang string"
 )
+
+# Role-span weights for the BM25 count (quarter-scaled so the journal and
+# postings carry an integer): the reference weights each occurrence by its
+# enclosing tag span — TITLE 2.5, HEADING 1.25, BODY 1.0
+# (IndexResultRankingService.java UnorderedMatches weights, :566-579).
+# Transcript analogue: system turns play TITLE, tool turns HEADING, user/
+# assistant turns are BODY. A system+tool turn takes the system weight
+# (transcript roles don't nest, unlike HTML spans).
+WEIGHT_Q4_SYSTEM = 10  # 2.5
+WEIGHT_Q4_TOOL = 5  # 1.25
+WEIGHT_Q4_BODY = 4  # 1.0
 
 _BREAK_SEP = f" {TURN_BREAK} "
 
@@ -174,6 +185,18 @@ def _tokenize_convs(batches: "Iterator") -> "Iterator":
                 bounds = np.zeros(1, dtype=np.int64)
             grp_starts = bounds[:-1].astype(np.int64)
             tf = np.diff(bounds).astype(np.int64)
+            # role-weighted count (quarter-scaled): per-token weight from
+            # its turn's role flags, summed per (doc, term) group
+            wq4 = np.where(
+                kf & FLAG_SYSTEM,
+                WEIGHT_Q4_SYSTEM,
+                np.where(kf & FLAG_TOOL, WEIGHT_Q4_TOOL, WEIGHT_Q4_BODY),
+            ).astype(np.int64)
+            wtf = (
+                np.add.reduceat(wq4, grp_starts)
+                if wq4.size
+                else np.empty(0, dtype=np.int64)
+            )
             deltas = segmented_delta(kp.astype(np.uint64), grp_starts)
             enc, offs = varbyte_encode_with_offsets(deltas)
             byte_bounds = offs[bounds]
@@ -188,6 +211,7 @@ def _tokenize_convs(batches: "Iterator") -> "Iterator":
         else:
             doc_len_arr = np.zeros(n_docs, dtype=np.int64)
             tf = np.empty(0, dtype=np.int64)
+            wtf = np.empty(0, dtype=np.int64)
             enc = b""
             byte_bounds = np.zeros(1, dtype=np.int64)
             g_doc = np.empty(0, dtype=np.int64)
@@ -226,6 +250,7 @@ def _tokenize_convs(batches: "Iterator") -> "Iterator":
                 ),
                 term_col,
                 i32(np.concatenate([np.zeros(n_docs, dtype=np.int64), tf])),
+                i32(np.concatenate([np.zeros(n_docs, dtype=np.int64), wtf])),
                 positions_col,
                 i32(
                     np.concatenate([np.zeros(n_docs, dtype=np.int64), g_flags])
@@ -241,6 +266,7 @@ def _tokenize_convs(batches: "Iterator") -> "Iterator":
                 "doc_id",
                 "term",
                 "tf",
+                "wtf_q4",
                 "positions",
                 "flags",
                 "doc_len",
@@ -327,6 +353,7 @@ def build_journal(
         "term",
         term_id_expr("term").alias("term_id"),
         "tf",
+        "wtf_q4",
         "positions",
         "flags",
         "doc_len",

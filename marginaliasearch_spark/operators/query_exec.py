@@ -39,7 +39,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.blocks import DECODED_SCHEMA, DECODED_SCHEMA_POS, decode_blocks
+from ..functions.blocks import decode_blocks, decoded_schema
 from ..functions.scoring import (
     FLAG_BM25_WEIGHT,
     bm25_partial,
@@ -74,11 +74,17 @@ class RankingParams:
     ``penalties=True`` feeds the document bonus/penalty (short-doc +
     rank-bucket quality, scoring.document_penalty) into ``normalize``'s
     penalty argument (IndexResultRankingService.java:155-158) instead of 0.
+
+    ``weighted_counts=True`` scores BM25 with the role-span-weighted count
+    (system 2.5 / tool 1.25 / body 1.0 per occurrence — the reference's
+    tag-span-weighted ``c``, UnorderedMatches :566-604) instead of the raw
+    term frequency. Term presence/DF statistics are unchanged.
     """
 
     positional: bool = False
     flag_score: bool = False
     penalties: bool = False
+    weighted_counts: bool = False
 
 
 def _min_spread_batch(
@@ -240,6 +246,7 @@ class IndexReader:
         term_id: int,
         candidates: np.ndarray | None = None,
         with_positions: bool = False,
+        with_wtf: bool = False,
         min_tf_norm: float | None = None,
         top_blocks: int | None = None,
         first_blocks: int | None = None,
@@ -271,12 +278,17 @@ class IndexReader:
         # column pruning into the parquet scan: the positions payload (the
         # widest column) is only read when the query needs positions
         cols = ["term_id", "n_docs", "doc_ids", "tfs", "flags", "min_doc", "max_doc"]
+        if with_wtf:
+            cols.insert(4, "wtfs")
         if with_positions:
             cols.insert(4, "positions")
         fn = partial(
-            decode_blocks, with_positions=with_positions, candidates=candidates
+            decode_blocks,
+            with_positions=with_positions,
+            with_wtf=with_wtf,
+            candidates=candidates,
         )
-        schema = DECODED_SCHEMA_POS if with_positions else DECODED_SCHEMA
+        schema = decoded_schema(with_positions, with_wtf)
         return blocks.select(*cols).mapInPandas(fn, schema=schema).drop("term_id")
 
 
@@ -367,6 +379,7 @@ def run_query(
     positional = ranking is not None and ranking.positional
     flag_score = ranking is not None and ranking.flag_score
     penalties = ranking is not None and ranking.penalties
+    weighted = ranking is not None and ranking.weighted_counts
     need_pos = set(phrase_terms) | (set(live_terms) if positional else set())
 
     # role gate (in:system ...) → required flag mask per matched term
@@ -395,12 +408,15 @@ def run_query(
             tid,
             candidates=candidates,
             with_positions=word in need_pos,
+            with_wtf=weighted,
             min_tf_norm=(_driver_min_tf_norm or {}).get(word),
             top_blocks=_driver_top_blocks if is_driver else None,
             first_blocks=budget_blocks if is_driver else None,
             tier="prio" if (prio_ok and word not in need_pos) else "full",
         )
         cols = [F.col("doc_id"), F.col("tf").alias(f"tf_{_safe(word)}")]
+        if weighted:
+            cols.append(F.col("wtf_q4").alias(f"wtf_{_safe(word)}"))
         if gate_mask or flag_score:
             cols.append(F.col("flags").alias(f"flags_{_safe(word)}"))
         if word in need_pos:
@@ -503,6 +519,7 @@ def run_query(
                 stats[w][0],
                 candidates=cand_ids,
                 with_positions=w in need_pos,
+                with_wtf=weighted,
                 min_tf_norm=(_driver_min_tf_norm or {}).get(w),
                 top_blocks=_driver_top_blocks,
                 tier="prio" if (prio_ok and w not in need_pos) else "full",
@@ -511,6 +528,9 @@ def run_query(
                 F.col("doc_id"),
                 F.lit(i).alias("ti"),
                 F.col("tf"),
+                (F.col("wtf_q4") if weighted else F.lit(None).cast("int")).alias(
+                    "wtf_q4"
+                ),
                 F.col("flags"),
                 (
                     F.col("positions")
@@ -524,6 +544,12 @@ def run_query(
         for i, w in enumerate(live_terms):
             tfi = F.when(F.col("ti") == i, F.col("tf"))
             aggs.append(F.max(tfi).alias(f"tf_{_safe(w)}"))
+            if weighted:
+                aggs.append(
+                    F.max(F.when(F.col("ti") == i, F.col("wtf_q4"))).alias(
+                        f"wtf_{_safe(w)}"
+                    )
+                )
             if gate_mask or flag_score:
                 aggs.append(
                     F.max(F.when(F.col("ti") == i, F.col("flags"))).alias(
@@ -586,8 +612,14 @@ def run_query(
     # ---- scoring: per-term partials, max-over-paths of sum-along-path ----
     def partial_col(word: str):
         df_w = float(stats[word][1])
+        if weighted:
+            c = F.coalesce(
+                F.col(f"wtf_{_safe(word)}").cast("double") / 4.0, F.lit(0.0)
+            )
+        else:
+            c = F.coalesce(F.col(f"tf_{_safe(word)}").cast("double"), F.lit(0.0))
         return bm25_partial(
-            F.coalesce(F.col(f"tf_{_safe(word)}").cast("double"), F.lit(0.0)),
+            c,
             F.col("doc_len").cast("double"),
             F.lit(df_w),
             n_corpus,
@@ -810,6 +842,7 @@ def run_query_wand(
                 kw["ranking"].positional
                 or kw["ranking"].flag_score
                 or kw["ranking"].penalties
+                or kw["ranking"].weighted_counts
             )
         )
     )

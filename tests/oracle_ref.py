@@ -114,6 +114,7 @@ def bm25_rank(
     positions: dict[str, list[tuple[str, int]]] | None = None,
     term_roles: dict[str, dict[str, set[str]]] | None = None,
     ranks: dict[str, int] | None = None,
+    weighted_counts: dict[str, dict[str, float]] | None = None,
 ) -> list[tuple[str, float]]:
     """AND query over token-list docs → ascending-normalized top-k.
 
@@ -124,6 +125,9 @@ def bm25_rank(
     when given, the flag-BM25 term (score_bFlags, weight 0.5, b=0) is added.
     ``ranks``: conv_id → rank bucket; when given, the document penalty feeds
     normalize() instead of 0.
+    ``weighted_counts``: conv_id → term → role-span-weighted occurrence
+    count (system 2.5 / tool 1.25 / body 1.0 per occurrence); when given it
+    replaces the raw term frequency as BM25's c.
     """
     n_docs = len(docs)
     df: dict[str, int] = {}
@@ -142,7 +146,10 @@ def bm25_rank(
         for q in sorted(set(include)):
             n = df[q]
             idf = math.log(1.0 + (n_docs - n + 0.5) / (n + 0.5))
-            c = terms.count(q)
+            if weighted_counts is not None:
+                c = weighted_counts[conv_id].get(q, 0.0)
+            else:
+                c = terms.count(q)
             tf = c * (K1 + 1.0) / (c + K1 * (1.0 - B + B * doc_len / AVG_LENGTH))
             raw += idf * tf
             if term_roles is not None:

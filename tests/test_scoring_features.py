@@ -88,6 +88,37 @@ def test_penalties_match_numpy_oracle(spark, built, query):
         assert gs == pytest.approx(ws, abs=1e-9), (gc, wc)
 
 
+def _role_weight(role: str, has_tool: bool) -> float:
+    if role == "system":
+        return 2.5
+    if role == "tool" or has_tool:
+        return 1.25
+    return 1.0
+
+
+@pytest.mark.parametrize("query", ["word00 word03", "word02"])
+def test_weighted_counts_match_numpy_oracle(spark, built, query):
+    """Role-span-weighted BM25 counts (the reference's tag-weighted c) vs a
+    brute-force per-turn recomputation."""
+    reader, docs, _, _ = built
+    corpus_rows = bm25_corpus(spark, 200).collect()
+    wc: dict[str, dict[str, float]] = {}
+    for r in corpus_rows:
+        w = _role_weight(r["role"], (r["tool"] or "") != "")
+        m = wc.setdefault(r["conv_id"], {})
+        for tok in tokenize(r["text"]):
+            m[tok] = m.get(tok, 0.0) + w
+    include = query.split()
+    want = [
+        (cid, round(s, 9))
+        for cid, s in bm25_rank(docs, include, k=15, weighted_counts=wc)
+    ]
+    got = _engine(reader, query, RankingParams(weighted_counts=True))
+    assert [c for c, _ in got] == [c for c, _ in want]
+    for (gc, gs), (wc_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=1e-9), (gc, wc_)
+
+
 def test_flags_and_penalties_compose(spark, built):
     reader, docs, term_roles, rank_of = built
     want = [
