@@ -159,6 +159,30 @@ def proximity_bonus(min_dist: Column, n_terms: int) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+OPTIONAL_BODY_WEIGHT = 0.5  # weights_partial[BODY] (:441-453)
+
+
+def optional_group_bonus(
+    phrase_count: Column, size: int, full_size: int
+) -> Column:
+    """Optional phrase-constraint group score (expansion segments):
+    ``0.5 * size * sqrt(size/full) * (1 + ln(1 + cnt^0.5))`` for cnt > 0
+    in-order matches — the BODY case of the reference's optional-group
+    verbatim scoring (IndexResultRankingService.java:521-545; partial
+    weight 0.5, attenuation 0.5, sizeScalingFactor sqrt(size/full))."""
+    import math
+
+    c = phrase_count.cast("double")
+    scale = math.sqrt(size / float(max(full_size, 1)))
+    return F.when(
+        c > 0,
+        OPTIONAL_BODY_WEIGHT
+        * float(size)
+        * scale
+        * (1.0 + F.log(1.0 + F.pow(c, VERBATIM_BODY_ATTENUATION))),
+    ).otherwise(F.lit(0.0))
+
+
 def verbatim_bonus(phrase_count: Column, n_terms: int) -> Column:
     """BODY full-group verbatim score: ``1.0 * n_terms *
     (1 + ln(1 + cnt^0.5))`` for cnt > 0 in-order full-query phrase matches

@@ -47,6 +47,7 @@ from ..functions.scoring import (
     first_position_bonus,
     flags_partial,
     normalize,
+    optional_group_bonus,
     proximity_bonus,
     verbatim_bonus,
 )
@@ -696,6 +697,32 @@ def run_query(
             bonuses = bonuses + proximity_bonus(
                 _min_spread_udf(adjusted), len(ordered)
             )
+        # optional phrase-constraint groups (expansion segments): in-order
+        # matches of the group's ORIGINAL words boost the score, scaled by
+        # the group's share of the full query (reference optional-group
+        # verbatim scoring; the mandatory groups are pq.phrases above)
+        full_size = max(len(ordered), 1)
+        for grp in pq.opt_phrases:
+            if len(grp) < 2 or any(w not in stats for w in grp):
+                continue
+            gpos = {w: F.col(f"pos_{_safe(w)}") for w in grp}
+            gbase = gpos[grp[0]]
+
+            def _adj(words_):
+                return lambda p: reduce(
+                    lambda acc, i: acc
+                    & F.array_contains(gpos[words_[i]], p + i),
+                    range(1, len(words_)),
+                    F.lit(True),
+                )
+
+            gpresent = reduce(
+                lambda a, w: a & gpos[w].isNotNull(), grp, F.lit(True)
+            )
+            gcnt = F.when(
+                gpresent, F.size(F.filter(gbase, _adj(grp)))
+            ).otherwise(F.lit(0))
+            bonuses = bonuses + optional_group_bonus(gcnt, len(grp), full_size)
         raw = raw + bonuses
 
     # priority terms: score bonus when present (reference multiplies by

@@ -151,15 +151,29 @@ def expand_terms(
         if key not in seen:
             seen.add(key)
             uniq.append(p)
+    # admitted word spans become optional phrase-constraint groups (the
+    # reference's createSegments constraints, QueryExpansion.java:187-228:
+    # every recognized segment is both an n-gram variant AND an optional
+    # constraint that boosts docs where the original words appear in order)
+    opt_constraints = sorted(
+        {
+            tuple(words[s : s + ln])
+            for (s, ln) in spans
+            if ln >= 2 and ln < len(words)
+        }
+    )
+    tree: object
     if len(uniq) == 1:
         p = uniq[0]
-        return Term(p[0]) if len(p) == 1 else And(tuple(Term(w) for w in p))
-    return Or(
-        tuple(
-            Term(p[0]) if len(p) == 1 else And(tuple(Term(w) for w in p))
-            for p in uniq
+        tree = Term(p[0]) if len(p) == 1 else And(tuple(Term(w) for w in p))
+    else:
+        tree = Or(
+            tuple(
+                Term(p[0]) if len(p) == 1 else And(tuple(Term(w) for w in p))
+                for p in uniq
+            )
         )
-    )
+    return tree, [list(c) for c in opt_constraints]
 
 
 def expand_query(reader, query: str | ParsedQuery) -> ParsedQuery:
@@ -179,8 +193,8 @@ def expand_query(reader, query: str | ParsedQuery) -> ParsedQuery:
     stem_ctf = _stem_ctf_probe(
         reader, words + list(candidate_variants(words))
     )
-    tree = expand_terms(words, stats, last_variants, stem_ctf)
-    return replace(pq, include=tree)
+    tree, opt_constraints = expand_terms(words, stats, last_variants, stem_ctf)
+    return replace(pq, include=tree, opt_phrases=opt_constraints)
 
 
 def _probe(reader, terms: list[str]) -> dict[str, tuple[int, int, int]]:

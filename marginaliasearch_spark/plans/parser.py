@@ -118,6 +118,12 @@ class ParsedQuery:
     exclude: list[str] = field(default_factory=list)
     priority: list[str] = field(default_factory=list)
     phrases: list[list[str]] = field(default_factory=list)
+    # optional phrase-constraint groups (reference: QueryFactory adds
+    # expansion-produced segments as SearchPhraseConstraint.optional,
+    # QueryFactory.java:181-187; quoted phrases above are the MANDATORY
+    # kind — filters — while optional groups only contribute score,
+    # IndexResultRankingService.java:521-545)
+    opt_phrases: list[list[str]] = field(default_factory=list)
     limits: list[SpecLimit] = field(default_factory=list)
     # role gates: ``in:system`` etc. — every include term must carry the
     # role's flag in the matched doc (the reference's query-strategy gate,

@@ -118,3 +118,44 @@ def test_expansion_keeps_exclusions_and_gates(spark, reader):
 def test_no_expansion_for_unknown_variants(spark, reader):
     # 'filler3' has no indexed variants → single-path query unchanged
     assert _convs(reader, "filler3") == {"pad3"}
+
+
+def test_expansion_emits_optional_constraints(spark, reader):
+    """Admitted word segments become OPTIONAL phrase-constraint groups
+    (QueryFactory.java:181-183) — scoring hints, not filters."""
+    # segments strictly shorter than the query only (the full span is the
+    # full-group verbatim bonus; createSegments: length < words.length)
+    pq = expand_query(reader, "tool call sequence")
+    assert ["tool", "call"] in pq.opt_phrases
+    assert expand_query(reader, "tool call").opt_phrases == []
+    # un-admitted segment ('lawnchair' too rare, no 'lawn_chair' ngram) →
+    # no constraint
+    assert expand_query(reader, "lawn chair sale").opt_phrases == []
+
+
+def test_optional_constraint_scores_but_does_not_filter(spark, reader):
+    """A doc matching the group's words in order gains exactly the
+    optional-group bonus 0.5*size*sqrt(size/full)*(1+ln(1+sqrt(cnt)));
+    non-adjacent docs still match (unlike a mandatory quoted phrase)."""
+    import math
+
+    from marginaliasearch_spark.operators.query_exec import RankingParams
+    from marginaliasearch_spark.plans.parser import parse_query
+
+    pq_plain = parse_query("tool call sequence")
+    pq_opt = parse_query("tool call sequence")
+    pq_opt.opt_phrases = [["tool", "call"]]
+    rk = RankingParams(positional=True)
+    s_plain = {
+        r["conv_id"]: r["score"]
+        for r in run_query(reader, pq_plain, k=10, ranking=rk).collect()
+    }
+    s_opt = {
+        r["conv_id"]: r["score"]
+        for r in run_query(reader, pq_opt, k=10, ranking=rk).collect()
+    }
+    assert set(s_plain) == set(s_opt) == {"c9"}  # no filtering
+    raw_plain = 501.0 / s_plain["c9"] ** 2 - 1.0
+    raw_opt = 501.0 / s_opt["c9"] ** 2 - 1.0
+    want_bonus = 0.5 * 2 * math.sqrt(2.0 / 3.0) * (1.0 + math.log(1.0 + 1.0))
+    assert raw_opt - raw_plain == pytest.approx(want_bonus, abs=1e-9)
