@@ -70,6 +70,13 @@ BENCH_QUERIES = [
     "sim_cosine_topk",
     "sim_lsh_topk",
     "events_hourly",
+    # round-2 additions (keep earlier keys stable for cross-round deltas)
+    "fulltext_wand_and",
+    "fulltext_bm25_flags",
+    "fulltext_bm25_weighted",
+    "fulltext_bm25_lang",
+    "sim_ivf_topk",
+    "mm_image_features",
 ]
 
 

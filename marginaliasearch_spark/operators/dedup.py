@@ -30,6 +30,19 @@ from pyspark.sql import types as T
 from ..functions.tokenizer import MAX_RAW_TOKEN_LENGTH, SIMPLE_SPLIT_RE
 
 
+def _spread(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Round-robin the selected columns across the cluster when the source
+    has fewer partitions than cores — a small driver-tables parquet is one
+    row group, which would pin the heavy hash kernels to a single task.
+    At real scale the input already has >= cores partitions and this is a
+    no-op (results are partitioning-invariant either way — tested)."""
+    sel = df.select(*cols)
+    defp = df.sparkSession.sparkContext.defaultParallelism
+    if sel.rdd.getNumPartitions() < defp:
+        sel = sel.repartition(defp)
+    return sel
+
+
 def simple_tokens_col(text_col: str = "text") -> F.Column:
     """The SQL-expressible 'simple' tokenizer as a JVM column expression
     (shared spec with the DuckDB oracle — see tokenizer.SIMPLE_SPLIT_RE)."""
@@ -318,7 +331,7 @@ def minhash_signatures(
                 {"doc_id": pdf["doc_id"], "signature": list(sig)}
             )
 
-    return docs.select("doc_id", text_col).mapInPandas(
+    return _spread(docs, ["doc_id", text_col]).mapInPandas(
         sig_batch, schema="doc_id long, signature array<long>"
     )
 
@@ -423,7 +436,7 @@ def simhash_bits(
                 out[nz] = words.astype(np.int64)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
 
-    return docs.select("doc_id", text_col).mapInPandas(
+    return _spread(docs, ["doc_id", text_col]).mapInPandas(
         batch, schema="doc_id long, simhash long"
     )
 

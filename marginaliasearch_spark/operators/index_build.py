@@ -152,8 +152,20 @@ def build_index(
         ds.write.mode("overwrite").parquet(paths.doc_stats)
         cs = ingest.corpus_stats(ds).collect()[0]
         terms = journal.filter(F.col("term").isNotNull())
-        lexicon = terms.groupBy("term_id", "term").agg(
+        # ONE aggregation pass over the journal builds the per-language
+        # lexicon (reference: one WordLexicon per language,
+        # WordLexicon.java:34-41); the global lexicon then derives from the
+        # tiny per-language result (vocab x langs rows) instead of a second
+        # full journal shuffle — lang-scoped queries take df/IDF from the
+        # per-language table so a multilingual corpus doesn't mix stats
+        lexicon_lang = terms.groupBy("term_id", "term", "lang").agg(
             F.count("*").alias("df"), F.sum("tf").alias("ctf")
+        )
+        lexicon_lang.write.mode("overwrite").parquet(paths.lexicon_lang)
+        lexicon = (
+            spark.read.parquet(paths.lexicon_lang)
+            .groupBy("term_id", "term")
+            .agg(F.sum("df").alias("df"), F.sum("ctf").alias("ctf"))
         )
         # Porter-stem each lexicon entry at build time (O(vocab), the one
         # place per-string Python is proportionate) — the reference stems
@@ -165,13 +177,6 @@ def build_index(
             schema="term_id long, term string, df long, ctf long, stem string",
         )
         lexicon.write.mode("overwrite").parquet(paths.lexicon)
-        # per-language lexicon statistics (reference: one WordLexicon per
-        # language, WordLexicon.java:34-41) — same aggregation keyed by the
-        # journal's language stamp; lang-scoped queries take df/IDF here so
-        # a multilingual corpus doesn't mix statistics across languages
-        terms.groupBy("term_id", "term", "lang").agg(
-            F.count("*").alias("df"), F.sum("tf").alias("ctf")
-        ).write.mode("overwrite").parquet(paths.lexicon_lang)
         lang_counts = {
             r["lang"]: r["cnt"]
             for r in ds.groupBy("lang").agg(F.count("*").alias("cnt")).collect()

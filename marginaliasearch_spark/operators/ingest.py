@@ -83,6 +83,48 @@ ROLE_FLAG = {"system": FLAG_SYSTEM, "assistant": FLAG_ASSISTANT, "user": FLAG_US
 PRIORITY_FLAGS = FLAG_SYSTEM | FLAG_TOOL
 
 
+def _lang_batch(full_text: "object") -> "object":
+    """Per-document language stamp (marker-hit argmax, ties alphabetical,
+    no hits → 'und') over an Arrow string array — one pyarrow
+    ``split_pattern_regex`` pass + per-unique-token marker lookup.
+
+    Semantics mirror textstats.lang_pred_col / the DuckDB oracle's
+    ``regexp_split_to_array(lower(text), '[^a-z]+')`` exactly. Computed
+    HERE (inside the tokenize kernel) rather than as a JVM column because
+    Catalyst's project-collapsing re-evaluates the split once per
+    reference (~20x per document through the greatest/CASE tree), which
+    measured ~40% of the whole journal build.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .textstats import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    toks = pc.split_pattern_regex(pc.utf8_lower(full_text), "[^a-z]+")
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = toks.flatten()
+    de = flat.dictionary_encode()
+    codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = de.dictionary.to_pylist()
+    n_docs = len(toks)
+    hits = np.zeros((n_docs, len(langs)), dtype=np.int64)
+    for li, lang in enumerate(langs):
+        markers = set(LANG_MARKERS[lang])
+        u_hit = np.fromiter(
+            (u in markers for u in uniq), dtype=bool, count=len(uniq)
+        )
+        tok_hit = u_hit[codes] if codes.size else np.empty(0, dtype=bool)
+        cs = np.zeros(len(flat) + 1, dtype=np.int64)
+        np.cumsum(tok_hit, out=cs[1:])
+        hits[:, li] = cs[offsets[1:]] - cs[offsets[:-1]]
+    best = hits.max(axis=1)
+    # first (alphabetical) language achieving the max, 'und' when max == 0
+    arg = np.argmax(hits, axis=1)
+    out = np.where(best > 0, np.asarray(langs, dtype=object)[arg], "und")
+    return pa.array(out.tolist(), type=pa.string())
+
+
 def _tokenize_convs(batches: "Iterator") -> "Iterator":
     """Arrow-batched (``mapInArrow``): (conv_id, full_text, n_turns,
     turn_flags) RecordBatches → per-(conv, term) journal RecordBatches.
@@ -107,7 +149,10 @@ def _tokenize_convs(batches: "Iterator") -> "Iterator":
 
     for rb in batches:
         conv_pa = rb.column(rb.schema.get_field_index("conv_id"))
-        lang_pa = rb.column(rb.schema.get_field_index("lang"))
+        ft_pa = rb.column(rb.schema.get_field_index("full_text"))
+        if isinstance(ft_pa, pa.ChunkedArray):
+            ft_pa = ft_pa.combine_chunks()
+        lang_pa = _lang_batch(ft_pa)
         docid_arr = np.asarray(
             rb.column(rb.schema.get_field_index("doc_id")), dtype=np.int64
         )
@@ -336,16 +381,13 @@ def build_journal(
         rank_col: F.Column | int = F.coalesce(F.col("rank"), F.lit(rank))
     else:
         rank_col = rank
-    from .textstats import lang_pred_col
-
-    conv_docs = (
-        conv_docs.withColumn("doc_id", doc_id_for_conv("conv_id", rank_col))
-        # per-document language stamp (reference: languageIsoCode in the
-        # journal, IndexJournalPage.java:22; per-language lexicons,
-        # WordLexicon.java:34-41) — JVM expression, rides the same pass
-        .withColumn("lang", lang_pred_col(F.col("full_text")))
-        .select("conv_id", "doc_id", "full_text", "turn_flags", "n_turns", "lang")
-    )
+    # the per-document language stamp (reference: languageIsoCode in the
+    # journal, IndexJournalPage.java:22; per-language lexicons,
+    # WordLexicon.java:34-41) is computed INSIDE the tokenize kernel
+    # (_lang_batch) — one pyarrow pass per batch
+    conv_docs = conv_docs.withColumn(
+        "doc_id", doc_id_for_conv("conv_id", rank_col)
+    ).select("conv_id", "doc_id", "full_text", "turn_flags", "n_turns")
     journal = conv_docs.mapInArrow(_tokenize_convs, schema=JOURNAL_SCHEMA)
     return journal.select(
         "doc_id",
