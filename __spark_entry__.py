@@ -514,6 +514,22 @@ def _q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+    return out.select(
+        "doc_a", "doc_b", F.round(F.col("jaccard"), 6).alias("jaccard")
+    )
+
+
+def _q_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = similarity.embedding_neardup_pairs(
+        _emb(spark, sf_dir), threshold=0.3, dim=64, n_planes=4
+    )
+    return out.select(
+        "id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine")
+    )
+
+
 def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.8)
     return out.select(
@@ -659,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": _q_jaccard,
         "dedup_minhash_lsh": _q_minhash,
         "dedup_simhash": _q_simhash,
+        "dedup_ngram_jaccard": _q_ngram_jaccard,
         # --- text analysis ---
         "text_token_counts": _q_token_counts,
         "text_language_id": _q_language_id,
@@ -668,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": _q_cosine_topk,
         "sim_lsh_topk": _q_lsh_topk,
         "sim_ivf_topk": _q_ivf_topk,
+        "sim_neardup": _q_neardup,
         # --- multimodal plumbing ---
         "mm_image_features": _q_image_features,
         "mm_frame_sample": _q_frame_sample,
@@ -751,6 +769,7 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE n_common / (sa.set_size + sb.set_size - n_common) >= 0.8""",
         "dedup_minhash_lsh": sql_oracles.minhash_lsh_sql(threshold=0.8),
         "dedup_simhash": sql_oracles.simhash_sql(max_hamming=3),
+        "dedup_ngram_jaccard": sql_oracles.ngram_jaccard_sql(threshold=0.5),
         "text_token_counts": """
 SELECT doc_id,
   len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
@@ -827,6 +846,9 @@ SELECT vec_id, round(dot / (nrm * {qnorm}), 6) AS cosine
 FROM s ORDER BY cosine DESC, vec_id LIMIT 10""",
         "sim_lsh_topk": sql_oracles.lsh_topk_sql(_QVEC, k=10, n_planes=8),
         "sim_ivf_topk": sql_oracles.ivf_topk_sql(_QVEC, k=10),
+        "sim_neardup": sql_oracles.embedding_neardup_sql(
+            threshold=0.3, dim=64, n_planes=4
+        ),
         "mm_image_features": sql_oracles.image_features_sql(n=64),
         "mm_frame_sample": sql_oracles.frame_sample_sql(n=64),
         "events_hourly": """

@@ -147,6 +147,25 @@ FROM msim a JOIN msim b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}"""
 
 
+def ngram_jaccard_sql(threshold: float = 0.5, shingle_width: int = 3) -> str:
+    """Exact oracle for ``dedup.ngram_jaccard_pairs`` (no max_df):
+    distinct-shingle-set Jaccard ≥ threshold over all qualifying pairs."""
+    return f"""WITH {shingle_ctes(shingle_width)},
+mset AS (SELECT DISTINCT doc_id, sh FROM msh),
+msz AS (SELECT doc_id, count(*)::BIGINT AS set_size FROM mset GROUP BY doc_id),
+minter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_common
+  FROM mset a JOIN mset b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_common / (sa.set_size + sb.set_size - n_common), 6) AS jaccard
+FROM minter
+JOIN msz sa ON sa.doc_id = doc_a
+JOIN msz sb ON sb.doc_id = doc_b
+WHERE n_common / (sa.set_size + sb.set_size - n_common) >= {threshold!r}"""
+
+
 # --- multimodal oracles -----------------------------------------------------
 
 
@@ -302,6 +321,38 @@ cands AS (
   SELECT vec_id, embedding FROM b
   WHERE bucket IN ({', '.join(str(p) for p in probes)})
 ),{_cosine_topk_tail(qvec, k, 'cands')}"""
+
+
+def embedding_neardup_sql(
+    threshold: float = 0.3,
+    dim: int = 64,
+    n_planes: int = 6,
+    seed: int = 42,
+) -> str:
+    """Exact oracle for ``similarity.embedding_neardup_pairs``: same-bucket
+    pairs (sign-pattern LSH, order-pinned float chains) with cosine ≥ τ.
+    The engine's approximation (pairs must collide in the one bucket) is
+    reproduced, not idealized — both sides emit the identical pair set."""
+    from ..operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = " + ".join(
+        f"CASE WHEN ({_dot_lit_chain('embedding', planes[j])}) > 0"
+        f" THEN {1 << j} ELSE 0 END"
+        for j in range(n_planes)
+    )
+    return f"""WITH b AS (
+  SELECT vec_id, embedding, ({bucket})::BIGINT AS bucket FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         ({_dot_col_chain('a.embedding', 'c.embedding', dim)})
+           / (sqrt({_sq_chain('a.embedding', dim)})
+              * sqrt({_sq_chain('c.embedding', dim)})) AS cosine
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+)
+SELECT id_a, id_b, round(cosine, 6) AS cosine
+FROM p WHERE cosine >= {threshold!r}"""
 
 
 def ivf_topk_sql(

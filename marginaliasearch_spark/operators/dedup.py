@@ -400,6 +400,87 @@ def minhash_lsh_pairs(
     )
 
 
+def shingle_hash_sets(
+    docs: DataFrame, shingle_width: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, sh) — one row per DISTINCT shingle hash per document (the
+    n-gram set representation shared by minhash/simhash/ngram-jaccard)."""
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            sh, counts = _shingle_hashes_batch(pdf[text_col], shingle_width)
+            doc_ids = np.repeat(pdf["doc_id"].to_numpy(), counts)
+            yield pd.DataFrame(
+                {"doc_id": doc_ids, "sh": sh.astype(np.int64)}
+            ).drop_duplicates()
+
+    return (
+        _spread(docs, ["doc_id", text_col])
+        .mapInPandas(batch, schema="doc_id long, sh long")
+        .dropDuplicates(["doc_id", "sh"])
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    shingle_width: int = 3,
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram (shingle-set) Jaccard ≥ threshold pairs.
+
+    The order-sensitive counterpart of ``jaccard_candidates`` (word sets):
+    docs meet through shared shingle hashes (inverted-index self-join —
+    never all-pairs), intersections are counted exactly, and the jaccard
+    is over the full distinct-shingle sets. ``max_df`` drops ubiquitous
+    shingles from candidate generation only (boilerplate guard) — the
+    verification join still counts over all shingles, so emitted values
+    are exact.
+    """
+    tok = shingle_hash_sets(docs, shingle_width, text_col)
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    if max_df is None:
+        inter = (
+            tok.select(F.col("doc_id").alias("doc_a"), "sh")
+            .join(tok.select(F.col("doc_id").alias("doc_b"), "sh"), "sh")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_common"))
+        )
+    else:
+        dfc = tok.groupBy("sh").agg(F.count("*").alias("df"))
+        tok_f = tok.join(dfc.filter(F.col("df") <= max_df), "sh")
+        cand_pairs = (
+            tok_f.select(F.col("doc_id").alias("doc_a"), "sh")
+            .join(tok_f.select(F.col("doc_id").alias("doc_b"), "sh"), "sh")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        inter = (
+            cand_pairs.join(
+                tok.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a"
+            )
+            .join(tok.select(F.col("doc_id").alias("doc_b"), "sh"), ["doc_b", "sh"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_common"))
+        )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 # --- SimHash ---------------------------------------------------------------
 
 

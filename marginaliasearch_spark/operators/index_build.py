@@ -150,7 +150,17 @@ def build_index(
     if not stats_done:
         ds = ingest.doc_stats(journal)
         ds.write.mode("overwrite").parquet(paths.doc_stats)
-        cs = ingest.corpus_stats(ds).collect()[0]
+        # one job for global AND per-language corpus stats (grouping sets)
+        lang_rows = (
+            spark.read.parquet(paths.doc_stats)
+            .groupBy("lang")
+            .agg(F.count("*").alias("cnt"), F.sum("doc_len").alias("len_sum"))
+            .collect()
+        )
+        doc_count = sum(r["cnt"] for r in lang_rows)
+        avg_len = (
+            sum(r["len_sum"] for r in lang_rows) / doc_count if doc_count else 0.0
+        )
         terms = journal.filter(F.col("term").isNotNull())
         # ONE aggregation pass over the journal builds the per-language
         # lexicon (reference: one WordLexicon per language,
@@ -177,19 +187,15 @@ def build_index(
             schema="term_id long, term string, df long, ctf long, stem string",
         )
         lexicon.write.mode("overwrite").parquet(paths.lexicon)
-        lang_counts = {
-            r["lang"]: r["cnt"]
-            for r in ds.groupBy("lang").agg(F.count("*").alias("cnt")).collect()
-        }
         # block_docs is recorded so the query side can size WAND probe
         # budgets from the index's ACTUAL block geometry (not a constant)
         _write_json_atomic(
             paths.corpus_stats,
             {
-                "doc_count": cs["doc_count"],
-                "avg_len": cs["avg_len"],
+                "doc_count": doc_count,
+                "avg_len": avg_len,
                 "block_docs": block_docs,
-                "lang_doc_counts": lang_counts,
+                "lang_doc_counts": {r["lang"]: r["cnt"] for r in lang_rows},
             },
         )
     tmark = _mark(tmark, "stats")
@@ -271,8 +277,11 @@ def build_index(
             ).alias("tf_norm"),
         )
         (
+            # ~25% of the data but FULL parallelism: fewer partitions than
+            # cores would idle executors through the whole encode stage
+            # (measured 2.7x instead of ~3.6x at the 1-vs-4 scaling cell)
             prio.repartitionByRange(
-                max(1, partitions // 4), "term_id", "doc_id"
+                max(1, partitions // 2), "term_id", "doc_id"
             )
             .sortWithinPartitions("term_id", "doc_id")
             .mapInPandas(

@@ -104,6 +104,55 @@ class TestSimHash:
         assert out[2] != 0 and out[3] != 0
 
 
+class TestNgramJaccard:
+    def test_exact_vs_brute_force(self, spark, corpus):
+        """Inverted-index shingle join must equal brute-force shingle-set
+        jaccard on the planted corpus."""
+        rows = {r["doc_id"]: r["text"] for r in corpus.collect()}
+
+        def shingles(text):
+            toks = text.lower().split()
+            if not toks:
+                return set()
+            if len(toks) < 3:
+                return {tuple(toks)}
+            return {tuple(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+        sets = {d: shingles(t) for d, t in rows.items()}
+        ids = sorted(sets)
+        brute = {}
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                u = len(sets[a] | sets[b])
+                if u:
+                    j = len(sets[a] & sets[b]) / u
+                    if j >= 0.5:
+                        brute[(a, b)] = round(j, 9)
+        got = {
+            (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+            for r in dedup.ngram_jaccard_pairs(corpus, threshold=0.5).collect()
+        }
+        assert got == brute
+        assert (100, 101) in got  # planted near-dup pair survives
+
+    def test_max_df_values_exact(self, spark, corpus):
+        """max_df prunes candidate generation only — any pair emitted must
+        carry the same jaccard as the unfiltered run."""
+        full = {
+            (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+            for r in dedup.ngram_jaccard_pairs(corpus, threshold=0.3).collect()
+        }
+        pruned = {
+            (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+            for r in dedup.ngram_jaccard_pairs(
+                corpus, threshold=0.3, max_df=10
+            ).collect()
+        }
+        assert set(pruned) <= set(full)
+        for pair, j in pruned.items():
+            assert full[pair] == j
+
+
 class TestJaccard:
     def test_exact_jaccard_values(self, spark):
         docs = spark.createDataFrame(
