@@ -270,6 +270,7 @@ def _bm25_sql(
     penalties: bool = False,
     lang: str | None = None,
     weighted: bool = False,
+    rank_max: int | None = None,
 ) -> str:
     all_terms = sorted({w for p in paths for w in p})
     stats_t, corpus_t = ("stats_l", "corpus_l") if lang else ("stats", "corpus")
@@ -338,9 +339,9 @@ corpus_l AS (SELECT count(*)::DOUBLE AS n FROM dlang WHERE lang = '{lang}')"""
             f"EXISTS (SELECT 1 FROM dlang dn WHERE dn.doc_id = d.doc_id"
             f" AND dn.lang = '{lang}')"
         )
-    score_sql = f"round(sqrt(501.0 / (1.0 + {{raw}})), 6)"
+    score_sql = "round(sqrt(501.0 / (1.0 + {raw})), 6)"
     pen_join = ""
-    if penalties:
+    if penalties or rank_max is not None:
         # mirrors scoring.document_penalty over the quality-derived rank
         # bucket (same quality formula as the text_quality oracle; rank =
         # trunc((1-quality)*63) matches Spark's cast-to-int). Constants are
@@ -387,8 +388,14 @@ pen AS (
   SELECT qr.doc_id, greatest(0.0, -{bonus}) AS p
   FROM qrank qr JOIN doclen dl ON dl.doc_id = qr.doc_id
 )"""
-        pen_join = "JOIN pen ON pen.doc_id = d.doc_id"
-        score_sql = "round(sqrt((501.0 + 20.0 * pen.p) / (1.0 + {raw})), 6)"
+        if penalties:
+            pen_join = "JOIN pen ON pen.doc_id = d.doc_id"
+            score_sql = "round(sqrt((501.0 + 20.0 * pen.p) / (1.0 + {raw})), 6)"
+        if rank_max is not None:
+            # RankTerm spec-limit analogue: rank bucket <= N
+            pen_join += f"""
+  JOIN qrank qrf ON qrf.doc_id = d.doc_id"""
+            wheres.append(f"qrf.r <= {rank_max}")
     if positional:
         # mirrors scoring.first_position_bonus / verbatim_bonus /
         # proximity_bonus over the SAME tok positions the engine indexes
@@ -666,6 +673,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fulltext_bm25_lang": _search("spark join", lang="en"),
         # role-span-weighted BM25 counts (tag-weighted c analogue)
         "fulltext_bm25_weighted": _search("spark join", weighted=True),
+        # rank-bucket specification limit (RankTerm analogue): restrict to
+        # the top quality classes stamped in the doc-id high bits
+        "fulltext_bm25_rank": _search("scan rank<=15"),
         # --- index stats tables (A1/A2/A3, S6 forward index) ---
         "index_lexicon_stats": _q_lexicon,
         "index_doc_stats": _q_doc_stats,
@@ -736,6 +746,7 @@ SELECT doc_id, 0.0 AS score FROM doclen WHERE 1 = 0""",
         "fulltext_bm25_penalty": _bm25_sql([["scan"]], penalties=True),
         "fulltext_bm25_lang": _bm25_sql([["spark", "join"]], lang="en"),
         "fulltext_bm25_weighted": _bm25_sql([["spark", "join"]], weighted=True),
+        "fulltext_bm25_rank": _bm25_sql([["scan"]], rank_max=15),
         "index_lexicon_stats": f"""{_COMMON}
 SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS ctf
 FROM tf GROUP BY term""",

@@ -607,7 +607,14 @@ def run_query(
         cand = cand.filter(~F.col("conv_id").isin(pq.convs_exclude))
     op_map = {">": "__gt__", "<": "__lt__", "=": "__eq__", ">=": "__ge__", "<=": "__le__"}
     for lim in pq.limits:
-        col = {"turns": F.col("n_turns"), "len": F.col("doc_len")}[lim.field]
+        # 'rank' filters on the quality bucket in the doc id's high bits —
+        # the reference's RankTerm specification limit over the domain rank
+        # (QueryFactory.java:151; ParamMatchingQueryFilter)
+        col = {
+            "turns": F.col("n_turns"),
+            "len": F.col("doc_len"),
+            "rank": F.shiftrightunsigned(F.col("doc_id"), 57),
+        }[lim.field]
         cand = cand.filter(getattr(col, op_map[lim.op])(F.lit(lim.value)))
 
     # ---- scoring: per-term partials, max-over-paths of sum-along-path ----

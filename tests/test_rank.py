@@ -65,6 +65,22 @@ def test_posting_list_is_rank_ordered(spark, built):
     assert seq == sorted(seq)  # non-decreasing rank along the posting list
 
 
+def test_rank_spec_limit(spark, built):
+    """`rank<=N` filters on the quality bucket in the doc-id high bits
+    (RankTerm specification-limit analogue, QueryFactory.java:151)."""
+    corpus, ranks, reader = built
+    rank_of = {r["conv_id"]: r["rank"] for r in ranks.collect()}
+    best = max(v for k, v in rank_of.items() if k.startswith("good"))
+    got = {
+        r["conv_id"]
+        for r in run_query(reader, f"common rank<={best}", k=100).collect()
+    }
+    assert got == {c for c, r in rank_of.items() if r <= best}
+    assert got and all(c.startswith("good") for c in got)
+    none = run_query(reader, "common rank>63", k=10).count()
+    assert none == 0
+
+
 def test_queries_unaffected_by_rank(spark, built):
     corpus, _, reader = built
     got = {r["conv_id"] for r in run_query(reader, "common topic", k=100).collect()}
