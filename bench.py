@@ -126,10 +126,11 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
 
     qs = entry_mod.queries()
     # warm the documents index once so query timings measure queries,
-    # not the one-off build; also run one tiny positional query so the
-    # pandas-UDF worker spawn isn't billed to the first measured query
+    # not the one-off build; also run one full positional query so the
+    # pandas-UDF worker spawn (on EVERY core — limit(1) only touches a
+    # couple of tasks) isn't billed to the first measured query
     entry_mod._get_reader(spark, sf_dir)
-    qs["fulltext_proximity"](spark, sf_dir).limit(1).count()
+    qs["fulltext_proximity"](spark, sf_dir).count()
     out: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.time()
