@@ -84,7 +84,16 @@ def minhash_lsh_sql(
     shingle_width: int = 3,
     seed: int = 42,
 ) -> str:
-    """Exact oracle for ``dedup.minhash_lsh_pairs`` (same defaults)."""
+    """Exact oracle for ``dedup.minhash_lsh_pairs``.
+
+    NB: the oracle defaults to ``threshold=0.8`` while the engine defaults
+    to 0.7 — the banded join is only *exact* (pigeonhole: every
+    threshold-passing pair must agree on a full band) when
+    ``ceil(threshold * num_hashes) >= num_hashes - bands + 1``, which 0.7
+    does not satisfy at 64 hashes / 16 bands. At the engine's looser
+    default the banded join is the classic probabilistic LSH and cannot be
+    oracle-checked by this generator (the assert below enforces that).
+    """
     assert math.ceil(threshold * num_hashes) >= num_hashes - bands + 1, (
         "banded LSH is only exact (pigeonhole) when every threshold-passing "
         "pair must fill a band; lower thresholds need a rows-only check"

@@ -11,7 +11,10 @@ Large-scale training-data pipeline ops, each designed around one shuffle:
 - ``simhash_pairs``        — 64-bit simhash + banded hamming join.
 
 All hashing is deterministic (splitmix64 over xxhash-style mixes) and all
-row-level work is numpy inside ``mapInPandas``/``pandas_udf``.
+row-level work is numpy inside ``mapInPandas``/``pandas_udf`` — with one
+deliberate exception: ``_md5_u64_tokens`` loops over the batch's *unique*
+tokens (O(vocab) per batch, not O(rows)) because md5 keeps the token
+hashes re-computable in the DuckDB oracle SQL.
 """
 
 from __future__ import annotations
@@ -350,6 +353,14 @@ def minhash_lsh_pairs(
     The scale path: docs collide only within (band, bucket-hash) groups, so
     the self-join shuffles band keys, not the corpus cross-product. The
     estimated Jaccard is the fraction of agreeing minhash components.
+
+    The banded join is LOSSLESS (returns exactly the pairs a full signature
+    comparison would) only when ``ceil(threshold * num_hashes) >=
+    num_hashes - bands + 1`` — pigeonhole: a pair agreeing on that many
+    components must fill at least one whole band. At this function's
+    default (0.7 · 64 = 45 < 49) it is the classic probabilistic LSH;
+    the oracle-checked driver entry runs at threshold=0.8, which satisfies
+    the bound (52 >= 49, see sql_oracles.minhash_lsh_sql).
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes, shingle_width, text_col, seed)

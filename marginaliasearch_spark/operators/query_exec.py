@@ -710,7 +710,15 @@ def run_query(
         # verbatim scoring; the mandatory groups are pq.phrases above)
         full_size = max(len(ordered), 1)
         for grp in pq.opt_phrases:
-            if len(grp) < 2 or any(w not in stats for w in grp):
+            # a group is scoreable only when EVERY word has decoded
+            # positions (pos_<w> columns exist for need_pos terms only —
+            # a lexicon word on no live path has no column and would make
+            # the whole query fail to resolve)
+            if (
+                len(grp) < 2
+                or not set(grp) <= need_pos
+                or any(w not in stats for w in grp)
+            ):
                 continue
             gpos = {w: F.col(f"pos_{_safe(w)}") for w in grp}
             gbase = gpos[grp[0]]

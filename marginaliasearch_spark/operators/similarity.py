@@ -23,10 +23,14 @@ from pyspark.sql import functions as F
 
 
 def _dot_expr(col, qvec: list[float]):
-    """JVM dot product of an array<float> column with a literal vector."""
+    """JVM dot product of an array<float> column with a literal vector.
+
+    Elements are widened to double BEFORE multiplying — the DuckDB oracles
+    cast each element to DOUBLE, and an f32 product can land a boundary
+    pair on the other side of an unrounded >= threshold filter."""
     q = F.array(*[F.lit(float(x)) for x in qvec])
     return F.aggregate(
-        F.zip_with(col, q, lambda a, b: a * b),
+        F.zip_with(col, q, lambda a, b: a.cast("double") * b),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
@@ -34,7 +38,11 @@ def _dot_expr(col, qvec: list[float]):
 
 def _norm_expr(col):
     return F.sqrt(
-        F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x)
+        F.aggregate(
+            col,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
     )
 
 
@@ -279,7 +287,11 @@ def embedding_neardup_pairs(
     )
     pairs = a_df.join(b_df, "bucket").filter(F.col("id_a") < F.col("id_b"))
     dot = F.aggregate(
-        F.zip_with(F.col("vec_a"), F.col("vec_b"), lambda x, y: x * y),
+        F.zip_with(
+            F.col("vec_a"),
+            F.col("vec_b"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )

@@ -64,6 +64,35 @@ def test_positional_changes_ranking_only_with_flag(spark, corpus_and_reader):
     assert [r["conv_id"] for r in plain] == [c for c, _ in expect]
 
 
+def test_opt_group_word_off_live_paths_is_skipped(spark, corpus_and_reader):
+    """An optional phrase group containing a word that IS in the lexicon but
+    on no live path has no decoded ``pos_<w>`` column; the group must be
+    skipped, not blow up the query with an unresolvable-column error
+    (ADVICE r2: expansion can produce exactly this shape when a span
+    variant replaces the group's words on every surviving path)."""
+    from marginaliasearch_spark.plans.parser import And, ParsedQuery, Term
+
+    docs, positions, reader = corpus_and_reader
+    pq = ParsedQuery(
+        include=And((Term("word01"), Term("word03"))),
+        # word05 is indexed (in the lexicon) but on no include path
+        opt_phrases=[["word01", "word05"]],
+    )
+    got = run_query(
+        reader, pq, k=10, ranking=RankingParams(positional=True)
+    ).collect()
+    # result must equal the same query without the dead group
+    plain = run_query(
+        reader,
+        ParsedQuery(include=And((Term("word01"), Term("word03")))),
+        k=10,
+        ranking=RankingParams(positional=True),
+    ).collect()
+    assert [(r["conv_id"], r["score"]) for r in got] == [
+        (r["conv_id"], r["score"]) for r in plain
+    ]
+
+
 def _brute_spread(lists):
     adj = lists  # already adjusted by caller
     return min(max(c) - min(c) for c in itertools.product(*adj))
