@@ -174,6 +174,25 @@ def _min_spread_udf(col: F.Column) -> F.Column:
 # for stop-word-ish terms anyway.
 MAX_DRIVER_CANDIDATES = 2_000_000
 
+# A term whose postings are smaller than this joins faster than the extra
+# driver-collect job that block pruning costs; above it, pruning pays.
+PRUNE_DF_THRESHOLD = 50_000
+
+
+def _collect_ids_u64(df: DataFrame, col: str = "doc_id") -> np.ndarray:
+    """One long column → uint64 numpy array via an Arrow batch transfer.
+
+    ``toArrow`` streams columnar batches straight into numpy — no
+    per-row ``Row`` objects. At the 2M-id ``MAX_DRIVER_CANDIDATES`` cap the
+    Row path burned seconds of driver CPU per query; this is the same plan
+    with a ~10x cheaper driver step (measured in BASELINE.md)."""
+    try:
+        tbl = df.toArrow()
+        arr = tbl.column(col).to_numpy(zero_copy_only=False)
+    except Exception:  # pragma: no cover - non-Arrow fallback
+        arr = np.fromiter((r[col] for r in df.collect()), dtype=np.int64)
+    return np.asarray(arr, dtype=np.int64).astype(np.uint64)
+
 
 class IndexReader:
     """Open handle on a built index (lexicon + postings + doc stats)."""
@@ -430,20 +449,24 @@ def run_query(
     # are skipped undecoded (ReverseIndexRetainDocumentRangeFilter)
     conv_doc_ids: np.ndarray | None = None
     if pq.convs:
-        rows_ = (
-            reader.doc_stats.filter(F.col("conv_id").isin(pq.convs))
-            .select("doc_id")
-            .collect()
-        )
         conv_doc_ids = np.sort(
-            np.array([r["doc_id"] for r in rows_], dtype=np.int64).astype(
-                np.uint64
+            _collect_ids_u64(
+                reader.doc_stats.filter(F.col("conv_id").isin(pq.convs)).select(
+                    "doc_id"
+                )
             )
         )
         if conv_doc_ids.size == 0:
             return empty()
 
+    # the candidate-superset broadcast, if one is made during candidate
+    # generation — reused to prune the exclusion / priority term decodes
+    # below (those joins only care about docs already in the candidate set,
+    # so a head-term ?priority word must not scan its full posting list)
+    cand_bc = None
+
     def path_candidates(path_terms: list[str]) -> DataFrame:
+        nonlocal cand_bc
         ordered = sorted(path_terms, key=lambda w: (stats[w][1], w))
         driver_word = ordered[0]
         cand = term_df(driver_word, conv_doc_ids, is_driver=True)
@@ -456,18 +479,14 @@ def run_query(
         if (
             len(ordered) > 1
             and stats[driver_word][1] <= MAX_DRIVER_CANDIDATES
-            and rest_df > 50_000
+            and rest_df > PRUNE_DF_THRESHOLD
         ):
-            arr = np.sort(
-                np.array(
-                    [r["doc_id"] for r in cand.select("doc_id").collect()],
-                    dtype=np.int64,
-                ).astype(np.uint64)
-            )
+            arr = np.sort(_collect_ids_u64(cand.select("doc_id")))
             # a broadcast, not a closure capture: at the 2M-id cap this is
             # 16 MB shipped once per executor (torrent) instead of once per
             # task of every subsequent term scan
             cand_ids = reader.spark.sparkContext.broadcast(arr)
+            cand_bc = cand_ids
         for word in ordered[1:]:
             cand = cand.join(term_df(word, cand_ids), "doc_id", "inner")
         return cand
@@ -496,7 +515,7 @@ def run_query(
         )
         drv_df = sum(stats[w][1] for w in drivers)
         rest_df = sum(stats[w][1] for w in live_terms) - drv_df
-        if drv_df <= MAX_DRIVER_CANDIDATES and rest_df > 50_000:
+        if drv_df <= MAX_DRIVER_CANDIDATES and rest_df > PRUNE_DF_THRESHOLD:
             id_frames = [
                 reader.decode_term(
                     stats[w][0],
@@ -506,14 +525,12 @@ def run_query(
                 for w in drivers
             ]
             ids = reduce(lambda a, b: a.unionByName(b), id_frames)
-            arr = np.unique(
-                np.array(
-                    [r["doc_id"] for r in ids.collect()], dtype=np.int64
-                ).astype(np.uint64)
-            )
+            arr = np.unique(_collect_ids_u64(ids))
             cand_ids = reader.spark.sparkContext.broadcast(arr)
+            cand_bc = cand_ids
         elif conv_doc_ids is not None:
             cand_ids = reader.spark.sparkContext.broadcast(conv_doc_ids)
+            cand_bc = cand_ids
         frames = []
         for i, w in enumerate(live_terms):
             tdf = reader.decode_term(
@@ -587,10 +604,47 @@ def run_query(
             )
 
     # ---- exclusion: anti-join (ReverseIndexRejectFilter) ----
+    # the anti/left joins below only care about docs already in the
+    # candidate set, so a head-term exclusion/priority word prunes its
+    # decode against the candidate-superset broadcast instead of scanning
+    # the full posting list (tryRejectData's skip-list walk is likewise
+    # driven by the candidate buffer, SkipListReader.java:248)
+    def _lazy_cand_bc():
+        """Build the candidate broadcast on demand when candidate
+        generation didn't need one (e.g. a single small include term) but
+        a big exclusion/priority term would scan unpruned without it."""
+        nonlocal cand_bc
+        if cand_bc is None:
+            drivers = {
+                min(sorted(set(p) | need_pos), key=lambda w: (stats[w][1], w))
+                for p in live_paths
+            }
+            if sum(stats[w][1] for w in drivers) <= MAX_DRIVER_CANDIDATES:
+                frames = [
+                    reader.decode_term(
+                        stats[w][0], candidates=conv_doc_ids
+                    ).select("doc_id")
+                    for w in sorted(drivers)
+                ]
+                arr = np.unique(
+                    _collect_ids_u64(
+                        reduce(lambda a, b: a.unionByName(b), frames)
+                    )
+                )
+                cand_bc = reader.spark.sparkContext.broadcast(arr)
+        return cand_bc
+
     for word in pq.exclude:
         if word in stats:
+            prune = (
+                _lazy_cand_bc()
+                if stats[word][1] > PRUNE_DF_THRESHOLD
+                else cand_bc
+            )
             cand = cand.join(
-                reader.decode_term(stats[word][0]).select("doc_id"),
+                reader.decode_term(stats[word][0], candidates=prune).select(
+                    "doc_id"
+                ),
                 "doc_id",
                 "left_anti",
             )
@@ -746,8 +800,13 @@ def run_query(
     prio_present = [w for w in pq.priority if w in stats]
     if prio_present:
         for w in prio_present:
+            prune = (
+                _lazy_cand_bc()
+                if stats[w][1] > PRUNE_DF_THRESHOLD
+                else cand_bc
+            )
             cand = cand.join(
-                reader.decode_term(stats[w][0])
+                reader.decode_term(stats[w][0], candidates=prune)
                 .select("doc_id", F.lit(1).alias(f"prio_{_safe(w)}")),
                 "doc_id",
                 "left",
