@@ -132,6 +132,13 @@ def encode_blocks(
             yield pd.DataFrame(rows)
 
 
+def _member_mask(sorted_unique: np.ndarray, values: np.ndarray) -> np.ndarray:
+    """Vectorized membership of ``values`` in a sorted unique array."""
+    idx = np.searchsorted(sorted_unique, values)
+    idx_c = np.minimum(idx, sorted_unique.size - 1)
+    return (idx < sorted_unique.size) & (sorted_unique[idx_c] == values)
+
+
 def decode_blocks(
     batches: Iterator[pd.DataFrame],
     with_positions: bool = False,
@@ -140,67 +147,81 @@ def decode_blocks(
 ) -> Iterator[pd.DataFrame]:
     """Block rows → exploded (term_id, doc_id, tf[, positions]) rows.
 
+    Fully columnar: all surviving blocks of an Arrow batch are decoded in
+    ONE pass — varbyte is byte-aligned per value, so the concatenation of
+    the blocks' payloads is itself a valid varbyte stream, and the per-block
+    delta resets are exactly ``segmented_undelta``'s segment starts. No
+    per-block Python loop; the only Python-level iteration left is the
+    ``np.split`` view construction for ragged position lists.
+
     ``candidates``: optional sorted uint64 doc-id array — or a Spark
     ``Broadcast`` wrapping one (unwrapped lazily HERE, on the executor, so
     a large candidate set is torrent-shipped once per executor instead of
     serialized into every task closure); blocks whose [min_doc, max_doc]
-    window contains no candidate are skipped without decoding (skip-list
-    forward-pointer semantics), and decoded ids are intersected
+    window contains no candidate are dropped before any payload is touched
+    (skip-list forward-pointer semantics), and decoded ids are intersected
     (ReverseIndexRetainFilter / tryRetainData).
     """
+    from .codecs import segmented_undelta
+
     if candidates is not None and hasattr(candidates, "value"):
         candidates = candidates.value
     for pdf in batches:
-        out_term, out_doc, out_tf, out_flags = [], [], [], []
-        out_wtf: list = []
-        out_pos: list = []
-        for row in pdf.itertuples(index=False):
-            if candidates is not None:
-                lo = np.searchsorted(candidates, np.uint64(row.min_doc))
-                hi = np.searchsorted(candidates, np.uint64(row.max_doc), side="right")
-                if hi <= lo:
-                    continue  # block-skip: no candidate in range
-            doc_ids = decode_sorted(row.doc_ids)
-            tfs = varbyte_decode(row.tfs)
-            flags = varbyte_decode(row.flags)
-            if with_wtf:
-                wtfs = varbyte_decode(row.wtfs)
-            if candidates is not None:
-                mask = np.isin(doc_ids, candidates[lo:hi], assume_unique=True)
-                if not mask.any():
-                    continue
-            else:
-                mask = None
-            if with_positions:
-                flat = decode_positions(row.positions, tfs)
-                splits = np.cumsum(tfs.astype(np.int64))[:-1]
-                plists = np.split(flat.astype(np.int64), splits)
+        if not len(pdf):
+            continue
+        if candidates is not None:
+            # block skip on [min_doc, max_doc] windows, whole batch at once
+            lo = np.searchsorted(
+                candidates, pdf["min_doc"].to_numpy().astype(np.uint64)
+            )
+            hi = np.searchsorted(
+                candidates,
+                pdf["max_doc"].to_numpy().astype(np.uint64),
+                side="right",
+            )
+            keep = hi > lo
+            if not keep.all():
+                pdf = pdf[keep]
+            if not len(pdf):
+                continue
+        n_docs = pdf["n_docs"].to_numpy().astype(np.int64)
+        bounds = np.zeros(n_docs.size + 1, dtype=np.int64)
+        np.cumsum(n_docs, out=bounds[1:])
+        seg_starts = bounds[:-1][n_docs > 0]
+        deltas = varbyte_decode(b"".join(pdf["doc_ids"].tolist()))
+        doc_ids = segmented_undelta(deltas, seg_starts)
+        tfs = varbyte_decode(b"".join(pdf["tfs"].tolist()))
+        flags = varbyte_decode(b"".join(pdf["flags"].tolist()))
+        if with_wtf:
+            wtfs = varbyte_decode(b"".join(pdf["wtfs"].tolist()))
+        term_ids = np.repeat(pdf["term_id"].to_numpy(), n_docs)
+        mask = (
+            _member_mask(candidates, doc_ids)
+            if candidates is not None
+            else None
+        )
+        if with_positions:
+            flat = decode_positions(b"".join(pdf["positions"].tolist()), tfs)
             if mask is not None:
-                doc_ids, tfs, flags = doc_ids[mask], tfs[mask], flags[mask]
-                if with_wtf:
-                    wtfs = wtfs[mask]
-                if with_positions:
-                    plists = [p for p, m in zip(plists, mask) if m]
-            out_term.append(np.full(doc_ids.size, row.term_id, dtype=np.int64))
-            out_doc.append(doc_ids.astype(np.int64))
-            out_tf.append(tfs.astype(np.int32))
-            out_flags.append(flags.astype(np.int32))
+                flat = flat[np.repeat(mask, tfs.astype(np.int64))]
+        if mask is not None:
+            doc_ids, tfs, flags = doc_ids[mask], tfs[mask], flags[mask]
+            term_ids = term_ids[mask]
             if with_wtf:
-                out_wtf.append(wtfs.astype(np.int32))
-            if with_positions:
-                out_pos.extend(plists)
-        if not out_term:
+                wtfs = wtfs[mask]
+        if doc_ids.size == 0:
             continue
         data = {
-            "term_id": np.concatenate(out_term),
-            "doc_id": np.concatenate(out_doc),
-            "tf": np.concatenate(out_tf),
-            "flags": np.concatenate(out_flags),
+            "term_id": term_ids.astype(np.int64),
+            "doc_id": doc_ids.astype(np.int64),
+            "tf": tfs.astype(np.int32),
+            "flags": flags.astype(np.int32),
         }
         if with_wtf:
-            data["wtf_q4"] = np.concatenate(out_wtf)
+            data["wtf_q4"] = wtfs.astype(np.int32)
         if with_positions:
-            data["positions"] = out_pos
+            splits = np.cumsum(tfs.astype(np.int64))[:-1]
+            data["positions"] = np.split(flat.astype(np.int64), splits)
         yield pd.DataFrame(data)
 
 
