@@ -224,6 +224,59 @@ dlang AS (
 )"""
 
 
+def _search_group_cap(
+    query: str, cap: int = 2, mod: int = 10, k: int = _K
+) -> Callable[[SparkSession, str], DataFrame]:
+    """Per-conversation-group result cap (A7, ResultPriorityQueue /
+    IndexQueryExecution.java:162-177): ≤ ``cap`` results per group, where
+    the group plays the reference's domain (here a deterministic
+    ``conv_id % mod`` bucketing so driver docs actually share groups)."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        reader = _get_reader(spark, sf_dir)
+        res = run_query(
+            reader,
+            query,
+            k=k,
+            round_score_to=6,
+            tie_break=F.col("conv_id").cast("long"),
+            group_cap=cap,
+            group_col=F.pmod(F.col("conv_id").cast("long"), F.lit(mod)),
+        )
+        return res.select(F.col("conv_id").cast("long").alias("doc_id"), "score")
+
+    return fn
+
+
+def _search_decorated(
+    query: str, k: int = _K
+) -> Callable[[SparkSession, str], DataFrame]:
+    """Result decoration join (J7): top-k ids joined back to the source
+    transcripts for snippet + opening role
+    (IndexQueryExecution.java:189-207 documentDbReader.getUrlDetails)."""
+    from marginaliasearch_spark.operators.query_exec import decorate_results
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        reader = _get_reader(spark, sf_dir)
+        res = run_query(
+            reader,
+            query,
+            k=k,
+            round_score_to=6,
+            tie_break=F.col("conv_id").cast("long"),
+        )
+        tx = documents_as_transcripts(spark, sf_dir)
+        out = decorate_results(res, tx, n_turns=1)
+        return out.select(
+            F.col("conv_id").cast("long").alias("doc_id"),
+            "score",
+            "snippet",
+            "first_role",
+        )
+
+    return fn
+
+
 def _search_wand(query: str, k: int = _K) -> Callable[[SparkSession, str], DataFrame]:
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         reader = _get_reader(spark, sf_dir)
@@ -271,6 +324,8 @@ def _bm25_sql(
     lang: str | None = None,
     weighted: bool = False,
     rank_max: int | None = None,
+    group_cap: tuple[int, int] | None = None,
+    decorate: bool = False,
 ) -> str:
     all_terms = sorted({w for p in paths for w in p})
     stats_t, corpus_t = ("stats_l", "corpus_l") if lang else ("stats", "corpus")
@@ -458,6 +513,31 @@ pen AS (
         raw = f"({raw}) * exp(({n_prio}) / 5.0)"
     where_sql = ("WHERE " + " AND ".join(wheres)) if wheres else ""
     score = score_sql.format(raw=raw)
+    cap_cte = ""
+    src = "cand"
+    if group_cap is not None:
+        # per-group result cap (A7): row_number over the conversation
+        # group, same rounded-score + doc_id ordering as the engine window
+        cap, mod = group_cap
+        cap_cte = f""",
+capped AS (
+  SELECT doc_id, score,
+         row_number() OVER (PARTITION BY doc_id % {mod}
+                            ORDER BY score ASC, doc_id ASC) AS rn
+  FROM cand
+)"""
+        src = f"(SELECT doc_id, score FROM capped WHERE rn <= {cap}) c"
+    select_cols = "doc_id, score"
+    join_doc = ""
+    if decorate:
+        # J7 decoration join: top-k back to the source documents — the
+        # snippet is the (single) turn's text, the role cycles doc_id % 4
+        join_doc = "JOIN documents dd ON dd.doc_id = t.doc_id"
+        select_cols = (
+            "t.doc_id, t.score, dd.text AS snippet, "
+            "CASE t.doc_id % 4 WHEN 0 THEN 'system' WHEN 1 THEN 'assistant' "
+            "WHEN 2 THEN 'user' ELSE 'tool' END AS first_role"
+        )
     return f"""{_COMMON}
 {extra_ctes}
 , cand AS (
@@ -466,8 +546,10 @@ pen AS (
   {os.linesep.join(joins)}
   {pen_join}
   {where_sql}
-)
-SELECT doc_id, score FROM cand ORDER BY score ASC, doc_id ASC LIMIT {k}
+){cap_cte}
+SELECT {select_cols} FROM (
+  SELECT doc_id, score FROM {src} ORDER BY score ASC, doc_id ASC LIMIT {k}
+) t {join_doc}
 """
 
 
@@ -657,6 +739,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the intersection (SkipListReader block-max retain analogue)
         "fulltext_wand": _search_wand("query -slow"),
         "fulltext_wand_and": _search_wand("spark join -dup"),
+        # mixed AND-of-OR (the expansion engine's default output shape):
+        # per-path residual cuts pushed on EVERY term's scan
+        "fulltext_wand_or_and": _search_wand("( stream | vector ) scan"),
         # role gates (F8): driver docs cycle roles by doc_id % 4 (the
         # transcripts adapter), so in:user selects the %4==2 class and a
         # two-role gate is unsatisfiable on single-turn docs
@@ -676,6 +761,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rank-bucket specification limit (RankTerm analogue): restrict to
         # the top quality classes stamped in the doc-id high bits
         "fulltext_bm25_rank": _search("scan rank<=15"),
+        # per-group result cap (A7) + decoration join (J7)
+        "fulltext_group_cap": _search_group_cap("scan", cap=2, mod=10),
+        "fulltext_decorated": _search_decorated("spark join"),
         # --- index stats tables (A1/A2/A3, S6 forward index) ---
         "index_lexicon_stats": _q_lexicon,
         "index_doc_stats": _q_doc_stats,
@@ -739,6 +827,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "fulltext_wand": _bm25_sql([["query"]], exclude=["slow"]),
         "fulltext_wand_and": _bm25_sql([["spark", "join"]], exclude=["dup"]),
+        "fulltext_wand_or_and": _bm25_sql(
+            [["stream", "scan"], ["vector", "scan"]]
+        ),
         "fulltext_gate_pass": _bm25_sql([["spark", "join"]], role_mod=2),
         "fulltext_gate_empty": f"""{_COMMON}
 SELECT doc_id, 0.0 AS score FROM doclen WHERE 1 = 0""",
@@ -747,6 +838,8 @@ SELECT doc_id, 0.0 AS score FROM doclen WHERE 1 = 0""",
         "fulltext_bm25_lang": _bm25_sql([["spark", "join"]], lang="en"),
         "fulltext_bm25_weighted": _bm25_sql([["spark", "join"]], weighted=True),
         "fulltext_bm25_rank": _bm25_sql([["scan"]], rank_max=15),
+        "fulltext_group_cap": _bm25_sql([["scan"]], group_cap=(2, 10)),
+        "fulltext_decorated": _bm25_sql([["spark", "join"]], decorate=True),
         "index_lexicon_stats": f"""{_COMMON}
 SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS ctf
 FROM tf GROUP BY term""",

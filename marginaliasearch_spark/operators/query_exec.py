@@ -894,25 +894,28 @@ def run_query_wand(
       skipped via row-group column stats, undecoded. A doc only in skipped
       blocks has raw < θ ≤ true-kth-raw, so it cannot enter the top k.
 
-    Eligible shapes (no phrases / priority / positional ranking / group
-    cap; exclusions and spec limits are fine — both phases apply them
-    identically):
+    Eligible shapes: ANY include tree — single term, pure OR, pure AND,
+    and mixed AND-of-OR (``( a | b ) c``, the expansion engine's default
+    output shape). No phrases / priority / positional ranking / group cap;
+    exclusions and spec limits are fine — both phases apply them
+    identically.
 
-    - **one include term** — the cut prunes that term's blocks;
-    - **pure OR of single terms** (``( a | b | c )``) — the score is the
-      max over matched terms' single-term scores, so each term prunes
-      against its OWN bound ``idf_t * max_tf_norm_t >= θ``. A contribution
-      living only in pruned blocks is provably < θ, so it can neither put a
-      doc into the top k nor be a surviving doc's best path.
-    - **pure AND** (``a b c``) — term t prunes against the *residual*
-      bound: a top-k doc has ``Σ_u s_u >= θ`` and ``s_u <= UB_u`` (idf ×
-      the term's GLOBAL max tf-norm from the term_bounds table), so any
-      block with ``idf_t * block_max_tf_norm < θ - Σ_{u≠t} UB_u`` cannot
-      hold a top-k doc — the conservative per-term cut of the reference's
-      skip-list block-max retain (``SkipListReader.java:87``,
-      ``SkipListConstants.java:22-28``). Pruning a doc's block on ANY term
-      drops it from the intersection, which is sound because its total is
-      provably < θ.
+    The general per-term cut (every enumerated OR-path's retain chain gets
+    block-max skipping in the reference, ``CombinedIndexReader.java:86-203``
+    + ``SkipListReader.java:87``): with ``UB_t = idf_t * global max
+    tf-norm`` (term_bounds table) and ``UB(p) = Σ_{t∈p} UB_t``, a block of
+    term t can hold a top-k doc only if SOME path p ∋ t could reach θ
+    through it::
+
+        idf_t * block_max_tf_norm >= θ - max_{p ∋ t} (UB(p) - UB_t)
+
+    so the scan cut is ``max_tf_norm >= (θ - max_residual_t) / idf_t``.
+    Soundness: if a doc's block is pruned on term t, then EVERY path
+    containing t sums below θ for that doc; a doc whose true best path
+    reaches θ therefore keeps that path un-pruned and scores exactly, and
+    the multi-path pipeline's max-over-surviving-paths is its true score.
+    Pure OR reduces to ``θ / idf_t`` (residual 0), pure AND to the single
+    path's ``θ - Σ_{u≠t} UB_u`` — the previous special cases.
 
     When the caller rounds scores (``round_score_to``), θ is inverted from
     the kth score widened by half a rounding quantum — a doc just below
@@ -928,11 +931,9 @@ def run_query_wand(
     pq = parse_query(query) if isinstance(query, str) else query
     include = pq.all_include_terms()
     paths = pq.include.paths() if pq.include is not None else []
-    pure_or = bool(paths) and all(len(p) == 1 for p in paths)
-    pure_and = len(paths) == 1 and len(paths[0]) >= 1
     eligible = (
         len(include) >= 1
-        and (pure_or or pure_and)
+        and bool(paths)
         and not pq.phrases
         and not pq.priority
         and kw.get("group_cap") is None
@@ -950,9 +951,11 @@ def run_query_wand(
     if not eligible:
         return run_query(reader, pq, k=k, **kw)
     stats = reader.term_stats(include)
-    live = [w for w in include if w in stats]
+    live_paths = [p for p in paths if all(w in stats for w in p)]
+    live = sorted({w for p in live_paths for w in p})
     if not live:
         return run_query(reader, pq, k=k, **kw)
+    pure_or = all(len(set(p)) == 1 for p in live_paths)
 
     def idf_of(w: str) -> float:
         df_w = float(stats[w][1])
@@ -986,10 +989,16 @@ def run_query_wand(
         if any(stats[w][0] not in bounds for w in live):
             return run_query(reader, pq, k=k, **kw)
         ub = {w: idfs[w] * bounds[stats[w][0]] for w in live}
-        ub_total = sum(ub.values())
+        ub_path = [sum(ub[w] for w in set(p)) for p in live_paths]
         cuts = {}
         for w in live:
-            residual = theta_raw - (ub_total - ub[w])
+            # the most forgiving path containing w sets its residual
+            max_resid = max(
+                ub_p - ub[w]
+                for p, ub_p in zip(live_paths, ub_path)
+                if w in p
+            )
+            residual = theta_raw - max_resid
             if residual > 0:
                 cuts[w] = residual / idfs[w]
         if not cuts:

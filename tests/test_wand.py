@@ -75,6 +75,42 @@ def test_wand_and_equals_plain(spark, reader, query):
         assert wand == plain
 
 
+@pytest.mark.parametrize(
+    "query",
+    [
+        "( word00 | word30 ) word01",  # OR-group ANDed with a head term
+        "( word01 | word02 ) word00 -word45",  # + exclusion
+        "( word00 | word01 ) ( word02 | word30 )",  # two OR groups
+        "( word00 | word47 ) word01",  # one very rare alternative
+    ],
+)
+def test_wand_mixed_and_of_or_equals_plain(spark, reader, query):
+    """Mixed AND-of-OR shapes (the expansion engine's default output) use
+    per-path residual cuts — every term's scan gets the block-max cut of
+    its most forgiving containing path — and must stay EXACT."""
+    for k in (3, 10):
+        plain = _pairs(run_query(reader, query, k=k).collect())
+        wand = _pairs(run_query_wand(reader, query, k=k).collect())
+        assert wand == plain
+
+
+def test_wand_mixed_rounded_equals_plain(spark, reader):
+    q = "( word00 | word30 ) word01"
+    for r in (2, 4, 6):
+        plain = _pairs(run_query(reader, q, k=10, round_score_to=r).collect())
+        wand = _pairs(run_query_wand(reader, q, k=10, round_score_to=r).collect())
+        assert wand == plain
+
+
+def test_wand_mixed_dead_alternative_falls_back_to_live_paths(spark, reader):
+    """An OR alternative absent from the lexicon drops its paths; the cut
+    must derive from the LIVE paths only and results must stay exact."""
+    q = "( word00 | nosuchword ) word01"
+    plain = _pairs(run_query(reader, q, k=10).collect())
+    wand = _pairs(run_query_wand(reader, q, k=10).collect())
+    assert wand == plain
+
+
 def test_wand_and_equals_plain_rounded(spark, reader):
     """With round_score_to set, θ must widen by the rounding quantum so a
     doc that round-ties with the kth result is never pruned."""
