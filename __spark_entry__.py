@@ -40,12 +40,19 @@ from marginaliasearch_spark.functions import sql_oracles
 from marginaliasearch_spark.functions.tokenizer import STOPWORDS
 from marginaliasearch_spark.operators import dedup, multimodal, similarity, textstats
 from marginaliasearch_spark.operators import ingest as ingest_ops
-from marginaliasearch_spark.operators.index_build import IndexPaths, build_index
+from marginaliasearch_spark.operators.index_build import (
+    IndexPaths,
+    build_index,
+    build_ngrams,
+)
 from marginaliasearch_spark.operators.query_exec import (
     IndexReader,
     RankingParams,
     run_query,
     run_query_wand,
+)
+from marginaliasearch_spark.plans.expansion import (
+    NGRAM_MIN_COUNT as _NGRAM_MIN_COUNT,
 )
 from marginaliasearch_spark.sources.transcripts import documents_as_transcripts
 
@@ -53,7 +60,7 @@ from marginaliasearch_spark.sources.transcripts import documents_as_transcripts
 # shared constants (must mirror the engine AND the oracle SQL)
 # ---------------------------------------------------------------------------
 
-_CACHE_VERSION = "v8"  # bump on any postings/journal wire-format change
+_CACHE_VERSION = "v9"  # bump on any postings/journal wire-format change
 _K = 20
 # deterministic query vector for similarity search (inlined into oracle SQL)
 _QVEC = [float((i * 37) % 19 - 9) / 10.0 for i in range(64)]
@@ -122,6 +129,8 @@ def _get_reader(spark: SparkSession, sf_dir: str) -> IndexReader:
                 # (drives the penalties ranking mode + budgeted scans)
                 ranks=ingest_ops.conv_ranks_by_quality(tx),
             )
+            # corpus-derived ngram lexicon for expansion segmentation
+            build_ngrams(spark, paths, min_count=2)
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         _READERS[key] = IndexReader(spark, paths)
@@ -222,6 +231,35 @@ dlang AS (
   SELECT doc_id, CASE {case} ELSE 'und' END AS lang
   FROM (SELECT doc_id, {best}, greatest({best}) AS best FROM dlh)
 )"""
+
+
+def _search_expanded(
+    query: str, k: int = _K
+) -> Callable[[SparkSession, str], DataFrame]:
+    """Query expansion run END-TO-END: ``expand_query`` (lexicon-probed
+    variants + ngram-lexicon segmentation → And/Or tree + optional phrase
+    groups) feeds the ordinary engine with positional ranking, so the
+    optional-group bonus of an admitted segment lands in the score. The
+    DuckDB oracle re-derives segment admission from the same corpus
+    statistics (adjacency counts vs NGRAM_MIN_COUNT) in SQL."""
+    from marginaliasearch_spark.plans.expansion import expand_query
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        reader = _get_reader(spark, sf_dir)
+        pq = expand_query(reader, query)
+        res = run_query(
+            reader,
+            pq,
+            k=k,
+            round_score_to=6,
+            tie_break=F.col("conv_id").cast("long"),
+            ranking=RankingParams(positional=True),
+        )
+        return res.select(
+            F.col("conv_id").cast("long").alias("doc_id"), "score"
+        )
+
+    return fn
 
 
 def _search_group_cap(
@@ -326,6 +364,8 @@ def _bm25_sql(
     rank_max: int | None = None,
     group_cap: tuple[int, int] | None = None,
     decorate: bool = False,
+    opt_windows: list[list[str]] | None = None,
+    opt_min_count: int | None = None,
 ) -> str:
     all_terms = sorted({w for p in paths for w in p})
     stats_t, corpus_t = ("stats_l", "corpus_l") if lang else ("stats", "corpus")
@@ -499,6 +539,42 @@ pen AS (
                 f" + coalesce(CASE WHEN px.md > 0 AND px.md < {n + 8}"
                 f" THEN 0.5 * 2.0 / (0.1 + sqrt(px.md::DOUBLE)) END, 0.0)"
             )
+        # optional phrase-constraint groups from ngram-lexicon segmentation:
+        # the oracle RE-DERIVES segment admission from the corpus (adjacency
+        # count >= NGRAM_MIN_COUNT over the same tokenizer slots the engine
+        # indexes), then scores admitted groups with the engine's
+        # optional_group_bonus formula — the expansion→execution seam is
+        # hash-checked end-to-end, admission decision included.
+        import math as _math
+
+        full_n = len(positional)
+        for j, win in enumerate(opt_windows or []):
+            size = len(win)
+            adj_joins = " ".join(
+                f"JOIN tok g{j}_{i} ON g{j}_{i}.doc_id = g{j}_0.doc_id"
+                f" AND g{j}_{i}.term = '{win[i]}'"
+                f" AND g{j}_{i}.pos = g{j}_0.pos + {i}"
+                for i in range(1, size)
+            )
+            extra_ctes += f"""
+, ogc{j} AS (
+  SELECT count(*)::BIGINT AS c FROM tok g{j}_0 {adj_joins}
+  WHERE g{j}_0.term = '{win[0]}'
+),
+ogd{j} AS (
+  SELECT g{j}_0.doc_id, count(*)::BIGINT AS cnt FROM tok g{j}_0 {adj_joins}
+  WHERE g{j}_0.term = '{win[0]}'
+  GROUP BY g{j}_0.doc_id
+)"""
+            joins.append(f"LEFT JOIN ogd{j} ON ogd{j}.doc_id = d.doc_id")
+            w = (0.5 * float(size)) * _math.sqrt(size / float(max(full_n, 1)))
+            bonus_j = (
+                f"CASE WHEN (SELECT c FROM ogc{j}) >= {opt_min_count} THEN "
+                f"coalesce(CASE WHEN ogd{j}.cnt > 0 THEN {w!r} *"
+                f" (1.0 + ln(1.0 + pow(ogd{j}.cnt::DOUBLE, 0.5))) END, 0.0)"
+                f" ELSE 0.0 END"
+            )
+            bonus += f" + {bonus_j}"
         raw = f"({raw}) + ({bonus})"
     if priority:
         for j, w in enumerate(priority):
@@ -764,6 +840,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-group result cap (A7) + decoration join (J7)
         "fulltext_group_cap": _search_group_cap("scan", cap=2, mod=10),
         "fulltext_decorated": _search_decorated("spark join"),
+        # query expansion end-to-end (QueryFactory/QueryExpansion seam):
+        # lexicon-probed variants are all dead branches on this corpus (the
+        # oracle gates them on term existence), but the ngram-lexicon
+        # segmentation admits the frequent window ["customer","query"]
+        # (adjacency count >= NGRAM_MIN_COUNT) and rejects ["query","slow"],
+        # so the optional-group bonus genuinely splits the two — admission
+        # re-derived inside the oracle SQL
+        "fulltext_expanded": _search_expanded("customer query slow"),
         # --- index stats tables (A1/A2/A3, S6 forward index) ---
         "index_lexicon_stats": _q_lexicon,
         "index_doc_stats": _q_doc_stats,
@@ -840,6 +924,22 @@ SELECT doc_id, 0.0 AS score FROM doclen WHERE 1 = 0""",
         "fulltext_bm25_rank": _bm25_sql([["scan"]], rank_max=15),
         "fulltext_group_cap": _bm25_sql([["scan"]], group_cap=(2, 10)),
         "fulltext_decorated": _bm25_sql([["spark", "join"]], decorate=True),
+        # expansion seam: variant paths present only if their joined token
+        # was ever indexed (dead on this corpus — the EXISTS-style LEFT
+        # JOIN gate mirrors the engine dropping non-lexicon variants; the
+        # joinTerms ctf condition only applies when the token exists, which
+        # it never does here), plus conditional optional-group bonuses with
+        # admission (adjacency >= NGRAM_MIN_COUNT) computed in SQL
+        "fulltext_expanded": _bm25_sql(
+            [
+                ["customer", "query", "slow"],
+                ["customerquery", "slow"],
+                ["customer", "queryslow"],
+            ],
+            positional=["customer", "query", "slow"],
+            opt_windows=[["customer", "query"], ["query", "slow"]],
+            opt_min_count=_NGRAM_MIN_COUNT,
+        ),
         "index_lexicon_stats": f"""{_COMMON}
 SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS ctf
 FROM tf GROUP BY term""",

@@ -41,6 +41,11 @@ POSTINGS_SCHEMA = (
     "positions binary, flags binary, min_doc long, max_doc long, "
     "max_tf_norm double"
 )
+# blocks are homogeneous in language; the writer turns the column into a
+# partition directory (lang=en/...) so lang-scoped queries prune at the scan
+# (the reference keeps one whole reverse index per language,
+# reverse/WordLexicon.java:34-41)
+POSTINGS_SCHEMA_LANG = POSTINGS_SCHEMA + ", lang string"
 
 
 def _encode_term_run(
@@ -84,6 +89,7 @@ def encode_blocks(
     Input columns: term_id, doc_id, tf, positions (varbyte binary), tf_norm.
     """
     carry: pd.DataFrame | None = None
+    with_lang = None  # resolved from the first batch's columns
 
     def flush(pdf: pd.DataFrame, keep_last_term: bool):
         nonlocal carry
@@ -94,31 +100,41 @@ def encode_blocks(
         flag_arr = pdf["flags"].to_numpy()
         score_arr = pdf["tf_norm"].to_numpy()
         pos_list = pdf["positions"].tolist()
-        # row ranges per term (input sorted by term_id)
-        change = np.flatnonzero(term_ids[1:] != term_ids[:-1]) + 1
+        # row ranges per run (input sorted by term_id[, lang]); a run — and
+        # hence every block — is homogeneous in (term_id, lang)
+        change_mask = term_ids[1:] != term_ids[:-1]
+        if with_lang:
+            langs = pdf["lang"].to_numpy()
+            change_mask = change_mask | (langs[1:] != langs[:-1])
+        change = np.flatnonzero(change_mask) + 1
         bounds = np.concatenate([[0], change, [len(pdf)]])
-        last = len(bounds) - 2  # index of the final term's range
+        last = len(bounds) - 2  # index of the final run's range
         rows = []
         for i in range(len(bounds) - 1):
             if keep_last_term and i == last:
                 carry = pdf.iloc[bounds[i] :]
                 break
             s, e = bounds[i], bounds[i + 1]
-            rows.extend(
-                _encode_term_run(
-                    int(term_ids[s]),
-                    doc_arr[s:e],
-                    tf_arr[s:e],
-                    wtf_arr[s:e],
-                    pos_list[s:e],
-                    flag_arr[s:e],
-                    score_arr[s:e],
-                    block_docs,
-                )
+            run = _encode_term_run(
+                int(term_ids[s]),
+                doc_arr[s:e],
+                tf_arr[s:e],
+                wtf_arr[s:e],
+                pos_list[s:e],
+                flag_arr[s:e],
+                score_arr[s:e],
+                block_docs,
             )
+            if with_lang:
+                lang = langs[s]
+                rows.extend({**blk, "lang": lang} for blk in run)
+            else:
+                rows.extend(run)
         return rows
 
     for pdf in batches:
+        if with_lang is None:
+            with_lang = "lang" in pdf.columns
         if carry is not None:
             pdf = pd.concat([carry, pdf], ignore_index=True)
             carry = None

@@ -49,7 +49,11 @@ from functools import partial
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.blocks import BLOCK_DOCS, POSTINGS_SCHEMA, encode_blocks
+from ..functions.blocks import (
+    BLOCK_DOCS,
+    POSTINGS_SCHEMA_LANG,
+    encode_blocks,
+)
 from ..functions.scoring import tf_norm
 from . import ingest
 
@@ -64,6 +68,7 @@ class IndexPaths:
         self.lexicon_lang = os.path.join(root, "lexicon_lang")
         self.term_bounds = os.path.join(root, "term_bounds")
         self.prio = os.path.join(root, "prio")
+        self.ngrams = os.path.join(root, "ngrams")
         self.manifest_dir = os.path.join(root, "manifest")
         self.corpus_stats = os.path.join(root, "corpus_stats.json")
 
@@ -218,21 +223,27 @@ def build_index(
             "wtf_q4",
             "positions",
             "flags",
+            "lang",
             tf_norm(
                 F.col("tf").cast("double"), F.col("doc_len").cast("double")
             ).alias("tf_norm"),
         )
+        # blocks are homogeneous in (term_id, lang) and the writer turns
+        # lang into a partition directory: a lang-scoped query prunes whole
+        # directories at the scan (the reference keeps one reverse index
+        # per language); the range shuffle stays keyed on (term_id, doc_id)
+        # so head-term skew splitting is unchanged
         blocks = (
             scored.repartitionByRange(partitions, "term_id", "doc_id")
-            .sortWithinPartitions("term_id", "doc_id")
+            .sortWithinPartitions("term_id", "lang", "doc_id")
             .mapInPandas(
                 partial(encode_blocks, block_docs=block_docs),
-                schema=POSTINGS_SCHEMA,
+                schema=POSTINGS_SCHEMA_LANG,
             )
         )
         out_dir = paths.bucket_dir(b)
         shutil.rmtree(out_dir, ignore_errors=True)  # clear torn write
-        blocks.write.mode("overwrite").parquet(out_dir)
+        blocks.write.mode("overwrite").partitionBy("lang").parquet(out_dir)
         # lineage metric: distinct terms in this bucket, from the (small)
         # lexicon rather than a rescan of the written postings
         term_count = lexicon_df.filter(
@@ -272,6 +283,7 @@ def build_index(
             "wtf_q4",
             F.lit(b"").alias("positions"),
             "flags",
+            "lang",
             tf_norm(
                 F.col("tf").cast("double"), F.col("doc_len").cast("double")
             ).alias("tf_norm"),
@@ -283,12 +295,13 @@ def build_index(
             prio.repartitionByRange(
                 max(1, partitions // 2), "term_id", "doc_id"
             )
-            .sortWithinPartitions("term_id", "doc_id")
+            .sortWithinPartitions("term_id", "lang", "doc_id")
             .mapInPandas(
                 partial(encode_blocks, block_docs=block_docs),
-                schema=POSTINGS_SCHEMA,
+                schema=POSTINGS_SCHEMA_LANG,
             )
             .write.mode("overwrite")
+            .partitionBy("lang")
             .parquet(paths.prio)
         )
     tmark = _mark(tmark, "prio tier")
@@ -306,6 +319,85 @@ def build_index(
     return paths
 
 
+def build_ngrams(
+    spark: SparkSession,
+    paths: IndexPaths,
+    *,
+    min_count: int = 2,
+    max_n: int = 3,
+) -> None:
+    """Corpus-derived ngram lexicon: adjacent (2..max_n)-token windows of
+    the journal with their corpus occurrence counts.
+
+    The reference consults a separately-learned ``NgramLexicon`` during
+    query-expansion segmentation
+    (``code/functions/language-processing/java/nu/marginalia/segmentation/
+    NgramLexicon.java``, used from ``QueryExpansion.java:187-228``); ours is
+    derived from the indexed corpus itself — one positions explode plus one
+    equi-join per ngram order, each a single (doc_id, pos) shuffle. Adjacency
+    is over the tokenizer's position slots, so stopwords (which consume a
+    slot but are not indexed) and turn breaks (+2 padding) break windows,
+    exactly as the positional scorer sees them.
+
+    Separate build step (like the reference's separately-learned lexicon):
+    resumable via its own ``_SUCCESS`` marker; skipped when present.
+    """
+    from ..functions.codecs import decode_positions
+    import numpy as np
+    import pandas as pd
+
+    if os.path.exists(os.path.join(paths.ngrams, "_SUCCESS")):
+        return
+    shutil.rmtree(paths.ngrams, ignore_errors=True)
+    journal = spark.read.parquet(paths.journal).filter(
+        F.col("term").isNotNull()
+    )
+
+    def explode_pos(batches):
+        for pdf in batches:
+            tfs = pdf["tf"].to_numpy().astype(np.int64)
+            flat = decode_positions(b"".join(pdf["positions"].tolist()), tfs)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(pdf["doc_id"].to_numpy(), tfs),
+                    "term": np.repeat(pdf["term"].to_numpy(), tfs),
+                    "pos": flat.astype(np.int64),
+                }
+            )
+
+    tok = journal.select("doc_id", "term", "tf", "positions").mapInPandas(
+        explode_pos, schema="doc_id long, term string, pos long"
+    )
+    cur = tok.select("doc_id", "pos", F.array("term").alias("ws"))
+    outs = []
+    for n in range(2, max_n + 1):
+        nxt = tok.select(
+            "doc_id",
+            (F.col("pos") - F.lit(n - 1)).alias("pos"),
+            F.col("term").alias("_w"),
+        )
+        cur = cur.join(nxt, ["doc_id", "pos"]).select(
+            "doc_id",
+            "pos",
+            F.concat("ws", F.array("_w")).alias("ws"),
+        )
+        outs.append(
+            cur.groupBy("ws")
+            .count()
+            .filter(F.col("count") >= min_count)
+            .select(
+                F.array_join("ws", " ").alias("key"),
+                F.lit(n).alias("n"),
+                F.col("count").alias("cnt"),
+            )
+        )
+    from functools import reduce
+
+    reduce(lambda a, b: a.unionByName(b), outs).write.mode(
+        "overwrite"
+    ).parquet(paths.ngrams)
+
+
 def read_manifest(paths: IndexPaths) -> list[dict]:
     out = []
     if os.path.isdir(paths.manifest_dir):
@@ -316,6 +408,8 @@ def read_manifest(paths: IndexPaths) -> list[dict]:
 
 
 def read_postings(spark: SparkSession, paths: IndexPaths) -> DataFrame:
-    return spark.read.parquet(
+    # basePath makes the nested part=N/lang=X directory structure resolve
+    # as two partition columns while still reading ONLY committed buckets
+    return spark.read.option("basePath", paths.postings).parquet(
         *[paths.bucket_dir(m["partition_id"]) for m in read_manifest(paths)]
     )

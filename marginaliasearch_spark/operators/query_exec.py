@@ -203,12 +203,16 @@ class IndexReader:
         self.postings = read_postings(spark, paths)
         self.lexicon = spark.read.parquet(paths.lexicon)
         self.doc_stats = spark.read.parquet(paths.doc_stats)
-        # optional priority tier (flagged occurrences only, much smaller)
-        self.prio = (
-            spark.read.parquet(paths.prio)
-            if os.path.exists(os.path.join(paths.prio, "_SUCCESS"))
-            else None
-        )
+        # optional priority tier (flagged occurrences only, much smaller);
+        # a corpus with no flagged turns writes an EMPTY lang-partitioned
+        # dir (no parquet files at all), which can't be read — treat as
+        # absent and fall back to the full tier
+        self.prio = None
+        if os.path.exists(os.path.join(paths.prio, "_SUCCESS")):
+            try:
+                self.prio = spark.read.parquet(paths.prio)
+            except Exception:
+                self.prio = None
         with open(paths.corpus_stats) as f:
             stats = json.load(f)
         self.n_docs = float(stats["doc_count"])
@@ -220,6 +224,13 @@ class IndexReader:
         self.lexicon_lang = (
             spark.read.parquet(paths.lexicon_lang)
             if os.path.exists(os.path.join(paths.lexicon_lang, "_SUCCESS"))
+            else None
+        )
+        # optional corpus-derived ngram lexicon (expansion segmentation,
+        # reference NgramLexicon analogue — built by index_build.build_ngrams)
+        self.ngrams = (
+            spark.read.parquet(paths.ngrams)
+            if os.path.exists(os.path.join(paths.ngrams, "_SUCCESS"))
             else None
         )
         # actual block geometry of this index (older indexes predate the
@@ -271,6 +282,7 @@ class IndexReader:
         top_blocks: int | None = None,
         first_blocks: int | None = None,
         tier: str = "full",
+        lang: str | None = None,
     ) -> DataFrame:
         """One term's postings → (doc_id, tf, flags[, positions]).
 
@@ -289,6 +301,12 @@ class IndexReader:
         """
         source = self.prio if (tier == "prio" and self.prio is not None) else self.postings
         blocks = source.filter(F.col("term_id") == term_id)
+        if lang is not None and "lang" in source.columns:
+            # postings are written partitioned by the doc's language, so a
+            # lang-scoped query prunes whole lang=... directories at the
+            # scan (PartitionFilters) instead of filtering after the join —
+            # the per-language reverse index of the reference
+            blocks = blocks.filter(F.col("lang") == lang)
         if min_tf_norm is not None:
             blocks = blocks.filter(F.col("max_tf_norm") >= min_tf_norm)
         if top_blocks is not None:
@@ -433,6 +451,7 @@ def run_query(
             top_blocks=_driver_top_blocks if is_driver else None,
             first_blocks=budget_blocks if is_driver else None,
             tier="prio" if (prio_ok and word not in need_pos) else "full",
+            lang=lang,
         )
         cols = [F.col("doc_id"), F.col("tf").alias(f"tf_{_safe(word)}")]
         if weighted:
@@ -521,6 +540,7 @@ def run_query(
                     stats[w][0],
                     candidates=conv_doc_ids,
                     tier="prio" if (prio_ok and w not in need_pos) else "full",
+                    lang=lang,
                 ).select("doc_id")
                 for w in drivers
             ]
@@ -541,6 +561,7 @@ def run_query(
                 min_tf_norm=(_driver_min_tf_norm or {}).get(w),
                 top_blocks=_driver_top_blocks,
                 tier="prio" if (prio_ok and w not in need_pos) else "full",
+                lang=lang,
             )
             sel = [
                 F.col("doc_id"),
@@ -622,7 +643,7 @@ def run_query(
             if sum(stats[w][1] for w in drivers) <= MAX_DRIVER_CANDIDATES:
                 frames = [
                     reader.decode_term(
-                        stats[w][0], candidates=conv_doc_ids
+                        stats[w][0], candidates=conv_doc_ids, lang=lang
                     ).select("doc_id")
                     for w in sorted(drivers)
                 ]
@@ -642,9 +663,9 @@ def run_query(
                 else cand_bc
             )
             cand = cand.join(
-                reader.decode_term(stats[word][0], candidates=prune).select(
-                    "doc_id"
-                ),
+                reader.decode_term(
+                    stats[word][0], candidates=prune, lang=lang
+                ).select("doc_id"),
                 "doc_id",
                 "left_anti",
             )
@@ -806,7 +827,7 @@ def run_query(
                 else cand_bc
             )
             cand = cand.join(
-                reader.decode_term(stats[w][0], candidates=prune)
+                reader.decode_term(stats[w][0], candidates=prune, lang=lang)
                 .select("doc_id", F.lit(1).alias(f"prio_{_safe(w)}")),
                 "doc_id",
                 "left",

@@ -45,6 +45,11 @@ _SPLIT_NUM = re.compile(r"(?<=[0-9])(?=[a-z])|(?<=[a-z])(?=[0-9])")
 JOIN_CTF_FLOOR = 1000  # reference: scoreCombo > 1000 admits the join
 MAX_PATHS = 32
 MAX_LAST_WORD_VARIANTS = 4  # stem-mates kept per last word (by ctf desc)
+# ngram-lexicon segmentation: a query window is a recognized segment when
+# its corpus adjacency count reaches this floor (the reference's learned
+# NgramLexicon membership test, QueryExpansion.java:187-228 createSegments)
+NGRAM_MIN_COUNT = 30
+NGRAM_MAX_N = 3
 
 
 def candidate_variants(words: list[str]) -> dict[str, list[tuple]]:
@@ -194,7 +199,53 @@ def expand_query(reader, query: str | ParsedQuery) -> ParsedQuery:
         reader, words + list(candidate_variants(words))
     )
     tree, opt_constraints = expand_terms(words, stats, last_variants, stem_ctf)
+    # ngram-lexicon segmentation (createSegments): windows frequent as
+    # corpus adjacencies become optional constraint groups even when their
+    # joined form was never indexed as a token
+    for seg in ngram_segments(reader, words):
+        if seg not in opt_constraints:
+            opt_constraints.append(seg)
     return replace(pq, include=tree, opt_phrases=opt_constraints)
+
+
+def ngram_segments(
+    reader,
+    words: list[str],
+    min_count: int = NGRAM_MIN_COUNT,
+    max_n: int = NGRAM_MAX_N,
+) -> list[list[str]]:
+    """Recognized sub-windows of ``words`` per the index's ngram lexicon
+    (``index_build.build_ngrams``); empty when the index has none.
+
+    The full-query window is excluded — the full group already earns the
+    verbatim bonus. One pushed-``IN`` probe for all windows; windows are
+    returned in (start, length) order so downstream score terms accumulate
+    deterministically.
+    """
+    from pyspark.sql import functions as F
+
+    ng = getattr(reader, "ngrams", None)
+    if ng is None or len(words) < 2:
+        return []
+    windows = [
+        (i, n)
+        for n in range(2, min(max_n, len(words) - 1) + 1)
+        for i in range(len(words) - n + 1)
+    ]
+    if not windows:
+        return []
+    keys = {" ".join(words[i : i + n]) for i, n in windows}
+    rows = (
+        ng.filter(F.col("key").isin(sorted(keys)) & (F.col("cnt") >= min_count))
+        .select("key")
+        .collect()
+    )
+    admitted = {r["key"] for r in rows}
+    return [
+        list(words[i : i + n])
+        for i, n in windows
+        if " ".join(words[i : i + n]) in admitted
+    ]
 
 
 def _probe(reader, terms: list[str]) -> dict[str, tuple[int, int, int]]:

@@ -159,3 +159,77 @@ def test_optional_constraint_scores_but_does_not_filter(spark, reader):
     raw_opt = 501.0 / s_opt["c9"] ** 2 - 1.0
     want_bonus = 0.5 * 2 * math.sqrt(2.0 / 3.0) * (1.0 + math.log(1.0 + 1.0))
     assert raw_opt - raw_plain == pytest.approx(want_bonus, abs=1e-9)
+
+
+@pytest.fixture(scope="module")
+def ngram_reader(spark, tmp_path_factory):
+    """Corpus where 'alpha beta' is a frequent adjacency but neither
+    'alphabeta' nor 'alpha_beta' was ever indexed — the segment can only be
+    admitted via the ngram lexicon (reference NgramLexicon)."""
+    from marginaliasearch_spark.operators.index_build import build_ngrams
+
+    rows = [
+        _row(f"ab{i}", "alpha beta gamma noise" + str(i)) for i in range(12)
+    ]
+    rows += [_row(f"x{i}", f"gamma delta word{i}") for i in range(8)]
+    # control: matches the AND query but never the in-order window
+    rows += [_row(f"ba{i}", "beta noise alpha gamma end") for i in range(2)]
+    corpus = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    root = str(tmp_path_factory.mktemp("ngidx"))
+    paths = build_index(spark, corpus, root, n_buckets=1)
+    build_ngrams(spark, paths, min_count=2)
+    return IndexReader(spark, paths)
+
+
+def test_ngram_segment_admitted_only_via_table(spark, ngram_reader):
+    """'alpha beta' is no span variant (joined forms unindexed) yet must be
+    admitted as an optional group through the ngram lexicon; an infrequent
+    window ('beta gamma' appears as often — pick one below threshold) is
+    rejected by the count floor."""
+    pq = expand_query(ngram_reader, "alpha beta gamma")
+    # default NGRAM_MIN_COUNT is 30 > corpus counts; probe with the module
+    # function at a floor the corpus clears
+    from marginaliasearch_spark.plans.expansion import ngram_segments
+
+    segs = ngram_segments(ngram_reader, ["alpha", "beta", "gamma"], min_count=10)
+    assert ["alpha", "beta"] in segs and ["beta", "gamma"] in segs
+    segs_hi = ngram_segments(
+        ngram_reader, ["alpha", "beta", "gamma"], min_count=13
+    )
+    assert segs_hi == []  # both adjacencies occur 12x — floor rejects
+    # expand_query at the default floor admits nothing here (counts 12 < 30)
+    assert pq.opt_phrases == []
+
+
+def test_ngram_segment_produces_optional_group_bonus(spark, ngram_reader):
+    """An admitted ngram segment must boost docs with the in-order window
+    (optional-group verbatim scoring) without filtering out the rest."""
+    from dataclasses import replace
+
+    from marginaliasearch_spark.operators.query_exec import RankingParams
+    from marginaliasearch_spark.plans.expansion import ngram_segments
+
+    base = expand_query(ngram_reader, "alpha beta gamma")
+    assert base.opt_phrases == []  # default floor rejects (counts < 30)
+    segs = ngram_segments(
+        ngram_reader, ["alpha", "beta", "gamma"], min_count=10
+    )
+    assert ["alpha", "beta"] in segs
+    boosted = replace(base, opt_phrases=[["alpha", "beta"]])
+    plain = run_query(
+        ngram_reader, base, k=20, ranking=RankingParams(positional=True)
+    ).collect()
+    with_grp = run_query(
+        ngram_reader, boosted, k=20, ranking=RankingParams(positional=True)
+    ).collect()
+    # same result set; docs containing the in-order 'alpha beta' window get
+    # a strictly better (lower) score with the group active
+    p = {r["conv_id"]: r["score"] for r in plain}
+    g = {r["conv_id"]: r["score"] for r in with_grp}
+    assert set(p) == set(g)
+    ab_docs = {c for c in p if c.startswith("ab")}
+    assert ab_docs and all(g[c] < p[c] for c in ab_docs)
+    assert all(g[c] == p[c] for c in p if c not in ab_docs)

@@ -86,3 +86,19 @@ def test_global_query_unchanged(spark, built):
 
 def test_lang_with_unknown_language_is_empty(spark, built):
     assert run_query(built, "rare", k=5, lang="fr").count() == 0
+
+
+def test_lang_prunes_postings_scan(spark, built):
+    """Postings are lang-partitioned at rest; a lang-scoped decode must
+    push the language to the scan as a PARTITION filter (directory
+    pruning), not filter after the join (reference: one reverse index per
+    language, WordLexicon.java:34-41)."""
+    tid = built.term_stats(["shared"])["shared"][0]
+    plan = built.decode_term(
+        tid, lang="es"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "lang" in plan.split("PartitionFilters")[1][:200]
+    # the full set of decoded docs must be the es docs only
+    df = built.decode_term(tid, lang="es").select("doc_id")
+    assert df.count() == 4
