@@ -47,18 +47,84 @@ def _seed_from_payload(payload: bytes) -> np.uint64:
     return np.uint64(int.from_bytes(digest[:8], "big"))
 
 
-def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """payload → HxWx3 uint8 array. STUB: real decode needs PIL/libjpeg,
-    not present in this container."""
-    if not fake:
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) → HxWx3 uint8. Pure numpy — no image libs.
+
+    Header grammar (netpbm spec): ``P6``, then three ASCII integers
+    (width, height, maxval) separated by whitespace, ``#`` comments
+    allowed between tokens, one whitespace byte, then ``h*w*3`` raw bytes.
+    """
+    pos = 2
+    vals: list[int] = []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = vals
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    n = w * h * 3
+    arr = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    return arr.reshape(h, w, 3).copy()
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP (BI_RGB) → HxWx3 uint8. Pure numpy.
+
+    Rows are 4-byte padded, stored bottom-up (positive height) in BGR
+    order; both quirks are undone here.
+    """
+    data_off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0:
         raise NotImplementedError(
-            "image decoding requires an image library not present in this "
-            "container; pass fake=True for the deterministic test decoder"
+            f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
+            f"compression={compression})"
         )
-    seed = _seed_from_payload(payload)
-    idx = np.arange(_N_PIX * 3, dtype=np.uint64)
-    vals = (_splitmix64(seed + idx) & np.uint64(255)).astype(np.uint8)
-    return vals.reshape(IMG_H, IMG_W, 3)
+    bottom_up = h > 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_bytes * h, offset=data_off
+    ).reshape(h, row_bytes)
+    img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    if bottom_up:
+        img = img[::-1]
+    return img.copy()
+
+
+def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
+    """payload → HxWx3 uint8 array.
+
+    Real decoders (pure numpy, no external libs): binary PPM (``P6``) and
+    uncompressed 24-bit BMP (``BM``). Compressed formats (JPEG/PNG/...)
+    still raise ``NotImplementedError`` — this container ships no codec
+    libs. ``fake=True`` keeps the deterministic content-hash decoder used
+    by the SQL-twinned correctness oracles."""
+    if fake:
+        seed = _seed_from_payload(payload)
+        idx = np.arange(_N_PIX * 3, dtype=np.uint64)
+        vals = (_splitmix64(seed + idx) & np.uint64(255)).astype(np.uint8)
+        return vals.reshape(IMG_H, IMG_W, 3)
+    if payload[:2] == b"P6":
+        return _decode_ppm(bytes(payload))
+    if payload[:2] == b"BM":
+        return _decode_bmp(bytes(payload))
+    raise NotImplementedError(
+        "compressed image formats require codec libraries not present in "
+        "this container; supported real formats: PPM (P6), 24-bit BMP"
+    )
 
 
 FEATURE_COLS = ["mean_r", "mean_g", "mean_b"] + [f"h{b}" for b in range(HIST_BINS)]
@@ -83,12 +149,13 @@ def image_features(
             for payload in pdf[payload_col]:
                 img = decode_image(bytes(payload), fake=fake)
                 flat = img.reshape(-1, 3).astype(np.int64)
+                n_pix = flat.shape[0]  # == _N_PIX for the fake decoder
                 for c, name in enumerate(FEATURE_COLS[:3]):
-                    out[name].append(float(flat[:, c].sum()) / _N_PIX / 255.0)
+                    out[name].append(float(flat[:, c].sum()) / n_pix / 255.0)
                 bins = np.minimum(flat.sum(axis=1) // _BIN_DIV, HIST_BINS - 1)
                 counts = np.bincount(bins, minlength=HIST_BINS)
                 for b in range(HIST_BINS):
-                    out[f"h{b}"].append(float(counts[b]) / _N_PIX)
+                    out[f"h{b}"].append(float(counts[b]) / n_pix)
             yield pd.DataFrame({"media_id": pdf["media_id"], **out})
 
     return media.select("media_id", payload_col).mapInPandas(
