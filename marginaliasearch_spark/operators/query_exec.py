@@ -958,7 +958,6 @@ def run_query_wand(
         and not pq.phrases
         and not pq.priority
         and kw.get("group_cap") is None
-        and kw.get("lang") is None
         and (
             kw.get("ranking") is None
             or not (
@@ -971,16 +970,27 @@ def run_query_wand(
     )
     if not eligible:
         return run_query(reader, pq, k=k, **kw)
-    stats = reader.term_stats(include)
+    # lang-scoped queries are eligible too: idf/θ use the language's own
+    # stats (as the scorer does), while the per-term upper bounds stay the
+    # GLOBAL block maxima — an upper bound for any language slice, so the
+    # cut is merely conservative
+    lang = kw.get("lang")
+    try:
+        stats = reader.term_stats(include, lang=lang)
+    except ValueError:  # pre-lang index
+        return run_query(reader, pq, k=k, **kw)
+    n_corpus = (
+        reader.lang_doc_counts.get(lang, 0.0) if lang is not None else reader.n_docs
+    )
     live_paths = [p for p in paths if all(w in stats for w in p)]
     live = sorted({w for p in live_paths for w in p})
-    if not live:
+    if not live or n_corpus <= 0:
         return run_query(reader, pq, k=k, **kw)
     pure_or = all(len(set(p)) == 1 for p in live_paths)
 
     def idf_of(w: str) -> float:
         df_w = float(stats[w][1])
-        return math.log(1.0 + (reader.n_docs - df_w + 0.5) / (df_w + 0.5))
+        return math.log(1.0 + (n_corpus - df_w + 0.5) / (df_w + 0.5))
 
     idfs = {w: idf_of(w) for w in live}
     if any(v <= 0 for v in idfs.values()):

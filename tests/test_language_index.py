@@ -102,3 +102,17 @@ def test_lang_prunes_postings_scan(spark, built):
     # the full set of decoded docs must be the es docs only
     df = built.decode_term(tid, lang="es").select("doc_id")
     assert df.count() == 4
+
+
+def test_wand_lang_scoped_equals_plain(spark, built):
+    """run_query_wand with lang= must stay exact: θ/idf come from the
+    language's statistics, block cuts from the (conservative) global
+    bounds."""
+    from marginaliasearch_spark.operators.query_exec import run_query_wand
+
+    for q, lang, k in [("shared", "es", 3), ("shared rare", "es", 2), ("rare", "en", 1)]:
+        plain = run_query(built, q, k=k, lang=lang).collect()
+        wand = run_query_wand(built, q, k=k, lang=lang).collect()
+        assert [(r["conv_id"], r["score"]) for r in plain] == [
+            (r["conv_id"], r["score"]) for r in wand
+        ]

@@ -78,6 +78,43 @@ def main() -> None:
         )
     )
 
+    q_wand_mixed = run_query(
+        reader,
+        "( customer | batch ) query",
+        k=10,
+        _driver_min_tf_norm={"customer": 1.2, "batch": 1.3, "query": 1.1},
+    )
+    sections.append(
+        (
+            "Block-max mixed AND-of-OR pruning (`( customer | batch ) query`, per-path residual θ-cuts)",
+            "run_query_wand's general shape: every term's scan gets the "
+            "block-max cut of its most forgiving containing path "
+            "(θ − max over paths ∋ t of (UB(path) − UB_t)) — check "
+            "`GreaterThanOrEqual(max_tf_norm, ...)` inside `PushedFilters` "
+            "on ALL THREE distinct term scans (the reference applies "
+            "skip-list block maxima to every enumerated OR-path's retain "
+            "chain, CombinedIndexReader.createQueries).",
+            fmt(q_wand_mixed),
+        )
+    )
+
+    lang_scan = reader.decode_term(
+        reader.term_stats(["customer"])["customer"][0], lang="en"
+    )
+    sections.append(
+        (
+            "Language-scoped postings decode (`customer`, lang='en')",
+            "Postings are written under lang=... partition directories "
+            "(blocks homogeneous in (term, language)); a lang-scoped decode "
+            "shows the language under `PartitionFilters` — whole directories "
+            "prune before any IO, the analogue of the reference's "
+            "per-language reverse index (WordLexicon.java:34-41). The "
+            "term_id equality stays in `PushedFilters` for row-group "
+            "pruning inside the surviving partition.",
+            fmt(lang_scan),
+        )
+    )
+
     from pyspark.sql import functions as F
 
     blocks = reader.postings.filter(
