@@ -232,10 +232,12 @@ def build_index(
         # lang into a partition directory: a lang-scoped query prunes whole
         # directories at the scan (the reference keeps one reverse index
         # per language); the range shuffle stays keyed on (term_id, doc_id)
-        # so head-term skew splitting is unchanged
+        # so head-term skew splitting is unchanged. lang leads the sort so
+        # the dynamic-partition writer's required ordering is already
+        # satisfied and it does NOT insert a second per-task sort
         blocks = (
             scored.repartitionByRange(partitions, "term_id", "doc_id")
-            .sortWithinPartitions("term_id", "lang", "doc_id")
+            .sortWithinPartitions("lang", "term_id", "doc_id")
             .mapInPandas(
                 partial(encode_blocks, block_docs=block_docs),
                 schema=POSTINGS_SCHEMA_LANG,
@@ -295,7 +297,7 @@ def build_index(
             prio.repartitionByRange(
                 max(1, partitions // 2), "term_id", "doc_id"
             )
-            .sortWithinPartitions("term_id", "lang", "doc_id")
+            .sortWithinPartitions("lang", "term_id", "doc_id")
             .mapInPandas(
                 partial(encode_blocks, block_docs=block_docs),
                 schema=POSTINGS_SCHEMA_LANG,
