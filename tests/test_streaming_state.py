@@ -1,0 +1,147 @@
+"""Custom stateful streaming operators: sessionization via
+applyInPandasWithState (event-time timeout) and append-mode watermarked
+window aggregation with late-data drop."""
+
+import datetime
+import glob
+import os
+import shutil
+
+import pytest
+
+from marginaliasearch_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+from marginaliasearch_spark.streaming.sessions import (
+    conversation_sessions,
+    windowed_event_counts,
+)
+
+_T0 = datetime.datetime(2025, 3, 1, 10, 0, 0)
+
+
+def _at(minutes: float) -> datetime.datetime:
+    return _T0 + datetime.timedelta(minutes=minutes)
+
+
+def _drop(spark, df, input_dir, name, tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp(f"sw_{name}"))
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    shutil.copy(part, os.path.join(input_dir, f"{name}.parquet"))
+
+
+def _run_once(spark, make_stream, ckpt, out_dir):
+    q = (
+        make_stream()
+        .writeStream.foreachBatch(
+            lambda df, bid: df.write.mode("append").parquet(out_dir)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _read_out(spark, out_dir):
+    if not glob.glob(os.path.join(out_dir, "part-*.parquet")):
+        return []
+    return spark.read.parquet(out_dir).collect()
+
+
+def test_conversation_sessions_event_time_timeout(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("sess")
+    input_dir, ckpt, out_dir = (
+        str(base / "in"),
+        str(base / "ckpt"),
+        str(base / "out"),
+    )
+    os.makedirs(input_dir)
+
+    def rows(items):
+        return spark.createDataFrame(items, TRANSCRIPT_SCHEMA)
+
+    # conv a: 3 turns over 2 min; conv b: 2 turns, one tool role
+    wave1 = rows(
+        [
+            ("a", 0, "user", "hi", "", _at(0)),
+            ("a", 1, "assistant", "hello", "", _at(1)),
+            ("a", 2, "user", "bye", "", _at(2)),
+            ("b", 0, "user", "q", "", _at(0)),
+            ("b", 1, "tool", "result", "grep", _at(5)),
+        ]
+    )
+    # far-future turns push the watermark past a/b's last_ts + gap
+    wave2 = rows([("c", 0, "user", "later", "", _at(120))])
+    wave3 = rows([("d", 0, "user", "latest", "", _at(240))])
+
+    def make_stream():
+        turns = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(input_dir)
+        return conversation_sessions(
+            turns, gap="30 minutes", watermark="10 minutes"
+        )
+
+    _drop(spark, wave1, input_dir, "w1", tmp_path_factory)
+    _run_once(spark, make_stream, ckpt, out_dir)
+    assert _read_out(spark, out_dir) == []  # nothing timed out yet
+
+    _drop(spark, wave2, input_dir, "w2", tmp_path_factory)
+    _run_once(spark, make_stream, ckpt, out_dir)
+    _drop(spark, wave3, input_dir, "w3", tmp_path_factory)
+    _run_once(spark, make_stream, ckpt, out_dir)
+
+    got = {r["conv_id"]: r for r in _read_out(spark, out_dir)}
+    assert set(got) >= {"a", "b"}
+    ms = lambda m: int(_at(m).timestamp() * 1000)  # noqa: E731
+    assert got["a"]["n_turns"] == 3
+    assert got["a"]["first_ts_ms"] == ms(0) and got["a"]["last_ts_ms"] == ms(2)
+    assert got["a"]["n_tool_turns"] == 0
+    assert got["b"]["n_turns"] == 2 and got["b"]["n_tool_turns"] == 1
+    # a session is emitted exactly once
+    assert len(_read_out(spark, out_dir)) == len(got)
+
+
+def test_windowed_event_counts_append_and_late_drop(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("wagg")
+    input_dir, ckpt, out_dir = (
+        str(base / "in"),
+        str(base / "ckpt"),
+        str(base / "out"),
+    )
+    os.makedirs(input_dir)
+    schema = "ts timestamp, event_type string, value double"
+
+    def rows(items):
+        return spark.createDataFrame(items, schema)
+
+    wave1 = rows(
+        [
+            (_at(5), "click", 1.0),
+            (_at(20), "click", 2.0),
+            (_at(70), "view", 5.0),
+        ]
+    )
+    wave2 = rows([(_at(120), "view", 1.0)])
+    # the 100.0 row is TOO late: its window's END (11:00) is below the
+    # watermark entering this batch (12:00 − 30 min = 11:30) — Spark drops
+    # a row only once its whole window can no longer be open
+    wave3 = rows([(_at(240), "view", 1.0), (_at(10), "click", 100.0)])
+    wave4 = rows([(_at(360), "view", 1.0)])
+
+    def make_stream():
+        ev = spark.readStream.schema(schema).parquet(input_dir)
+        return windowed_event_counts(ev, window="1 hour", watermark="30 minutes")
+
+    for name, wave in [("w1", wave1), ("w2", wave2), ("w3", wave3), ("w4", wave4)]:
+        _drop(spark, wave, input_dir, name, tmp_path_factory)
+        _run_once(spark, make_stream, ckpt, out_dir)
+
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in _read_out(spark, out_dir)
+    }
+    # the 10:00 click window closed with its 2 ON-TIME rows; the too-late
+    # 100.0 row was dropped
+    assert got[(_at(0), "click")] == (2, 3.0)
+    assert got[(_at(60), "view")] == (1, 5.0)
+    # append mode: each emitted window appears exactly once
+    assert len(_read_out(spark, out_dir)) == len(got)
