@@ -165,7 +165,12 @@ def main() -> None:
     # core + bandwidth, which is what per-node executors get on a real
     # cluster; see BASELINE.md "Measured" for the full 1/2/4/8/32 ladder.
     ap.add_argument("--n", type=int, default=1, help="N for the N vs 4N scaling run")
-    ap.add_argument("--repeat", type=int, default=2, help="runs per cell (best kept)")
+    ap.add_argument(
+        "--repeat",
+        type=int,
+        default=3,
+        help="runs per cell (best-of-N and median-of-N both reported)",
+    )
     args = ap.parse_args()
 
     if args.scaling:

@@ -233,8 +233,10 @@ def build_index(
         # directories at the scan (the reference keeps one reverse index
         # per language); the range shuffle stays keyed on (term_id, doc_id)
         # so head-term skew splitting is unchanged. lang leads the sort so
-        # the dynamic-partition writer's required ordering is already
-        # satisfied and it does NOT insert a second per-task sort
+        # encode_blocks sees each task's rows grouped by partition-dir key;
+        # mapInPandas drops ordering metadata, so the dynamic-partition
+        # writer still adds its own per-task sort — but over block rows
+        # (~1/block_docs of the posting rows), which is cheap
         blocks = (
             scored.repartitionByRange(partitions, "term_id", "doc_id")
             .sortWithinPartitions("lang", "term_id", "doc_id")

@@ -219,8 +219,8 @@ def ngram_segments(
 
     The full-query window is excluded — the full group already earns the
     verbatim bonus. One pushed-``IN`` probe for all windows; windows are
-    returned in (start, length) order so downstream score terms accumulate
-    deterministically.
+    returned in (length, start) order — length-major, then start within a
+    length — so downstream score terms accumulate deterministically.
     """
     from pyspark.sql import functions as F
 

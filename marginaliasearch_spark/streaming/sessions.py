@@ -7,16 +7,20 @@ two classic shapes a pipeline needs are
 
 - ``conversation_sessions`` — per-``conv_id`` sessionization with an
   event-time idle gap, implemented with ``applyInPandasWithState``
-  (Arrow-batched per-group state, event-time timeout). A conversation's
-  session row (turn count, span, roles seen) is emitted once the watermark
-  passes ``last_ts + gap`` — i.e. when no more turns can legally arrive.
+  (Arrow-batched per-group state, event-time timeout). Semantics match SQL
+  ``session_window(ts, gap)``: turns merge into one session while each
+  consecutive pair is strictly less than ``gap`` apart (regardless of
+  which micro-batch they arrive in), and a session row (turn count, span,
+  roles seen) is emitted exactly once — when the watermark passes
+  ``last_ts + gap``, i.e. when no admissible row can extend or bridge it.
 - ``windowed_event_counts`` — watermarked tumbling-window aggregation in
   append mode: late rows beyond the watermark are dropped, and a window is
   emitted exactly once, when it can no longer change.
 
-Both are bounded-state by construction: sessions hold one fixed-size state
-row per LIVE conversation (closed ones are removed on emit), windows hold
-one partial aggregate per (window, key) until the watermark closes it.
+Both are bounded-state by construction: sessions hold one state row per
+LIVE conversation (a short array of pending sessions, drained as the
+watermark passes each one), windows hold one partial aggregate per
+(window, key) until the watermark closes it.
 """
 
 from __future__ import annotations
@@ -32,7 +36,13 @@ SESSION_SCHEMA = (
     "conv_id string, n_turns long, first_ts_ms long, last_ts_ms long, "
     "n_tool_turns long"
 )
-_STATE_SCHEMA = "n_turns long, first_ts_ms long, last_ts_ms long, n_tool long"
+# one state row per live conversation holding ALL pending sessions
+# (first-ts ascending); arrays because a conversation can have several
+# gap-separated sessions in flight before the watermark drains them
+_STATE_SCHEMA = (
+    "n_turns array<long>, first_ts_ms array<long>, "
+    "last_ts_ms array<long>, n_tool array<long>"
+)
 
 
 def _gap_ms(gap: str) -> int:
@@ -53,14 +63,18 @@ def conversation_sessions(
 ) -> DataFrame:
     """Streaming sessionization of transcript turns by ``conv_id``.
 
-    State per live conversation: (turn count, first/last event time, tool
-    turns). Each batch folds its turns into the state and re-arms an
-    EVENT-TIME timeout at ``last_ts + gap``; when the watermark passes it,
-    the session is emitted and the state removed. Emission is
-    exactly-once-per-conversation (unless later turns re-open it, which
-    the gap semantics define as a NEW session — same as SQL
-    ``session_window``, but with custom state so arbitrary per-session
-    aggregates ride along).
+    State per live conversation: the array of PENDING sessions, each
+    (turn count, first/last event time, tool turns), first-ts ascending.
+    Each batch folds its turns in as singleton sessions and re-merges
+    exactly like SQL ``session_window``: sessions whose intervals
+    ``[first, last + gap)`` overlap (i.e. the idle gap between them is
+    strictly under ``gap``) coalesce, whether the turns arrived in one
+    batch or many. A session is emitted — and dropped from state — only
+    once the watermark reaches ``last_ts + gap``: any row admitted after
+    that has ``ts >= watermark >= last_ts + gap``, so it can neither
+    extend nor bridge into the emitted session. An event-time timeout at
+    the earliest pending ``last_ts + gap`` drains sessions for
+    conversations that receive no further turns.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -69,40 +83,76 @@ def conversation_sessions(
     def fn(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        if state.hasTimedOut:
-            n, first_ms, last_ms, n_tool = state.get
-            state.remove()
-            yield pd.DataFrame(
-                {
-                    "conv_id": [key[0]],
-                    "n_turns": [n],
-                    "first_ts_ms": [first_ms],
-                    "last_ts_ms": [last_ms],
-                    "n_tool_turns": [n_tool],
-                }
+        import numpy as np
+
+        if state.exists:
+            s_n, s_first, s_last, s_tool = (
+                np.asarray(col, dtype="int64") for col in state.get
             )
-            return
-        n, first_ms, last_ms, n_tool = (
-            state.get if state.exists else (0, None, None, 0)
-        )
-        saw_rows = False
+        else:
+            s_n = s_first = s_last = s_tool = np.empty(0, dtype="int64")
+        # fold this batch's turns in as singleton sessions
+        new_ts, new_tool = [], []
         for pdf in pdfs:
             if not len(pdf):
                 continue
-            saw_rows = True
             ts = pdf["ts"]
             if getattr(ts.dtype, "tz", None) is not None:
                 ts = ts.dt.tz_convert("UTC").dt.tz_localize(None)
-            ts_ms = (ts.astype("int64") // 1_000_000).to_numpy()
-            n += len(pdf)
-            lo, hi = int(ts_ms.min()), int(ts_ms.max())
-            first_ms = lo if first_ms is None else min(first_ms, lo)
-            last_ms = hi if last_ms is None else max(last_ms, hi)
-            n_tool += int((pdf["role"] == "tool").sum())
-        if not saw_rows and not state.exists:
+            new_ts.append((ts.astype("int64") // 1_000_000).to_numpy())
+            new_tool.append((pdf["role"] == "tool").to_numpy())
+        if new_ts:
+            t = np.concatenate(new_ts)
+            s_first = np.concatenate([s_first, t])
+            s_last = np.concatenate([s_last, t])
+            s_n = np.concatenate([s_n, np.ones(len(t), dtype="int64")])
+            s_tool = np.concatenate(
+                [s_tool, np.concatenate(new_tool).astype("int64")]
+            )
+        if not len(s_first):
+            if state.exists:
+                state.remove()
             return
-        state.update((n, first_ms, last_ms, n_tool))
-        state.setTimeoutTimestamp(last_ms + gap_millis)
+        # merge: sort by first ts, split where the idle gap reaches `gap`
+        # (strict overlap of [first, last+gap), same as session_window)
+        order = np.argsort(s_first, kind="stable")
+        s_first, s_last = s_first[order], s_last[order]
+        s_n, s_tool = s_n[order], s_tool[order]
+        run_last = np.maximum.accumulate(s_last)
+        head = np.ones(len(s_first), dtype=bool)
+        head[1:] = s_first[1:] - run_last[:-1] >= gap_millis
+        seg = np.flatnonzero(head)
+        m_first = s_first[seg]
+        m_last = np.maximum.reduceat(s_last, seg)
+        m_n = np.add.reduceat(s_n, seg)
+        m_tool = np.add.reduceat(s_tool, seg)
+        # emit every session the watermark has sealed; keep the rest
+        wm = state.getCurrentWatermarkMs()
+        done = m_last + gap_millis <= wm
+        if done.any():
+            yield pd.DataFrame(
+                {
+                    "conv_id": [key[0]] * int(done.sum()),
+                    "n_turns": m_n[done],
+                    "first_ts_ms": m_first[done],
+                    "last_ts_ms": m_last[done],
+                    "n_tool_turns": m_tool[done],
+                }
+            )
+        keep = ~done
+        if not keep.any():
+            state.remove()
+            return
+        state.update(
+            (
+                m_n[keep].tolist(),
+                m_first[keep].tolist(),
+                m_last[keep].tolist(),
+                m_tool[keep].tolist(),
+            )
+        )
+        # kept sessions all have last+gap > wm, so this timeout is legal
+        state.setTimeoutTimestamp(int(m_last[keep].min()) + gap_millis)
         return
 
     return (

@@ -100,6 +100,102 @@ def test_conversation_sessions_event_time_timeout(spark, tmp_path_factory):
     assert len(_read_out(spark, out_dir)) == len(got)
 
 
+def test_conversation_sessions_gap_split_matches_session_window(
+    spark, tmp_path_factory
+):
+    """Gap semantics must hold regardless of micro-batch arrival timing:
+    an intra-batch idle gap splits a conversation into two sessions, and a
+    bridging turn arriving in a LATER batch (but above the watermark)
+    re-merges pending sessions — byte-identical to batch
+    ``F.session_window`` over the same rows."""
+    from pyspark.sql import functions as F
+
+    base = tmp_path_factory.mktemp("sess_gap")
+    input_dir, ckpt, out_dir = (
+        str(base / "in"),
+        str(base / "ckpt"),
+        str(base / "out"),
+    )
+    os.makedirs(input_dir)
+
+    def rows(items):
+        return spark.createDataFrame(items, TRANSCRIPT_SCHEMA)
+
+    # e: one batch, idle gap inside it -> two sessions (0,10) and (60,65)
+    # f: split pair (0 | 40,41)
+    # g: 0 and 40 arrive first (two pending sessions), then 20 bridges them
+    wave1 = rows(
+        [
+            ("e", 0, "user", "a", "", _at(0)),
+            ("e", 1, "tool", "b", "grep", _at(10)),
+            ("e", 2, "user", "c", "", _at(60)),
+            ("e", 3, "assistant", "d", "", _at(65)),
+            ("f", 0, "user", "x", "", _at(0)),
+            ("f", 1, "user", "y", "", _at(40)),
+            ("f", 2, "tool", "z", "ls", _at(41)),
+            ("g", 0, "user", "p", "", _at(0)),
+            ("g", 1, "user", "q", "", _at(40)),
+        ]
+    )
+    wave2 = rows([("g", 2, "assistant", "bridge", "", _at(20))])
+    flush1 = rows([("zz", 0, "user", "flush", "", _at(160))])
+    flush2 = rows([("zz", 1, "user", "flush", "", _at(300))])
+
+    def make_stream():
+        turns = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(input_dir)
+        return conversation_sessions(
+            turns, gap="30 minutes", watermark="60 minutes"
+        )
+
+    for name, wave in [
+        ("w1", wave1),
+        ("w2", wave2),
+        ("f1", flush1),
+        ("f2", flush2),
+    ]:
+        _drop(spark, wave, input_dir, name, tmp_path_factory)
+        _run_once(spark, make_stream, ckpt, out_dir)
+
+    got = {
+        (r["conv_id"], r["first_ts_ms"]): (
+            r["n_turns"],
+            r["last_ts_ms"],
+            r["n_tool_turns"],
+        )
+        for r in _read_out(spark, out_dir)
+        if r["conv_id"] != "zz"
+    }
+    # oracle: batch session_window over the SAME rows (waves 1+2)
+    expected = {
+        (r["conv_id"], r["first_ts_ms"]): (
+            r["n_turns"],
+            r["last_ts_ms"],
+            r["n_tool_turns"],
+        )
+        for r in (
+            wave1.union(wave2)
+            .groupBy("conv_id", F.session_window("ts", "30 minutes"))
+            .agg(
+                F.count("*").alias("n_turns"),
+                (F.unix_micros(F.min("ts")) / 1000)
+                .cast("long")
+                .alias("first_ts_ms"),
+                (F.unix_micros(F.max("ts")) / 1000)
+                .cast("long")
+                .alias("last_ts_ms"),
+                F.sum((F.col("role") == "tool").cast("long")).alias(
+                    "n_tool_turns"
+                ),
+            )
+            .collect()
+        )
+    }
+    assert got == expected
+    assert len(got) == 5  # e:2, f:2, g:1 (bridged)
+    ms = lambda m: int(_at(m).timestamp() * 1000)  # noqa: E731
+    assert got[("g", ms(0))] == (3, ms(40), 0)  # the bridge merged g
+
+
 def test_windowed_event_counts_append_and_late_drop(spark, tmp_path_factory):
     base = tmp_path_factory.mktemp("wagg")
     input_dir, ckpt, out_dir = (
