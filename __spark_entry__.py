@@ -786,6 +786,37 @@ def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``streaming.sessions.conversation_sessions``: per-user
+    gap-sessionization of the event stream via ``F.session_window`` (events
+    merge while consecutive gaps are strictly under 30 minutes — the same
+    strict-interval-overlap rule the streaming operator implements, see
+    tests/test_streaming_state.py equivalence test)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "session_end",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -871,8 +902,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- multimodal plumbing ---
         "mm_image_features": _q_image_features,
         "mm_frame_sample": _q_frame_sample,
-        # --- windowed aggregation ---
+        # --- windowed aggregation / sessionization ---
         "events_hourly": _q_events_hourly,
+        "events_sessions": _q_events_sessions,
     }
 
 
@@ -1059,4 +1091,25 @@ FROM s ORDER BY cosine DESC, vec_id LIMIT 10""",
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        event_type, count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value
 FROM events GROUP BY 1, 2""",
+        # session_window gap semantics: a NEW session starts when the idle
+        # gap reaches the 30-minute threshold (strict interval overlap)
+        "events_sessions": """
+WITH e AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM s GROUP BY user_id, sid""",
     }
