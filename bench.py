@@ -136,6 +136,13 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     # couple of tasks) isn't billed to the first measured query
     entry_mod._get_reader(spark, sf_dir)
     qs["fulltext_proximity"](spark, sf_dir).count()
+    # ... and one tiny binary-payload mapInPandas: the FIRST Arrow
+    # transfer of a binary column pays a one-off setup cost (~3s)
+    # that a long-lived cluster amortizes, so it isn't billed to the
+    # first mm_* query either
+    from marginaliasearch_spark.operators import multimodal
+
+    multimodal.image_features(multimodal.synth_media(spark, n=4)).count()
     out: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.time()

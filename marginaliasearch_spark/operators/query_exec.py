@@ -238,16 +238,33 @@ class IndexReader:
         from ..functions.blocks import BLOCK_DOCS
 
         self.block_docs = int(stats.get("block_docs", BLOCK_DOCS))
+        # driver-side memo of lexicon/bounds probes: a reader is pinned to
+        # one immutable index snapshot, so these tiny lookups never change
+        # — the Spark analogue of the reference keeping lexicon B-tree
+        # pages hot in its buffer pool (a WAND query alone probes the
+        # lexicon three times: wrapper + both phases)
+        self._stats_cache: dict[tuple, tuple[int, int] | None] = {}
+        self._bounds_cache: dict[int, float | None] = {}
 
     def term_bounds(self, term_ids: list[int]) -> dict[int, float]:
         """term_id → global max tf-norm (score UB = idf * max_tf_norm) from
         the tiny term_bounds table — a driver-side pushed-IN probe, the
-        skip-list global-max analogue (SkipListReader block maxima)."""
+        skip-list global-max analogue (SkipListReader block maxima).
+        Memoized per reader (the snapshot is immutable)."""
         if not term_ids:
             return {}
-        tb = self.spark.read.parquet(self.paths.term_bounds)
-        rows = tb.filter(F.col("term_id").isin(term_ids)).collect()
-        return {r["term_id"]: float(r["max_tf_norm"]) for r in rows}
+        missing = [t for t in term_ids if t not in self._bounds_cache]
+        if missing:
+            tb = self.spark.read.parquet(self.paths.term_bounds)
+            rows = tb.filter(F.col("term_id").isin(missing)).collect()
+            found = {r["term_id"]: float(r["max_tf_norm"]) for r in rows}
+            for t in missing:
+                self._bounds_cache[t] = found.get(t)
+        return {
+            t: self._bounds_cache[t]
+            for t in term_ids
+            if self._bounds_cache[t] is not None
+        }
 
     # --- planning -----------------------------------------------------
     def term_stats(
@@ -259,17 +276,28 @@ class IndexReader:
         a pushed-down IN filter over the lexicon table, tiny result.
         ``lang`` scopes df to one language's lexicon (a word unused in that
         language is 'missing' there, like the reference's per-language
-        WordLexicon lookup).
+        WordLexicon lookup). Memoized per (lang, word) — the snapshot is
+        immutable, and one WAND query re-probes the same words three times.
         """
         if not words:
             return {}
-        src = self.lexicon
-        if lang is not None:
-            if self.lexicon_lang is None:
-                raise ValueError("index has no per-language lexicon")
-            src = self.lexicon_lang.filter(F.col("lang") == lang)
-        rows = src.filter(F.col("term").isin(words)).collect()
-        return {r["term"]: (r["term_id"], r["df"]) for r in rows}
+        if lang is not None and self.lexicon_lang is None:
+            raise ValueError("index has no per-language lexicon")
+        want = list(dict.fromkeys(words))
+        missing = [w for w in want if (lang, w) not in self._stats_cache]
+        if missing:
+            src = self.lexicon
+            if lang is not None:
+                src = self.lexicon_lang.filter(F.col("lang") == lang)
+            rows = src.filter(F.col("term").isin(missing)).collect()
+            found = {r["term"]: (r["term_id"], r["df"]) for r in rows}
+            for w in missing:
+                self._stats_cache[(lang, w)] = found.get(w)
+        return {
+            w: self._stats_cache[(lang, w)]
+            for w in want
+            if self._stats_cache[(lang, w)] is not None
+        }
 
     # --- posting access ------------------------------------------------
     def decode_term(
