@@ -786,6 +786,21 @@ def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-derived ngram lexicon (`index_build.build_ngrams`,
+    expansion-segmentation analogue of the reference's NgramLexicon):
+    adjacency is over tokenizer position SLOTS, so stopwords — which
+    consume a slot but are not indexed — break windows, as does the
+    length-48 term cap; the oracle reproduces that by filtering tok to
+    indexed terms while keeping original slot numbers."""
+    r = _get_reader(spark, sf_dir)
+    return r.ngrams.select(
+        "key",
+        F.col("n").cast("long").alias("n"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+
+
 def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of ``streaming.sessions.conversation_sessions``: per-user
     gap-sessionization of the event stream via ``F.session_window`` (events
@@ -883,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_lexicon_stats": _q_lexicon,
         "index_doc_stats": _q_doc_stats,
         "index_corpus_stats": _q_corpus_stats,
+        "index_ngram_stats": _q_ngram_stats,
         # --- dedup suite ---
         "dedup_exact": _q_exact_dedup,
         "dedup_jaccard": _q_jaccard,
@@ -981,6 +997,24 @@ SELECT doc_id, doc_len FROM doclen""",
 SELECT count(*)::BIGINT AS doc_count,
        round(avg(doc_len), 6) AS avg_len
 FROM doclen""",
+        # adjacency over tokenizer slots: stopwords/overlong terms consume
+        # a slot (breaking windows) but never appear in a key — itok keeps
+        # original slot numbers while dropping unindexed terms
+        "index_ngram_stats": f"""{_COMMON}
+, itok AS (
+  SELECT doc_id, term, pos FROM tok
+  WHERE length(term) <= 48 AND term NOT IN ({_STOP_SQL})
+)
+SELECT a.term || ' ' || b.term AS key, 2::BIGINT AS n,
+       count(*)::BIGINT AS cnt
+FROM itok a JOIN itok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+GROUP BY 1 HAVING count(*) >= 2
+UNION ALL
+SELECT a.term || ' ' || b.term || ' ' || c.term, 3::BIGINT,
+       count(*)::BIGINT
+FROM itok a JOIN itok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+            JOIN itok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+GROUP BY 1 HAVING count(*) >= 2""",
         "dedup_exact": """
 SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_dups
 FROM documents GROUP BY md5(lower(text))""",
