@@ -768,6 +768,13 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.synth_media(spark, n=64)
+    return multimodal.audio_features(
+        media.filter(F.col("kind") == "audio"), fake=True
+    )
+
+
 def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -918,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- multimodal plumbing ---
         "mm_image_features": _q_image_features,
         "mm_frame_sample": _q_frame_sample,
+        "mm_audio_features": _q_audio_features,
         # --- windowed aggregation / sessionization ---
         "events_hourly": _q_events_hourly,
         "events_sessions": _q_events_sessions,
@@ -1121,6 +1129,7 @@ FROM s ORDER BY cosine DESC, vec_id LIMIT 10""",
         ),
         "mm_image_features": sql_oracles.image_features_sql(n=64),
         "mm_frame_sample": sql_oracles.frame_sample_sql(n=64),
+        "mm_audio_features": sql_oracles.audio_features_sql(n=64),
         "events_hourly": """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        event_type, count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value

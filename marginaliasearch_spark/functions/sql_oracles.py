@@ -254,6 +254,49 @@ SELECT media_id, frame_idx::BIGINT AS frame_idx,
 FROM fr"""
 
 
+def audio_features_sql(n: int = 64) -> str:
+    """Exact oracle for ``multimodal.audio_features`` over the synthetic
+    media table's audio rows (fake decoder: sample i = low 16 bits of
+    splitmix64(md5seed + i) − 32768; ``n_samples = duration_ms * RATE //
+    1000``). All aggregation is exact int64; RMS / mean-amp do one double
+    divide (+sqrt) then round(6) — the same op order as the numpy kernel.
+    """
+    from ..operators.multimodal import AUDIO_RATE
+
+    max_ns = 5000 * AUDIO_RATE // 1000  # synth duration_ms < 5000
+    return f"""WITH {media_ctes(n)},
+aud AS (
+  SELECT media_id,
+         ('0x' || substr(md5(payload_hex), 1, 16))::UBIGINT AS s,
+         (duration_ms * {AUDIO_RATE}) // 1000 AS ns
+  FROM m2 WHERE kind = 'audio'
+),
+samp0 AS (
+  SELECT media_id, p, {sql64.add64('s', 'p::UBIGINT')} AS x, ns
+  FROM aud CROSS JOIN (SELECT unnest(range({max_ns})) AS p) pp
+  WHERE p < ns
+),
+samp AS (
+  SELECT media_id, p,
+         ({sql64.sm64('x')} & 65535::UBIGINT)::BIGINT - 32768 AS v
+  FROM samp0
+),
+lagged AS (
+  SELECT media_id, v,
+         lag(v) OVER (PARTITION BY media_id ORDER BY p) AS pv
+  FROM samp
+)
+SELECT media_id,
+       count(*)::BIGINT AS n_samples,
+       {AUDIO_RATE}::INT AS sample_rate,
+       max(abs(v))::BIGINT AS peak,
+       sum(CASE WHEN pv IS NOT NULL AND (pv >= 0) <> (v >= 0)
+                THEN 1 ELSE 0 END)::BIGINT AS zero_crossings,
+       round(sqrt(sum(v * v)::DOUBLE / count(*)), 6) AS rms,
+       round(sum(abs(v))::DOUBLE / count(*), 6) AS mean_amp
+FROM lagged GROUP BY media_id"""
+
+
 # --- similarity-search oracles ---------------------------------------------
 #
 # Floating-point exactness: DuckDB's list_sum is NOT a plain left-to-right

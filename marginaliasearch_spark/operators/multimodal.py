@@ -163,6 +163,136 @@ def image_features(
     )
 
 
+AUDIO_RATE = 8000  # fake-decoder sample rate (Hz)
+
+
+def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM → (int16 mono samples, sample_rate). Pure numpy.
+
+    Walks the chunk list (``fmt `` then ``data``; other chunks skipped).
+    Supported: uncompressed PCM (format tag 1), 8- or 16-bit, any channel
+    count (channel 0 is taken — deterministic, no resample/mix). Compressed
+    tags (ADPCM/MP3/float/extensible) raise ``NotImplementedError``.
+    """
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1:
+        raise NotImplementedError(
+            f"only PCM WAV supported (format tag {audio_format}); compressed "
+            "audio requires codec libraries not present in this container"
+        )
+    if bits == 16:
+        samples = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
+    elif bits == 8:  # 8-bit WAV is unsigned, midpoint 128
+        samples = (
+            np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128
+        ) * 256
+    else:
+        raise NotImplementedError(f"{bits}-bit PCM WAV not supported")
+    if channels > 1:
+        samples = samples[: len(samples) // channels * channels]
+        samples = samples.reshape(-1, channels)[:, 0]
+    return samples.astype(np.int64), sample_rate
+
+
+def decode_audio(
+    payload: bytes, fake: bool = False, n_samples: int | None = None
+) -> tuple[np.ndarray, int]:
+    """payload → (int64 mono samples in [-32768, 32767], sample_rate).
+
+    Real decoder (pure numpy, no external libs): RIFF/WAVE PCM 8/16-bit.
+    Compressed formats raise ``NotImplementedError``. ``fake=True`` is the
+    deterministic content-hash decoder used by the SQL-twinned oracles:
+    sample ``i`` = low 16 bits of ``splitmix64(md5seed + i)`` minus 32768,
+    ``n_samples`` supplied by the caller (duration-derived).
+    """
+    if fake:
+        if n_samples is None:
+            raise ValueError("fake decode needs n_samples")
+        seed = _seed_from_payload(payload)
+        idx = np.arange(n_samples, dtype=np.uint64)
+        vals = (_splitmix64(seed + idx) & np.uint64(0xFFFF)).astype(np.int64)
+        return vals - 32768, AUDIO_RATE
+    if payload[:4] == b"RIFF":
+        return _decode_wav(bytes(payload))
+    raise NotImplementedError(
+        "compressed audio formats require codec libraries not present in "
+        "this container; supported real format: RIFF/WAVE PCM (8/16-bit)"
+    )
+
+
+AUDIO_SCHEMA = (
+    "media_id long, n_samples long, sample_rate int, peak long, "
+    "zero_crossings long, rms double, mean_amp double"
+)
+
+
+def audio_features(
+    media: DataFrame, fake: bool = True, payload_col: str = "payload"
+) -> DataFrame:
+    """media_id → scalar audio features (sample count, peak, zero-crossing
+    count, RMS, mean |amplitude|), Arrow-batched ``mapInPandas``.
+
+    Float discipline matches the image twin: all accumulation is exact
+    int64 (sum of squares / abs / crossing flags), with a single
+    double-divide (+sqrt) and round(6) at the end — so the DuckDB oracle
+    (``sql_oracles.audio_features_sql``) reproduces values bit-exactly.
+    In fake mode ``n_samples = duration_ms * AUDIO_RATE // 1000``.
+    """
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                k.split(" ")[0]: []
+                for k in AUDIO_SCHEMA.split(", ")[1:]  # all but media_id
+            }
+            for payload, dur in zip(pdf[payload_col], pdf["duration_ms"]):
+                if fake:
+                    n = int(dur or 0) * AUDIO_RATE // 1000
+                    s, rate = decode_audio(
+                        bytes(payload), fake=True, n_samples=n
+                    )
+                else:
+                    s, rate = decode_audio(bytes(payload))
+                n = len(s)
+                nonneg = s >= 0
+                out["n_samples"].append(n)
+                out["sample_rate"].append(rate)
+                out["peak"].append(int(np.abs(s).max()) if n else 0)
+                out["zero_crossings"].append(
+                    int((nonneg[:-1] != nonneg[1:]).sum()) if n > 1 else 0
+                )
+                out["rms"].append(
+                    round(float(np.sqrt(float((s * s).sum()) / n)), 6)
+                    if n
+                    else 0.0
+                )
+                out["mean_amp"].append(
+                    round(float(np.abs(s).sum()) / n, 6) if n else 0.0
+                )
+            yield pd.DataFrame({"media_id": pdf["media_id"], **out})
+
+    return media.select("media_id", payload_col, "duration_ms").mapInPandas(
+        batch, schema=AUDIO_SCHEMA
+    )
+
+
 def frame_sample(
     media: DataFrame,
     every_ms: int = 1000,
