@@ -30,6 +30,8 @@ from .codecs import (
     decode_positions,
     decode_sorted,
     encode_sorted,
+    encode_sorted_gamma,
+    gamma_decode_concat,
     varbyte_decode,
     varbyte_encode,
 )
@@ -57,8 +59,10 @@ def _encode_term_run(
     flags: np.ndarray,
     tf_norms: np.ndarray,
     block_docs: int,
+    docid_codec: str = "varbyte",
 ) -> Iterator[dict]:
     """One term's docID-sorted run within a partition → block rows."""
+    enc = encode_sorted_gamma if docid_codec == "gamma" else encode_sorted
     n = doc_ids.size
     for start in range(0, n, block_docs):
         end = min(start + block_docs, n)
@@ -66,7 +70,7 @@ def _encode_term_run(
         yield {
             "term_id": term_id,
             "n_docs": end - start,
-            "doc_ids": encode_sorted(ids),
+            "doc_ids": enc(ids),
             "tfs": varbyte_encode(tfs[start:end].astype(np.uint64)),
             # role-span-weighted counts, quarter-scaled to stay integral
             # (weights are multiples of 0.25 — UnorderedMatches weights)
@@ -80,13 +84,18 @@ def _encode_term_run(
 
 
 def encode_blocks(
-    batches: Iterator[pd.DataFrame], block_docs: int = BLOCK_DOCS
+    batches: Iterator[pd.DataFrame],
+    block_docs: int = BLOCK_DOCS,
+    docid_codec: str = "varbyte",
 ) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel over a partition sorted by (term_id, doc_id).
 
     Streams Arrow batches, carrying the current term's tail across batch
     boundaries so a term spanning many batches still forms full blocks.
     Input columns: term_id, doc_id, tf, positions (varbyte binary), tf_norm.
+    ``docid_codec="gamma"`` stores doc-id deltas as split-stream Elias
+    gamma (the priority tier's codec, matching the reference's
+    EliasGammaCodec density — codecs.py gamma section).
     """
     carry: pd.DataFrame | None = None
     with_lang = None  # resolved from the first batch's columns
@@ -124,6 +133,7 @@ def encode_blocks(
                 flag_arr[s:e],
                 score_arr[s:e],
                 block_docs,
+                docid_codec,
             )
             if with_lang:
                 lang = langs[s]
@@ -160,6 +170,7 @@ def decode_blocks(
     with_positions: bool = False,
     with_wtf: bool = False,
     candidates: np.ndarray | None = None,
+    docid_codec: str = "varbyte",
 ) -> Iterator[pd.DataFrame]:
     """Block rows → exploded (term_id, doc_id, tf[, positions]) rows.
 
@@ -204,7 +215,14 @@ def decode_blocks(
         bounds = np.zeros(n_docs.size + 1, dtype=np.int64)
         np.cumsum(n_docs, out=bounds[1:])
         seg_starts = bounds[:-1][n_docs > 0]
-        deltas = varbyte_decode(b"".join(pdf["doc_ids"].tolist()))
+        if docid_codec == "gamma":
+            # split-stream gamma blocks decode in one whole-batch pass too;
+            # stored deltas are +1-shifted (codecs.encode_sorted_gamma)
+            deltas = gamma_decode_concat(
+                pdf["doc_ids"].tolist(), n_docs
+            ) - np.uint64(1)
+        else:
+            deltas = varbyte_decode(b"".join(pdf["doc_ids"].tolist()))
         doc_ids = segmented_undelta(deltas, seg_starts)
         tfs = varbyte_decode(b"".join(pdf["tfs"].tolist()))
         flags = varbyte_decode(b"".join(pdf["flags"].tolist()))

@@ -20,6 +20,8 @@ LEB128: 7 payload bits per byte, high bit = continuation.
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 
 _MAX_VARINT_BYTES = 10  # 64 bits / 7
@@ -206,3 +208,138 @@ def decode_positions(buf: bytes, counts: np.ndarray) -> np.ndarray:
     if deltas.size == 0:
         return deltas
     return segmented_undelta(deltas, _doc_starts(np.asarray(counts)))
+
+
+# ---------------------------------------------------------------------------
+# Elias gamma, split-stream layout — the priority tier's doc-id codec.
+#
+# The reference's prio reverse index gamma-codes its doc-id deltas
+# (code/index/java/nu/marginalia/index/reverse/construction/prio/
+# PrioDocIdsTransformer.java, EliasGammaCodec). A classic interleaved gamma
+# bitstream cannot be parsed without walking codes sequentially (each
+# payload's width is announced by the unary prefix just before it), which
+# would force a per-value Python/loop decode. We emit the IDENTICAL gamma
+# code words — unary N zeros + marker, then the N low bits of the value —
+# but grouped into two substreams per block:
+#
+#   [u32 LE: unary byte length] [unary substream] [payload substream]
+#
+# Same bit count per code as interleaved gamma (2*floor(log2 v)+1), so the
+# density matches the reference's; the split makes BOTH substreams
+# independently parseable in one vectorized pass (markers = set bits of the
+# unary substream; payload field widths then all known up front). Trailing
+# byte-padding zeros are harmless: in the unary substream a zero never
+# terminates a code, and payload geometry is fully determined by the Ns.
+
+
+def _bit_lengths(v: np.ndarray) -> np.ndarray:
+    """Exact bit length (floor(log2 v) + 1) per uint64 element, v >= 1."""
+    nb = np.ones(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = (tmp >> np.uint64(shift)) != 0
+        nb[mask] += shift
+        tmp[mask] >>= np.uint64(shift)
+    return nb
+
+
+def gamma_encode(values: np.ndarray) -> bytes:
+    """Split-stream Elias gamma encode of uint64 values >= 1."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return struct.pack("<I", 0)
+    if not (v >= 1).all():
+        raise ValueError("gamma codes require values >= 1")
+    nb = _bit_lengths(v)  # code bits in the unary stream = N zeros + marker
+    n_pay = nb - 1  # payload field widths
+    marker_pos = np.cumsum(nb) - 1
+    ubits = np.zeros(int(marker_pos[-1]) + 1, dtype=np.uint8)
+    ubits[marker_pos] = 1
+    total_pay = int(n_pay.sum())
+    if total_pay:
+        rep = np.repeat(np.arange(v.size), n_pay)
+        field_start = np.cumsum(n_pay) - n_pay
+        j = np.arange(total_pay) - np.repeat(field_start, n_pay)
+        shift = (n_pay[rep] - 1 - j).astype(np.uint64)
+        pbits = ((v[rep] >> shift) & np.uint64(1)).astype(np.uint8)
+        pay = np.packbits(pbits)
+    else:
+        pay = np.zeros(0, dtype=np.uint8)
+    una = np.packbits(ubits)
+    return struct.pack("<I", una.size) + una.tobytes() + pay.tobytes()
+
+
+def gamma_decode_concat(
+    payloads: list[bytes], counts: np.ndarray
+) -> np.ndarray:
+    """Decode many independent split-gamma blocks in ONE vectorized pass.
+
+    ``payloads``: per-block encoded buffers; ``counts``: expected value
+    count per block. Returns all values concatenated in block order. No
+    per-block (or per-value) Python loop — marker discovery, width
+    derivation, and payload field extraction are all whole-batch numpy.
+    """
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    blens = np.fromiter(
+        (len(b) for b in payloads), dtype=np.int64, count=len(payloads)
+    )
+    live = blens > 4  # empty blocks carry only the header
+    buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+    offs = np.cumsum(blens) - blens
+    ulen = (
+        buf[offs].astype(np.int64)
+        | (buf[offs + 1].astype(np.int64) << 8)
+        | (buf[offs + 2].astype(np.int64) << 16)
+        | (buf[offs + 3].astype(np.int64) << 24)
+    )
+    ustart = (offs + 4)[live]
+    pstart = (ustart + ulen[live]) * 8  # payload start, in bits
+    ustart_b = ustart * 8
+    bits = np.unpackbits(buf)
+    # mask bits outside unary regions, then markers = remaining set bits
+    delim = np.zeros(bits.size + 1, dtype=np.int32)
+    np.add.at(delim, ustart_b, 1)
+    np.add.at(delim, pstart, -1)
+    in_unary = np.cumsum(delim[:-1]) > 0
+    markers = np.flatnonzero(bits & in_unary)
+    if markers.size != int(counts.sum()):
+        raise ValueError(
+            f"gamma stream corrupt: {markers.size} markers for "
+            f"{int(counts.sum())} expected values"
+        )
+    if markers.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    blk = np.searchsorted(ustart_b, markers, side="right") - 1
+    first = np.ones(markers.size, dtype=bool)
+    first[1:] = blk[1:] != blk[:-1]
+    prev = np.empty_like(markers)
+    prev[0] = 0
+    prev[1:] = markers[:-1]
+    n_pay = np.where(first, markers - ustart_b[blk], markers - prev - 1)
+    vals = np.uint64(1) << n_pay.astype(np.uint64)
+    total_pay = int(n_pay.sum())
+    if total_pay:
+        field_start = np.cumsum(n_pay) - n_pay  # global code-order offsets
+        block_base = field_start[np.flatnonzero(first)]
+        within = field_start - block_base[np.cumsum(first) - 1]
+        rep = np.repeat(np.arange(markers.size), n_pay)
+        j = np.arange(total_pay) - np.repeat(field_start, n_pay)
+        pos = pstart[blk[rep]] + within[rep] + j
+        contrib = bits[pos].astype(np.uint64) << (
+            n_pay[rep] - 1 - j
+        ).astype(np.uint64)
+        np.add.at(vals, rep, contrib)
+    return vals
+
+
+def gamma_decode(buf: bytes, n_values: int) -> np.ndarray:
+    """Single-block convenience wrapper over ``gamma_decode_concat``."""
+    return gamma_decode_concat([buf], np.array([n_values]))
+
+
+def encode_sorted_gamma(values: np.ndarray) -> bytes:
+    """delta + split-stream gamma for a sorted uint64 array. Gamma needs
+    values >= 1, so every delta is stored + 1 (doc ids within a block are
+    strictly increasing, but the leading absolute value may be 0)."""
+    v = np.asarray(values, dtype=np.uint64)
+    return gamma_encode(delta_encode(v) + np.uint64(1))

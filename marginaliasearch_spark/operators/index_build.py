@@ -301,7 +301,12 @@ def build_index(
             )
             .sortWithinPartitions("lang", "term_id", "doc_id")
             .mapInPandas(
-                partial(encode_blocks, block_docs=block_docs),
+                # doc-id deltas gamma-coded like the reference's prio index
+                # (PrioDocIdsTransformer / EliasGammaCodec) — split-stream
+                # layout, codecs.py gamma section
+                partial(
+                    encode_blocks, block_docs=block_docs, docid_codec="gamma"
+                ),
                 schema=POSTINGS_SCHEMA_LANG,
             )
             .write.mode("overwrite")

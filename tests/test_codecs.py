@@ -120,3 +120,121 @@ def test_varbyte_offsets_slicing():
     for i, v in enumerate(vals):
         piece = buf[offs[i] : offs[i + 1]]
         assert varbyte_decode(piece).tolist() == [int(v)]
+
+
+# --- split-stream Elias gamma (priority-tier doc-id codec) -----------------
+
+
+def _gamma_bits_reference(v: int) -> str:
+    """Interleaved textbook gamma code of one value, as a bit string."""
+    b = bin(v)[2:]
+    return "0" * (len(b) - 1) + b
+
+
+def test_gamma_density_matches_textbook_gamma():
+    """The split-stream layout spends EXACTLY the textbook gamma bit count
+    (sum of 2*floor(log2 v)+1), plus byte padding + the 4-byte header."""
+    from marginaliasearch_spark.functions.codecs import gamma_encode
+
+    rng = np.random.default_rng(17)
+    v = rng.integers(1, 1 << 20, size=500, dtype=np.uint64)
+    code_bits = sum(len(_gamma_bits_reference(int(x))) for x in v)
+    unary_bits = sum(int(x).bit_length() for x in v)
+    payload_bits = code_bits - unary_bits
+    expect = 4 + (unary_bits + 7) // 8 + (payload_bits + 7) // 8
+    assert len(gamma_encode(v)) == expect
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_gamma_fuzz_roundtrip(seed):
+    from marginaliasearch_spark.functions.codecs import (
+        gamma_decode,
+        gamma_encode,
+    )
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 400))
+    hi = 1 << int(rng.integers(1, 64))
+    v = rng.integers(1, hi, size=n, dtype=np.uint64)
+    np.testing.assert_array_equal(gamma_decode(gamma_encode(v), n), v)
+
+
+def test_gamma_single_bits_and_extremes():
+    from marginaliasearch_spark.functions.codecs import (
+        gamma_decode,
+        gamma_encode,
+    )
+
+    for vals in ([1], [1, 1, 1], [2**63], [1, 2**63 - 1, 1, 2**62]):
+        a = np.array(vals, dtype=np.uint64)
+        np.testing.assert_array_equal(gamma_decode(gamma_encode(a), a.size), a)
+    with pytest.raises(ValueError):
+        gamma_encode(np.array([0], dtype=np.uint64))
+
+
+def test_gamma_concat_multiblock():
+    """Batch decode over many blocks — including empty ones — equals
+    per-block decode; corrupt counts are detected."""
+    from marginaliasearch_spark.functions.codecs import (
+        gamma_decode_concat,
+        gamma_encode,
+    )
+
+    rng = np.random.default_rng(23)
+    blocks = [
+        rng.integers(1, 1 << 40, size=int(rng.integers(0, 200)), dtype=np.uint64)
+        for _ in range(40)
+    ]
+    bufs = [gamma_encode(b) for b in blocks]
+    counts = np.array([b.size for b in blocks])
+    got = gamma_decode_concat(bufs, counts)
+    np.testing.assert_array_equal(
+        got, np.concatenate([b for b in blocks if b.size] or [np.empty(0, np.uint64)])
+    )
+    with pytest.raises(ValueError):
+        gamma_decode_concat(bufs, counts + 1)
+
+
+def test_encode_sorted_gamma_roundtrip_with_zero_lead():
+    """Doc-id path: leading absolute value may be 0 (the +1 shift)."""
+    from marginaliasearch_spark.functions.codecs import (
+        encode_sorted_gamma,
+        gamma_decode,
+    )
+
+    ids = np.array([0, 1, 5, 5 + (1 << 57), 2**63], dtype=np.uint64)
+    deltas = gamma_decode(encode_sorted_gamma(ids), ids.size) - np.uint64(1)
+    np.testing.assert_array_equal(np.cumsum(deltas, dtype=np.uint64), ids)
+
+
+def test_decode_blocks_gamma_equals_varbyte(spark):
+    """encode_blocks/decode_blocks with docid_codec='gamma' reproduce the
+    varbyte tier bit-for-bit on the decoded side."""
+    import pandas as pd
+
+    from marginaliasearch_spark.functions.blocks import (
+        decode_blocks,
+        encode_blocks,
+    )
+
+    rng = np.random.default_rng(31)
+    rows = []
+    for term in (7, 11):
+        ids = np.unique(rng.integers(0, 1 << 40, size=600, dtype=np.uint64))
+        for d in ids:
+            rows.append((term, int(d), 1 + int(d) % 5, 4, b"", 0, 0.25))
+    pdf = pd.DataFrame(
+        rows,
+        columns=["term_id", "doc_id", "tf", "wtf_q4", "positions", "flags",
+                 "tf_norm"],
+    ).sort_values(["term_id", "doc_id"], ignore_index=True)
+
+    def run(codec):
+        blocks = pd.concat(
+            list(encode_blocks(iter([pdf]), block_docs=128, docid_codec=codec))
+        )
+        return pd.concat(
+            list(decode_blocks(iter([blocks]), docid_codec=codec))
+        ).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(run("gamma"), run("varbyte"))
