@@ -27,11 +27,9 @@ import numpy as np
 import pandas as pd
 
 from .codecs import (
+    decode_doc_deltas,
     decode_positions,
-    decode_sorted,
-    encode_sorted,
-    encode_sorted_gamma,
-    gamma_decode_concat,
+    encode_sorted_tagged,
     varbyte_decode,
     varbyte_encode,
 )
@@ -59,10 +57,9 @@ def _encode_term_run(
     flags: np.ndarray,
     tf_norms: np.ndarray,
     block_docs: int,
-    docid_codec: str = "varbyte",
+    docid_codec: str = "auto",
 ) -> Iterator[dict]:
     """One term's docID-sorted run within a partition → block rows."""
-    enc = encode_sorted_gamma if docid_codec == "gamma" else encode_sorted
     n = doc_ids.size
     for start in range(0, n, block_docs):
         end = min(start + block_docs, n)
@@ -70,7 +67,7 @@ def _encode_term_run(
         yield {
             "term_id": term_id,
             "n_docs": end - start,
-            "doc_ids": enc(ids),
+            "doc_ids": encode_sorted_tagged(ids, docid_codec),
             "tfs": varbyte_encode(tfs[start:end].astype(np.uint64)),
             # role-span-weighted counts, quarter-scaled to stay integral
             # (weights are multiples of 0.25 — UnorderedMatches weights)
@@ -86,16 +83,18 @@ def _encode_term_run(
 def encode_blocks(
     batches: Iterator[pd.DataFrame],
     block_docs: int = BLOCK_DOCS,
-    docid_codec: str = "varbyte",
+    docid_codec: str = "auto",
 ) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel over a partition sorted by (term_id, doc_id).
 
     Streams Arrow batches, carrying the current term's tail across batch
     boundaries so a term spanning many batches still forms full blocks.
     Input columns: term_id, doc_id, tf, positions (varbyte binary), tf_norm.
-    ``docid_codec="gamma"`` stores doc-id deltas as split-stream Elias
-    gamma (the priority tier's codec, matching the reference's
-    EliasGammaCodec density — codecs.py gamma section).
+    Doc-id deltas are stored per block as varbyte OR split-stream Elias
+    gamma (the reference's prio-index code, EliasGammaCodec), whichever is
+    exactly smaller — dense head-term blocks go gamma, sparse tail blocks
+    varbyte; each payload is tagged with its codec byte so the decode side
+    is self-describing (codecs.py adaptive section).
     """
     carry: pd.DataFrame | None = None
     with_lang = None  # resolved from the first batch's columns
@@ -170,16 +169,17 @@ def decode_blocks(
     with_positions: bool = False,
     with_wtf: bool = False,
     candidates: np.ndarray | None = None,
-    docid_codec: str = "varbyte",
 ) -> Iterator[pd.DataFrame]:
     """Block rows → exploded (term_id, doc_id, tf[, positions]) rows.
 
     Fully columnar: all surviving blocks of an Arrow batch are decoded in
-    ONE pass — varbyte is byte-aligned per value, so the concatenation of
-    the blocks' payloads is itself a valid varbyte stream, and the per-block
-    delta resets are exactly ``segmented_undelta``'s segment starts. No
-    per-block Python loop; the only Python-level iteration left is the
-    ``np.split`` view construction for ragged position lists.
+    ONE pass — tfs/flags/positions varbyte payloads concatenate into one
+    valid stream (byte-aligned per value), doc-id payloads decode through
+    ``decode_doc_deltas`` (self-describing per-block varbyte/gamma, at most
+    two grouped vectorized passes), and the per-block delta resets are
+    exactly ``segmented_undelta``'s segment starts. No per-block Python
+    loop; the only Python-level iteration left is the ``np.split`` view
+    construction for ragged position lists.
 
     ``candidates``: optional sorted uint64 doc-id array — or a Spark
     ``Broadcast`` wrapping one (unwrapped lazily HERE, on the executor, so
@@ -215,14 +215,7 @@ def decode_blocks(
         bounds = np.zeros(n_docs.size + 1, dtype=np.int64)
         np.cumsum(n_docs, out=bounds[1:])
         seg_starts = bounds[:-1][n_docs > 0]
-        if docid_codec == "gamma":
-            # split-stream gamma blocks decode in one whole-batch pass too;
-            # stored deltas are +1-shifted (codecs.encode_sorted_gamma)
-            deltas = gamma_decode_concat(
-                pdf["doc_ids"].tolist(), n_docs
-            ) - np.uint64(1)
-        else:
-            deltas = varbyte_decode(b"".join(pdf["doc_ids"].tolist()))
+        deltas = decode_doc_deltas(pdf["doc_ids"].tolist(), n_docs)
         doc_ids = segmented_undelta(deltas, seg_starts)
         tfs = varbyte_decode(b"".join(pdf["tfs"].tolist()))
         flags = varbyte_decode(b"".join(pdf["flags"].tolist()))

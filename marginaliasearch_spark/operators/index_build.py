@@ -301,12 +301,10 @@ def build_index(
             )
             .sortWithinPartitions("lang", "term_id", "doc_id")
             .mapInPandas(
-                # doc-id deltas gamma-coded like the reference's prio index
-                # (PrioDocIdsTransformer / EliasGammaCodec) — split-stream
-                # layout, codecs.py gamma section
-                partial(
-                    encode_blocks, block_docs=block_docs, docid_codec="gamma"
-                ),
+                # doc-id deltas gamma-coded where dense, like the reference
+                # prio index (PrioDocIdsTransformer / EliasGammaCodec) —
+                # adaptive split-stream layout, codecs.py gamma section
+                partial(encode_blocks, block_docs=block_docs),
                 schema=POSTINGS_SCHEMA_LANG,
             )
             .write.mode("overwrite")

@@ -353,9 +353,6 @@ class IndexReader:
             with_positions=with_positions,
             with_wtf=with_wtf,
             candidates=candidates,
-            # the prio tier's doc ids are split-stream gamma-coded
-            # (index_build step 2.5), the full tier varbyte
-            docid_codec="gamma" if source is self.prio else "varbyte",
         )
         schema = decoded_schema(with_positions, with_wtf)
         return blocks.select(*cols).mapInPandas(fn, schema=schema).drop("term_id")

@@ -207,9 +207,10 @@ def test_encode_sorted_gamma_roundtrip_with_zero_lead():
     np.testing.assert_array_equal(np.cumsum(deltas, dtype=np.uint64), ids)
 
 
-def test_decode_blocks_gamma_equals_varbyte(spark):
-    """encode_blocks/decode_blocks with docid_codec='gamma' reproduce the
-    varbyte tier bit-for-bit on the decoded side."""
+def test_decode_blocks_identical_across_docid_codecs(spark):
+    """encode_blocks/decode_blocks give identical decoded rows whether the
+    doc-id codec is forced varbyte, forced gamma, or adaptive — the tagged
+    payload makes the decode side self-describing."""
     import pandas as pd
 
     from marginaliasearch_spark.functions.blocks import (
@@ -219,8 +220,11 @@ def test_decode_blocks_gamma_equals_varbyte(spark):
 
     rng = np.random.default_rng(31)
     rows = []
-    for term in (7, 11):
-        ids = np.unique(rng.integers(0, 1 << 40, size=600, dtype=np.uint64))
+    # term 7: sparse 40-bit ids (varbyte territory); term 11: dense
+    # consecutive-ish ids (gamma territory) — 'auto' must mix codecs
+    ids_sparse = np.unique(rng.integers(0, 1 << 40, size=600, dtype=np.uint64))
+    ids_dense = np.cumsum(rng.integers(1, 4, size=600, dtype=np.uint64))
+    for term, ids in ((7, ids_sparse), (11, ids_dense)):
         for d in ids:
             rows.append((term, int(d), 1 + int(d) % 5, 4, b"", 0, 0.25))
     pdf = pd.DataFrame(
@@ -233,8 +237,30 @@ def test_decode_blocks_gamma_equals_varbyte(spark):
         blocks = pd.concat(
             list(encode_blocks(iter([pdf]), block_docs=128, docid_codec=codec))
         )
-        return pd.concat(
-            list(decode_blocks(iter([blocks]), docid_codec=codec))
+        dec = pd.concat(
+            list(decode_blocks(iter([blocks])))
         ).reset_index(drop=True)
+        return blocks, dec
 
-    pd.testing.assert_frame_equal(run("gamma"), run("varbyte"))
+    blocks_auto, dec_auto = run("auto")
+    tags = {b[0] for b in blocks_auto["doc_ids"]}
+    assert tags == {0, 1}, "auto should pick varbyte AND gamma across blocks"
+    for codec in ("varbyte", "gamma"):
+        _, dec = run(codec)
+        pd.testing.assert_frame_equal(dec, dec_auto)
+
+
+def test_encode_sorted_tagged_picks_smaller():
+    """The adaptive choice is by exact encoded size."""
+    from marginaliasearch_spark.functions.codecs import encode_sorted_tagged
+
+    dense = np.cumsum(np.full(512, 2, dtype=np.uint64))
+    sparse = np.cumsum(np.full(512, 1 << 50, dtype=np.uint64))
+    for ids in (dense, sparse):
+        auto = encode_sorted_tagged(ids, "auto")
+        forced = [
+            encode_sorted_tagged(ids, c) for c in ("varbyte", "gamma")
+        ]
+        assert len(auto) == min(len(b) for b in forced)
+    assert encode_sorted_tagged(dense, "auto")[0] == 1  # gamma
+    assert encode_sorted_tagged(sparse, "auto")[0] == 0  # varbyte
