@@ -82,6 +82,9 @@ BENCH_QUERIES = [
     "fulltext_expanded",
     "fulltext_group_cap",
     "fulltext_decorated",
+    "events_sessions",
+    "index_ngram_stats",
+    "mm_audio_features",
 ]
 
 
