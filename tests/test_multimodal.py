@@ -256,3 +256,75 @@ def test_audio_features_fake_matches_duckdb_oracle(spark):
         assert (r["n_samples"], r["sample_rate"], r["peak"],
                 r["zero_crossings"]) == (ns, rate, peak, zc)
         assert r["rms"] == rms and r["mean_amp"] == mean_amp
+
+
+# --- real (pure-numpy) video decoder: YUV4MPEG2 (.y4m) ----------------------
+
+
+def _y4m_bytes(lumas, fps=(25, 1), chroma="420", frame_params=False):
+    """Build a y4m stream from (n, h, w) uint8 luma planes; chroma planes
+    are filled with 0x80 (neutral)."""
+    import numpy as np
+
+    n, h, w = lumas.shape
+    hdr = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C{chroma}\n"
+    out = bytearray(hdr.encode())
+    for i in range(n):
+        out += b"FRAME Xtest\n" if frame_params else b"FRAME\n"
+        out += np.asarray(lumas[i], dtype=np.uint8).tobytes()
+        if chroma.startswith("420"):
+            out += b"\x80" * (w * h // 2)
+        elif chroma == "444":
+            out += b"\x80" * (w * h * 2)
+    return bytes(out)
+
+
+def test_decode_y4m_roundtrip():
+    import numpy as np
+
+    from marginaliasearch_spark.operators.multimodal import decode_video
+
+    rng = np.random.default_rng(11)
+    lumas = rng.integers(0, 256, size=(5, 4, 6), dtype=np.uint8)
+    for chroma in ("420", "420jpeg", "444", "mono"):
+        frames, fps = decode_video(_y4m_bytes(lumas, chroma=chroma))
+        assert fps == 25.0
+        assert np.array_equal(frames, lumas), chroma
+    # FRAME lines with parameters parse too
+    frames, _ = decode_video(_y4m_bytes(lumas, frame_params=True))
+    assert np.array_equal(frames, lumas)
+
+
+def test_frame_sample_real_y4m(spark):
+    """fake=False samples one frame per every_ms at the stream's own fps
+    and hashes real luma bytes."""
+    import hashlib as _hashlib
+
+    import numpy as np
+
+    from marginaliasearch_spark.operators import multimodal
+
+    rng = np.random.default_rng(12)
+    lumas = rng.integers(0, 256, size=(10, 4, 4), dtype=np.uint8)
+    payload = _y4m_bytes(lumas, fps=(4, 1))  # 4 fps → every 500ms = 2 frames
+    media = spark.createDataFrame(
+        [(7, "video", bytearray(payload), "video/x-y4m", 4, 4, 2500)],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    rows = multimodal.frame_sample(media, every_ms=500, fake=False).collect()
+    # step = round(4 * 0.5) = 2 → frames 0,2,4,6,8
+    assert [r["frame_idx"] for r in sorted(rows, key=lambda r: r["frame_idx"])] == [
+        0, 1, 2, 3, 4,
+    ]
+    expect = [_hashlib.md5(lumas[i].tobytes()).hexdigest() for i in (0, 2, 4, 6, 8)]
+    got = [r["frame_hex"] for r in sorted(rows, key=lambda r: r["frame_idx"])]
+    assert got == expect
+
+
+def test_decode_video_compressed_raises():
+    import pytest as _pytest
+
+    from marginaliasearch_spark.operators.multimodal import decode_video
+
+    with _pytest.raises(NotImplementedError):
+        decode_video(b"\x00\x00\x00\x18ftypmp42-fake-mp4")
