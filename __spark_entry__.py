@@ -38,7 +38,13 @@ from pyspark.sql import functions as F
 
 from marginaliasearch_spark.functions import sql_oracles
 from marginaliasearch_spark.functions.tokenizer import STOPWORDS
-from marginaliasearch_spark.operators import dedup, multimodal, similarity, textstats
+from marginaliasearch_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    spell,
+    textstats,
+)
 from marginaliasearch_spark.operators import ingest as ingest_ops
 from marginaliasearch_spark.operators.index_build import (
     IndexPaths,
@@ -839,6 +845,42 @@ def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# fixed misspelling probes for the spell entry (must stay within edit
+# distance 2 of real corpus terms so the suggestion lists are non-trivial)
+_SPELL_PROBES = [
+    "custmer", "jion", "quer", "sparc", "tabel",  # single-hit corrections
+    "sot", "par", "vale", "bg",  # multi-candidate (exercises ctf ranking)
+]
+
+
+def _q_spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell-analogue spell correction over the index's own lexicon
+    (reference: SpellChecker.java / MathClient.spellCheck): deletes-index
+    broadcast join + exact levenshtein verify, ranked (dist, ctf DESC,
+    term). The oracle brute-forces ``levenshtein() <= 2`` over the same
+    lexicon — identical by the SymSpell completeness argument (see
+    operators/spell.py docstring)."""
+    reader = _get_reader(spark, sf_dir)
+    didx = spell.build_deletes_index(
+        reader.lexicon.select("term", "ctf"), max_edits=2
+    )
+    return spell.suggest(spark, didx, _SPELL_PROBES, max_edits=2, k=5)
+
+
+def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array-style duplicated-span detection (Lee et al. 2022
+    analogue): maximal token ranges covered by an 8-token window that
+    repeats anywhere in the corpus (`dedup.duplicate_spans`)."""
+    return dedup.duplicate_spans(_docs(spark, sf_dir), window=8)
+
+
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 table A1
+    analogue): duplicate-line / bullet-line / top-bigram fractions
+    (`textstats.repetition_signals`)."""
+    return textstats.repetition_signals(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -906,17 +948,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_doc_stats": _q_doc_stats,
         "index_corpus_stats": _q_corpus_stats,
         "index_ngram_stats": _q_ngram_stats,
+        # SymSpell-analogue spell correction over the lexicon
+        # (SpellChecker.java parity)
+        "index_spell_suggest": _q_spell_suggest,
         # --- dedup suite ---
         "dedup_exact": _q_exact_dedup,
         "dedup_jaccard": _q_jaccard,
         "dedup_minhash_lsh": _q_minhash,
         "dedup_simhash": _q_simhash,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
+        # suffix-array-style duplicated-span detection (Lee et al. 2022)
+        "dedup_substring": _q_duplicate_spans,
         # --- text analysis ---
         "text_token_counts": _q_token_counts,
         "text_language_id": _q_language_id,
         "text_quality": _q_quality,
         "text_fingerprint": _q_fingerprint,
+        # Gopher-style repetition signals (Rae et al. 2021)
+        "text_repetition": _q_repetition,
         # --- similarity search ---
         "sim_cosine_topk": _q_cosine_topk,
         "sim_lsh_topk": _q_lsh_topk,
@@ -1023,6 +1072,24 @@ SELECT a.term || ' ' || b.term || ' ' || c.term, 3::BIGINT,
 FROM itok a JOIN itok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
             JOIN itok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
 GROUP BY 1 HAVING count(*) >= 2""",
+        # brute-force scan of the same lexicon the engine's deletes-index
+        # prunes to — identical result sets by the SymSpell completeness
+        # argument (operators/spell.py), so the pruned path is hash-checked
+        "index_spell_suggest": f"""{_COMMON}
+, lex AS (SELECT term, sum(tf)::BIGINT AS ctf FROM tf GROUP BY term),
+probes(probe) AS (
+  SELECT unnest([{", ".join(repr(p) for p in sorted(_SPELL_PROBES))}])
+)
+SELECT probe, suggestion, dist, ctf FROM (
+  SELECT p.probe, l.term AS suggestion,
+         levenshtein(p.probe, l.term)::BIGINT AS dist, l.ctf,
+         row_number() OVER (
+           PARTITION BY p.probe
+           ORDER BY levenshtein(p.probe, l.term), l.ctf DESC, l.term
+         ) AS rn
+  FROM probes p CROSS JOIN lex l
+  WHERE levenshtein(p.probe, l.term) <= 2
+) WHERE rn <= 5""",
         "dedup_exact": """
 SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_dups
 FROM documents GROUP BY md5(lower(text))""",
@@ -1048,6 +1115,41 @@ WHERE n_common / (sa.set_size + sb.set_size - n_common) >= 0.8""",
         "dedup_minhash_lsh": sql_oracles.minhash_lsh_sql(threshold=0.8),
         "dedup_simhash": sql_oracles.simhash_sql(max_hamming=3),
         "dedup_ngram_jaccard": sql_oracles.ngram_jaccard_sql(threshold=0.5),
+        # rolling 8-token window hashes → repeated hashes → per-doc island
+        # merge (running-max window) — the distributed twin of
+        # dedup.duplicate_spans, position-exact
+        "dedup_substring": """
+WITH tok0 AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '' AND length(t) < 64) AS l
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, i AS spos,
+         md5(array_to_string(list_slice(l, i, i + 7), ' ')) AS whash
+  FROM tok0, unnest(range(1, len(l) - 8 + 2)) AS t(i)
+),
+dup AS (SELECT whash FROM wins GROUP BY whash HAVING count(*) >= 2),
+dwin AS (SELECT w.doc_id, w.spos FROM wins w JOIN dup USING (whash)),
+flag AS (
+  SELECT doc_id, spos,
+    CASE WHEN spos <= coalesce(
+           max(spos + 7) OVER (
+             PARTITION BY doc_id ORDER BY spos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           -1) + 1
+    THEN 0 ELSE 1 END AS new_island
+  FROM dwin
+),
+isl AS (
+  SELECT doc_id, spos,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY spos) AS island
+  FROM flag
+)
+SELECT doc_id, min(spos)::BIGINT AS span_start,
+       (max(spos) + 7 - min(spos) + 1)::BIGINT AS span_len
+FROM isl GROUP BY doc_id, island""",
         "text_token_counts": """
 SELECT doc_id,
   len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
@@ -1110,6 +1212,59 @@ SELECT doc_id,
     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> ''),
     ' ')) AS fingerprint
 FROM documents""",
+        # Gopher repetition rules: all ratios are exact-integer divisions so
+        # both engines produce bit-identical doubles (div-by-zero → NULL →
+        # coalesce 0 on both sides)
+        "text_repetition": """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                     l -> l <> '') AS lines,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+perdoc AS (
+  SELECT doc_id,
+         len(list_filter(lines,
+             l -> l LIKE '-%' OR l LIKE '*%' OR l LIKE '•%'))::BIGINT
+           AS bullet_lines,
+         coalesce(list_sum(list_transform(toks, t -> length(t))), 0)::BIGINT
+           AS tok_chars
+  FROM base
+),
+ln AS (SELECT doc_id, unnest(lines) AS line FROM base),
+lg AS (SELECT doc_id, line, count(*)::BIGINT AS cnt FROM ln GROUP BY doc_id, line),
+lstat AS (
+  SELECT doc_id, sum(cnt)::BIGINT AS n_lines,
+         sum(cnt * length(line))::BIGINT AS line_chars,
+         sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END)::BIGINT AS dup_lines,
+         sum(CASE WHEN cnt >= 2 THEN cnt * length(line) ELSE 0 END)::BIGINT
+           AS dup_chars
+  FROM lg GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id, l[i] || ' ' || l[i + 1] AS bigram
+  FROM (SELECT doc_id, toks AS l FROM base), unnest(range(1, len(l))) AS t(i)
+),
+bgrp AS (SELECT doc_id, bigram, count(*)::BIGINT AS cnt FROM bg GROUP BY doc_id, bigram),
+top AS (
+  SELECT doc_id, cnt AS top_cnt, (length(bigram) - 1)::BIGINT AS top_chars
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY cnt DESC, bigram) AS rn
+        FROM bgrp)
+  WHERE rn = 1
+)
+SELECT p.doc_id,
+  coalesce(l.n_lines, 0)::BIGINT AS n_lines,
+  round(coalesce(l.dup_lines / l.n_lines, 0), 6) AS dup_line_frac,
+  round(coalesce(l.dup_chars / l.line_chars, 0), 6) AS dup_char_frac,
+  round(coalesce(p.bullet_lines / l.n_lines, 0), 6) AS bullet_line_frac,
+  round(coalesce((t.top_cnt * t.top_chars) / p.tok_chars, 0), 6)
+    AS top_bigram_frac
+FROM perdoc p
+LEFT JOIN lstat l USING (doc_id)
+LEFT JOIN top t USING (doc_id)""",
         "sim_cosine_topk": f"""
 WITH q AS (SELECT [{qv}]::DOUBLE[] AS qv),
 s AS (

@@ -85,6 +85,9 @@ BENCH_QUERIES = [
     "events_sessions",
     "index_ngram_stats",
     "mm_audio_features",
+    "index_spell_suggest",
+    "dedup_substring",
+    "text_repetition",
 ]
 
 

@@ -574,3 +574,67 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def duplicate_spans(
+    docs: DataFrame, window: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Exact duplicated-substring spans: maximal token ranges covered by a
+    ``window``-token run that occurs ≥ 2 times anywhere in the corpus.
+
+    The span-level analogue of suffix-array training-data dedup (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"): a
+    suffix array finds repeated substrings of length ≥ L; the distributed
+    re-expression hashes every L-token rolling window (md5, so the DuckDB
+    oracle recomputes it), keeps windows whose hash repeats, and merges
+    overlapping/adjacent surviving windows per document into maximal spans
+    via an islands pass (running-max window function).
+
+    One corpus-wide shuffle on the window hash (~n_tokens rows of ~40 B) +
+    one per-document sort for the islands pass — both standard at 100 TB;
+    no all-pairs join, no suffix-array global sort. Returns
+    (doc_id, span_start, span_len) in 1-based token positions over the
+    simple-tokenizer token stream.
+    """
+    toks = simple_tokens_col(text_col)
+    n = F.size(toks)
+    # window hashes; guard keeps sequence() ascending when the doc is short
+    wins_arr = F.when(
+        n >= window,
+        F.transform(
+            F.sequence(F.lit(1), n - window + 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, window))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    wins = docs.select(
+        "doc_id", F.posexplode(wins_arr).alias("pos0", "whash")
+    ).select("doc_id", (F.col("pos0") + 1).alias("start"), "whash")
+    dup = (
+        wins.groupBy("whash")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("whash")
+    )
+    dwin = wins.join(dup, "whash").select("doc_id", "start")
+    byd = Window.partitionBy("doc_id").orderBy("start")
+    prev_end = F.max(F.col("start") + window - 1).over(
+        byd.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dwin.withColumn(
+        "new_island",
+        F.when(
+            F.col("start") <= F.coalesce(prev_end, F.lit(-1)) + 1, F.lit(0)
+        ).otherwise(F.lit(1)),
+    ).withColumn("island", F.sum("new_island").over(byd))
+    return (
+        flagged.groupBy("doc_id", "island")
+        .agg(
+            F.min("start").alias("span_start"),
+            (F.max("start") + window - 1 - F.min("start") + 1).alias("span_len"),
+        )
+        .select(
+            "doc_id",
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_len").cast("long").alias("span_len"),
+        )
+    )

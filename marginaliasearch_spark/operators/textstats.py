@@ -8,7 +8,7 @@ Each has an exact ANSI-SQL equivalent, so every one is oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny deterministic stopword marker sets per language — a real pipeline
@@ -140,3 +140,118 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select(
         "doc_id", F.md5(F.array_join(toks, " ")).alias("fingerprint")
     )
+
+
+def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, table A1): per-doc
+    duplicate-line fraction, duplicate-line character fraction, bullet-line
+    fraction, and top-bigram character fraction.
+
+    Definitions (mirrored exactly by the DuckDB oracle):
+
+    - lines = trimmed, non-empty '\\n'-split lines; a line is *duplicate* if
+      it occurs ≥ 2 times in the doc; ``dup_line_frac`` counts ALL
+      occurrences in duplicated groups over all lines, ``dup_char_frac``
+      the same weighted by line length;
+    - ``bullet_line_frac`` = lines starting with '-', '*' or '•';
+    - ``top_bigram_frac`` = (occurrences of the most frequent word bigram ×
+      its non-space char length) / total token chars, ties broken by the
+      lexicographically smallest bigram; 0.0 when the doc has < 2 tokens.
+
+    Two per-doc hash aggregations (lines, bigrams — both map-side
+    combinable, keyed by doc) joined back to one row per doc; everything
+    else is JVM array expressions. All ratios are exact-integer divisions,
+    so both engines produce bit-identical doubles.
+    """
+    lines_arr = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    toks_arr = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    base = docs.select(
+        "doc_id", lines_arr.alias("lines"), toks_arr.alias("toks")
+    )
+    nt = F.size("toks")
+    per_doc = base.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.col("lines"),
+                lambda l: l.startswith("-") | l.startswith("*") | l.startswith("•"),
+            )
+        ).alias("bullet_lines"),
+        F.aggregate(
+            F.col("toks"), F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ).alias("tok_chars"),
+    )
+
+    ln = base.select("doc_id", F.explode("lines").alias("line"))
+    lg = ln.groupBy("doc_id", "line").agg(F.count("*").alias("cnt"))
+    lstat = lg.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_lines"),
+        F.sum(F.col("cnt") * F.length("line")).alias("line_chars"),
+        F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(0)).alias(
+            "dup_lines"
+        ),
+        F.sum(
+            F.when(F.col("cnt") >= 2, F.col("cnt") * F.length("line")).otherwise(0)
+        ).alias("dup_chars"),
+    )
+
+    bg_arr = F.when(
+        nt >= 2,
+        F.transform(
+            F.sequence(F.lit(1), nt - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("toks"), i), F.element_at(F.col("toks"), i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = base.select("doc_id", F.explode(bg_arr).alias("bigram"))
+    bgrp = bg.groupBy("doc_id", "bigram").agg(F.count("*").alias("cnt"))
+    top = (
+        bgrp.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("cnt").desc(), "bigram"
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("cnt").alias("top_cnt"),
+            (F.length("bigram") - 1).alias("top_chars"),
+        )
+    )
+
+    out = (
+        per_doc.join(lstat, "doc_id", "left")
+        .join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_lines"), F.lit(0)).cast("long").alias("n_lines"),
+            F.round(
+                F.coalesce(F.col("dup_lines") / F.col("n_lines"), F.lit(0.0)), 6
+            ).alias("dup_line_frac"),
+            F.round(
+                F.coalesce(F.col("dup_chars") / F.col("line_chars"), F.lit(0.0)),
+                6,
+            ).alias("dup_char_frac"),
+            F.round(
+                F.coalesce(F.col("bullet_lines") / F.col("n_lines"), F.lit(0.0)),
+                6,
+            ).alias("bullet_line_frac"),
+            F.round(
+                F.coalesce(
+                    (F.col("top_cnt") * F.col("top_chars")) / F.col("tok_chars"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("top_bigram_frac"),
+        )
+    )
+    return out

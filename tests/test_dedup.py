@@ -194,3 +194,102 @@ class TestJaccard:
             }
             for pair, j in fast.items():
                 assert full[pair] == j
+
+
+class TestDuplicateSpans:
+    """duplicate_spans (suffix-array-style span dedup) vs a Python
+    brute-force mirror: rolling-window hash counts + island merge."""
+
+    @staticmethod
+    def _brute(texts: dict[int, str], window: int) -> set[tuple[int, int, int]]:
+        import re
+        from collections import Counter
+
+        tok = {
+            d: [
+                t
+                for t in re.split("[^a-z0-9]+", s.lower())
+                if t and len(t) < 64
+            ]
+            for d, s in texts.items()
+        }
+        cnt: Counter = Counter()
+        wins: dict[int, list[str]] = {}
+        for d, toks in tok.items():
+            ws = [
+                " ".join(toks[i : i + window])
+                for i in range(len(toks) - window + 1)
+            ]
+            wins[d] = ws
+            cnt.update(ws)
+        spans = set()
+        for d, ws in wins.items():
+            starts = [i + 1 for i, w in enumerate(ws) if cnt[w] >= 2]
+            cur_start = cur_end = None
+            for s in starts:
+                e = s + window - 1
+                if cur_end is not None and s <= cur_end + 1:
+                    cur_end = max(cur_end, e)
+                else:
+                    if cur_start is not None:
+                        spans.add((d, cur_start, cur_end - cur_start + 1))
+                    cur_start, cur_end = s, e
+            if cur_start is not None:
+                spans.add((d, cur_start, cur_end - cur_start + 1))
+        return spans
+
+    def test_matches_brute_force(self, spark):
+        shared = "zero one two three four five six seven eight nine ten eleven"
+        texts = {
+            # cross-doc duplicated 12-token run at different offsets
+            0: "aa bb cc " + shared + " dd ee",
+            1: shared + " ff gg hh ii",
+            # within-doc repeat of an 8-token run (twice, disjoint)
+            2: "p1 p2 p3 p4 p5 p6 p7 p8 mid1 mid2 mid3 p1 p2 p3 p4 p5 p6 p7 p8 tail",
+            # shorter than the window → no windows at all
+            3: "tiny doc here",
+            # no duplicated content
+            4: "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12 u13",
+        }
+        df = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        )
+        got = {
+            (r["doc_id"], r["span_start"], r["span_len"])
+            for r in dedup.duplicate_spans(df, window=8).collect()
+        }
+        assert got == self._brute(texts, 8)
+        # sanity: the planted cross-doc and within-doc dups are present
+        assert any(d == 0 for d, _, _ in got)
+        assert any(d == 2 for d, _, _ in got)
+        assert not any(d in (3, 4) for d, _, _ in got)
+
+    def test_overlapping_windows_merge_to_one_span(self, spark):
+        """A 12-token duplicated run yields 5 overlapping 8-windows that
+        must merge into ONE maximal span of length 12."""
+        run = " ".join(f"w{i}" for i in range(12))
+        df = spark.createDataFrame(
+            [(0, "x1 x2 " + run), (1, run + " y1 y2")],
+            "doc_id long, text string",
+        )
+        rows = dedup.duplicate_spans(df, window=8).collect()
+        by_doc = {r["doc_id"]: (r["span_start"], r["span_len"]) for r in rows}
+        assert by_doc[0] == (3, 12)
+        assert by_doc[1] == (1, 12)
+
+    def test_fuzz_matches_brute_force(self, spark):
+        rng = np.random.default_rng(11)
+        vocab = [f"t{i}" for i in range(30)]  # small vocab → chance repeats
+        texts = {
+            d: " ".join(rng.choice(vocab, size=int(rng.integers(3, 40))))
+            for d in range(25)
+        }
+        df = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        )
+        for window in (4, 6):
+            got = {
+                (r["doc_id"], r["span_start"], r["span_len"])
+                for r in dedup.duplicate_spans(df, window=window).collect()
+            }
+            assert got == self._brute(texts, window)
