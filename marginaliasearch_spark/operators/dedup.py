@@ -590,13 +590,26 @@ def duplicate_spans(
     overlapping/adjacent surviving windows per document into maximal spans
     via an islands pass (running-max window function).
 
-    One corpus-wide shuffle on the window hash (~n_tokens rows of ~40 B) +
-    one per-document sort for the islands pass — both standard at 100 TB;
-    no all-pairs join, no suffix-array global sort. Returns
+    One corpus-wide shuffle on the window hash (~n_tokens rows of ~40 B,
+    repeated-hash filter as a count-over-window so the windows relation is
+    built exactly once — no groupBy + join-back recompute) + one
+    per-document sort for the islands pass — both standard at 100 TB; no
+    all-pairs join, no suffix-array global sort. Returns
     (doc_id, span_start, span_len) in 1-based token positions over the
     simple-tokenizer token stream.
+
+    The token array is materialized behind a repartition barrier BEFORE the
+    window lambda: without it, projection collapse inlines the regex
+    tokenization into the per-window ``slice`` calls (re-tokenizing the doc
+    once per window — measured 16→~1 s at sf0.1), and a one-file parquet
+    input would pin the hashing to a single task (same rationale as
+    ``_spread``; a no-op at real scale).
     """
-    toks = simple_tokens_col(text_col)
+    tok = docs.select("doc_id", simple_tokens_col(text_col).alias("toks"))
+    defp = docs.sparkSession.sparkContext.defaultParallelism
+    if tok.rdd.getNumPartitions() < defp:
+        tok = tok.repartition(defp)
+    toks = F.col("toks")
     n = F.size(toks)
     # window hashes; guard keeps sequence() ascending when the doc is short
     wins_arr = F.when(
@@ -606,16 +619,16 @@ def duplicate_spans(
             lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, window))),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    wins = docs.select(
+    wins = tok.select(
         "doc_id", F.posexplode(wins_arr).alias("pos0", "whash")
     ).select("doc_id", (F.col("pos0") + 1).alias("start"), "whash")
-    dup = (
-        wins.groupBy("whash")
-        .agg(F.count("*").alias("cnt"))
+    dwin = (
+        wins.withColumn(
+            "cnt", F.count("*").over(Window.partitionBy("whash"))
+        )
         .filter(F.col("cnt") >= 2)
-        .select("whash")
+        .select("doc_id", "start")
     )
-    dwin = wins.join(dup, "whash").select("doc_id", "start")
     byd = Window.partitionBy("doc_id").orderBy("start")
     prev_end = F.max(F.col("start") + window - 1).over(
         byd.rowsBetween(Window.unboundedPreceding, -1)

@@ -150,18 +150,26 @@ def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Definitions (mirrored exactly by the DuckDB oracle):
 
     - lines = trimmed, non-empty '\\n'-split lines; a line is *duplicate* if
-      it occurs ≥ 2 times in the doc; ``dup_line_frac`` counts ALL
+      it occurs >= 2 times in the doc; ``dup_line_frac`` counts ALL
       occurrences in duplicated groups over all lines, ``dup_char_frac``
       the same weighted by line length;
-    - ``bullet_line_frac`` = lines starting with '-', '*' or '•';
-    - ``top_bigram_frac`` = (occurrences of the most frequent word bigram ×
+    - ``bullet_line_frac`` = lines starting with '-', '*' or '\u2022';
+    - ``top_bigram_frac`` = (occurrences of the most frequent word bigram x
       its non-space char length) / total token chars, ties broken by the
       lexicographically smallest bigram; 0.0 when the doc has < 2 tokens.
 
-    Two per-doc hash aggregations (lines, bigrams — both map-side
-    combinable, keyed by doc) joined back to one row per doc; everything
-    else is JVM array expressions. All ratios are exact-integer divisions,
-    so both engines produce bit-identical doubles.
+    SHUFFLE-FREE: every signal is a per-row array expression — duplicate
+    detection sorts the line array and compares neighbors (``array_sort`` +
+    ``zip_with`` over shifted slices), the top bigram is a run-length fold
+    (``F.aggregate``) over the sorted bigram array — so the whole operator
+    is one narrow projection, embarrassingly parallel at 100 TB (no
+    explode, no groupBy, no join). Sorted-order ties give the
+    lexicographically smallest max-count bigram because only a STRICTLY
+    longer run displaces the incumbent. Per-doc cost is O(n log n).
+    Bigrams pair ``zip_with``-ed array slices, which evaluates the token
+    array once per row (an ``element_at``-in-lambda formulation would
+    re-tokenize per element — measured pathological). All ratios are
+    exact-integer divisions, so both engines produce bit-identical doubles.
     """
     lines_arr = F.filter(
         F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
@@ -170,88 +178,90 @@ def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
     toks_arr = F.filter(
         F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != ""
     )
-    base = docs.select(
-        "doc_id", lines_arr.alias("lines"), toks_arr.alias("toks")
+
+    def _neighbor_dup_mask(arr: F.Column) -> F.Column:
+        """Boolean mask over a SORTED array: element equals its predecessor
+        or successor (i.e. belongs to a run of length >= 2)."""
+        n1 = F.greatest(F.size(arr) - 1, F.lit(0))  # slice len must be >= 0
+        eq_shift = F.zip_with(
+            F.slice(arr, 1, n1), F.slice(arr, 2, n1), lambda a, b: a == b
+        )
+        eq_prev = F.concat(F.array(F.lit(False)), eq_shift)
+        eq_next = F.concat(eq_shift, F.array(F.lit(False)))
+        return F.zip_with(eq_prev, eq_next, lambda a, b: a | b)
+
+    ls = F.array_sort(lines_arr)
+    dup_mask = _neighbor_dup_mask(ls)
+    n_lines = F.size(lines_arr)
+    line_chars = F.aggregate(
+        lines_arr, F.lit(0).cast("long"), lambda acc, l: acc + F.length(l)
     )
-    nt = F.size("toks")
-    per_doc = base.select(
+    dup_lines = F.size(F.filter(dup_mask, lambda m: m))
+    dup_chars = F.aggregate(
+        F.zip_with(
+            ls, dup_mask, lambda l, m: F.when(m, F.length(l)).otherwise(0)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, c: acc + c,
+    )
+    bullet_lines = F.size(
+        F.filter(
+            lines_arr,
+            lambda l: l.startswith("-") | l.startswith("*") | l.startswith("\u2022"),
+        )
+    )
+
+    nt = F.size(toks_arr)
+    tok_chars = F.aggregate(
+        toks_arr, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    nt1 = F.greatest(nt - 1, F.lit(0))  # slice len must be >= 0
+    bigrams = F.array_sort(
+        F.zip_with(
+            F.slice(toks_arr, 1, nt1),
+            F.slice(toks_arr, 2, nt1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    )
+    # run-length fold over the sorted bigrams: (prev, cur_run, best_cnt,
+    # best_bg); first max run encountered wins => lexicographic tie-break
+    fold_init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("cur"),
+        F.lit(0).cast("long").alias("best"),
+        F.lit("").alias("bestbg"),
+    )
+
+    def _fold(acc: F.Column, x: F.Column) -> F.Column:
+        cur2 = F.when(x == acc["prev"], acc["cur"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        better = cur2 > acc["best"]
+        return F.struct(
+            x.alias("prev"),
+            cur2.alias("cur"),
+            F.when(better, cur2).otherwise(acc["best"]).alias("best"),
+            F.when(better, x).otherwise(acc["bestbg"]).alias("bestbg"),
+        )
+
+    top = F.aggregate(bigrams, fold_init, _fold)
+    top_frac = F.when(
+        top["best"] > 0,
+        (top["best"] * (F.length(top["bestbg"]) - 1)) / tok_chars,
+    ).otherwise(F.lit(0.0))
+
+    zero_guard = n_lines > 0
+    return docs.select(
         "doc_id",
-        F.size(
-            F.filter(
-                F.col("lines"),
-                lambda l: l.startswith("-") | l.startswith("*") | l.startswith("•"),
-            )
-        ).alias("bullet_lines"),
-        F.aggregate(
-            F.col("toks"), F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
-        ).alias("tok_chars"),
+        n_lines.cast("long").alias("n_lines"),
+        F.round(
+            F.when(zero_guard, dup_lines / n_lines).otherwise(0.0), 6
+        ).alias("dup_line_frac"),
+        F.round(
+            F.when(zero_guard, dup_chars / line_chars).otherwise(0.0), 6
+        ).alias("dup_char_frac"),
+        F.round(
+            F.when(zero_guard, bullet_lines / n_lines).otherwise(0.0), 6
+        ).alias("bullet_line_frac"),
+        F.round(top_frac, 6).alias("top_bigram_frac"),
     )
-
-    ln = base.select("doc_id", F.explode("lines").alias("line"))
-    lg = ln.groupBy("doc_id", "line").agg(F.count("*").alias("cnt"))
-    lstat = lg.groupBy("doc_id").agg(
-        F.sum("cnt").alias("n_lines"),
-        F.sum(F.col("cnt") * F.length("line")).alias("line_chars"),
-        F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(0)).alias(
-            "dup_lines"
-        ),
-        F.sum(
-            F.when(F.col("cnt") >= 2, F.col("cnt") * F.length("line")).otherwise(0)
-        ).alias("dup_chars"),
-    )
-
-    bg_arr = F.when(
-        nt >= 2,
-        F.transform(
-            F.sequence(F.lit(1), nt - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(F.col("toks"), i), F.element_at(F.col("toks"), i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    bg = base.select("doc_id", F.explode(bg_arr).alias("bigram"))
-    bgrp = bg.groupBy("doc_id", "bigram").agg(F.count("*").alias("cnt"))
-    top = (
-        bgrp.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy(
-                    F.col("cnt").desc(), "bigram"
-                )
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select(
-            "doc_id",
-            F.col("cnt").alias("top_cnt"),
-            (F.length("bigram") - 1).alias("top_chars"),
-        )
-    )
-
-    out = (
-        per_doc.join(lstat, "doc_id", "left")
-        .join(top, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("n_lines"), F.lit(0)).cast("long").alias("n_lines"),
-            F.round(
-                F.coalesce(F.col("dup_lines") / F.col("n_lines"), F.lit(0.0)), 6
-            ).alias("dup_line_frac"),
-            F.round(
-                F.coalesce(F.col("dup_chars") / F.col("line_chars"), F.lit(0.0)),
-                6,
-            ).alias("dup_char_frac"),
-            F.round(
-                F.coalesce(F.col("bullet_lines") / F.col("n_lines"), F.lit(0.0)),
-                6,
-            ).alias("bullet_line_frac"),
-            F.round(
-                F.coalesce(
-                    (F.col("top_cnt") * F.col("top_chars")) / F.col("tok_chars"),
-                    F.lit(0.0),
-                ),
-                6,
-            ).alias("top_bigram_frac"),
-        )
-    )
-    return out

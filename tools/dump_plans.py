@@ -131,6 +131,38 @@ def main() -> None:
         )
     )
 
+    from marginaliasearch_spark.operators import dedup, spell
+
+    didx = spell.build_deletes_index(reader.lexicon.select("term", "ctf"))
+    sugg = spell.suggest(spark, didx, ["custmer", "quer"], k=5)
+    sections.append(
+        (
+            "Spell suggest (SymSpell deletes index, probes `custmer quer`)",
+            "Things to check: the probe-variant side enters a "
+            "`BroadcastHashJoin` (the deletes index is never shuffled), the "
+            "exact-verify `levenshtein(...) <= 2` is folded into the join "
+            "condition itself (false deletes-candidates die before the "
+            "aggregate), and the per-probe top-k runs as `WindowGroupLimit` "
+            "Partial → Final (rank pushdown, no full sort of the candidate "
+            "set).",
+            fmt(sugg),
+        )
+    )
+
+    spans = dedup.duplicate_spans(docs.limit(64), window=8)
+    sections.append(
+        (
+            "Duplicated-span dedup (8-token windows → islands merge)",
+            "Things to check: ONE corpus-wide `Exchange hashpartitioning"
+            "(whash)` for the repeated-window aggregate + its join back, "
+            "then a single per-doc `Exchange hashpartitioning(doc_id)` "
+            "feeding both `Window` (running-max islands) and the final "
+            "span `HashAggregate` — the window hashing itself is pure "
+            "codegen (`md5(concat_ws(...))` over array slices), no Python.",
+            fmt(spans),
+        )
+    )
+
     out = ["# EXPLAIN — formatted physical plans of the hot paths",
            "",
            "Generated by `python tools/dump_plans.py` over the sf0.001 driver",
