@@ -41,6 +41,7 @@ from marginaliasearch_spark.functions.tokenizer import STOPWORDS
 from marginaliasearch_spark.operators import (
     dedup,
     multimodal,
+    sampling,
     similarity,
     spell,
     textstats,
@@ -881,6 +882,30 @@ def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.repetition_signals(_docs(spark, sf_dir))
 
 
+def _q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate cluster assignment: connected components (star
+    contraction) over the exact banded-minhash pair set — doc_id → smallest
+    doc_id in its duplicate cluster (`dedup.connected_components`)."""
+    pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.8)
+    return dedup.connected_components(pairs)
+
+
+def _q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash train/val/test split audit: per-split doc count,
+    byte volume, and id checksum (`sampling.split_summary`)."""
+    return sampling.split_summary(_docs(spark, sf_dir))
+
+
+def _q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota per-language stratified sample (10%): smallest salted
+    hashes per stratum (`sampling.stratified_sample`)."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "lang", textstats.lang_pred_col(F.col("text"))
+    )
+    out = sampling.stratified_sample(docs, fraction=0.1, strata_col="lang")
+    return out.select("doc_id", "lang")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -959,6 +984,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         # suffix-array-style duplicated-span detection (Lee et al. 2022)
         "dedup_substring": _q_duplicate_spans,
+        # cluster assignment: connected components over near-dup pairs
+        # (star contraction, Kiveris et al. 2014)
+        "dedup_components": _q_components,
+        # --- deterministic corpus sampling / splits ---
+        "sample_split": _q_sample_split,
+        "sample_stratified": _q_sample_stratified,
         # --- text analysis ---
         "text_token_counts": _q_token_counts,
         "text_language_id": _q_language_id,
@@ -1115,6 +1146,44 @@ WHERE n_common / (sa.set_size + sb.set_size - n_common) >= 0.8""",
         "dedup_minhash_lsh": sql_oracles.minhash_lsh_sql(threshold=0.8),
         "dedup_simhash": sql_oracles.simhash_sql(max_hamming=3),
         "dedup_ngram_jaccard": sql_oracles.ngram_jaccard_sql(threshold=0.5),
+        # transitive closure over the same banded-minhash pair set the
+        # engine clusters — recursive CTE min-reachable-id
+        "dedup_components": sql_oracles.components_sql(
+            sql_oracles.minhash_lsh_sql(threshold=0.8)
+        ),
+        # deterministic hash split (salted md5 → 60-bit uint → % 100
+        # buckets: train [0,98), val [98,99), test [99,100))
+        "sample_split": """
+WITH hs AS (
+  SELECT doc_id, length(text) AS len,
+         ('0x' || substr(md5('split-v1:' || doc_id::VARCHAR), 1, 15))::UBIGINT
+           % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 98 THEN 'train'
+            WHEN bucket < 99 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*)::BIGINT AS n_docs,
+       sum(len)::BIGINT AS sum_len,
+       sum(doc_id)::BIGINT AS id_checksum
+FROM hs GROUP BY 1""",
+        # exact-quota stratified sample: per-language ceil(0.1*n) smallest
+        # salted hashes (same md5 construction, same tie-break)
+        "sample_stratified": f"""
+WITH s00 AS (SELECT 1){_lang_ctes()},
+sh AS (
+  SELECT d.doc_id, l.lang,
+         ('0x' || substr(md5('sample-v1:' || d.doc_id::VARCHAR), 1, 15))::UBIGINT
+           AS h
+  FROM documents d JOIN dlang l USING (doc_id)
+),
+sr AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM sh
+)
+SELECT doc_id, lang FROM sr WHERE rn <= ceil(n * 0.1)""",
         # rolling 8-token window hashes → repeated hashes → per-doc island
         # merge (running-max window) — the distributed twin of
         # dedup.duplicate_spans, position-exact

@@ -452,3 +452,26 @@ cands AS (
   SELECT vec_id, embedding FROM assign
   WHERE rn = 1 AND cid IN (SELECT cid FROM probes)
 ),{_cosine_topk_tail(qvec, k, 'cands')}"""
+
+
+def components_sql(pairs_sql: str) -> str:
+    """Exact oracle for ``dedup.connected_components`` over the pair set
+    produced by ``pairs_sql`` (any generator above): a recursive CTE
+    computes min-reachable-id transitive closure — feasible at oracle
+    scale, which is exactly what the distributed star contraction exists
+    to avoid at 100 TB."""
+    return f"""WITH RECURSIVE ccpairs AS (
+{pairs_sql}
+),
+ccedges AS (
+  SELECT doc_a AS u, doc_b AS v FROM ccpairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM ccpairs
+),
+ccreach(node, comp) AS (
+  SELECT u, u FROM ccedges
+  UNION
+  SELECT e.u, r.comp FROM ccedges e JOIN ccreach r ON r.node = e.v
+)
+SELECT node AS doc_id, min(comp) AS component
+FROM ccreach GROUP BY node"""

@@ -651,3 +651,104 @@ def duplicate_spans(
             F.col("span_len").cast("long").alias("span_len"),
         )
     )
+
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round: every node's strictly-larger neighbors reconnect
+    to the minimum of its closed neighborhood (Kiveris et al. 2014, alg 2)."""
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    m = F.least(F.col("mn"), F.col("u"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), m.alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: orient each edge large→small; every node's smaller
+    neighbors (and itself) reconnect to the smallest of them (alg 3)."""
+    dire = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    mins = dire.groupBy("u").agg(F.min("v").alias("mn"))
+    reconnect = (
+        dire.join(mins, "u")
+        .where(F.col("v") != F.col("mn"))
+        .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+    )
+    self_edge = mins.select("u", F.col("mn").alias("v"))
+    return reconnect.union(self_edge).where(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair relation →
+    ``(doc_id, component)`` where ``component`` is the smallest doc_id in
+    the cluster (the canonical "keeper" in dedup pipelines).
+
+    Pair generators (minhash/simhash/jaccard) emit *edges*; collapsing a
+    corpus to one representative per duplicate *cluster* needs the
+    transitive closure. Reference analogue: Marginalia keeps one canonical
+    document per content hash at load time
+    (code/processes/loading-process/.../LoaderIndexJournalWriter.java);
+    chained near-dup clusters have no single-node analogue — this is the
+    distributed generalization.
+
+    Algorithm: alternating large-star / small-star contraction (Kiveris et
+    al. 2014, "Connected Components in MapReduce and Beyond") — converges
+    in O(log² n) rounds on ANY graph (naive min-label propagation needs
+    O(diameter): a pathological duplication chain = thousands of rounds),
+    and at the fixpoint the edge set IS the answer: every non-minimum node
+    holds exactly the edge (node, component_min). Each half-round is one
+    groupBy + one self-join co-partitioned on the node key — a fixed small
+    number of hash shuffles per round at any scale, no all-pairs work, no
+    driver state beyond the per-round convergence probe. ``localCheckpoint``
+    truncates lineage each round (iterative-algorithm standard; on a real
+    cluster use reliable ``checkpoint`` for executor-loss resilience).
+
+    Deterministic (all reductions are ``min``); singleton documents (no
+    edges) are not emitted, matching the recursive-CTE oracle.
+    """
+    def _fingerprint(e: DataFrame) -> tuple:
+        # one action: a distinct edge set is pinned (up to astronomically
+        # unlikely xxhash64-sum collision) by (count, hash-sum); the sum
+        # runs in decimal(38,0) — int64 would overflow under ANSI mode
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev = _fingerprint(edges)
+    for _ in range(max_rounds):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        cur = _fingerprint(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+    # fixpoint edges are (node, component_min) stars; add the centers
+    centers = edges.select(F.col("v").alias("u"), F.col("v")).distinct()
+    return edges.union(centers).distinct().select(
+        F.col("u").alias("doc_id"), F.col("v").alias("component")
+    )
