@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from marginaliasearch_spark.functions import sql_oracles
 from marginaliasearch_spark.functions.tokenizer import STOPWORDS
 from marginaliasearch_spark.operators import (
+    decontam,
     dedup,
     multimodal,
     sampling,
@@ -906,6 +907,32 @@ def _q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination audit: distinct 3-gram window hashes each
+    train-split doc shares with the val/test splits' shingle set
+    (`decontam.contamination` over the same hash split as sample_split)."""
+    return decontam.contamination(_docs(spark, sf_dir), shingle_width=3)
+
+
+def _q_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array-style span REMOVAL (Lee et al. 2022's delete step):
+    excise every corpus-duplicated 8-token span, return per-doc token
+    counts + md5 of the surviving stream (`dedup.remove_duplicate_spans`)."""
+    out = dedup.remove_duplicate_spans(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
+def _q_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite C4/Gopher filter chain: keep/drop + reason bitmask in one
+    narrow projection (`textstats.filter_chain`)."""
+    return textstats.filter_chain(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -987,13 +1014,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cluster assignment: connected components over near-dup pairs
         # (star contraction, Kiveris et al. 2014)
         "dedup_components": _q_components,
+        # duplicated-span REMOVAL (the delete step of Lee et al. 2022)
+        "dedup_span_removal": _q_span_removal,
         # --- deterministic corpus sampling / splits ---
         "sample_split": _q_sample_split,
         "sample_stratified": _q_sample_stratified,
+        # train/eval n-gram decontamination audit (GPT-3 appendix C)
+        "decontam_overlap": _q_contamination,
         # --- text analysis ---
         "text_token_counts": _q_token_counts,
         "text_language_id": _q_language_id,
         "text_quality": _q_quality,
+        # composite keep/drop + reason bitmask (C4/Gopher chain, one pass)
+        "text_filter_chain": _q_filter_chain,
         "text_fingerprint": _q_fingerprint,
         # Gopher-style repetition signals (Rae et al. 2021)
         "text_repetition": _q_repetition,
@@ -1151,6 +1184,62 @@ WHERE n_common / (sa.set_size + sb.set_size - n_common) >= 0.8""",
         "dedup_components": sql_oracles.components_sql(
             sql_oracles.minhash_lsh_sql(threshold=0.8)
         ),
+        # duplicated-span removal: the dedup_substring island chain, then
+        # every covered token position dropped and the survivors re-joined
+        "dedup_span_removal": """
+WITH tok0 AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '' AND length(t) < 64) AS l
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, i AS spos,
+         md5(array_to_string(list_slice(l, i, i + 7), ' ')) AS whash
+  FROM tok0, unnest(range(1, len(l) - 8 + 2)) AS t(i)
+),
+dup AS (SELECT whash FROM wins GROUP BY whash HAVING count(*) >= 2),
+dwin AS (SELECT w.doc_id, w.spos FROM wins w JOIN dup USING (whash)),
+flag AS (
+  SELECT doc_id, spos,
+    CASE WHEN spos <= coalesce(
+           max(spos + 7) OVER (
+             PARTITION BY doc_id ORDER BY spos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           -1) + 1
+    THEN 0 ELSE 1 END AS new_island
+  FROM dwin
+),
+isl AS (
+  SELECT doc_id, spos,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY spos) AS island
+  FROM flag
+),
+spans AS (
+  SELECT doc_id, min(spos) AS s, max(spos) + 7 AS e
+  FROM isl GROUP BY doc_id, island
+),
+tokp AS (
+  SELECT doc_id, unnest(l) AS tok, unnest(range(1, len(l) + 1)) AS p
+  FROM tok0
+),
+kept AS (
+  SELECT t.doc_id, t.tok, t.p FROM tokp t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans sp
+    WHERE sp.doc_id = t.doc_id AND t.p BETWEEN sp.s AND sp.e)
+),
+kagg AS (
+  SELECT doc_id, count(*)::BIGINT AS nk,
+         string_agg(tok, ' ' ORDER BY p) AS ct
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, len(d.l)::BIGINT AS n_tokens,
+       (len(d.l) - coalesce(k.nk, 0))::BIGINT AS n_removed,
+       md5(coalesce(k.ct, '')) AS clean_md5
+FROM tok0 d LEFT JOIN kagg k USING (doc_id)""",
+        # train/eval shingle overlap over the identical hash split
+        "decontam_overlap": sql_oracles.contamination_sql(shingle_width=3),
         # deterministic hash split (salted md5 → 60-bit uint → % 100
         # buckets: train [0,98), val [98,99), test [99,100))
         "sample_split": """
@@ -1275,6 +1364,84 @@ SELECT doc_id, n_words,
     + (CASE WHEN stop_frac >= 0.01 THEN 1.0 ELSE 0.0 END)
   ) / 4.0, 6) AS quality
 FROM feat""",
+        # composite filter chain: quality + repetition signals (both
+        # rounded to 6 decimals exactly as the engine publishes them, so
+        # the threshold comparisons are bit-identical), combined into the
+        # Gopher/C4 reason bitmask
+        "text_filter_chain": f"""
+WITH base AS (
+  SELECT doc_id, lower(text) AS lw, length(text)::BIGINT AS n_chars,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     t -> t <> '') AS words,
+         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                     l -> l <> '') AS lines,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, len(words)::BIGINT AS n_words,
+    round(CASE WHEN len(words) > 0 THEN
+      list_sum(list_transform(words, w -> length(w)::DOUBLE)) / len(words)::DOUBLE
+    ELSE 0.0 END, 6) AS mwl,
+    round(CASE WHEN n_chars > 0 THEN
+      len(regexp_extract_all(lw, '[^a-z0-9\\s]')) / n_chars::DOUBLE
+    ELSE 0.0 END, 6) AS punct_frac,
+    round(CASE WHEN len(words) > 0 THEN
+      len(list_filter(words, t -> t IN ({en_sql}))) / len(words)::DOUBLE
+    ELSE 0.0 END, 6) AS stop_frac
+  FROM base
+),
+perdoc AS (
+  SELECT doc_id,
+         coalesce(list_sum(list_transform(toks, t -> length(t))), 0)::BIGINT
+           AS tok_chars
+  FROM base
+),
+ln AS (SELECT doc_id, unnest(lines) AS line FROM base),
+lg AS (SELECT doc_id, line, count(*)::BIGINT AS cnt FROM ln GROUP BY doc_id, line),
+lstat AS (
+  SELECT doc_id, sum(cnt)::BIGINT AS n_lines,
+         sum(cnt * length(line))::BIGINT AS line_chars,
+         sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END)::BIGINT AS dup_lines,
+         sum(CASE WHEN cnt >= 2 THEN cnt * length(line) ELSE 0 END)::BIGINT
+           AS dup_chars
+  FROM lg GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id, l[i] || ' ' || l[i + 1] AS bigram
+  FROM (SELECT doc_id, toks AS l FROM base), unnest(range(1, len(l))) AS t(i)
+),
+bgrp AS (SELECT doc_id, bigram, count(*)::BIGINT AS cnt FROM bg GROUP BY doc_id, bigram),
+top AS (
+  SELECT doc_id, cnt AS top_cnt, (length(bigram) - 1)::BIGINT AS top_chars
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY cnt DESC, bigram) AS rn
+        FROM bgrp)
+  WHERE rn = 1
+),
+sig AS (
+  SELECT f.doc_id, f.n_words, f.mwl, f.punct_frac, f.stop_frac,
+    round(coalesce(l.dup_lines / l.n_lines, 0), 6) AS dlf,
+    round(coalesce(l.dup_chars / l.line_chars, 0), 6) AS dcf,
+    round(coalesce((t.top_cnt * t.top_chars) / p.tok_chars, 0), 6) AS tbf
+  FROM feat f
+  JOIN perdoc p USING (doc_id)
+  LEFT JOIN lstat l USING (doc_id)
+  LEFT JOIN top t USING (doc_id)
+),
+mask AS (
+  SELECT doc_id, n_words,
+    ((CASE WHEN NOT (n_words BETWEEN 50 AND 100000) THEN 1 ELSE 0 END)
+     + (CASE WHEN NOT (mwl BETWEEN 3.0 AND 10.0) THEN 2 ELSE 0 END)
+     + (CASE WHEN punct_frac > 0.2 THEN 4 ELSE 0 END)
+     + (CASE WHEN stop_frac < 0.01 THEN 8 ELSE 0 END)
+     + (CASE WHEN dlf > 0.3 THEN 16 ELSE 0 END)
+     + (CASE WHEN dcf > 0.2 THEN 32 ELSE 0 END)
+     + (CASE WHEN tbf > 0.18 THEN 64 ELSE 0 END))::BIGINT AS reasons
+  FROM sig
+)
+SELECT doc_id, n_words, reasons, reasons = 0 AS keep FROM mask""",
         "text_fingerprint": """
 SELECT doc_id,
   md5(array_to_string(

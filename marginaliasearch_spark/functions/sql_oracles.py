@@ -454,6 +454,31 @@ cands AS (
 ),{_cosine_topk_tail(qvec, k, 'cands')}"""
 
 
+def contamination_sql(
+    shingle_width: int = 3, train_buckets: int = 98, salt: str = "split-v1"
+) -> str:
+    """Exact oracle for ``decontam.contamination`` at the default
+    train/val/test weights (98/1/1 → eval = buckets >= ``train_buckets``
+    of the 100-bucket salted-md5 split): per-train-doc count of distinct
+    shingle hashes shared with the eval splits' shingle set."""
+    return f"""WITH {shingle_ctes(shingle_width)},
+cset AS (SELECT DISTINCT doc_id, sh FROM msh),
+cspl AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('{salt}:' || doc_id::VARCHAR), 1, 15))::UBIGINT
+           % 100 AS b
+  FROM documents
+),
+cev AS (
+  SELECT DISTINCT sh FROM cset JOIN cspl USING (doc_id)
+  WHERE b >= {train_buckets}
+)
+SELECT c.doc_id, count(*)::BIGINT AS n_shared
+FROM cset c JOIN cspl USING (doc_id) JOIN cev USING (sh)
+WHERE b < {train_buckets}
+GROUP BY c.doc_id"""
+
+
 def components_sql(pairs_sql: str) -> str:
     """Exact oracle for ``dedup.connected_components`` over the pair set
     produced by ``pairs_sql`` (any generator above): a recursive CTE

@@ -653,6 +653,51 @@ def duplicate_spans(
     )
 
 
+def remove_duplicate_spans(
+    docs: DataFrame, window: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Excise every corpus-duplicated span from every document — the
+    removal half of suffix-array dedup (Lee et al. 2022 delete the
+    repeated substring itself, not the whole document).
+
+    Builds on :func:`duplicate_spans` (one corpus-wide window-hash shuffle
+    + per-doc islands pass). The spans relation is tiny relative to the
+    corpus — only duplicated ranges survive — so the removal step is: pack
+    each document's spans into one array row (groupBy on doc_id), join
+    back to the tokenized corpus (AQE broadcasts the span side when it
+    fits), and drop covered token positions with a JVM ``filter`` lambda —
+    a narrow projection, no Python in the loop. Documents without spans
+    pass through unchanged via the left join.
+
+    Returns ``(doc_id, n_tokens, n_removed, clean_text)`` where
+    ``clean_text`` is the surviving normalized token stream (the simple
+    tokenizer is lossy about case/punctuation by design — it is the same
+    normalization every dedup operator here keys on).
+    """
+    spans = duplicate_spans(docs, window, text_col)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_len")).alias("spans")
+    )
+    tok = docs.select("doc_id", simple_tokens_col(text_col).alias("toks"))
+    j = tok.join(per_doc, "doc_id", "left")
+    kept = F.when(F.col("spans").isNull(), F.col("toks")).otherwise(
+        F.filter(
+            F.col("toks"),
+            # i is 0-based; span positions are 1-based token indices
+            lambda t, i: ~F.exists(
+                F.col("spans"),
+                lambda s: (i + 1 >= s["span_start"])
+                & (i + 1 < s["span_start"] + s["span_len"]),
+            ),
+        )
+    )
+    return j.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )
+
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """Large-star round: every node's strictly-larger neighbors reconnect

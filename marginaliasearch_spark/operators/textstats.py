@@ -83,12 +83,10 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Length / punctuation / stopword-ratio quality features + a 0-1 score.
-
-    The classic pre-training quality gates (C4/Gopher-style rules) as one
-    projection: mean word length, punctuation density, stopword fraction.
-    """
+def _quality_signal_cols(text_col: str = "text") -> dict[str, F.Column]:
+    """The quality signals as named (already-rounded) column expressions,
+    shared by ``quality_scores`` and ``filter_chain`` so both stay a single
+    narrow projection (no self-join to recombine signals)."""
     text = F.col(text_col)
     lower = F.lower(text)
     n_chars = F.length(text)
@@ -118,14 +116,23 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
         + F.when(punct_frac <= 0.2, 1.0).otherwise(0.0)
         + F.when(stop_frac >= 0.01, 1.0).otherwise(0.0)
     ) / 4.0
-    return docs.select(
-        "doc_id",
-        n_words.cast("long").alias("n_words"),
-        F.round(mean_word_len, 6).alias("mean_word_len"),
-        F.round(punct_frac, 6).alias("punct_frac"),
-        F.round(stop_frac, 6).alias("stop_frac"),
-        F.round(gates, 6).alias("quality"),
-    )
+    return {
+        "n_words": n_words.cast("long"),
+        "mean_word_len": F.round(mean_word_len, 6),
+        "punct_frac": F.round(punct_frac, 6),
+        "stop_frac": F.round(stop_frac, 6),
+        "quality": F.round(gates, 6),
+    }
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + a 0-1 score.
+
+    The classic pre-training quality gates (C4/Gopher-style rules) as one
+    projection: mean word length, punctuation density, stopword fraction.
+    """
+    c = _quality_signal_cols(text_col)
+    return docs.select("doc_id", *(c[k].alias(k) for k in c))
 
 
 def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -171,6 +178,13 @@ def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
     re-tokenize per element — measured pathological). All ratios are
     exact-integer divisions, so both engines produce bit-identical doubles.
     """
+    c = _repetition_signal_cols(text_col)
+    return docs.select("doc_id", *(c[k].alias(k) for k in c))
+
+
+def _repetition_signal_cols(text_col: str = "text") -> dict[str, F.Column]:
+    """The Gopher repetition signals as named rounded column expressions,
+    shared by ``repetition_signals`` and ``filter_chain``."""
     lines_arr = F.filter(
         F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
         lambda l: l != "",
@@ -251,17 +265,71 @@ def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ).otherwise(F.lit(0.0))
 
     zero_guard = n_lines > 0
+    return {
+        "n_lines": n_lines.cast("long"),
+        "dup_line_frac": F.round(
+            F.when(zero_guard, dup_lines / n_lines).otherwise(0.0), 6
+        ),
+        "dup_char_frac": F.round(
+            F.when(zero_guard, dup_chars / line_chars).otherwise(0.0), 6
+        ),
+        "bullet_line_frac": F.round(
+            F.when(zero_guard, bullet_lines / n_lines).otherwise(0.0), 6
+        ),
+        "top_bigram_frac": F.round(top_frac, 6),
+    }
+
+
+# filter_chain gate bits (Gopher table A1 thresholds, over the rounded
+# signals so the DuckDB twin compares bit-identical values)
+FILTER_GATES: tuple[tuple[int, str, str], ...] = (
+    (1, "n_words", "outside [50, 100000]"),
+    (2, "mean_word_len", "outside [3, 10]"),
+    (4, "punct_frac", "> 0.2"),
+    (8, "stop_frac", "< 0.01"),
+    (16, "dup_line_frac", "> 0.3"),
+    (32, "dup_char_frac", "> 0.2"),
+    (64, "top_bigram_frac", "> 0.18"),
+)
+
+
+def filter_chain(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite keep/drop decision with a reason bitmask — the C4/Gopher
+    pre-training filter chain as ONE narrow projection.
+
+    Real pipelines don't apply quality gates one scan at a time: every
+    signal is a per-row expression over the same text column, so the whole
+    chain evaluates in a single pass with no shuffle and no join (the
+    signal expressions are shared with ``quality_scores`` /
+    ``repetition_signals`` via the ``_*_signal_cols`` builders). The
+    ``reasons`` bitmask (bit values in :data:`FILTER_GATES`) records WHY a
+    document was dropped — the audit trail a 100-TB filtering job must
+    publish for its removal-rate dashboards; ``keep`` is ``reasons == 0``.
+
+    Thresholds are Gopher's (Rae et al. 2021, table A1) where defined:
+    word count in [50, 100000], mean word length in [3, 10], duplicate
+    line fraction <= 0.30, duplicate line character fraction <= 0.20, top
+    bigram character fraction <= 0.18 — plus the C4-style symbol-density
+    (punct_frac <= 0.2) and stopword-presence (stop_frac >= 0.01) gates.
+    All comparisons run on the 6-decimal-rounded signals so engine and
+    oracle agree bit-exactly at the boundaries.
+    """
+    q = _quality_signal_cols(text_col)
+    r = _repetition_signal_cols(text_col)
+    reasons = (
+        F.when(~q["n_words"].between(50, 100000), 1).otherwise(0)
+        + F.when(~q["mean_word_len"].between(3.0, 10.0), 2).otherwise(0)
+        + F.when(q["punct_frac"] > 0.2, 4).otherwise(0)
+        + F.when(q["stop_frac"] < 0.01, 8).otherwise(0)
+        + F.when(r["dup_line_frac"] > 0.3, 16).otherwise(0)
+        + F.when(r["dup_char_frac"] > 0.2, 32).otherwise(0)
+        + F.when(r["top_bigram_frac"] > 0.18, 64).otherwise(0)
+    ).cast("long")
+    # keep references the materialized reasons column (not a second copy of
+    # the expression tree): the twice-referenced non-cheap projection stops
+    # CollapseProject from inlining, so the signals evaluate once per row
     return docs.select(
         "doc_id",
-        n_lines.cast("long").alias("n_lines"),
-        F.round(
-            F.when(zero_guard, dup_lines / n_lines).otherwise(0.0), 6
-        ).alias("dup_line_frac"),
-        F.round(
-            F.when(zero_guard, dup_chars / line_chars).otherwise(0.0), 6
-        ).alias("dup_char_frac"),
-        F.round(
-            F.when(zero_guard, bullet_lines / n_lines).otherwise(0.0), 6
-        ).alias("bullet_line_frac"),
-        F.round(top_frac, 6).alias("top_bigram_frac"),
-    )
+        q["n_words"].alias("n_words"),
+        reasons.alias("reasons"),
+    ).withColumn("keep", F.col("reasons") == 0)
