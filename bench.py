@@ -88,6 +88,12 @@ BENCH_QUERIES = [
     "index_spell_suggest",
     "dedup_substring",
     "text_repetition",
+    "dedup_components",
+    "dedup_span_removal",
+    "sample_split",
+    "sample_stratified",
+    "decontam_overlap",
+    "text_filter_chain",
 ]
 
 

@@ -55,17 +55,22 @@ def contamination(
     window hashes, the quantity decontamination thresholds are usually
     expressed in.
     """
-    sh = sampling.hash_split(
-        dedup.shingle_hash_sets(docs, shingle_width, text_col),
-        weights,
-        id_col=id_col,
-        salt=salt,
-    )
+    # split BEFORE shingling: the assignment is a pure function of doc_id,
+    # so each document is tokenized+hashed exactly once (filtering the
+    # shingle relation instead would shingle the whole corpus twice — once
+    # per branch — since Spark cannot share a MapInPandas across branches)
+    split = sampling.hash_split(docs, weights, id_col=id_col, salt=salt)
     is_eval = F.col("split").isin(list(eval_splits))
-    eval_sh = sh.filter(is_eval).select("sh").distinct()
+    eval_sh = (
+        dedup.shingle_hash_sets(split.filter(is_eval), shingle_width, text_col)
+        .select("sh")
+        .distinct()
+    )
+    train_sh = dedup.shingle_hash_sets(
+        split.filter(~is_eval), shingle_width, text_col
+    )
     return (
-        sh.filter(~is_eval)
-        .join(eval_sh, "sh")
+        train_sh.join(eval_sh, "sh")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_shared"))
     )

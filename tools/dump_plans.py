@@ -149,7 +149,10 @@ def main() -> None:
         )
     )
 
-    spans = dedup.duplicate_spans(docs.limit(64), window=8)
+    spans = dedup.duplicate_spans(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(64),
+        window=8,
+    )
     sections.append(
         (
             "Duplicated-span dedup (8-token windows → islands merge)",
@@ -160,6 +163,52 @@ def main() -> None:
             "span `HashAggregate` — the window hashing itself is pure "
             "codegen (`md5(concat_ws(...))` over array slices), no Python.",
             fmt(spans),
+        )
+    )
+
+    from marginaliasearch_spark.operators import decontam, textstats
+
+    raw_docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cont = decontam.contamination(raw_docs, shingle_width=3)
+    sections.append(
+        (
+            "Decontamination (train/eval shingle overlap)",
+            "Things to check: the split filter (a pure md5 projection on "
+            "doc_id) sits BELOW each branch's shingle `MapInPandas`, so "
+            "every document is tokenized+hashed exactly once — the eval "
+            "branch shingles only the ~2% eval docs; the small eval shingle "
+            "set meets the train side via `BroadcastHashJoin` (AQE) keyed "
+            "on the 64-bit shingle hash, and the per-doc count is a "
+            "partial-first `HashAggregate` pair (map-side combine).",
+            fmt(cont),
+        )
+    )
+
+    fc = textstats.filter_chain(raw_docs)
+    sections.append(
+        (
+            "Composite filter chain (Gopher/C4 gates, one projection)",
+            "Things to check: ONE `Scan parquet` with "
+            "`ReadSchema: struct<doc_id,text>` and NO Exchange anywhere — "
+            "the whole keep/drop + reason bitmask decision is a narrow "
+            "per-row projection; `keep` is derived from the materialized "
+            "`reasons` column in a second stacked Project (the "
+            "twice-referenced non-cheap projection stops CollapseProject "
+            "from duplicating the signal tree).",
+            fmt(fc),
+        )
+    )
+
+    rem = dedup.remove_duplicate_spans(raw_docs.limit(64))
+    sections.append(
+        (
+            "Duplicated-span removal (spans joined back, positions excised)",
+            "Things to check: the spans side (duplicate_spans output packed "
+            "per doc) re-joins the tokenized corpus without an extra "
+            "corpus-side Exchange beyond the span computation itself, and "
+            "the position excision is a JVM `filter`/`exists` lambda inside "
+            "Project — no Python in the removal step.",
+            fmt(rem),
         )
     )
 
