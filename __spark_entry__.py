@@ -907,6 +907,24 @@ def _q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
+def _q_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenation sequence packing at context length 512: exact global
+    token offsets via a two-pass distributed prefix sum — the count→offset
+    primitive (SURVEY §2 W1) as a real operator (`sampling.pack_sequences`)."""
+    return sampling.pack_sequences(_docs(spark, sf_dir), budget=512)
+
+
+def _q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mix (alpha=0.5, scale=8): per-language quota
+    min(n, ceil(8*sqrt(n))) by smallest salted hash — up-weights the tail
+    language like mC4/XLM-R mixing (`sampling.temperature_mix`)."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "lang", textstats.lang_pred_col(F.col("text"))
+    )
+    out = sampling.temperature_mix(docs, strata_col="lang", alpha=0.5, scale=8.0)
+    return out.select("doc_id", "lang")
+
+
 def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval decontamination audit: distinct 3-gram window hashes each
     train-split doc shares with the val/test splits' shingle set
@@ -1019,6 +1037,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- deterministic corpus sampling / splits ---
         "sample_split": _q_sample_split,
         "sample_stratified": _q_sample_stratified,
+        # temperature-scaled mixing quota (mC4/XLM-R style)
+        "sample_temperature": _q_sample_temperature,
+        # sequence packing via two-pass distributed prefix sum (W1)
+        "sample_pack": _q_sample_pack,
         # train/eval n-gram decontamination audit (GPT-3 appendix C)
         "decontam_overlap": _q_contamination,
         # --- text analysis ---
@@ -1273,6 +1295,49 @@ sr AS (
   FROM sh
 )
 SELECT doc_id, lang FROM sr WHERE rn <= ceil(n * 0.1)""",
+        # temperature-scaled per-language quota: min(n, ceil(8*sqrt(n)))
+        # smallest salted hashes (sqrt is IEEE-exact in both engines)
+        "sample_temperature": f"""
+WITH s00 AS (SELECT 1){_lang_ctes()},
+th AS (
+  SELECT d.doc_id, l.lang,
+         ('0x' || substr(md5('mix-v1:' || d.doc_id::VARCHAR), 1, 15))::UBIGINT
+           AS h
+  FROM documents d JOIN dlang l USING (doc_id)
+),
+tr AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM th
+)
+SELECT doc_id, lang FROM tr
+WHERE rn <= least(n, ceil(8.0 * sqrt(n::DOUBLE)))""",
+        # concatenation packing: exclusive running token sum over the
+        # salted-hash order, sequence indices by integer division — the
+        # single-window oracle twin of the distributed two-pass prefix sum
+        "sample_pack": """
+WITH pt AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         t -> t <> ''))::BIGINT AS tok,
+         ('0x' || substr(md5('pack-v1:' || doc_id::VARCHAR), 1, 15))::UBIGINT
+           AS h
+  FROM documents
+),
+pc AS (
+  SELECT doc_id, tok,
+         coalesce(sum(tok) OVER (
+           ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS cum
+  FROM pt
+)
+SELECT doc_id, tok AS n_tokens,
+       (cum // 512)::BIGINT AS seq_first,
+       ((cum + greatest(tok - 1, 0)) // 512)::BIGINT AS seq_last,
+       (cum % 512)::BIGINT AS seq_offset
+FROM pc""",
         # rolling 8-token window hashes → repeated hashes → per-doc island
         # merge (running-max window) — the distributed twin of
         # dedup.duplicate_spans, position-exact

@@ -94,6 +94,8 @@ BENCH_QUERIES = [
     "sample_stratified",
     "decontam_overlap",
     "text_filter_chain",
+    "sample_temperature",
+    "sample_pack",
 ]
 
 

@@ -28,6 +28,10 @@ practice of The Pile / Gopher / Dolma pipelines.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -122,4 +126,150 @@ def stratified_sample(
         .withColumn("quota", F.ceil(F.count("*").over(n) * F.lit(fraction)))
         .filter(F.col("rn") <= F.col("quota"))
         .drop("h", "rn", "quota")
+    )
+
+
+def temperature_mix(
+    docs: DataFrame,
+    strata_col: str,
+    alpha: float = 0.5,
+    scale: float = 1.0,
+    id_col: str = "doc_id",
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Temperature-scaled corpus mixing: from each stratum (language,
+    source, quality bucket) keep ``min(n_s, ceil(scale * n_s^alpha))``
+    documents — the deterministic batch analogue of the temperature-scaled
+    multinomial sampling multilingual training mixes use (mC4 / XLM-R,
+    alpha typically 0.3-0.7): alpha < 1 up-weights small strata relative
+    to proportional sampling so head languages don't drown the tail.
+
+    Selection within a stratum is the same smallest-salted-hash order as
+    :func:`stratified_sample` (one window shuffle, content-uncorrelated,
+    reproducible). At ``alpha == 0.5`` the quota uses ``sqrt`` — IEEE
+    correctly-rounded, hence bit-identical in any engine (the DuckDB
+    oracle path); other alphas use ``pow``, which libm only bounds to
+    1 ulp, so cross-engine quota equality at exact ceil boundaries is not
+    guaranteed there.
+    """
+    n = F.count("*").over(Window.partitionBy(strata_col))
+    raw = (
+        F.sqrt(n) if alpha == 0.5 else F.pow(n, F.lit(alpha))
+    )
+    quota = F.least(n, F.ceil(F.lit(scale) * raw))
+    w = Window.partitionBy(strata_col).orderBy("h", id_col)
+    return (
+        docs.withColumn("h", _hash60(F.col(id_col), salt))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("quota", quota)
+        .filter(F.col("rn") <= F.col("quota"))
+        .drop("h", "rn", "quota")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "pack-v1",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Concatenation sequence packing: lay every document out along one
+    deterministic global token stream and cut it into training sequences
+    of exactly ``budget`` tokens — the standard pretraining packing step
+    (documents are concatenated in a fixed order and split at the context
+    length; a document may straddle two or more sequences).
+
+    Returns ``(doc_id, n_tokens, seq_first, seq_last, seq_offset)``:
+    the first/last sequence index the document's tokens land in and its
+    token offset inside ``seq_first``. The global order is (salted 60-bit
+    hash, id) — content-uncorrelated and reproducible, like every other
+    assignment in this module. Token counts are whitespace tokens (the
+    ``text_token_counts`` ``ws_tokens`` definition, so one spec is shared
+    with the oracle).
+
+    This is the count→offset prefix sum the reference computes when
+    laying out posting lists (SURVEY §2 W1,
+    code/index/index-reverse/java/nu/marginalia/index/construction/full/
+    FullPreindexWordSegments-style offset construction) — implemented as
+    the textbook two-pass distributed scan rather than a single-partition
+    window:
+
+    1. rows bucket by fixed hash ranges (``pid = h // ceil(2^60 / P)`` —
+       a pure projection, deterministic, balanced because the hash is
+       uniform; NOT ``repartitionByRange``, whose sampled boundaries are
+       not reproducible);
+    2. pass 1 aggregates per-bucket token totals (P rows to the driver —
+       bytes, not data) and exclusive-scans them into bucket offsets;
+    3. pass 2 shuffles once on the bucket key, sorts within partitions,
+       and streams a vectorized cumulative sum per bucket seeded at that
+       bucket's offset (``mapInPandas`` — state is one counter per
+       bucket, O(1) memory).
+
+    Every document's absolute token position — and hence every sequence
+    boundary — is exact, while no stage ever sees more than one bucket's
+    rows in order. The relation is scanned twice (narrow projection:
+    id, hash, count); at 100 TB persist the projection between passes.
+    """
+    P = n_buckets or docs.sparkSession.sparkContext.defaultParallelism
+    width = -(-HASH_MOD // P)  # ceil → pid < P
+    toks = F.size(
+        F.filter(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+            lambda t: t != "",
+        )
+    ).cast("long")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _hash60(F.col(id_col), salt).alias("h"),
+        toks.alias("tok"),
+    ).withColumn("pid", F.expr(f"h DIV {width}"))
+
+    totals = {
+        r["pid"]: r["t"]
+        for r in base.groupBy("pid").agg(F.sum("tok").alias("t")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+
+    B = budget
+
+    def scan(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        run = dict(offsets)
+        for pdf in it:
+            tok = pdf["tok"].to_numpy(dtype=np.int64)
+            pid = pdf["pid"].to_numpy(dtype=np.int64)
+            cum = np.empty(len(pdf), dtype=np.int64)
+            # contiguous pid runs (rows arrive sorted by pid, h, id)
+            starts = np.flatnonzero(np.r_[True, pid[1:] != pid[:-1]])
+            bounds = np.r_[starts, len(pid)]
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                p = int(pid[s])
+                seg = tok[s:e]
+                cs = np.cumsum(seg)
+                cum[s:e] = run[p] + cs - seg
+                run[p] += int(cs[-1]) if len(seg) else 0
+            last = cum + np.maximum(tok - 1, 0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tokens": tok,
+                    "seq_first": cum // B,
+                    "seq_last": last // B,
+                    "seq_offset": cum % B,
+                }
+            )
+
+    return (
+        base.repartition(P, "pid")
+        .sortWithinPartitions("pid", "h", "doc_id")
+        .mapInPandas(
+            scan,
+            schema="doc_id long, n_tokens long, seq_first long, "
+            "seq_last long, seq_offset long",
+        )
     )

@@ -135,3 +135,75 @@ def test_stratified_sample_deterministic(spark):
         ).collect()
     )
     assert s1 == s2 and len(s1) == 20
+
+
+def test_temperature_mix_quotas(spark):
+    # 400 en / 25 de: alpha=.5, scale=2 -> en ceil(2*20)=40, de ceil(2*5)=10;
+    # tiny stratum capped at its size when the quota exceeds it
+    rows = [(i, "en" if i < 400 else ("de" if i < 425 else "xx"))
+            for i in range(427)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sampling.temperature_mix(df, "lang", alpha=0.5, scale=2.0)
+    counts = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert counts == {"en": 40, "de": 10, "xx": 2}  # xx: min(2, ceil(2*sqrt(2))=3)
+
+
+def test_temperature_mix_subset_of_stratified_order(spark):
+    # same salt construction => the chosen docs are a prefix of the
+    # per-stratum hash order, so growing scale only ADDS documents
+    rows = [(i, "s") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    small = {r["doc_id"] for r in sampling.temperature_mix(df, "lang", scale=1.0).collect()}
+    big = {r["doc_id"] for r in sampling.temperature_mix(df, "lang", scale=3.0).collect()}
+    assert small < big
+
+
+def _brute_pack(rows, budget, salt="pack-v1"):
+    import hashlib
+
+    def h(i):
+        return int(hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:15], 16)
+
+    order = sorted(rows, key=lambda r: (h(r[0]), r[0]))
+    cum, out = 0, {}
+    for i, text in order:
+        tok = len(text.split())
+        out[i] = (tok, cum // budget, (cum + max(tok - 1, 0)) // budget,
+                  cum % budget)
+        cum += tok
+    return out
+
+
+def test_pack_sequences_brute_force(spark):
+    rows = [(i, "w " * (1 + i % 17)) for i in range(300)]
+    want = _brute_pack(rows, 64)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["seq_first"], r["seq_last"],
+                      r["seq_offset"])
+        for r in sampling.pack_sequences(
+            spark.createDataFrame(rows, "doc_id long, text string"), budget=64
+        ).collect()
+    }
+    assert got == want
+    # some doc must straddle a sequence boundary for the test to bite
+    assert any(f != l for (_, f, l, _) in got.values())
+
+
+def test_pack_sequences_invariant_to_buckets_and_partitioning(spark):
+    rows = [(i, "tok " * (1 + i % 9)) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, sampling.pack_sequences(df, 128, n_buckets=3).collect()))
+    b = sorted(map(tuple, sampling.pack_sequences(
+        df.repartition(11), 128, n_buckets=8).collect()))
+    assert a == b
+
+
+def test_pack_sequences_budget_respected(spark):
+    # no document may claim an offset >= budget, and every sequence index
+    # range must be consistent with its token count
+    rows = [(i, "x " * (1 + i % 30)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for r in sampling.pack_sequences(df, budget=32).collect():
+        assert 0 <= r["seq_offset"] < 32
+        span = r["seq_last"] - r["seq_first"]
+        assert span == (r["seq_offset"] + max(r["n_tokens"] - 1, 0)) // 32
