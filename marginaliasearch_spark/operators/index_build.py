@@ -405,6 +405,172 @@ def build_ngrams(
     ).parquet(paths.ngrams)
 
 
+def _link_partitioned_files(srcs: list[str], dst: str) -> None:
+    """Compose several lang-partitioned parquet dirs into one by per-file
+    symlinks (file names carry task UUIDs, so collisions don't occur); the
+    dst gets a _SUCCESS marker iff any source was committed."""
+    os.makedirs(dst, exist_ok=True)
+    committed = False
+    for si, src in enumerate(srcs):
+        if not os.path.isdir(src):
+            continue
+        committed |= os.path.exists(os.path.join(src, "_SUCCESS"))
+        for root_dir, _dirs, files in os.walk(src, followlinks=True):
+            rel = os.path.relpath(root_dir, src)
+            tgt_dir = dst if rel == "." else os.path.join(dst, rel)
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                os.makedirs(tgt_dir, exist_ok=True)
+                link = os.path.join(tgt_dir, fn)
+                if os.path.lexists(link):  # same file linked twice → rename
+                    link = os.path.join(tgt_dir, f"m{si}-{fn}")
+                os.symlink(os.path.abspath(os.path.join(root_dir, fn)), link)
+    if committed:
+        open(os.path.join(dst, "_SUCCESS"), "w").close()
+
+
+def merge_indexes(
+    spark: SparkSession, base_root: str, delta_root: str, out_root: str
+) -> IndexPaths:
+    """Merge two built indexes into one WITHOUT re-scanning their corpora —
+    the reference's preindex merge (SURVEY §2 J2/J3,
+    code/index/index-reverse/java/nu/marginalia/index/construction/full/
+    FullPreindex.java merge path) as an index-lifecycle operator: a crawl
+    delta is indexed alone (small build) and then merged into the serving
+    index, instead of rebuilding over the full corpus.
+
+    Cost model — the whole point at 100 TB:
+
+    - **postings + prio tiers are never read or rewritten.** Bucket
+      directories enter the merged index by manifest composition (here:
+      renumbered ``part=N`` symlinks + composed lineage manifests; on a
+      cluster: an Iceberg/Delta snapshot listing both file sets). Blocks
+      are self-contained and doc-disjoint between the two indexes, so the
+      union of block rows IS the merged posting list; the reader's
+      rarest-first/df-ordered plans never assumed one file per term.
+    - **statistics re-aggregate additively** over vocab-sized tables:
+      lexicon df/ctf add per (term, lang), term_bounds take max/sum,
+      corpus stats add (BM25 needs the merged N and df — adding them gives
+      bit-identical scores to a from-scratch build, which the merge
+      equality test pins).
+    - doc_stats (one row per document) is the largest rewrite — linear in
+      corpus DOCUMENTS, not posting rows.
+
+    Caveats (documented, deliberate): block geometry is inherited, so a
+    long merge chain accumulates small tail blocks per term — recompact by
+    rebuilding a bucket when its manifest chain grows deep (same policy as
+    the reference's periodic full reconstruction). The ngram lexicon merges
+    additively, which undercounts windows whose per-side counts fell below
+    the sides' ``min_count`` — merged segmentation is conservative, never
+    wrong; build sides with ``min_count=1`` when exact merged counts matter.
+    Doc ids must be disjoint (they are: content-hash-derived).
+    """
+    base, delta, out = IndexPaths(base_root), IndexPaths(delta_root), IndexPaths(out_root)
+    os.makedirs(out.root, exist_ok=True)
+    with open(base.corpus_stats) as f:
+        bstats = json.load(f)
+    with open(delta.corpus_stats) as f:
+        dstats = json.load(f)
+    if bstats.get("block_docs") != dstats.get("block_docs"):
+        raise ValueError("merge requires identical block geometry")
+
+    # postings: manifest composition (no data movement)
+    os.makedirs(out.postings, exist_ok=True)
+    os.makedirs(out.manifest_dir, exist_ok=True)
+    pid = 0
+    for src in (base, delta):
+        for m in read_manifest(src):
+            link = out.bucket_dir(pid)
+            if os.path.lexists(link):
+                os.unlink(link)
+            os.symlink(
+                os.path.abspath(src.bucket_dir(m["partition_id"])), link
+            )
+            mm = dict(m)
+            mm["partition_id"] = pid
+            mm["merged_from"] = os.path.abspath(src.root)
+            _write_json_atomic(out.manifest_file(pid), mm)
+            pid += 1
+    _link_partitioned_files([base.prio, delta.prio], out.prio)
+
+    # statistics: additive re-aggregation (vocab-sized, not postings-sized)
+    spark.read.parquet(base.doc_stats).unionByName(
+        spark.read.parquet(delta.doc_stats)
+    ).write.mode("overwrite").parquet(out.doc_stats)
+    (
+        spark.read.parquet(base.lexicon_lang)
+        .unionByName(spark.read.parquet(delta.lexicon_lang))
+        .groupBy("term_id", "term", "lang")
+        .agg(F.sum("df").alias("df"), F.sum("ctf").alias("ctf"))
+        .write.mode("overwrite")
+        .parquet(out.lexicon_lang)
+    )
+    (
+        spark.read.parquet(base.lexicon)
+        .unionByName(spark.read.parquet(delta.lexicon))
+        .groupBy("term_id", "term", "stem")  # same term → same stem
+        .agg(F.sum("df").alias("df"), F.sum("ctf").alias("ctf"))
+        .select("term_id", "term", "df", "ctf", "stem")
+        .write.mode("overwrite")
+        .parquet(out.lexicon)
+    )
+    (
+        spark.read.parquet(base.term_bounds)
+        .unionByName(spark.read.parquet(delta.term_bounds))
+        .groupBy("term_id")
+        .agg(
+            F.max("max_tf_norm").alias("max_tf_norm"),
+            F.sum("n_blocks").alias("n_blocks"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(out.term_bounds)
+    )
+    ng = [
+        p.ngrams
+        for p in (base, delta)
+        if os.path.exists(os.path.join(p.ngrams, "_SUCCESS"))
+    ]
+    if ng:
+        df = spark.read.parquet(ng[0])
+        if len(ng) == 2:
+            df = (
+                df.unionByName(spark.read.parquet(ng[1]))
+                .groupBy("key", "n")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        df.write.mode("overwrite").parquet(out.ngrams)
+
+    # corpus stats last = the merge's commit record
+    n = bstats["doc_count"] + dstats["doc_count"]
+    lang_counts: dict[str, int] = dict(bstats.get("lang_doc_counts", {}))
+    for k, v in dstats.get("lang_doc_counts", {}).items():
+        lang_counts[k] = lang_counts.get(k, 0) + v
+    _write_json_atomic(
+        out.corpus_stats,
+        {
+            "doc_count": n,
+            "avg_len": (
+                (
+                    bstats["avg_len"] * bstats["doc_count"]
+                    + dstats["avg_len"] * dstats["doc_count"]
+                )
+                / n
+                if n
+                else 0.0
+            ),
+            "block_docs": bstats["block_docs"],
+            "lang_doc_counts": lang_counts,
+            "merged_from": [
+                os.path.abspath(base.root),
+                os.path.abspath(delta.root),
+            ],
+        },
+    )
+    return out
+
+
 def read_manifest(paths: IndexPaths) -> list[dict]:
     out = []
     if os.path.isdir(paths.manifest_dir):

@@ -1,0 +1,102 @@
+"""Incremental index merge: merge(build(A), build(B)) must serve queries
+identically to build(A ∪ B) — ids AND scores bit-exact — because the merge
+re-aggregates the exact statistics (df, ctf, N) a from-scratch build
+computes, and posting blocks are doc-disjoint so their union IS the merged
+posting list. Reference analogue: FullPreindex merge (SURVEY §2 J2/J3)."""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from marginaliasearch_spark.operators.index_build import (
+    IndexPaths,
+    build_index,
+    merge_indexes,
+    read_manifest,
+)
+from marginaliasearch_spark.operators.query_exec import (
+    IndexReader,
+    RankingParams,
+    run_query,
+    run_query_wand,
+)
+from marginaliasearch_spark.sources.transcripts import factor_corpus
+
+
+@pytest.fixture(scope="module")
+def roots(spark):
+    corpus = factor_corpus(spark, 384)
+    par = F.pmod(F.regexp_extract("conv_id", r"(\d+)", 1).cast("long"), F.lit(2))
+    base_root = tempfile.mkdtemp(prefix="mrg_base_")
+    delta_root = tempfile.mkdtemp(prefix="mrg_delta_")
+    full_root = tempfile.mkdtemp(prefix="mrg_full_")
+    out_root = tempfile.mkdtemp(prefix="mrg_out_")
+    build_index(spark, corpus.filter(par == 0), base_root, n_buckets=2)
+    build_index(spark, corpus.filter(par == 1), delta_root, n_buckets=1)
+    build_index(spark, corpus, full_root, n_buckets=2)
+    merge_indexes(spark, base_root, delta_root, out_root)
+    return full_root, out_root
+
+
+def _res(reader, q, **kw):
+    wand = kw.pop("wand", False)
+    fn = run_query_wand if wand else run_query
+    return sorted(
+        (r["conv_id"], r["score"]) for r in fn(reader, q, k=400, **kw).collect()
+    )
+
+
+@pytest.mark.parametrize(
+    "q,kw",
+    [
+        ("factor2 factor3", {}),
+        ("( factor5 | factor7 ) factor2", {}),
+        ("factor3 -factor4", {}),
+        ("factor2 factor3", {"wand": True}),
+        ("factor11 factor2", {"ranking": RankingParams(positional=True)}),
+        ("?factor5 factor3", {}),
+    ],
+)
+def test_merge_equals_full_build(spark, roots, q, kw):
+    full_root, out_root = roots
+    full = IndexReader(spark, IndexPaths(full_root))
+    merged = IndexReader(spark, IndexPaths(out_root))
+    a, b = _res(full, q, **kw), _res(merged, q, **kw)
+    assert a, f"query {q!r} must hit on the factor corpus"
+    assert a == b
+
+
+def test_merge_statistics_additive(spark, roots):
+    full_root, out_root = roots
+    full = IndexReader(spark, IndexPaths(full_root))
+    merged = IndexReader(spark, IndexPaths(out_root))
+    assert merged.n_docs == full.n_docs
+    assert merged.lang_doc_counts == full.lang_doc_counts
+    lf = {
+        r["term"]: (r["df"], r["ctf"])
+        for r in full.lexicon.select("term", "df", "ctf").collect()
+    }
+    lm = {
+        r["term"]: (r["df"], r["ctf"])
+        for r in merged.lexicon.select("term", "df", "ctf").collect()
+    }
+    assert lf == lm
+    bf = full.term_bounds(
+        [r["term_id"] for r in full.lexicon.select("term_id").collect()]
+    )
+    bm = merged.term_bounds(list(bf))
+    assert bf == bm
+
+
+def test_merge_moves_no_posting_bytes(spark, roots):
+    _, out_root = roots
+    out = IndexPaths(out_root)
+    # every merged bucket is a symlink into a source index, and the
+    # composed manifests record provenance
+    ms = read_manifest(out)
+    assert len(ms) == 3  # 2 base buckets + 1 delta bucket
+    for m in ms:
+        assert os.path.islink(out.bucket_dir(m["partition_id"]))
+        assert "merged_from" in m
