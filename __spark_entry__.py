@@ -925,6 +925,20 @@ def _q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
+def _q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-ingestion dedup: near-dup pairs BETWEEN a base corpus and a
+    delta corpus (50/50 hash split of documents), banded-LSH a×b join —
+    no self-join of either side (`dedup.minhash_lsh_pairs_between`)."""
+    split = sampling.hash_split(
+        _docs(spark, sf_dir), weights={"base": 50, "delta": 50}
+    )
+    return dedup.minhash_lsh_pairs_between(
+        split.filter(F.col("split") == "base"),
+        split.filter(F.col("split") == "delta"),
+        threshold=0.8,
+    )
+
+
 def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval decontamination audit: distinct 3-gram window hashes each
     train-split doc shares with the val/test splits' shingle set
@@ -1034,6 +1048,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_components,
         # duplicated-span REMOVAL (the delete step of Lee et al. 2022)
         "dedup_span_removal": _q_span_removal,
+        # delta-vs-base cross-corpus near-dup join
+        "dedup_cross_corpus": _q_cross_dedup,
         # --- deterministic corpus sampling / splits ---
         "sample_split": _q_sample_split,
         "sample_stratified": _q_sample_stratified,
@@ -1262,6 +1278,10 @@ SELECT d.doc_id, len(d.l)::BIGINT AS n_tokens,
 FROM tok0 d LEFT JOIN kagg k USING (doc_id)""",
         # train/eval shingle overlap over the identical hash split
         "decontam_overlap": sql_oracles.contamination_sql(shingle_width=3),
+        # cross-corpus (base x delta) signature agreement, 50/50 split
+        "dedup_cross_corpus": sql_oracles.minhash_lsh_between_sql(
+            threshold=0.8, train_buckets=50
+        ),
         # deterministic hash split (salted md5 → 60-bit uint → % 100
         # buckets: train [0,98), val [98,99), test [99,100))
         "sample_split": """

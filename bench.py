@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "text_filter_chain",
     "sample_temperature",
     "sample_pack",
+    "dedup_cross_corpus",
 ]
 
 

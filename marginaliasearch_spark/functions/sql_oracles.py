@@ -126,6 +126,58 @@ SELECT doc_a, doc_b, round(c / {num_hashes}.0, 6) AS est_jaccard
 FROM magree WHERE c / {num_hashes}.0 >= {threshold!r}"""
 
 
+def minhash_lsh_between_sql(
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_width: int = 3,
+    seed: int = 42,
+    train_buckets: int = 98,
+    salt: str = "split-v1",
+) -> str:
+    """Exact oracle for ``dedup.minhash_lsh_pairs_between`` where the two
+    corpora are the train / eval sides of the default hash split (the
+    driver tables only carry one documents relation): all (train, eval)
+    pairs whose signature agreement clears the threshold. Same pigeonhole
+    bound as the self-join oracle."""
+    assert math.ceil(threshold * num_hashes) >= num_hashes - bands + 1
+    mults, seeds = minhash_params(num_hashes, seed)
+    mult_lits = ", ".join(f"{int(m)}::UBIGINT" for m in mults)
+    seed_lits = ", ".join(f"{int(s)}::UBIGINT" for s in seeds)
+    y = sql64.xor64(sql64.mul64("sh.sh", "p.mult"), "p.seedv")
+    return f"""WITH {shingle_ctes(shingle_width)},
+mperm AS (
+  SELECT unnest(range({num_hashes})) AS k,
+         unnest([{mult_lits}]) AS mult,
+         unnest([{seed_lits}]) AS seedv
+),
+mv0 AS (SELECT sh.doc_id, p.k, {y} AS y FROM msh sh CROSS JOIN mperm p),
+mv AS (SELECT doc_id, k, ({sql64.sm64('y')} >> 1)::BIGINT AS v FROM mv0),
+msig0 AS (SELECT doc_id, k, min(v) AS v FROM mv GROUP BY doc_id, k),
+msig AS (
+  SELECT d.doc_id, kk.k, coalesce(s.v, {MINHASH_EMPTY_SENTINEL}) AS v
+  FROM (SELECT doc_id FROM documents) d
+  CROSS JOIN (SELECT unnest(range({num_hashes})) AS k) kk
+  LEFT JOIN msig0 s ON s.doc_id = d.doc_id AND s.k = kk.k
+),
+mspl AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('{salt}:' || doc_id::VARCHAR), 1, 15))::UBIGINT
+           % 100 AS b
+  FROM documents
+),
+magree AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS c
+  FROM msig a
+  JOIN mspl sa ON sa.doc_id = a.doc_id AND sa.b < {train_buckets}
+  JOIN msig b ON a.k = b.k AND a.v = b.v
+  JOIN mspl sb ON sb.doc_id = b.doc_id AND sb.b >= {train_buckets}
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, round(c / {num_hashes}.0, 6) AS est_jaccard
+FROM magree WHERE c / {num_hashes}.0 >= {threshold!r}"""
+
+
 def simhash_sql(max_hamming: int = 3, shingle_width: int = 3) -> str:
     """Exact oracle for ``dedup.simhash_pairs`` (same defaults)."""
     assert 64 % (max_hamming + 1) == 0

@@ -339,6 +339,97 @@ def minhash_signatures(
     )
 
 
+def _banded(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """Explode a signature relation into (doc_id, signature, band, bucket)
+    rows — one xxhash64 bucket key per band slice."""
+    return sig.select(
+        "doc_id",
+        "signature",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.xxhash64(
+                    F.slice(
+                        F.col("signature"),
+                        i * rows_per_band + 1,
+                        rows_per_band,
+                    ).cast("string")
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+
+
+def _sig_agreement(pairs: DataFrame, num_hashes: int, threshold: float) -> DataFrame:
+    """(doc_a, doc_b, sig_a, sig_b) → pairs whose component-agreement
+    fraction clears the threshold."""
+    agree = F.size(
+        F.filter(
+            F.zip_with(
+                F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")
+            ),
+            lambda v: v == 1,
+        )
+    )
+    return (
+        pairs.withColumn("est_jaccard", agree / F.lit(float(num_hashes)))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def minhash_lsh_pairs_between(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_width: int = 3,
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """Cross-corpus near-dup pairs: documents of ``docs_a`` similar to
+    documents of ``docs_b`` — the dedup shape of DELTA INGESTION (a new
+    crawl is deduped against the existing training corpus before being
+    merged in; self-pairs within either corpus are deliberately not
+    emitted). Companion to ``index_build.merge_indexes``.
+
+    Same banded-LSH mechanics (and the same pigeonhole losslessness bound,
+    see :func:`minhash_lsh_pairs`) — but the band join is a_side × b_side,
+    so a small delta side stays broadcastable and the base corpus is never
+    self-joined. Identical documents appearing in both corpora ARE
+    reported (est_jaccard 1.0): that's the duplicate delta ingestion wants
+    to drop.
+    """
+    rows_per_band = num_hashes // bands
+    a = _banded(
+        minhash_signatures(docs_a, num_hashes, shingle_width, text_col, seed),
+        bands,
+        rows_per_band,
+    ).select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("signature").alias("sig_a"),
+        "band",
+        "bucket",
+    )
+    b = _banded(
+        minhash_signatures(docs_b, num_hashes, shingle_width, text_col, seed),
+        bands,
+        rows_per_band,
+    ).select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("signature").alias("sig_b"),
+        "band",
+        "bucket",
+    )
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return _sig_agreement(pairs, num_hashes, threshold)
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.7,
@@ -364,22 +455,7 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes, shingle_width, text_col, seed)
-    banded = sig.select(
-        "doc_id",
-        "signature",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda i: F.xxhash64(
-                    F.slice(
-                        F.col("signature"),
-                        i * rows_per_band + 1,
-                        rows_per_band,
-                    ).cast("string")
-                ),
-            )
-        ).alias("band", "bucket"),
-    )
+    banded = _banded(sig, bands, rows_per_band)
     a = banded.select(
         F.col("doc_id").alias("doc_a"),
         F.col("signature").alias("sig_a"),
@@ -398,17 +474,7 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b", "sig_a", "sig_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    agree = F.size(
-        F.filter(
-            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
-            lambda v: v == 1,
-        )
-    )
-    return (
-        pairs.withColumn("est_jaccard", agree / F.lit(float(num_hashes)))
-        .filter(F.col("est_jaccard") >= threshold)
-        .select("doc_a", "doc_b", "est_jaccard")
-    )
+    return _sig_agreement(pairs, num_hashes, threshold)
 
 
 def shingle_hash_sets(

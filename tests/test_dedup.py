@@ -293,3 +293,39 @@ class TestDuplicateSpans:
                 for r in dedup.duplicate_spans(df, window=window).collect()
             }
             assert got == self._brute(texts, window)
+
+
+def test_minhash_between_consistent_with_self_join(spark):
+    """pairs_between(A, B) must equal the cross-(A,B) subset of the
+    self-join pairs over A ∪ B (ids disjoint), at a pigeonhole-lossless
+    threshold — and identical docs across the two corpora must surface."""
+    rows_a, rows_b = [], []
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    for i in range(30):
+        rows_a.append((i, f"{base} filler{i}"))
+    for i in range(30, 60):
+        # 5 delta docs are near-copies of base docs, one is identical
+        if i < 35:
+            rows_b.append((i, f"{base} filler{i - 30} extra"))
+        elif i == 35:
+            rows_b.append((i, f"{base} filler0"))
+        else:
+            rows_b.append((i, f"unique{i} " * 12))
+    a = spark.createDataFrame(rows_a, "doc_id long, text string")
+    b = spark.createDataFrame(rows_b, "doc_id long, text string")
+    between = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in dedup.minhash_lsh_pairs_between(a, b, threshold=0.8).collect()
+    }
+    self_pairs = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in dedup.minhash_lsh_pairs(a.union(b), threshold=0.8).collect()
+    }
+    cross = {
+        (pa, pb): v
+        for (pa, pb), v in self_pairs.items()
+        if (pa < 30) != (pb < 30)
+    }
+    # self-join orients doc_a < doc_b; between orients (A, B) — same here
+    assert between == cross
+    assert between[(0, 35)] == 1.0  # the identical doc is reported
