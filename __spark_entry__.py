@@ -925,6 +925,15 @@ def _q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
+def _q_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup end product: the surviving corpus after dropping every
+    non-canonical near-dup cluster member (`dedup.canonicalize` over the
+    exact banded-minhash pair set)."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.8)
+    return dedup.canonicalize(docs, pairs).select("doc_id", "n_chars")
+
+
 def _q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta-ingestion dedup: near-dup pairs BETWEEN a base corpus and a
     delta corpus (50/50 hash split of documents), banded-LSH a×b join —
@@ -1050,6 +1059,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_span_removal": _q_span_removal,
         # delta-vs-base cross-corpus near-dup join
         "dedup_cross_corpus": _q_cross_dedup,
+        # surviving corpus after cluster-canonical dedup
+        "dedup_canonical": _q_canonicalize,
         # --- deterministic corpus sampling / splits ---
         "sample_split": _q_sample_split,
         "sample_stratified": _q_sample_stratified,
@@ -1282,6 +1293,15 @@ FROM tok0 d LEFT JOIN kagg k USING (doc_id)""",
         "dedup_cross_corpus": sql_oracles.minhash_lsh_between_sql(
             threshold=0.8, train_buckets=50
         ),
+        # anti-join of documents against non-canonical cluster members
+        # (components over the same banded-minhash pair set)
+        "dedup_canonical": f"""WITH comp AS (
+{sql_oracles.components_sql(sql_oracles.minhash_lsh_sql(threshold=0.8))}
+)
+SELECT d.doc_id, d.n_chars FROM documents d
+WHERE NOT EXISTS (
+  SELECT 1 FROM comp c
+  WHERE c.doc_id = d.doc_id AND c.component <> c.doc_id)""",
         # deterministic hash split (salted md5 → 60-bit uint → % 100
         # buckets: train [0,98), val [98,99), test [99,100))
         "sample_split": """

@@ -765,6 +765,27 @@ def remove_duplicate_spans(
     )
 
 
+def canonicalize(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The end product of the dedup pipeline: drop every document that is
+    not its near-dup cluster's canonical representative (the smallest
+    doc_id — the same keeper rule Marginalia applies per content hash at
+    load time, LoaderIndexJournalWriter).
+
+    ``pairs`` is any near-dup pair relation (minhash/simhash/jaccard/
+    ngram). Clusters come from :func:`connected_components`; the removal
+    is one left_anti join of the corpus against the (small) non-canonical
+    member set — documents in no cluster survive untouched, so the join
+    cost scales with duplicates found, not corpus size.
+    """
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("doc_id") != F.col("component")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")
+
+
 def _large_star(edges: DataFrame) -> DataFrame:
     """Large-star round: every node's strictly-larger neighbors reconnect
     to the minimum of its closed neighborhood (Kiveris et al. 2014, alg 2)."""

@@ -207,3 +207,17 @@ def test_pack_sequences_budget_respected(spark):
         assert 0 <= r["seq_offset"] < 32
         span = r["seq_last"] - r["seq_first"]
         assert span == (r["seq_offset"] + max(r["n_tokens"] - 1, 0)) // 32
+
+
+def test_canonicalize_keeps_min_per_cluster(spark):
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(10)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 4), (4, 7), (2, 3)], "doc_a long, doc_b long"
+    )
+    kept = sorted(
+        r["doc_id"] for r in dedup.canonicalize(docs, pairs).collect()
+    )
+    # clusters {1,4,7} -> keep 1; {2,3} -> keep 2; singletons survive
+    assert kept == [0, 1, 2, 5, 6, 8, 9]
