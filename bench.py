@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "sample_temperature",
     "sample_pack",
     "dedup_cross_corpus",
+    "dedup_canonical",
 ]
 
 
