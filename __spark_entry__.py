@@ -759,6 +759,20 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("cosine", F.round(F.col("cosine"), 6))
 
 
+def _q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image downsample (nearest, 32→8): binary in / binary out resize
+    stage plus a scalar audit — per-channel means + exact pixel checksum
+    (`multimodal.resize_images` + `resize_summary`)."""
+    media = multimodal.synth_media(spark, n=64)
+    resized = multimodal.resize_images(media, out_h=8, out_w=8, fake=True)
+    s = multimodal.resize_summary(resized)
+    return s.select(
+        "media_id",
+        *[F.round(F.col(c), 6).alias(c) for c in ("mean_r", "mean_g", "mean_b")],
+        "px_sum",
+    )
+
+
 def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.synth_media(spark, n=64)
     feats = multimodal.image_features(media, fake=True)
@@ -1086,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_neardup": _q_neardup,
         # --- multimodal plumbing ---
         "mm_image_features": _q_image_features,
+        "mm_image_resize": _q_image_resize,
         "mm_frame_sample": _q_frame_sample,
         "mm_audio_features": _q_audio_features,
         # --- windowed aggregation / sessionization ---
@@ -1624,6 +1639,7 @@ FROM s ORDER BY cosine DESC, vec_id LIMIT 10""",
             threshold=0.3, dim=64, n_planes=4
         ),
         "mm_image_features": sql_oracles.image_features_sql(n=64),
+        "mm_image_resize": sql_oracles.image_resize_sql(n=64),
         "mm_frame_sample": sql_oracles.frame_sample_sql(n=64),
         "mm_audio_features": sql_oracles.audio_features_sql(n=64),
         "events_hourly": """

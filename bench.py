@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "sample_pack",
     "dedup_cross_corpus",
     "dedup_canonical",
+    "mm_image_resize",
 ]
 
 

@@ -306,6 +306,45 @@ SELECT media_id, frame_idx::BIGINT AS frame_idx,
 FROM fr"""
 
 
+def image_resize_sql(n: int = 64, out_h: int = 8, out_w: int = 8) -> str:
+    """Exact oracle for ``multimodal.resize_images(method='nearest')`` +
+    ``resize_summary`` over the synthetic media table: the nearest-resized
+    pixel (i, j, c) is the fake-decoded value at flat index
+    ``((i*H//oh)*W + (j*W//ow))*3 + c`` — pure integer index math, so the
+    per-channel means and the integer checksum replay bit-exactly."""
+    from ..operators.multimodal import IMG_H, IMG_W
+
+    n_out = out_h * out_w
+    mean_cols = ", ".join(
+        f"round(sum(CASE WHEN ch = {c} THEN v END)::DOUBLE / {n_out}.0 / 255.0, 6)"
+        f" AS mean_{name}"
+        for c, name in enumerate("rgb")
+    )
+    return f"""WITH {media_ctes(n)},
+seed AS (
+  SELECT media_id, ('0x' || substr(md5(payload_hex), 1, 16))::UBIGINT AS s
+  FROM m2
+),
+grid AS (
+  SELECT i, j, ch,
+         (((i * {IMG_H}) // {out_h}) * {IMG_W}
+          + ((j * {IMG_W}) // {out_w})) * 3 + ch AS p
+  FROM (SELECT unnest(range({out_h})) AS i),
+       (SELECT unnest(range({out_w})) AS j),
+       (SELECT unnest(range(3)) AS ch)
+),
+rval0 AS (
+  SELECT media_id, g.ch, {sql64.add64('s', 'g.p::UBIGINT')} AS x
+  FROM seed CROSS JOIN grid g
+),
+rval AS (
+  SELECT media_id, ch, ({sql64.sm64('x')} & 255::UBIGINT)::BIGINT AS v
+  FROM rval0
+)
+SELECT media_id, {mean_cols}, sum(v)::BIGINT AS px_sum
+FROM rval GROUP BY media_id"""
+
+
 def audio_features_sql(n: int = 64) -> str:
     """Exact oracle for ``multimodal.audio_features`` over the synthetic
     media table's audio rows (fake decoder: sample i = low 16 bits of

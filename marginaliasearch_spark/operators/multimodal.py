@@ -163,6 +163,106 @@ def image_features(
     )
 
 
+def resize_image(
+    img: np.ndarray, out_h: int, out_w: int, method: str = "nearest"
+) -> np.ndarray:
+    """HxWx3 uint8 → out_h x out_w x 3 uint8.
+
+    ``nearest`` uses pure integer index mapping (``src = (dst * size) //
+    out_size``) and ``box`` an exact integer box mean (factors must
+    divide) — both bit-reproducible in any engine, deliberately: float
+    bilinear kernels differ between libraries, which would make the
+    resized corpus depend on the worker image."""
+    h, w = img.shape[:2]
+    if method == "nearest":
+        ri = (np.arange(out_h, dtype=np.int64) * h) // out_h
+        ci = (np.arange(out_w, dtype=np.int64) * w) // out_w
+        return img[ri][:, ci]
+    if method == "box":
+        if h % out_h or w % out_w:
+            raise ValueError("box resize requires integer factors")
+        fh, fw = h // out_h, w // out_w
+        return (
+            img.reshape(out_h, fh, out_w, fw, 3)
+            .astype(np.int64)
+            .sum(axis=(1, 3))
+            // (fh * fw)
+        ).astype(np.uint8)
+    raise ValueError(method)
+
+
+def resize_images(
+    media: DataFrame,
+    out_h: int = 8,
+    out_w: int = 8,
+    method: str = "nearest",
+    fake: bool = True,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """media_id → resized raw-RGB bytes (row-major out_h × out_w × 3) —
+    binary in, binary out, one Arrow batch at a time; the standard
+    thumbnail/downsample stage of an image-training pipeline. Decode is
+    per-partition Python (the image libs boundary), the plumbing is the
+    real contract."""
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = [
+                resize_image(
+                    decode_image(bytes(p), fake=fake), out_h, out_w, method
+                ).tobytes()
+                for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "height": out_h,
+                    "width": out_w,
+                    "pixels": out,
+                }
+            )
+
+    return media.select("media_id", payload_col).mapInPandas(
+        batch, schema="media_id long, height int, width int, pixels binary"
+    )
+
+
+def resize_summary(resized: DataFrame) -> DataFrame:
+    """Scalar audit of a resized-image relation: per-channel means and the
+    exact integer pixel-value checksum (what the oracle pins)."""
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            means = {c: [] for c in "rgb"}
+            sums = []
+            n = None
+            for px in pdf["pixels"]:
+                arr = np.frombuffer(bytes(px), dtype=np.uint8).reshape(-1, 3)
+                n = arr.shape[0]
+                flat = arr.astype(np.int64)
+                for c, name in enumerate("rgb"):
+                    # unrounded: callers align rounding with their oracle
+                    # (F.round == DuckDB round on doubles; Python round is
+                    # banker's and would disagree at half-way points)
+                    means[name].append(float(flat[:, c].sum()) / n / 255.0)
+                sums.append(int(flat.sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mean_r": means["r"],
+                    "mean_g": means["g"],
+                    "mean_b": means["b"],
+                    "px_sum": sums,
+                }
+            )
+
+    return resized.select("media_id", "pixels").mapInPandas(
+        batch,
+        schema="media_id long, mean_r double, mean_g double, "
+        "mean_b double, px_sum long",
+    )
+
+
 AUDIO_RATE = 8000  # fake-decoder sample rate (Hz)
 
 

@@ -328,3 +328,33 @@ def test_decode_video_compressed_raises():
 
     with _pytest.raises(NotImplementedError):
         decode_video(b"\x00\x00\x00\x18ftypmp42-fake-mp4")
+
+
+# --- resize ------------------------------------------------------------------
+
+
+def test_resize_nearest_and_box_reference():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(12, 16, 3), dtype=np.uint8)
+    nn = multimodal.resize_image(img, 3, 4, "nearest")
+    assert nn.shape == (3, 4, 3)
+    for i in range(3):
+        for j in range(4):
+            assert (nn[i, j] == img[(i * 12) // 3, (j * 16) // 4]).all()
+    box = multimodal.resize_image(img, 3, 4, "box")
+    blk = img[:4, :4].astype(np.int64)
+    assert (box[0, 0] == blk.reshape(-1, 3).sum(axis=0) // 16).all()
+    with pytest.raises(ValueError):
+        multimodal.resize_image(img, 5, 4, "box")
+
+
+def test_resize_images_real_ppm_end_to_end(spark):
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(1, bytearray(_ppm_bytes(img)))], "media_id long, payload binary"
+    )
+    out = multimodal.resize_images(media, 8, 8, fake=False).collect()
+    got = np.frombuffer(bytes(out[0]["pixels"]), dtype=np.uint8).reshape(8, 8, 3)
+    want = multimodal.resize_image(img, 8, 8, "nearest")
+    assert (got == want).all()
