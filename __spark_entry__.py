@@ -145,6 +145,66 @@ def _get_reader(spark: SparkSession, sf_dir: str) -> IndexReader:
     return _READERS[key]
 
 
+_MERGED_READERS: dict[tuple[str, str], IndexReader] = {}
+
+
+def _get_merged_reader(spark: SparkSession, sf_dir: str) -> IndexReader:
+    """Reader over merge_indexes(build(half A), build(half B)) — the halves
+    are a deterministic conv-hash split of the same corpus the cached full
+    index covers, and ranks are per-conversation absolutes, so the merged
+    index must serve BM25 queries bit-identically to a full build (which
+    is exactly what the fulltext_merged oracle checks)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _MERGED_READERS:
+        from marginaliasearch_spark.operators.index_build import merge_indexes
+
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join("/tmp", f"msq_entry_merged_{_CACHE_VERSION}", tag)
+        out = os.path.join(root, "merged")
+        paths = IndexPaths(out)
+        if not os.path.exists(paths.corpus_stats):
+            old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+            try:
+                tx = documents_as_transcripts(spark, sf_dir)
+                ranks = ingest_ops.conv_ranks_by_quality(tx)
+                half = F.pmod(F.xxhash64("conv_id"), F.lit(2))
+                for name, pred in (("a", half == 0), ("b", half == 1)):
+                    build_index(
+                        spark,
+                        tx.filter(pred),
+                        os.path.join(root, name),
+                        n_buckets=1,
+                        partitions=32,
+                        ranks=ranks,
+                    )
+                merge_indexes(
+                    spark,
+                    os.path.join(root, "a"),
+                    os.path.join(root, "b"),
+                    out,
+                )
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        _MERGED_READERS[key] = IndexReader(spark, paths)
+    return _MERGED_READERS[key]
+
+
+def _q_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-merge correctness through the driver gate: a BM25 query
+    served from merge_indexes(half A, half B) against the oracle of a
+    FULL-corpus build — the merge is only right if they are hash-identical."""
+    reader = _get_merged_reader(spark, sf_dir)
+    res = run_query(
+        reader,
+        "batch scan -slow",
+        k=_K,
+        round_score_to=6,
+        tie_break=F.col("conv_id").cast("long"),
+    )
+    return res.select(F.col("conv_id").cast("long").alias("doc_id"), "score")
+
+
 def _search(
     query: str,
     k: int = _K,
@@ -1040,6 +1100,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the top quality classes stamped in the doc-id high bits
         "fulltext_bm25_rank": _search("scan rank<=15"),
         # per-group result cap (A7) + decoration join (J7)
+        # incremental merge served through the gate: merged(half A, half B)
+        # must hash-match the FULL-build oracle
+        "fulltext_merged": _q_merged,
         "fulltext_group_cap": _search_group_cap("scan", cap=2, mod=10),
         "fulltext_decorated": _search_decorated("spark join"),
         # query expansion end-to-end (QueryFactory/QueryExpansion seam):
@@ -1129,6 +1192,9 @@ def oracle_sql() -> dict[str, str]:
         "fulltext_bm25_single": _bm25_sql([["spark"]]),
         "fulltext_bm25_and": _bm25_sql([["spark", "join"]]),
         "fulltext_bm25_exclude": _bm25_sql([["hash", "join"]], exclude=["dup"]),
+        # the merged-index query vs the FULL-corpus oracle: equality IS the
+        # merge-correctness statement (same stats, same ids, same scores)
+        "fulltext_merged": _bm25_sql([["batch", "scan"]], exclude=["slow"]),
         "fulltext_bm25_or": _bm25_sql([["stream", "scan"], ["vector", "scan"]]),
         "fulltext_bm25_phrase": _bm25_sql(
             [["batch", "batch"]], phrases=[["batch", "batch"]]
