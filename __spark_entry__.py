@@ -1022,6 +1022,27 @@ def _q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-result keyword report (J5 candidate→values as a surface): for
+    each top-k hit of `batch scan`, every query term's first position and
+    tf (`query_exec.keyword_positions` — the reference's keywordScores
+    decoration)."""
+    from marginaliasearch_spark.operators.query_exec import keyword_positions
+
+    reader = _get_reader(spark, sf_dir)
+    res = run_query(
+        reader,
+        "batch scan",
+        k=_K,
+        round_score_to=6,
+        tie_break=F.col("conv_id").cast("long"),
+    )
+    kw = keyword_positions(reader, res, ["batch", "scan"])
+    return kw.select(
+        F.col("conv_id").cast("long").alias("doc_id"), "term", "first_pos", "tf"
+    )
+
+
 def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval decontamination audit: distinct 3-gram window hashes each
     train-split doc shares with the val/test splits' shingle set
@@ -1103,6 +1124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # incremental merge served through the gate: merged(half A, half B)
         # must hash-match the FULL-build oracle
         "fulltext_merged": _q_merged,
+        # per-result keyword positions/tf (keywordScores decoration)
+        "fulltext_keywords": _q_keywords,
         "fulltext_group_cap": _search_group_cap("scan", cap=2, mod=10),
         "fulltext_decorated": _search_decorated("spark join"),
         # query expansion end-to-end (QueryFactory/QueryExpansion seam):
@@ -1195,6 +1218,17 @@ def oracle_sql() -> dict[str, str]:
         # the merged-index query vs the FULL-corpus oracle: equality IS the
         # merge-correctness statement (same stats, same ids, same scores)
         "fulltext_merged": _bm25_sql([["batch", "scan"]], exclude=["slow"]),
+        # keyword decoration: the top-k CTE nests the full BM25 oracle;
+        # first_pos/tf re-derived from the shared slot-position relation
+        "fulltext_keywords": f"""{_COMMON},
+kwtopk AS (
+{_bm25_sql([["batch", "scan"]])}
+)
+SELECT tk.doc_id, t.term, min(t.pos)::BIGINT AS first_pos, f.tf
+FROM kwtopk tk
+JOIN tok t ON t.doc_id = tk.doc_id AND t.term IN ('batch', 'scan')
+JOIN tf f ON f.doc_id = tk.doc_id AND f.term = t.term
+GROUP BY tk.doc_id, t.term, f.tf""",
         "fulltext_bm25_or": _bm25_sql([["stream", "scan"], ["vector", "scan"]]),
         "fulltext_bm25_phrase": _bm25_sql(
             [["batch", "batch"]], phrases=[["batch", "batch"]]

@@ -892,6 +892,59 @@ def run_query(
     )
 
 
+def keyword_positions(
+    reader: IndexReader, results: DataFrame, terms: list[str]
+) -> DataFrame:
+    """Per-result keyword report: for each top-k result and query term,
+    the term's first position and tf in that document — the reference
+    decorates every search result with its keywords' scores/positions
+    (DecoratedSearchResultItem.keywordScores, built from the same postings
+    values the ranker consumed,
+    code/index/java/nu/marginalia/index/results/IndexResultScoreCalculator
+    .java keyword extraction).
+
+    ``results`` is a run_query output (carries ``conv_id``). The top-k set
+    is tiny, so its ids collect to the driver and prune each term's decode
+    to the candidate blocks (the J5 candidate→values lookup); absent
+    (doc, term) combinations produce no row, matching the reference's
+    absent-keyword mask.
+    """
+    convs = [r["conv_id"] for r in results.select("conv_id").collect()]
+    ds = reader.doc_stats.filter(F.col("conv_id").isin(convs)).select(
+        "doc_id", "conv_id"
+    )
+    # decode_blocks' candidate contract: sorted uint64 (rank-stamped ids
+    # can exceed int63, and the membership mask binary-searches)
+    ids = np.sort(
+        np.array([r["doc_id"] for r in ds.collect()], dtype=np.int64).astype(
+            np.uint64
+        )
+    )
+    stats = reader.term_stats(terms)
+    outs = []
+    for w in sorted(set(terms)):
+        if w not in stats or not len(ids):
+            continue
+        dec = reader.decode_term(stats[w][0], candidates=ids, with_positions=True)
+        outs.append(
+            dec.select(
+                "doc_id",
+                F.lit(w).alias("term"),
+                # runs are encoded ascending, so element 1 IS the first hit
+                F.element_at("positions", 1).cast("long").alias("first_pos"),
+                "tf",
+            )
+        )
+    if not outs:
+        return reader.spark.createDataFrame(
+            [], "conv_id string, term string, first_pos long, tf long"
+        )
+    out = reduce(lambda a, b: a.unionByName(b), outs)
+    return out.join(F.broadcast(ds), "doc_id").select(
+        "conv_id", "term", "first_pos", "tf"
+    )
+
+
 def decorate_results(
     results: DataFrame, transcripts: DataFrame, n_turns: int = 1
 ) -> DataFrame:

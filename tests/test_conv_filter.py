@@ -56,3 +56,48 @@ def test_decoration_join(spark, built):
         expect = " ".join(t for _, t in sorted(first_turns[row["conv_id"]]))
         assert row["snippet"] == expect
         assert row["first_role"] == "user"  # turn 0 role in factor corpus
+
+
+def test_keyword_positions_slot_semantics(spark):
+    """First positions come from the tokenizer's slot numbering: stopwords
+    consume slots without being indexed, so 'zeta' in 'alpha the zeta' sits
+    at slot 3 — and absent (doc, term) combos yield no row."""
+    import datetime
+    import tempfile
+
+    from marginaliasearch_spark.operators.index_build import (
+        IndexPaths,
+        build_index,
+    )
+    from marginaliasearch_spark.operators.query_exec import (
+        IndexReader,
+        keyword_positions,
+        run_query,
+    )
+
+    ts = datetime.datetime(2025, 1, 1)
+    rows = [
+        ("c1", 0, "user", "alpha the zeta zeta", "", ts),
+        ("c2", 0, "user", "zeta alpha", "", ts),
+        ("c3", 0, "user", "alpha only here", "", ts),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    root = tempfile.mkdtemp(prefix="kwpos_")
+    build_index(spark, df, root, n_buckets=1)
+    reader = IndexReader(spark, IndexPaths(root))
+    res = run_query(reader, "alpha", k=10)
+    kw = keyword_positions(reader, res, ["alpha", "zeta"])
+    got = {
+        (r["conv_id"], r["term"]): (r["first_pos"], r["tf"])
+        for r in kw.collect()
+    }
+    assert got == {
+        ("c1", "alpha"): (1, 1),
+        ("c1", "zeta"): (3, 2),  # 'the' consumed slot 2
+        ("c2", "alpha"): (2, 1),
+        ("c2", "zeta"): (1, 1),
+        ("c3", "alpha"): (1, 1),  # no zeta row for c3
+    }
