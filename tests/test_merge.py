@@ -100,3 +100,20 @@ def test_merge_moves_no_posting_bytes(spark, roots):
     for m in ms:
         assert os.path.islink(out.bucket_dir(m["partition_id"]))
         assert "merged_from" in m
+
+
+def test_merge_rerun_is_clean(spark, roots):
+    """Re-running the merge over the same sources must converge to the
+    same index (links recreated, stats rewritten — no duplicate manifest
+    entries, no stale links)."""
+    full_root, out_root = roots
+    out = IndexPaths(out_root)
+    srcs = {m["merged_from"] for m in read_manifest(out)}
+    assert len(srcs) == 2
+    a, b = sorted(srcs)
+    merge_indexes(spark, a, b, out_root)
+    assert len(read_manifest(out)) == 3
+    merged = IndexReader(spark, IndexPaths(out_root))
+    full = IndexReader(spark, IndexPaths(full_root))
+    q = "factor2 factor3"
+    assert _res(full, q) == _res(merged, q)
