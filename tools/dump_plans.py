@@ -212,6 +212,36 @@ def main() -> None:
         )
     )
 
+    # merged-index read: manifest-composed (symlinked) buckets must keep
+    # partition pruning and pushed filters intact
+    from marginaliasearch_spark.operators.index_build import merge_indexes
+    from pyspark.sql import functions as _F
+
+    mroot = tempfile.mkdtemp(prefix="plans_mrg_")
+    half = _F.pmod(_F.xxhash64("conv_id"), _F.lit(2))
+    build_index(spark, docs.filter(half == 0), os.path.join(mroot, "a"), n_buckets=1)
+    build_index(spark, docs.filter(half == 1), os.path.join(mroot, "b"), n_buckets=1)
+    mpaths = merge_indexes(
+        spark, os.path.join(mroot, "a"), os.path.join(mroot, "b"),
+        os.path.join(mroot, "out"),
+    )
+    mreader = IndexReader(spark, mpaths)
+    mscan = mreader.decode_term(
+        mreader.term_stats(["customer"])["customer"][0], lang="en"
+    )
+    sections.append(
+        (
+            "Merged-index lang-scoped decode (manifest-composed buckets)",
+            "The merged index's postings are SYMLINKED bucket dirs from two "
+            "source indexes (merge_indexes moves no posting bytes). Things "
+            "to check: `PartitionFilters: [(lang = en)]` and the "
+            "`PushedFilters` term_id equality survive the composition — "
+            "the reader plans over part=N/lang=X partition columns exactly "
+            "as over a from-scratch build.",
+            fmt(mscan),
+        )
+    )
+
     out = ["# EXPLAIN — formatted physical plans of the hot paths",
            "",
            "Generated by `python tools/dump_plans.py` over the sf0.001 driver",
