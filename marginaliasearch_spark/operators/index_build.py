@@ -571,6 +571,173 @@ def merge_indexes(
     return out
 
 
+def compact_index(
+    spark: SparkSession,
+    in_root: str,
+    out_root: str,
+    *,
+    block_docs: int | None = None,
+    partitions: int | None = None,
+) -> IndexPaths:
+    """Rewrite an index's posting tiers into freshly encoded blocks — the
+    periodic recompaction a long ``merge_indexes`` chain needs (each merge
+    inherits its sources' block geometry, so terms accumulate small tail
+    blocks; the reference's analogue is its periodic full index
+    reconstruction).
+
+    The posting payloads are decoded back to rows (the same columnar
+    ``decode_blocks`` kernel the query path uses), re-joined with doc_len
+    to recompute tf_norm, and re-encoded through the BUILD's own
+    ``encode_blocks`` shuffle — so a compacted index is byte-compatible
+    with a from-scratch build's postings layout, block geometry is fully
+    regenerated (term_bounds included), and every symlink of a merged
+    index is replaced by real files. Statistics tables copy through
+    unchanged (compaction moves bytes, it must not change any statistic —
+    the equality test pins query results before/after).
+    """
+    from functools import partial as _partial
+    from functools import reduce as _reduce
+
+    from ..functions.blocks import decode_blocks, decoded_schema
+    from ..functions.codecs import segmented_delta, varbyte_encode_with_offsets
+
+    src, out = IndexPaths(in_root), IndexPaths(out_root)
+    with open(src.corpus_stats) as f:
+        stats = json.load(f)
+    if block_docs is None:
+        block_docs = int(stats.get("block_docs", 4096))
+    if partitions is None:
+        partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    os.makedirs(out.root, exist_ok=True)
+    doc_len = spark.read.parquet(src.doc_stats).select("doc_id", "doc_len")
+
+    def _pos_blob(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            lists = pdf["positions"].tolist()
+            counts = np.array([len(x) for x in lists], dtype=np.int64)
+            if counts.sum():
+                flat = np.concatenate(
+                    [np.asarray(x, dtype=np.uint64) for x in lists if len(x)]
+                )
+                starts = np.zeros(len(counts), dtype=np.int64)
+                np.cumsum(counts[:-1], out=starts[1:])
+                deltas = segmented_delta(flat, starts)
+                enc, offs = varbyte_encode_with_offsets(deltas)
+                bounds = np.zeros(len(counts) + 1, dtype=np.int64)
+                np.cumsum(counts, out=bounds[1:])
+                bb = offs[bounds]
+                mv = memoryview(enc)
+                blobs = [bytes(mv[bb[i] : bb[i + 1]]) for i in range(len(counts))]
+            else:
+                blobs = [b""] * len(counts)
+            yield pd.DataFrame(
+                {
+                    "term_id": pdf["term_id"],
+                    "doc_id": pdf["doc_id"],
+                    "tf": pdf["tf"],
+                    "wtf_q4": pdf["wtf_q4"],
+                    "positions": blobs,
+                    "flags": pdf["flags"],
+                }
+            )
+
+    def _rows(tier_df, lang: str, with_positions: bool):
+        cols = ["term_id", "n_docs", "doc_ids", "tfs", "wtfs", "flags",
+                "min_doc", "max_doc"]
+        if with_positions:
+            cols.insert(4, "positions")
+        dec = tier_df.select(*cols).mapInPandas(
+            _partial(decode_blocks, with_positions=with_positions, with_wtf=True),
+            schema=decoded_schema(with_positions, True),
+        )
+        if with_positions:
+            rows = dec.mapInPandas(
+                _pos_blob,
+                schema="term_id long, doc_id long, tf int, wtf_q4 int, "
+                "positions binary, flags int",
+            )
+        else:
+            rows = dec.select(
+                "term_id", "doc_id", "tf", "wtf_q4",
+                F.lit(b"").alias("positions"), "flags",
+            )
+        return (
+            rows.join(doc_len, "doc_id")
+            .withColumn(
+                "tf_norm",
+                tf_norm(F.col("tf").cast("double"), F.col("doc_len").cast("double")),
+            )
+            .withColumn("lang", F.lit(lang))
+            .drop("doc_len")
+        )
+
+    for tier, out_dir, with_positions in (
+        ("full", None, True),
+        ("prio", out.prio, False),
+    ):
+        if tier == "full":
+            source = read_postings(spark, src)
+        else:
+            if not os.path.exists(os.path.join(src.prio, "_SUCCESS")):
+                continue
+            try:
+                source = spark.read.parquet(src.prio)
+            except Exception:
+                continue
+        langs = [r["lang"] for r in source.select("lang").distinct().collect()]
+        parts = [
+            _rows(source.filter(F.col("lang") == L), L, with_positions)
+            for L in langs
+        ]
+        if not parts:
+            continue
+        allrows = _reduce(lambda a, b: a.unionByName(b), parts)
+        blocks = (
+            allrows.repartitionByRange(partitions, "term_id", "doc_id")
+            .sortWithinPartitions("lang", "term_id", "doc_id")
+            .mapInPandas(
+                _partial(encode_blocks, block_docs=block_docs),
+                schema=POSTINGS_SCHEMA_LANG,
+            )
+        )
+        dest = out.bucket_dir(0) if tier == "full" else out_dir
+        shutil.rmtree(dest, ignore_errors=True)
+        blocks.write.mode("overwrite").partitionBy("lang").parquet(dest)
+        if tier == "full":
+            _write_json_atomic(
+                out.manifest_file(0),
+                {
+                    "partition_id": 0,
+                    "input_snapshot_id": stats.get("doc_count", 0),
+                    "postings_bytes": _dir_bytes(dest),
+                    "term_count": -1,
+                    "status": "compacted",
+                    "compacted_from": os.path.abspath(src.root),
+                },
+            )
+
+    # statistics copy through unchanged (parquet rewrite resolves links)
+    for attr in ("doc_stats", "lexicon", "lexicon_lang", "ngrams"):
+        sdir = getattr(src, attr)
+        if os.path.exists(os.path.join(sdir, "_SUCCESS")):
+            spark.read.parquet(sdir).write.mode("overwrite").parquet(
+                getattr(out, attr)
+            )
+    # block geometry changed: regenerate term_bounds from the NEW blocks
+    read_postings(spark, out).groupBy("term_id").agg(
+        F.max("max_tf_norm").alias("max_tf_norm"),
+        F.count("*").alias("n_blocks"),
+    ).coalesce(1).write.mode("overwrite").parquet(out.term_bounds)
+    new_stats = dict(stats)
+    new_stats["block_docs"] = block_docs
+    new_stats["compacted_from"] = os.path.abspath(src.root)
+    _write_json_atomic(out.corpus_stats, new_stats)
+    return out
+
+
 def read_manifest(paths: IndexPaths) -> list[dict]:
     out = []
     if os.path.isdir(paths.manifest_dir):

@@ -117,3 +117,50 @@ def test_merge_rerun_is_clean(spark, roots):
     full = IndexReader(spark, IndexPaths(full_root))
     q = "factor2 factor3"
     assert _res(full, q) == _res(merged, q)
+
+
+def test_compaction_equals_merged(spark, roots):
+    """compact_index(merged) must serve identically (ids AND scores, incl.
+    WAND whose cuts use the REGENERATED block geometry), fuse the merge
+    chain's block fragments, and leave no symlinks behind."""
+    from marginaliasearch_spark.operators.index_build import compact_index
+
+    full_root, out_root = roots
+    croot = tempfile.mkdtemp(prefix="mrg_compact_")
+    compact_index(spark, out_root, croot)
+    out = IndexPaths(croot)
+    for m in read_manifest(out):
+        assert not os.path.islink(out.bucket_dir(m["partition_id"]))
+    full = IndexReader(spark, IndexPaths(full_root))
+    compacted = IndexReader(spark, IndexPaths(croot))
+    for q, kw in [
+        ("factor2 factor3", {}),
+        ("( factor5 | factor7 ) factor2", {}),
+        ("factor2 factor3", {"wand": True}),
+        ("factor11 factor2", {"ranking": RankingParams(positional=True)}),
+    ]:
+        a, b = _res(full, q, **kw), _res(compacted, q, **kw)
+        assert a and a == b, q
+    # block geometry is regenerated; per-term counts depend on the range
+    # shuffle's sampled boundaries (a head term legitimately splits), so
+    # the geometry-independent invariants are what must hold: the same
+    # term set, bit-identical score bounds, and every term's block count
+    # within the overhead bound of one partial block per range partition
+    tb_m = {
+        r["term_id"]: (r["n_blocks"], r["max_tf_norm"])
+        for r in spark.read.parquet(IndexPaths(out_root).term_bounds).collect()
+    }
+    tb_c = {
+        r["term_id"]: (r["n_blocks"], r["max_tf_norm"])
+        for r in spark.read.parquet(out.term_bounds).collect()
+    }
+    assert set(tb_m) == set(tb_c)
+    assert all(abs(tb_c[t][1] - tb_m[t][1]) < 1e-12 for t in tb_m)
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    df_by_tid = {
+        r["term_id"]: r["df"]
+        for r in IndexReader(spark, out).lexicon.select("term_id", "df").collect()
+    }
+    bd = compacted.block_docs
+    for t, (nb, _) in tb_c.items():
+        assert nb <= -(-df_by_tid[t] // bd) + parts, t
