@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from marginaliasearch_spark.functions import sql_oracles
 from marginaliasearch_spark.functions.tokenizer import STOPWORDS
 from marginaliasearch_spark.operators import (
+    bpe,
     decontam,
     dedup,
     multimodal,
@@ -981,6 +982,15 @@ def _q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
+def _q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction (Sennrich 2016): 16 greedy merges learned
+    over the documents word-frequency relation (`bpe.learn_bpe`). Greedy
+    iterative training is not one-query expressible, so this entry takes
+    the rows-only check; exactness vs a pure-Python reference is pinned in
+    tests/test_bpe.py."""
+    return bpe.learn_bpe(_docs(spark, sf_dir), n_merges=16)
+
+
 def _q_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concatenation sequence packing at context length 512: exact global
     token offsets via a two-pass distributed prefix sum — the count→offset
@@ -1176,6 +1186,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_quality,
         # composite keep/drop + reason bitmask (C4/Gopher chain, one pass)
         "text_filter_chain": _q_filter_chain,
+        # BPE vocab induction (iterative; rows-only check by design —
+        # exactness pinned by the pure-Python reference in test_bpe)
+        "text_bpe_vocab": _q_bpe_vocab,
         "text_fingerprint": _q_fingerprint,
         # Gopher-style repetition signals (Rae et al. 2021)
         "text_repetition": _q_repetition,
