@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "dedup_cross_corpus",
     "dedup_canonical",
     "mm_image_resize",
+    "fulltext_keywords",
 ]
 
 
