@@ -43,6 +43,7 @@ from marginaliasearch_spark.operators import (
     decontam,
     dedup,
     multimodal,
+    redact,
     sampling,
     similarity,
     spell,
@@ -1079,6 +1080,42 @@ def _q_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.filter_chain(_docs(spark, sf_dir))
 
 
+def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents with deterministic synthetic PII injected
+    (the sf tables are word soup, so emails/IPs/phones derived from doc_id
+    are appended to exercise the redactor; the oracle injects the identical
+    strings in SQL). Pure regexp_count/regexp_replace column expressions —
+    no Python, no shuffle."""
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (d % 200).cast("string"),
+                F.lit(".0."),
+                (d % 250).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 7 == 0,
+            F.concat(
+                F.lit(" call +1-555-"),
+                (100 + d % 900).cast("string"),
+                F.lit("-"),
+                (1000 + d % 9000).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return redact.redact_pii(docs.select("doc_id", injected.alias("text")))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1186,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_quality,
         # composite keep/drop + reason bitmask (C4/Gopher chain, one pass)
         "text_filter_chain": _q_filter_chain,
+        "text_pii_redact": _q_pii_redact,
         # BPE vocab induction (iterative; rows-only check by design —
         # exactness pinned by the pure-Python reference in test_bpe)
         "text_bpe_vocab": _q_bpe_vocab,
@@ -1675,6 +1713,19 @@ mask AS (
   FROM sig
 )
 SELECT doc_id, n_words, reasons, reasons = 0 AS keep FROM mask""",
+        # same deterministic doc_id-derived PII injection as _q_pii_redact,
+        # then the shared pattern list via redact.pii_redact_sql
+        "text_pii_redact": redact.pii_redact_sql(
+            "documents",
+            "text"
+            " || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id::VARCHAR"
+            " || '@example.com' ELSE '' END"
+            " || CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || (doc_id % 200)::VARCHAR"
+            " || '.0.' || (doc_id % 250)::VARCHAR ELSE '' END"
+            " || CASE WHEN doc_id % 7 = 0 THEN ' call +1-555-'"
+            " || (100 + doc_id % 900)::VARCHAR || '-'"
+            " || (1000 + doc_id % 9000)::VARCHAR ELSE '' END",
+        ),
         "text_fingerprint": """
 SELECT doc_id,
   md5(array_to_string(

@@ -100,12 +100,37 @@ BENCH_QUERIES = [
     "dedup_canonical",
     "mm_image_resize",
     "fulltext_keywords",
+    "text_pii_redact",
 ]
 
 
 def _sf_of(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     return float(m.group(1)) if m else -1.0
+
+
+def _host_probe() -> dict:
+    """Measure the host's fresh-allocation memory bandwidth (GB/s).
+
+    This sandbox's memory/page-fault path intermittently degrades by
+    100-500x at the hypervisor level (BASELINE.md, 2026-08-18 incident:
+    healthy ~10-30 GB/s, degraded 0.02-0.2 GB/s), which selectively
+    destroys allocation-heavy phases (Arrow buffers = the journal build)
+    while cache-resident CPU work runs at full speed. Emitting the probe
+    with every bench line makes each recorded number self-describing:
+    a slow result with a healthy probe is the code; a slow result with a
+    degraded probe is the box. The probe is fresh-allocation on purpose —
+    touching new pages is what degrades, not in-cache arithmetic.
+    """
+    import numpy as np
+
+    t0 = time.time()
+    a = np.ones(32 * 1024 * 1024 // 8)  # 32 MB fresh allocation
+    b = a * 3.0  # + one streaming op over it (reads 32, writes 32 fresh)
+    sec = time.time() - t0
+    _ = b[0]
+    moved_gb = (32 * 3) / 1024.0  # alloc-write + read + result-write
+    return {"alloc_stream_gbps": round(moved_gb / sec, 2), "probe_sec": round(sec, 3)}
 
 
 def run_build(spark, workdir: str, n_convs: int = BUILD_CONVS, warmup: bool = False) -> dict:
@@ -205,6 +230,7 @@ def main() -> None:
         # headline claim must not rest on the single most favorable run
         import statistics
 
+        probe = _host_probe()
         results: dict[int, dict] = {}
         all_runs: dict[int, list] = {}
         # each cell runs through spark-submit --py-files (the north rule's
@@ -249,6 +275,7 @@ def main() -> None:
                     "scaling_efficiency_median": round((med_4n / med_n) / 4.0, 3),
                     "turns": results[args.n]["turns"],
                     "runs": all_runs,
+                    "host": {"before": probe, "after": _host_probe()},
                 }
             )
         )
@@ -259,6 +286,7 @@ def main() -> None:
 
     from marginaliasearch_spark.session import get_spark
 
+    probe_before = _host_probe()
     spark = get_spark("bench", cores=args.cores)
     workdir = tempfile.mkdtemp(prefix="msq_bench_idx_")
     try:
@@ -280,6 +308,7 @@ def main() -> None:
                     "sf": _sf_of(args.sf_dir),
                     "build": build,
                     "cores": args.cores,
+                    "host": {"before": probe_before, "after": _host_probe()},
                 }
             )
         )
