@@ -765,6 +765,12 @@ def _q_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN graph over the embeddings table (every vector's top-3 cosine
+    neighbors, Hamming-1 multiprobe LSH bucket join)."""
+    return similarity.knn_join(_emb(spark, sf_dir), k=3, dim=64, n_planes=6)
+
+
 def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.8)
     return out.select(
@@ -1235,6 +1241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_topk": _q_lsh_topk,
         "sim_ivf_topk": _q_ivf_topk,
         "sim_neardup": _q_neardup,
+        "sim_knn_join": _q_knn_join,
         # --- multimodal plumbing ---
         "mm_image_features": _q_image_features,
         "mm_image_resize": _q_image_resize,
@@ -1802,6 +1809,7 @@ FROM s ORDER BY cosine DESC, vec_id LIMIT 10""",
         "sim_neardup": sql_oracles.embedding_neardup_sql(
             threshold=0.3, dim=64, n_planes=4
         ),
+        "sim_knn_join": sql_oracles.knn_join_sql(k=3, dim=64, n_planes=6),
         "mm_image_features": sql_oracles.image_features_sql(n=64),
         "mm_image_resize": sql_oracles.image_resize_sql(n=64),
         "mm_frame_sample": sql_oracles.frame_sample_sql(n=64),

@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "mm_image_resize",
     "fulltext_keywords",
     "text_pii_redact",
+    "sim_knn_join",
 ]
 
 

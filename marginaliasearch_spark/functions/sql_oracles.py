@@ -498,6 +498,56 @@ SELECT id_a, id_b, round(cosine, 6) AS cosine
 FROM p WHERE cosine >= {threshold!r}"""
 
 
+def knn_join_sql(
+    k: int = 3,
+    dim: int = 64,
+    n_planes: int = 6,
+    seed: int = 42,
+    probe_hamming: int = 1,
+) -> str:
+    """Exact oracle for ``similarity.knn_join``: candidate pairs are the
+    vec pairs whose sign-buckets differ in ≤ ``probe_hamming`` bits (the
+    engine's multiprobe approximation, reproduced not idealized), ranked
+    per vector by rounded double cosine with neighbor_id tie-break."""
+    from ..operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = " + ".join(
+        f"CASE WHEN ({_dot_lit_chain('embedding', planes[j])}) > 0"
+        f" THEN {1 << j} ELSE 0 END"
+        for j in range(n_planes)
+    )
+    masks: list[int] = []
+    if probe_hamming >= 1:
+        masks += [1 << j for j in range(n_planes)]
+    if probe_hamming >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    cond = "a.bucket = c.bucket"
+    if masks:
+        cond += f" OR xor(a.bucket, c.bucket) IN ({', '.join(map(str, masks))})"
+    return f"""WITH b AS (
+  SELECT vec_id, embedding, ({bucket})::BIGINT AS bucket FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS vec_id, c.vec_id AS neighbor_id,
+         round(({_dot_col_chain('a.embedding', 'c.embedding', dim)})
+           / (sqrt({_sq_chain('a.embedding', dim)})
+              * sqrt({_sq_chain('c.embedding', dim)})), 6) AS cosine
+  FROM b a JOIN b c ON a.vec_id <> c.vec_id AND ({cond})
+),
+r AS (
+  SELECT vec_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM p
+)
+SELECT vec_id, neighbor_id, cosine FROM r WHERE rn <= {k}"""
+
+
 def ivf_topk_sql(
     qvec: list[float],
     k: int = 10,

@@ -9,7 +9,10 @@
 - ``ivf_topk``           — IVF-style: k-means-lite centroids (seeded,
                            deterministic), probe the ``nprobe`` nearest
                            inverted lists;
-- ``embedding_neardup_pairs`` — pairwise cosine ≥ τ via LSH bucket join.
+- ``embedding_neardup_pairs`` — pairwise cosine ≥ τ via LSH bucket join;
+- ``knn_join``           — every vector's top-k neighbors (kNN graph /
+                           SemDeDup primitive) via multiprobe bucket join
+                           + one row_number window.
 """
 
 from __future__ import annotations
@@ -18,7 +21,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -301,4 +304,81 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def knn_join(
+    emb: DataFrame,
+    k: int = 3,
+    dim: int = 64,
+    n_planes: int = 6,
+    seed: int = 42,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Every vector's top-k cosine neighbors (the kNN-graph / SemDeDup
+    primitive) via a Hamming-≤h multiprobe LSH bucket join.
+
+    Scale shape: NOT all-pairs — each vector joins only the buckets within
+    Hamming distance ``probe_hamming`` of its own sign pattern (h+1 probe
+    rows per vector for h=1), so the candidate volume is Σ_bucket
+    |bucket|·|probe neighborhood|, bounded by bucket geometry, and the
+    equi-join on the bucket key shuffles/partition-prunes like any other
+    key. The per-vector top-k is one ``row_number`` window (single shuffle
+    on the left id). Skew guard: a hot bucket (embedding mass collapsed to
+    one orthant) is split by raising ``n_planes`` — the same remedy as
+    adding IVF centroids.
+
+    Determinism / oracle parity: bucket assignment uses the order-pinned
+    float chains (`_seq_dots`), cosine is computed in double with the
+    left-assoc fold the SQL twin replicates, the rank orders by the
+    ROUNDED cosine with ``neighbor_id`` as tie-break, and each candidate
+    pair collides in EXACTLY ONE probe bucket (a XOR mask is a unique
+    witness of the pair's bucket Hamming distance), so no dedup is needed
+    and ``sql_oracles.knn_join_sql`` reproduces the result set verbatim.
+    """
+    if probe_hamming not in (0, 1, 2):
+        raise ValueError("probe_hamming must be 0, 1 or 2")
+    b = add_lsh_bucket(emb.select(id_col, vec_col), dim, n_planes, seed, vec_col)
+    probes = [F.col("bucket")]
+    if probe_hamming >= 1:
+        probes += [
+            F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)
+        ]
+    if probe_hamming >= 2:
+        probes += [
+            F.col("bucket").bitwiseXOR(F.lit((1 << i) | (1 << j)))
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    left = b.select(
+        F.col(id_col).alias("_id_a"),
+        F.col(vec_col).alias("vec_a"),
+        F.explode(F.array(*probes)).alias("bucket"),
+    )
+    right = b.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec_b"), "bucket"
+    )
+    pairs = left.join(right, "bucket").filter(F.col("_id_a") != F.col("neighbor_id"))
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("vec_a"),
+            F.col("vec_b"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round(
+        dot / (_norm_expr(F.col("vec_a")) * _norm_expr(F.col("vec_b"))), 6
+    )
+    w = Window.partitionBy("_id_a").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("cosine", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(F.col("_id_a").alias(id_col), "neighbor_id", "cosine")
     )

@@ -77,3 +77,76 @@ def test_neardup_pairs_find_planted(spark, emb):
     assert (250, 251) in found
     for r in pairs:
         assert r["cosine"] >= 0.95
+
+
+class TestKnnJoin:
+    def test_planted_pair_is_mutual_top1(self, spark, emb):
+        df, _ = emb
+        knn = similarity.knn_join(df, k=1, dim=DIM, n_planes=4).collect()
+        top1 = {r["vec_id"]: r["neighbor_id"] for r in knn}
+        assert top1[250] == 251 and top1[251] == 250
+
+    def test_at_most_k_rows_per_vec_and_no_self(self, spark, emb):
+        df, _ = emb
+        knn = similarity.knn_join(df, k=3, dim=DIM, n_planes=4).collect()
+        per = {}
+        for r in knn:
+            assert r["vec_id"] != r["neighbor_id"]
+            per.setdefault(r["vec_id"], []).append(r["cosine"])
+        assert all(len(v) <= 3 for v in per.values())
+        # within a vec the list is rank-ordered
+        assert all(v == sorted(v, reverse=True) for v in per.values())
+
+    def test_collision_witness_unique_no_dup_pairs(self, spark, emb):
+        """Each candidate pair must appear exactly once before the window
+        (the XOR mask uniquely witnesses the pair's bucket distance) —
+        otherwise row_number would rank duplicates."""
+        df, _ = emb
+        knn = similarity.knn_join(df, k=10**6, dim=DIM, n_planes=4)
+        pairs = knn.groupBy("vec_id", "neighbor_id").count()
+        assert pairs.filter(F.col("count") > 1).count() == 0
+
+    def test_matches_duckdb_oracle(self, spark, emb):
+        import duckdb
+
+        from marginaliasearch_spark.functions.sql_oracles import knn_join_sql
+
+        df, vecs = emb
+        got = sorted(
+            (r["vec_id"], r["neighbor_id"], r["cosine"])
+            for r in similarity.knn_join(df, k=3, dim=DIM, n_planes=4).collect()
+        )
+        con = duckdb.connect()
+        con.register(
+            "embeddings_src",
+            __import__("pandas").DataFrame(
+                {"vec_id": range(len(vecs)), "embedding": [v.tolist() for v in vecs]}
+            ),
+        )
+        con.execute("CREATE VIEW embeddings AS SELECT * FROM embeddings_src")
+        want = sorted(
+            (int(a), int(b), float(c))
+            for a, b, c in con.execute(
+                knn_join_sql(k=3, dim=DIM, n_planes=4)
+            ).fetchall()
+        )
+        assert got == want
+
+    def test_recall_vs_exact_knn(self, spark, emb):
+        """Hamming-1 multiprobe at 16 buckets over 300 docs should recover
+        most of the true top-3 for most vectors (approximation sanity)."""
+        df, vecs = emb
+        v = vecs.astype(np.float64)
+        v = v / np.linalg.norm(v, axis=1, keepdims=True)
+        sims = v @ v.T
+        np.fill_diagonal(sims, -np.inf)
+        true_top3 = np.argsort(-sims, axis=1)[:, :3]
+        knn = similarity.knn_join(df, k=3, dim=DIM, n_planes=4).collect()
+        got: dict[int, set] = {}
+        for r in knn:
+            got.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+        hits = sum(
+            len(got.get(i, set()) & set(true_top3[i].tolist()))
+            for i in range(len(v))
+        )
+        assert hits / (3 * len(v)) > 0.5
