@@ -242,6 +242,40 @@ def main() -> None:
         )
     )
 
+    from marginaliasearch_spark.operators import redact, similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    knn = similarity.knn_join(emb, k=3, dim=64, n_planes=6)
+    sections.append(
+        (
+            "kNN join (every vector's top-3 neighbors, Hamming-1 multiprobe)",
+            "Things to check: the candidate generation is ONE equi-join on "
+            "the exploded probe-bucket key — no CartesianProduct / "
+            "BroadcastNestedLoop anywhere (here AQE broadcasts the tiny "
+            "sf0.001 right side; at scale the same plan becomes a shuffle "
+            "join partitioned on `bucket`); the cosine arithmetic is JVM "
+            "`zip_with`/`aggregate` inside Project; and the per-vector "
+            "top-k shows `WindowGroupLimit` BEFORE the `Exchange "
+            "hashpartitioning(_id_a)` — Spark's rank pushdown keeps only "
+            "each partition's local top-k ahead of the shuffle, the "
+            "map-side-combine analogue for the window.",
+            fmt(knn),
+        )
+    )
+
+    red = redact.redact_pii(raw_docs)
+    sections.append(
+        (
+            "PII redaction (regex scrub + counts)",
+            "Things to check: ONE `Scan parquet` (doc_id + text only in "
+            "`ReadSchema`), zero `Exchange` nodes, and every regexp_count/"
+            "regexp_replace inside a single `Project`/`WholeStageCodegen` "
+            "span — a narrow map that partition-parallelizes untouched at "
+            "any scale.",
+            fmt(red),
+        )
+    )
+
     out = ["# EXPLAIN — formatted physical plans of the hot paths",
            "",
            "Generated by `python tools/dump_plans.py` over the sf0.001 driver",
