@@ -771,6 +771,17 @@ def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_join(_emb(spark, sf_dir), k=3, dim=64, n_planes=6)
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) composite: embedding-cosine near-dup
+    pairs (LSH bucket join) → connected components → keep each cluster's
+    smallest vec_id; returns the surviving corpus ids."""
+    emb = _emb(spark, sf_dir)
+    pairs = similarity.embedding_neardup_pairs(
+        emb, threshold=0.3, dim=64, n_planes=4
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    return dedup.canonicalize(emb.select("vec_id"), pairs, id_col="vec_id")
+
+
 def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.8)
     return out.select(
@@ -1242,6 +1253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": _q_ivf_topk,
         "sim_neardup": _q_neardup,
         "sim_knn_join": _q_knn_join,
+        "dedup_semantic": _q_semantic_dedup,
         # --- multimodal plumbing ---
         "mm_image_features": _q_image_features,
         "mm_image_resize": _q_image_resize,
@@ -1810,6 +1822,19 @@ FROM s ORDER BY cosine DESC, vec_id LIMIT 10""",
             threshold=0.3, dim=64, n_planes=4
         ),
         "sim_knn_join": sql_oracles.knn_join_sql(k=3, dim=64, n_planes=6),
+        # SemDeDup: same neardup pair set as sim_neardup, closed transitively,
+        # smallest-id keeper per cluster
+        "dedup_semantic": f"""WITH comp AS (
+{sql_oracles.components_sql(
+    "SELECT id_a AS doc_a, id_b AS doc_b FROM ("
+    + sql_oracles.embedding_neardup_sql(threshold=0.3, dim=64, n_planes=4)
+    + ") snd"
+)}
+)
+SELECT e.vec_id FROM embeddings e
+WHERE NOT EXISTS (
+  SELECT 1 FROM comp c
+  WHERE c.doc_id = e.vec_id AND c.component <> c.doc_id)""",
         "mm_image_features": sql_oracles.image_features_sql(n=64),
         "mm_image_resize": sql_oracles.image_resize_sql(n=64),
         "mm_frame_sample": sql_oracles.frame_sample_sql(n=64),

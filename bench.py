@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "fulltext_keywords",
     "text_pii_redact",
     "sim_knn_join",
+    "dedup_semantic",
 ]
 
 

@@ -150,3 +150,21 @@ class TestKnnJoin:
             for i in range(len(v))
         )
         assert hits / (3 * len(v)) > 0.5
+
+
+def test_semantic_dedup_drops_planted_duplicate(spark, emb):
+    """SemDeDup composition: near-dup pairs → components → canonicalize
+    keeps the smaller id of the planted 250/251 duplicate pair."""
+    from marginaliasearch_spark.operators import dedup
+
+    df, _ = emb
+    pairs = similarity.embedding_neardup_pairs(
+        df, threshold=0.95, dim=DIM, n_planes=4
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    kept = {
+        r["vec_id"]
+        for r in dedup.canonicalize(
+            df.select("vec_id"), pairs, id_col="vec_id"
+        ).collect()
+    }
+    assert 250 in kept and 251 not in kept
