@@ -16,6 +16,9 @@ two classic shapes a pipeline needs are
 - ``windowed_event_counts`` — watermarked tumbling-window aggregation in
   append mode: late rows beyond the watermark are dropped, and a window is
   emitted exactly once, when it can no longer change.
+- ``streaming_exact_dedup`` — first-occurrence-wins exact dedup across
+  micro-batches (one int of state per distinct digest, sharded by the
+  group-key shuffle), the streaming twin of ``dedup.exact_dedup``.
 
 Both are bounded-state by construction: sessions hold one state row per
 LIVE conversation (a short array of pending sessions, drained as the
@@ -187,5 +190,49 @@ def windowed_event_counts(
             key,
             "n",
             F.round("sum_value", 6).alias("sum_value"),
+        )
+    )
+
+
+DEDUP_SCHEMA = "text_hash string, doc_id long"
+_DEDUP_STATE_SCHEMA = "seen int"
+
+
+def streaming_exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """First-occurrence-wins exact dedup over a document stream.
+
+    The streaming counterpart of ``dedup.exact_dedup``: a document whose
+    normalized-text digest was already emitted in ANY earlier micro-batch
+    is dropped; within a batch the smallest ``doc_id`` wins (the same
+    keeper rule as the batch operator, so replaying a finite stream
+    through this operator yields exactly ``exact_dedup``'s survivor set).
+
+    State per distinct digest is a single int — the bare minimum ANY
+    exact streaming dedup must hold — and the ``groupBy(text_hash)`` hash
+    shuffle shards that key space across executors for free, so state
+    scales horizontally with the cluster, not with one node's memory.
+    ``NoTimeout`` matches batch semantics (duplicates are duplicates
+    forever); a retention-window variant is one ``EventTimeTimeout`` away.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        ids = [int(pdf["doc_id"].min()) for pdf in pdfs if len(pdf)]
+        if state.exists or not ids:
+            return  # digest already emitted once — drop everything
+        state.update((1,))
+        yield pd.DataFrame({"text_hash": [key[0]], "doc_id": [min(ids)]})
+
+    return (
+        docs.select("doc_id", F.md5(F.lower(F.col(text_col))).alias("text_hash"))
+        .groupBy("text_hash")
+        .applyInPandasWithState(
+            fn,
+            DEDUP_SCHEMA,
+            _DEDUP_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
         )
     )

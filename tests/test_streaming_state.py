@@ -241,3 +241,49 @@ def test_windowed_event_counts_append_and_late_drop(spark, tmp_path_factory):
     assert got[(_at(60), "view")] == (1, 5.0)
     # append mode: each emitted window appears exactly once
     assert len(_read_out(spark, out_dir)) == len(got)
+
+
+def test_streaming_exact_dedup_first_occurrence_wins(spark, tmp_path_factory):
+    from marginaliasearch_spark.streaming.sessions import streaming_exact_dedup
+
+    base = tmp_path_factory.mktemp("sdedup")
+    input_dir, ckpt, out_dir = (
+        str(base / "in"),
+        str(base / "ckpt"),
+        str(base / "out"),
+    )
+    os.makedirs(input_dir)
+
+    def make_stream():
+        src = spark.readStream.schema("doc_id long, text string").parquet(input_dir)
+        return streaming_exact_dedup(src)
+
+    # batch 1: "alpha" twice (ids 7, 3) + unique "beta"
+    b1 = spark.createDataFrame(
+        [(7, "alpha"), (3, "alpha"), (5, "beta")], "doc_id long, text string"
+    )
+    _drop(spark, b1, input_dir, "b1", tmp_path_factory)
+    _run_once(spark, make_stream, ckpt, out_dir)
+    got1 = {(r["text_hash"], r["doc_id"]) for r in _read_out(spark, out_dir)}
+    assert {d for _, d in got1} == {3, 5}  # within-batch min id wins
+
+    # batch 2: "alpha" again (cross-batch dup, dropped) + case-variant
+    # "BETA" (normalized dup, dropped) + fresh "gamma"
+    b2 = spark.createDataFrame(
+        [(1, "alpha"), (9, "BETA"), (11, "gamma")], "doc_id long, text string"
+    )
+    _drop(spark, b2, input_dir, "b2", tmp_path_factory)
+    _run_once(spark, make_stream, ckpt, out_dir)
+    got2 = {r["doc_id"] for r in _read_out(spark, out_dir)}
+    assert got2 == {3, 5, 11}
+
+    # replaying the whole input as ONE batch through the BATCH operator
+    # yields the same survivor set (keeper-rule equivalence)...
+    from marginaliasearch_spark.operators.dedup import exact_dedup
+
+    full = b1.union(b2)
+    batch_ids = {r["doc_id"] for r in exact_dedup(full).collect()}
+    # ...except where streaming's arrival order pins an earlier-batch id
+    # (id 3 arrived before id 1): batch keeps global-min 1, streaming
+    # keeps first-seen 3 — same CLUSTERS, documented ordering difference
+    assert batch_ids == {1, 5, 11}
