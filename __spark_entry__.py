@@ -1097,6 +1097,12 @@ def _q_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.filter_chain(_docs(spark, sf_dir))
 
 
+def _q_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (context-window prep): 32-token chunks
+    with 8 tokens of overlap; pure JVM explode/slice, no shuffle."""
+    return sampling.chunk_documents(_docs(spark, sf_dir), max_tokens=32, overlap=8)
+
+
 def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub over documents with deterministic synthetic PII injected
     (the sf tables are word soup, so emails/IPs/phones derived from doc_id
@@ -1241,6 +1247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # composite keep/drop + reason bitmask (C4/Gopher chain, one pass)
         "text_filter_chain": _q_filter_chain,
         "text_pii_redact": _q_pii_redact,
+        "sample_chunks": _q_chunks,
         # BPE vocab induction (iterative; rows-only check by design —
         # exactness pinned by the pure-Python reference in test_bpe)
         "text_bpe_vocab": _q_bpe_vocab,
@@ -1732,6 +1739,33 @@ mask AS (
   FROM sig
 )
 SELECT doc_id, n_words, reasons, reasons = 0 AS keep FROM mask""",
+        # sliding-window chunking, max=32 overlap=8 → stride 24; chunk
+        # count (n-32+23)//24+1 for n>32 else 1; DuckDB list slice is
+        # 1-based inclusive
+        "sample_chunks": """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+nn AS (SELECT doc_id, toks, len(toks)::BIGINT AS n FROM base WHERE len(toks) > 0),
+c AS (
+  SELECT doc_id, toks, n,
+         CASE WHEN n <= 32 THEN 1 ELSE (n - 32 + 23) // 24 + 1 END AS n_chunks
+  FROM nn
+),
+g AS (
+  SELECT doc_id, toks, n,
+         unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+  FROM c
+)
+SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+       len(toks[chunk_idx*24 + 1 : least(chunk_idx*24 + 32, n)])::BIGINT
+         AS n_tokens,
+       array_to_string(toks[chunk_idx*24 + 1 : least(chunk_idx*24 + 32, n)],
+                       ' ') AS chunk_text
+FROM g""",
         # same deterministic doc_id-derived PII injection as _q_pii_redact,
         # then the shared pattern list via redact.pii_redact_sql
         "text_pii_redact": redact.pii_redact_sql(

@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "text_pii_redact",
     "sim_knn_join",
     "dedup_semantic",
+    "sample_chunks",
 ]
 
 

@@ -273,3 +273,54 @@ def pack_sequences(
             "seq_last long, seq_offset long",
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int = 512,
+    overlap: int = 64,
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window chunking for context-window prep: split each
+    document's whitespace token stream into chunks of ``max_tokens`` with
+    ``overlap`` tokens of left-context carried into each subsequent chunk
+    (stride = max_tokens − overlap).
+
+    Chunk count is ``1`` when the doc fits, else
+    ``(n − max_tokens + stride − 1) div stride + 1`` — the last chunk may
+    be short but always contributes tokens no earlier chunk covered
+    (never a fully-contained degenerate chunk). Empty docs emit no rows.
+
+    Pure JVM: split → explode(sequence) → slice → array_join, a narrow
+    per-row expansion with no shuffle — rows out > rows in, exactly the
+    multimodal frame-sample shape. Deterministic, so the DuckDB twin
+    (generate_series + list slicing) reproduces it verbatim.
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    base = docs.select("doc_id", toks.alias("_toks")).withColumn(
+        "_n", F.size(F.col("_toks"))
+    )
+    n_chunks = F.when(F.col("_n") <= max_tokens, F.lit(1)).otherwise(
+        F.expr(f"(_n - {max_tokens} + {stride - 1}) div {stride}") + 1
+    )
+    exploded = base.filter(F.col("_n") > 0).select(
+        "doc_id",
+        "_toks",
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias(
+            "chunk_idx"
+        ),
+    )
+    chunk = F.slice(
+        F.col("_toks"), F.col("chunk_idx") * stride + 1, max_tokens
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

@@ -221,3 +221,70 @@ def test_canonicalize_keeps_min_per_cluster(spark):
     )
     # clusters {1,4,7} -> keep 1; {2,3} -> keep 2; singletons survive
     assert kept == [0, 1, 2, 5, 6, 8, 9]
+
+
+class TestChunkDocuments:
+    def _mirror(self, text, max_tokens, overlap):
+        toks = text.split()
+        n = len(toks)
+        if n == 0:
+            return []
+        stride = max_tokens - overlap
+        n_chunks = 1 if n <= max_tokens else (n - max_tokens + stride - 1) // stride + 1
+        out = []
+        for i in range(n_chunks):
+            c = toks[i * stride : i * stride + max_tokens]
+            out.append((i, len(c), " ".join(c)))
+        return out
+
+    @pytest.mark.parametrize("max_tokens,overlap", [(8, 2), (8, 0), (4, 3)])
+    def test_matches_python_mirror(self, spark, max_tokens, overlap):
+        from marginaliasearch_spark.operators.sampling import chunk_documents
+
+        texts = [
+            "",  # no chunks
+            "one",  # single short chunk
+            " ".join(f"t{i}" for i in range(max_tokens)),  # exactly max
+            " ".join(f"t{i}" for i in range(max_tokens + 1)),  # one over
+            " ".join(f"w{i}" for i in range(37)),
+            "  padded   whitespace   tokens  ",
+        ]
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = sorted(
+            (r["doc_id"], r["chunk_idx"], r["n_tokens"], r["chunk_text"])
+            for r in chunk_documents(docs, max_tokens, overlap).collect()
+        )
+        want = sorted(
+            (i, idx, n, t)
+            for i, text in enumerate(texts)
+            for idx, n, t in self._mirror(text, max_tokens, overlap)
+        )
+        assert got == want
+
+    def test_full_coverage_and_overlap(self, spark):
+        """Every token appears in some chunk; consecutive chunks share
+        exactly `overlap` tokens (except a short last chunk)."""
+        from marginaliasearch_spark.operators.sampling import chunk_documents
+
+        text = " ".join(f"w{i}" for i in range(100))
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = sorted(
+            chunk_documents(docs, 16, 4).collect(), key=lambda r: r["chunk_idx"]
+        )
+        seen = set()
+        for r in rows:
+            seen.update(r["chunk_text"].split())
+        assert seen == {f"w{i}" for i in range(100)}
+        for a, b in zip(rows, rows[1:]):
+            ta, tb = a["chunk_text"].split(), b["chunk_text"].split()
+            shared = set(ta) & set(tb)
+            assert len(shared) == min(4, len(tb)), (a, b)
+
+    def test_rejects_bad_overlap(self, spark):
+        from marginaliasearch_spark.operators.sampling import chunk_documents
+
+        docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            chunk_documents(docs, 8, 8)
