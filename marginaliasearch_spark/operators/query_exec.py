@@ -413,6 +413,8 @@ def run_query(
     the best documents.
     """
     pq = parse_query(query) if isinstance(query, str) else query
+    if lang is None:
+        lang = pq.lang  # `lang:xx` query syntax; explicit param wins
     include_terms = pq.all_include_terms()
     phrase_terms = sorted({w for ph in pq.phrases for w in ph})
     # lang-scoped queries take df/N from that language's lexicon partition
@@ -1056,6 +1058,8 @@ def run_query_wand(
     # GLOBAL block maxima — an upper bound for any language slice, so the
     # cut is merely conservative
     lang = kw.get("lang")
+    if lang is None:
+        lang = pq.lang  # `lang:xx` query syntax (run_query does the same)
     try:
         stats = reader.term_stats(include, lang=lang)
     except ValueError:  # pre-lang index

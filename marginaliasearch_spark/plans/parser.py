@@ -6,7 +6,8 @@ Python (driver-side planning, no cluster work):
 - token syntax from ``QueryParser.java:33-100``: bare terms (AND),
   ``-term`` exclusion, ``"quoted phrase"``, ``?priorityTerm``, and
   specification limits ``<field><op><value>`` (reference: ``year>2020``,
-  ``size<100``; our transcript analogues: ``turns``, ``len``);
+  ``size<100``; our transcript analogues: ``turns``, ``len``), and
+  ``lang:xx`` language scoping (``QueryParser.java:225-227``);
 - the compiled-query grammar ``( a | b ) c`` — n-ary AND of items where an
   item is a term or a parenthesized OR of sub-expressions
   (``CompiledQueryParser.java:10-67``);
@@ -135,6 +136,10 @@ class ParsedQuery:
     # ranges from CombinedIndexReader.java:255-265)
     convs: list[str] = field(default_factory=list)
     convs_exclude: list[str] = field(default_factory=list)
+    # ``lang:xx`` — scope df/N and the postings scan to one language
+    # partition (the reference's lang: token, QueryParser.java:225-227,
+    # backed here by the per-language index surface)
+    lang: str | None = None
 
     def all_include_terms(self) -> list[str]:
         terms: set[str] = set() if self.include is None else set(
@@ -189,6 +194,9 @@ def parse_query(q: str) -> ParsedQuery:
             continue
         if raw.lower().startswith("conv:"):
             out.convs.append(raw[5:])
+            continue
+        if raw.lower().startswith("lang:"):
+            out.lang = raw[5:].lower()
             continue
         if raw.lower().startswith("-conv:"):
             out.convs_exclude.append(raw[6:])

@@ -116,3 +116,22 @@ def test_wand_lang_scoped_equals_plain(spark, built):
         assert [(r["conv_id"], r["score"]) for r in plain] == [
             (r["conv_id"], r["score"]) for r in wand
         ]
+
+
+def test_lang_token_query_syntax(spark, built):
+    """`lang:es rare` must equal run_query(..., lang='es') exactly — the
+    reference's lang: query token (QueryParser.java:225-227)."""
+    via_param = run_query(built, "rare", k=10, lang="es").collect()
+    via_token = run_query(built, "rare lang:es", k=10).collect()
+    assert via_token == via_param and via_token
+    # explicit parameter wins over the token
+    mixed = run_query(built, "rare lang:en", k=10, lang="es").collect()
+    assert mixed == via_param
+
+
+def test_lang_token_wand_equals_plain(spark, built):
+    from marginaliasearch_spark.operators.query_exec import run_query_wand
+
+    plain = run_query(built, "shared lang:es", k=5).collect()
+    wand = run_query_wand(built, "shared lang:es", k=5).collect()
+    assert wand == plain and plain
