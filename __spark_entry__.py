@@ -838,6 +838,14 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("cosine", F.round(F.col("cosine"), 6))
 
 
+def _q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar quantization (4× scan-byte reduction) + exact-integer
+    cosine top-k over the quantized vectors (`similarity.quantize_embeddings`
+    → `quantized_cosine_topk`)."""
+    qemb = similarity.quantize_embeddings(_emb(spark, sf_dir))
+    return similarity.quantized_cosine_topk(qemb, _QVEC, k=10)
+
+
 def _q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image downsample (nearest, 32→8): binary in / binary out resize
     stage plus a scalar audit — per-channel means + exact pixel checksum
@@ -1258,6 +1266,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": _q_cosine_topk,
         "sim_lsh_topk": _q_lsh_topk,
         "sim_ivf_topk": _q_ivf_topk,
+        # int8-quantized brute-force cosine (the serving-tier memory path)
+        "sim_quantized_topk": _q_quantized_topk,
         "sim_neardup": _q_neardup,
         "sim_knn_join": _q_knn_join,
         "dedup_semantic": _q_semantic_dedup,
@@ -1852,6 +1862,7 @@ SELECT vec_id, round(dot / (nrm * {qnorm}), 6) AS cosine
 FROM s ORDER BY cosine DESC, vec_id LIMIT 10""",
         "sim_lsh_topk": sql_oracles.lsh_topk_sql(_QVEC, k=10, n_planes=8),
         "sim_ivf_topk": sql_oracles.ivf_topk_sql(_QVEC, k=10),
+        "sim_quantized_topk": sql_oracles.quantized_topk_sql(_QVEC, k=10, dim=64),
         "sim_neardup": sql_oracles.embedding_neardup_sql(
             threshold=0.3, dim=64, n_planes=4
         ),

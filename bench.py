@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "sim_knn_join",
     "dedup_semantic",
     "sample_chunks",
+    "sim_quantized_topk",
 ]
 
 

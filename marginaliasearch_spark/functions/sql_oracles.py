@@ -595,6 +595,48 @@ cands AS (
 ),{_cosine_topk_tail(qvec, k, 'cands')}"""
 
 
+def quantized_topk_sql(qvec: list[float], k: int = 10, dim: int = 64) -> str:
+    """Exact oracle for ``similarity.quantize_embeddings`` →
+    ``quantized_cosine_topk`` over the ``embeddings`` view.
+
+    Quantization is re-derived per vector in SQL with the identical IEEE
+    op sequence the engine's ``transform()`` lambda performs —
+    ``sign(v)·floor(|v|/(absmax/127.0) + 0.5)`` (max is order-independent,
+    so ``list_max`` needs no chain pinning) — and the quantized query
+    vector is inlined from the SAME driver-side helper the engine uses
+    (``similarity.quantize_vector``), so the dot/norm arithmetic is exact
+    integers on both sides and only the final division is floating point.
+    """
+    from ..operators.similarity import quantize_vector
+
+    qq, qnorm = quantize_vector(qvec)
+    dot = " + ".join(f"qvec[{i + 1}] * {int(x)}" for i, x in enumerate(qq))
+    sq = " + ".join(f"qvec[{i + 1}] * qvec[{i + 1}]" for i in range(dim))
+    return f"""WITH am AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS absmax
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id,
+         CASE WHEN absmax = 0
+              THEN list_transform(embedding, x -> 0::BIGINT)
+              ELSE list_transform(embedding, x ->
+                     (floor(abs(x::DOUBLE) / (absmax / 127.0) + 0.5)
+                      * (CASE WHEN x < 0 THEN -1 ELSE 1 END))::BIGINT)
+         END AS qvec
+  FROM am
+),
+s AS (
+  SELECT vec_id, ({dot})::BIGINT AS dot, ({sq})::BIGINT AS sumsq FROM q
+)
+SELECT vec_id,
+       CASE WHEN sqrt(sumsq::DOUBLE) * {qnorm!r} = 0 THEN -2.0
+            ELSE round(dot::DOUBLE / (sqrt(sumsq::DOUBLE) * {qnorm!r}), 6)
+       END AS qcosine
+FROM s ORDER BY qcosine DESC, vec_id LIMIT {k}"""
+
+
 def contamination_sql(
     shingle_width: int = 3, train_buckets: int = 98, salt: str = "split-v1"
 ) -> str:

@@ -12,7 +12,10 @@
 - ``embedding_neardup_pairs`` — pairwise cosine ≥ τ via LSH bucket join;
 - ``knn_join``           — every vector's top-k neighbors (kNN graph /
                            SemDeDup primitive) via multiprobe bucket join
-                           + one row_number window.
+                           + one row_number window;
+- ``quantize_embeddings`` / ``quantized_cosine_topk`` — symmetric int8
+                           scalar quantization (4× scan-byte reduction)
+                           and exact-integer-arithmetic cosine over it.
 """
 
 from __future__ import annotations
@@ -381,4 +384,113 @@ def knn_join(
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select(F.col("_id_a").alias(id_col), "neighbor_id", "cosine")
+    )
+
+
+# --- int8 scalar quantization ------------------------------------------------
+
+
+def quantize_embeddings(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: ``q_i = round(x_i / scale)``
+    with ``scale = max|x| / 127`` — the standard 4× memory reduction that
+    makes a 100 TB float32 embedding corpus fit the ANN serving tier.
+
+    Pure JVM column expressions (aggregate for max-abs, transform for the
+    rounding), no shuffle. The rounded values are integers in [-127, 127]
+    stored as ``array<tinyint>``; cosine over quantized vectors needs no
+    dequantization at all — the per-vector scales cancel:
+    ``cos_q(a,b) = Σ qa·qb / (|qa|·|qb|)`` is pure integer arithmetic up
+    to the final division, which is why the quantized ANN path is exactly
+    reproducible in any engine (no float-summation-order pinning needed).
+
+    Rounding is the explicit half-away-from-zero formula
+    ``sign(v) · floor(|v|/scale + 0.5)`` — every step an IEEE double op
+    that numpy and DuckDB replicate bit-identically (``F.round`` would go
+    through BigDecimal-of-shortest-string, a cross-engine hazard; max is
+    order-independent so the fold needs no ``_seq_dots`` pinning).
+    """
+    absmax = F.aggregate(
+        F.col(vec_col),
+        F.lit(0.0),
+        lambda acc, v: F.greatest(acc, F.abs(v.cast("double"))),
+    )
+    # absmax is materialized as its own column BEFORE the transform — left
+    # nested inside the lambda it would re-run the d-element fold for every
+    # element (O(d²) per row); referenced ≥2× it is non-cheap enough that
+    # CollapseProject keeps the stacked Project split.
+    with_m = emb.select(F.col(id_col), F.col(vec_col), absmax.alias("_absmax"))
+    scale = F.col("_absmax") / F.lit(127.0)
+    q = F.transform(
+        F.col(vec_col),
+        lambda v: F.when(F.col("_absmax") == 0, F.lit(0))
+        .otherwise(
+            F.floor(F.abs(v.cast("double")) / scale + F.lit(0.5))
+            * F.when(v < 0, F.lit(-1)).otherwise(F.lit(1))
+        )
+        .cast("tinyint"),
+    )
+    return with_m.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        q.alias("qvec"),
+    )
+
+
+def quantize_vector(qvec: list[float]) -> tuple[np.ndarray, float]:
+    """Driver-side twin of :func:`quantize_embeddings` for one vector:
+    (int64 quantized values, integer L2 norm as float). Shared with the
+    DuckDB oracle generator so both engines see the same literal ints."""
+    q = np.asarray(qvec, dtype=np.float64)
+    am = float(np.abs(q).max()) if q.size else 0.0
+    if am > 0:
+        scaled = np.abs(q) / (am / 127.0)
+        # sign·floor(|v|/scale + 0.5): same IEEE op sequence as the
+        # engine's transform() lambda (np.round is half-to-even and
+        # would diverge on exact .5 quotients)
+        qq = (np.sign(q) * np.floor(scaled + 0.5)).astype(np.int64)
+    else:
+        qq = np.zeros(q.size, dtype=np.int64)
+    return qq, float(np.sqrt(float((qq * qq).sum())))
+
+
+def quantized_cosine_topk(
+    qemb: DataFrame,
+    qvec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force top-k by quantized cosine against a float query vector
+    (quantized with the same rule). Same narrow-scan + TakeOrdered shape
+    as :func:`cosine_topk`, but the scan reads 1/4 the bytes and the dot
+    product is integer multiply-adds — the bandwidth-bound regime's win.
+    """
+    qq, qnorm = quantize_vector(qvec)
+    v = F.col("qvec")
+    dot = F.aggregate(
+        F.zip_with(
+            v,
+            F.array(*[F.lit(int(c)) for c in qq]),
+            lambda a, b: a.cast("long") * b,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    sumsq = F.aggregate(
+        v,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t.cast("long") * t.cast("long"),
+    )
+    # materialize the folds once; sumsq feeds both the zero-norm guard and
+    # the divisor (same CollapseProject-blocking split as the quantizer)
+    s = qemb.select(F.col(id_col), dot.alias("_dot"), sumsq.alias("_sumsq"))
+    nrm = F.sqrt(F.col("_sumsq").cast("double"))
+    cos = F.when(nrm * qnorm == 0, F.lit(-2.0)).otherwise(
+        F.round(F.col("_dot").cast("double") / (nrm * F.lit(qnorm)), 6)
+    )
+    return (
+        s.select(F.col(id_col), cos.alias("qcosine"))
+        .orderBy(F.col("qcosine").desc(), F.col(id_col))
+        .limit(k)
     )

@@ -152,6 +152,100 @@ class TestKnnJoin:
         assert hits / (3 * len(v)) > 0.5
 
 
+class TestQuantized:
+    def test_roundtrip_error_bounded(self, spark, emb):
+        """Dequantized values are within half a quantization step of the
+        originals and the extreme element hits exactly ±127."""
+        df, vecs = emb
+        rows = similarity.quantize_embeddings(df).collect()
+        by_id = {r["vec_id"]: r for r in rows}
+        for i in (0, 42, 250):
+            r = by_id[i]
+            q = np.asarray(r["qvec"], dtype=np.float64)
+            orig = vecs[i].astype(np.float64)
+            scale = float(r["scale"])
+            assert np.abs(q).max() == 127
+            assert np.abs(q * scale - orig).max() <= scale / 2 + 1e-12
+
+    def test_matches_numpy_reference(self, spark, emb):
+        """Engine top-k == a pure-numpy reimplementation of the identical
+        quantize + integer-cosine arithmetic (value-exact, not approx)."""
+        df, vecs = emb
+        q = vecs[42].astype(np.float64).tolist()
+        got = [
+            (r["vec_id"], r["qcosine"])
+            for r in similarity.quantized_cosine_topk(
+                similarity.quantize_embeddings(df), q, k=10
+            ).collect()
+        ]
+        v = vecs.astype(np.float64)
+        am = np.abs(v).max(axis=1, keepdims=True)
+        qm = np.sign(v) * np.floor(np.abs(v) / (am / 127.0) + 0.5)
+        qm = qm.astype(np.int64)
+        qq, qnorm = similarity.quantize_vector(q)
+        dots = (qm * qq[None, :]).sum(axis=1)
+        nrm = np.sqrt((qm * qm).sum(axis=1).astype(np.float64))
+        cos = np.round(dots.astype(np.float64) / (nrm * qnorm), 6)
+        order = np.lexsort((np.arange(len(v)), -cos))[:10]
+        want = [(int(i), float(cos[i])) for i in order]
+        assert got == want
+
+    def test_quantized_close_to_exact(self, spark, emb):
+        """int8 cosine is a tight approximation: top-10 recall vs the
+        float path ≥ 0.7 and the planted near-dup is still top-1."""
+        df, vecs = emb
+        q = vecs[250].astype(np.float64).tolist()
+        qemb = similarity.quantize_embeddings(df)
+        approx = similarity.quantized_cosine_topk(qemb, q, k=10).collect()
+        exact = {r["vec_id"] for r in similarity.cosine_topk(df, q, k=10).collect()}
+        assert approx[0]["vec_id"] == 250  # self
+        assert approx[1]["vec_id"] == 251  # planted near-dup
+        assert len({r["vec_id"] for r in approx} & exact) >= 7
+
+    def test_zero_vector_guard(self, spark):
+        df = spark.createDataFrame(
+            [(1, [0.0] * 4), (2, [1.0, 2.0, -2.0, 0.5])],
+            "vec_id long, embedding array<float>",
+        )
+        rows = {
+            r["vec_id"]: r for r in similarity.quantize_embeddings(df).collect()
+        }
+        assert list(rows[1]["qvec"]) == [0, 0, 0, 0]
+        assert list(rows[2]["qvec"]) == [64, 127, -127, 32]
+        top = similarity.quantized_cosine_topk(
+            similarity.quantize_embeddings(df), [1.0, 2.0, -2.0, 0.5], k=2
+        ).collect()
+        assert top[0]["vec_id"] == 2 and top[0]["qcosine"] == 1.0
+        assert top[1]["qcosine"] == -2.0  # zero vector sentinel sorts last
+
+    def test_matches_duckdb_oracle(self, spark, emb):
+        import duckdb
+
+        from marginaliasearch_spark.functions.sql_oracles import quantized_topk_sql
+
+        df, vecs = emb
+        q = vecs[7].astype(np.float64).tolist()
+        got = [
+            (r["vec_id"], r["qcosine"])
+            for r in similarity.quantized_cosine_topk(
+                similarity.quantize_embeddings(df), q, k=10
+            ).collect()
+        ]
+        con = duckdb.connect()
+        con.register(
+            "embeddings_src",
+            __import__("pandas").DataFrame(
+                {"vec_id": range(len(vecs)), "embedding": [v.tolist() for v in vecs]}
+            ),
+        )
+        con.execute("CREATE VIEW embeddings AS SELECT * FROM embeddings_src")
+        want = [
+            (int(a), float(c))
+            for a, c in con.execute(quantized_topk_sql(q, k=10, dim=DIM)).fetchall()
+        ]
+        assert got == want
+
+
 def test_semantic_dedup_drops_planted_duplicate(spark, emb):
     """SemDeDup composition: near-dup pairs → components → canonicalize
     keeps the smaller id of the planted 250/251 duplicate pair."""

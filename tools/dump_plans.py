@@ -263,6 +263,22 @@ def main() -> None:
         )
     )
 
+    qemb = similarity.quantize_embeddings(emb)
+    qtop = similarity.quantized_cosine_topk(qemb, [0.1] * 64, k=10)
+    sections.append(
+        (
+            "int8-quantized cosine top-k (quantize → integer dot → top-10)",
+            "Things to check: ONE `Scan parquet`, stacked `Project`s, "
+            "`TakeOrderedAndProject` — no Exchange, no Python. The absmax "
+            "fold and the integer dot/sumsq folds each appear EXACTLY ONCE "
+            "(deliberate Project splits keep CollapseProject from re-nesting "
+            "the d-element aggregate inside the per-element transform lambda "
+            "— that collapse would be O(d²) per row). At rest the quantized "
+            "table is 1/4 the scan bytes of float32.",
+            fmt(qtop),
+        )
+    )
+
     red = redact.redact_pii(raw_docs)
     sections.append(
         (
