@@ -43,6 +43,7 @@ from marginaliasearch_spark.operators import (
     decontam,
     dedup,
     multimodal,
+    ranking,
     redact,
     sampling,
     similarity,
@@ -771,6 +772,23 @@ def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_join(_emb(spark, sf_dir), k=3, dim=64, n_planes=6)
 
 
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-ranking analogue (PageRankDomainRanker.java): fixed-point
+    integer PageRank over the kNN graph of the embeddings table (edge
+    u→v = "v in u's top-3 cosine neighbors"), top-20 with rank indices."""
+    emb = _emb(spark, sf_dir)
+    knn = similarity.knn_join(emb, k=3, dim=64, n_planes=6)
+    scores = ranking.pagerank(
+        emb.select("vec_id"),
+        knn,
+        iterations=5,
+        id_col="vec_id",
+        src_col="vec_id",
+        dst_col="neighbor_id",
+    )
+    return ranking.pagerank_topk(scores, k=20).withColumnRenamed("id", "vec_id")
+
+
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) composite: embedding-cosine near-dup
     pairs (LSH bucket join) → connected components → keep each cluster's
@@ -1270,6 +1288,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_quantized_topk": _q_quantized_topk,
         "sim_neardup": _q_neardup,
         "sim_knn_join": _q_knn_join,
+        # PageRank domain ranking over the kNN graph (integer fixed-point)
+        "rank_pagerank": _q_pagerank,
         "dedup_semantic": _q_semantic_dedup,
         # --- multimodal plumbing ---
         "mm_image_features": _q_image_features,
@@ -1867,6 +1887,9 @@ FROM s ORDER BY cosine DESC, vec_id LIMIT 10""",
             threshold=0.3, dim=64, n_planes=4
         ),
         "sim_knn_join": sql_oracles.knn_join_sql(k=3, dim=64, n_planes=6),
+        "rank_pagerank": sql_oracles.pagerank_knn_sql(
+            k=20, iterations=5, knn_k=3, dim=64, n_planes=6
+        ),
         # SemDeDup: same neardup pair set as sim_neardup, closed transitively,
         # smallest-id keeper per cluster
         "dedup_semantic": f"""WITH comp AS (

@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "dedup_semantic",
     "sample_chunks",
     "sim_quantized_topk",
+    "rank_pagerank",
 ]
 
 

@@ -683,3 +683,67 @@ ccreach(node, comp) AS (
 )
 SELECT node AS doc_id, min(comp) AS component
 FROM ccreach GROUP BY node"""
+
+
+def pagerank_knn_sql(
+    k: int = 20,
+    iterations: int = 5,
+    scale: int = 10**12,
+    knn_k: int = 3,
+    dim: int = 64,
+    n_planes: int = 6,
+) -> str:
+    """Exact oracle for ``ranking.pagerank`` → ``pagerank_topk`` over the
+    kNN graph of the ``embeddings`` view (edge u→v = "v is one of u's
+    top-``knn_k`` cosine neighbors", the engine's ``similarity.knn_join``
+    reproduced verbatim via :func:`knn_join_sql`).
+
+    Why an EXACT twin is possible at all: the engine's PageRank is
+    fixed-point *integer* arithmetic (``operators/ranking.py``) — init
+    ``scale`` units/node, per-edge share ``(85·s) div (100·outdeg)``,
+    dangling mass ``(85·s) div 100`` redistributed as ``D div N``, teleport
+    ``(15·scale·N) div (100·N)`` — and integer sums are order-independent,
+    so no float-chain pinning is needed. The fixed iteration count is
+    unrolled into one CTE pair (contrib, next-scores) per round. DuckDB's
+    ``sum(BIGINT)`` returns HUGEINT; every sum is cast back to BIGINT,
+    matching Spark's int64 throughout (all values non-negative, so floor
+    and truncating division agree).
+    """
+    knn = knn_join_sql(k=knn_k, dim=dim, n_planes=n_planes)
+    base = f"(15 * {scale}::BIGINT * (SELECT n FROM prn)) // (100 * (SELECT n FROM prn))"
+    ctes = [
+        f"""predges AS (
+  SELECT vec_id AS src, neighbor_id AS dst FROM (
+{knn}
+  )
+),
+prnodes AS (SELECT vec_id AS id FROM embeddings),
+prn AS (SELECT count(*)::BIGINT AS n FROM prnodes),
+prdeg AS (SELECT src, count(*)::BIGINT AS outdeg FROM predges GROUP BY src),
+prit0 AS (SELECT id, {scale}::BIGINT AS s FROM prnodes)"""
+    ]
+    for i in range(iterations):
+        ctes.append(
+            f"""prd{i} AS (
+  SELECT coalesce(sum((85 * s) // 100), 0)::BIGINT AS d
+  FROM prit{i} WHERE id NOT IN (SELECT src FROM prdeg)
+),
+prc{i} AS (
+  SELECT e.dst AS id, sum((85 * t.s) // (100 * g.outdeg))::BIGINT AS c
+  FROM predges e JOIN prdeg g ON e.src = g.src JOIN prit{i} t ON t.id = e.src
+  GROUP BY e.dst
+),
+prit{i + 1} AS (
+  SELECT nd.id,
+         ({base}
+          + (SELECT d FROM prd{i}) // (SELECT n FROM prn)
+          + coalesce(c.c, 0))::BIGINT AS s
+  FROM prnodes nd LEFT JOIN prc{i} c ON nd.id = c.id
+)"""
+        )
+    body = ",\n".join(ctes)
+    return f"""WITH {body}
+SELECT id AS vec_id, s AS score,
+       row_number() OVER (ORDER BY s DESC, id) - 1 AS rank
+FROM prit{iterations}
+ORDER BY s DESC, id LIMIT {k}"""

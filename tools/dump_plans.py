@@ -279,6 +279,31 @@ def main() -> None:
         )
     )
 
+    from marginaliasearch_spark.operators import ranking
+
+    pr_scores = ranking.pagerank(
+        emb.select("vec_id"),
+        similarity.knn_join(emb, k=3, dim=64, n_planes=6),
+        iterations=1,
+        id_col="vec_id",
+        src_col="vec_id",
+        dst_col="neighbor_id",
+    )
+    sections.append(
+        (
+            "integer PageRank — one iteration's update (links ⋈ scores → groupBy(dst))",
+            "Things to check: the loop-invariant (src, dst, outdeg) relation "
+            "and the per-round scores both enter from `Scan ExistingRDD` "
+            "(localCheckpoint = truncated lineage, so N iterations cost N× "
+            "THIS plan, not a 2^N lineage tree); one `SortMergeJoin`/"
+            "`ShuffledHashJoin` on src + one `HashAggregate` pair "
+            "(partial_sum before the `Exchange hashpartitioning(id)` — "
+            "map-side combine on the in-edge sum); all arithmetic is "
+            "bigint `div`/`*` inside WholeStageCodegen, no Python.",
+            fmt(pr_scores),
+        )
+    )
+
     red = redact.redact_pii(raw_docs)
     sections.append(
         (
