@@ -988,6 +988,25 @@ def _q_spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spell.suggest(spark, didx, _SPELL_PROBES, max_edits=2, k=5)
 
 
+# typeahead probes: mixed case + leading space exercise the reference's
+# normalization (Suggestions.java:98), "qu" the min-length drop (:94-96),
+# and the >16-char probe the indexed-prefix cap + startswith fallback
+# (PrefixSearchStructure.java:136-150)
+_PREFIX_PROBES = ["sca", "  Par", "col", "qu", "stre", "win",
+                  "averyverylongprefixnomatch"]
+
+
+def _q_prefix_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typeahead prefix completions over the index's own lexicon
+    (reference: Suggestions.java:90-130 / PrefixSearchStructure
+    .getTopCompletions): capped-prefix broadcast equi-join + per-probe
+    top-k by collection frequency (operators/spell.py:prefix_suggest)."""
+    reader = _get_reader(spark, sf_dir)
+    return spell.prefix_suggest(
+        reader.lexicon.select("term", "ctf"), _PREFIX_PROBES, k=10
+    )
+
+
 def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suffix-array-style duplicated-span detection (Lee et al. 2022
     analogue): maximal token ranges covered by an 8-token window that
@@ -1240,6 +1259,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SymSpell-analogue spell correction over the lexicon
         # (SpellChecker.java parity)
         "index_spell_suggest": _q_spell_suggest,
+        # typeahead prefix completions over the lexicon
+        "index_prefix_suggest": _q_prefix_suggest,
         # --- dedup suite ---
         "dedup_exact": _q_exact_dedup,
         "dedup_jaccard": _q_jaccard,
@@ -1425,6 +1446,26 @@ SELECT probe, suggestion, dist, ctf FROM (
   FROM probes p CROSS JOIN lex l
   WHERE levenshtein(p.probe, l.term) <= 2
 ) WHERE rn <= 5""",
+        # plain startswith over the full lexicon — equivalent to the
+        # engine's capped-prefix equi-join + startswith post-filter
+        # (operators/spell.py:prefix_suggest); probe normalization
+        # (lower/lstrip/min-length-3) is applied at compile time exactly
+        # as the engine applies it
+        "index_prefix_suggest": f"""{_COMMON}
+, lex AS (SELECT term, sum(tf)::BIGINT AS ctf FROM tf GROUP BY term),
+probes(probe) AS (
+  SELECT unnest([{", ".join(
+      repr(p) for p in sorted({q.lower().lstrip() for q in _PREFIX_PROBES
+                               if len(q.lower().lstrip()) >= 3}))}])
+)
+SELECT probe, suggestion, ctf FROM (
+  SELECT p.probe, l.term AS suggestion, l.ctf,
+         row_number() OVER (
+           PARTITION BY p.probe ORDER BY l.ctf DESC, l.term
+         ) AS rn
+  FROM probes p JOIN lex l ON starts_with(l.term, p.probe)
+  WHERE length(l.term) >= 4 AND l.ctf >= 2
+) WHERE rn <= 10""",
         "dedup_exact": """
 SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_dups
 FROM documents GROUP BY md5(lower(text))""",

@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "sample_chunks",
     "sim_quantized_topk",
     "rank_pagerank",
+    "index_prefix_suggest",
 ]
 
 

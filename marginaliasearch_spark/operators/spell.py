@@ -126,3 +126,82 @@ def suggest(
         .filter(F.col("rn") <= k)
         .select("probe", "suggestion", "dist", F.col("ctf").cast("long").alias("ctf"))
     )
+
+
+# --- typeahead prefix suggestions -------------------------------------------
+
+#: the reference indexes word prefixes up to 16 chars; longer probes hit the
+#: 16-char bucket and post-filter (PrefixSearchStructure.java:18-19,136-150)
+MAX_INDEXED_PREFIX = 16
+#: probes shorter than this return no suggestions (Suggestions.java:24,94-109)
+MIN_SUGGEST_LENGTH = 3
+
+
+def prefix_suggest(
+    lexicon: DataFrame,
+    probes: list[str],
+    k: int = 10,
+    min_word_len: int = 4,
+    min_count: int = 2,
+) -> DataFrame:
+    """Typeahead completions over the corpus lexicon — the reference's
+    suggestions service (``code/services-core/assistant-service/java/nu/
+    marginalia/assistant/suggest/Suggestions.java:90-130`` serving
+    ``PrefixSearchStructure.getTopCompletions``): top-``k`` dictionary
+    words per probe prefix, highest score first.
+
+    Reference semantics mirrored: probes are lowercased and left-stripped
+    (``Suggestions.java:98``); probes shorter than ``MIN_SUGGEST_LENGTH``
+    yield nothing (``:94-96,107-109``); only words longer than 3 chars
+    with count > 1 enter the dictionary (``:55,79``); results are ranked
+    score-descending (``:116``) — score here is the lexicon's collection
+    frequency, with ties pinned to ascending term (the reference leaves
+    tie order to sort stability; pinning makes the result reproducible).
+
+    Spark-first shape — the reference's in-heap prefix hash index becomes
+    an equi-join key: each lexicon term emits its prefix at each DISTINCT
+    probe length (capped at ``MAX_INDEXED_PREFIX``, the reference's own
+    bucket cap), the tiny probe relation broadcasts, and probes longer
+    than the cap post-filter with ``startswith`` exactly like the
+    reference's long-prefix fallback. No nested-loop LIKE join, no full
+    lexicon sort: one broadcast hash join + one per-probe top-k window.
+    At rest the lexicon is term-sorted parquet, so a single-probe lookup
+    also prunes to the matching row groups via min/max stats.
+    """
+    norm = sorted(
+        {p.lower().lstrip() for p in probes if len(p.lower().lstrip()) >= MIN_SUGGEST_LENGTH}
+    )
+    spark = lexicon.sparkSession
+    if not norm:
+        return spark.createDataFrame(
+            [], "probe string, suggestion string, ctf long"
+        )
+    pdf = spark.createDataFrame(
+        [(p, min(len(p), MAX_INDEXED_PREFIX)) for p in norm],
+        "probe string, plen int",
+    )
+    plens = sorted({min(len(p), MAX_INDEXED_PREFIX) for p in norm})
+    words = lexicon.filter(
+        (F.length("term") >= min_word_len) & (F.col("ctf") >= min_count)
+    )
+    keyed = words.select(
+        "term",
+        "ctf",
+        F.explode(
+            F.array(*[F.struct(F.lit(n).alias("plen"),
+                               F.substring("term", 1, n).alias("key"))
+                      for n in plens])
+        ).alias("pk"),
+    ).select("term", "ctf", F.col("pk.plen").alias("plen"), F.col("pk.key").alias("key"))
+    cand = keyed.join(
+        F.broadcast(
+            pdf.withColumn("key", F.col("probe").substr(F.lit(1), F.col("plen")))
+        ),
+        ["plen", "key"],
+    ).filter(F.col("term").startswith(F.col("probe")))
+    w = Window.partitionBy("probe").orderBy(F.col("ctf").desc(), "term")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("probe", F.col("term").alias("suggestion"), F.col("ctf").cast("long").alias("ctf"))
+    )

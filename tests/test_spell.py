@@ -130,3 +130,96 @@ class TestSuggest:
         didx = spell.build_deletes_index(lex, max_edits=2, max_term_length=24)
         terms = {r["term"] for r in didx.select("term").distinct().collect()}
         assert terms == {"short"}
+
+
+def _brute_prefix(lexicon, probes, k=10, min_word_len=4, min_count=2):
+    """Reference-semantics brute force for prefix_suggest (Suggestions.java:
+    90-130): normalize probes, drop short ones, rank ctf DESC then term."""
+    norm = sorted(
+        {p.lower().lstrip() for p in probes if len(p.lower().lstrip()) >= 3}
+    )
+    out = []
+    for p in norm:
+        cands = [
+            (t, c)
+            for t, c in lexicon
+            if len(t) >= min_word_len and c >= min_count and t.startswith(p)
+        ]
+        cands.sort(key=lambda tc: (-tc[1], tc[0]))
+        out += [(p, t, c) for t, c in cands[:k]]
+    return out
+
+
+PREFIX_LEXICON = LEXICON + [
+    ("sparse", 40),      # ties spork at ctf 40 under probe "sp*"
+    ("quantum", 3),
+    ("quo", 9),          # len 3 < min_word_len=4 → never suggested
+    ("rare", 1),         # ctf 1 < min_count=2 → never suggested
+    ("supercalifragilisticexpialidocious", 4),   # > 16-char prefix bucket
+    ("supercalifragilisticontrarian", 6),        # same first 16 chars
+]
+
+
+class TestPrefixSuggest:
+    @pytest.fixture(scope="class")
+    def plex(self, spark):
+        return spark.createDataFrame(
+            PREFIX_LEXICON, "term string, ctf long"
+        ).cache()
+
+    @pytest.mark.parametrize(
+        "probes",
+        [
+            ["spar"],                      # multi-completion: spark, sparkle, sparse
+            ["cha", "que"],                # chart/charts; query/queue
+            ["  SPAR", "spar"],            # normalization collapses to one probe
+            ["qu", "x"],                   # all too short → empty
+            ["quan", "nosuchprefix"],
+        ],
+    )
+    def test_equals_brute_force(self, spark, plex, probes):
+        got = [
+            (r["probe"], r["suggestion"], r["ctf"])
+            for r in spell.prefix_suggest(plex, probes, k=10)
+            .orderBy("probe", F.desc("ctf"), "suggestion")
+            .collect()
+        ]
+        assert got == _brute_prefix(PREFIX_LEXICON, probes)
+
+    def test_ranking_ctf_desc_then_term(self, spark, plex):
+        rows = spell.prefix_suggest(plex, ["sp"], k=10).collect()
+        assert rows == []  # "sp" is below MIN_SUGGEST_LENGTH
+        rows = spell.prefix_suggest(plex, ["spa"], k=10).collect()
+        ranked = [(r["suggestion"], r["ctf"]) for r in rows]
+        # spark(100) > sparkle/sparse... sparse(40) ties nothing here but
+        # spork is under "spo"; within equal ctf term ascending
+        assert ranked[0] == ("spark", 100)
+        for (s1, c1), (s2, c2) in zip(ranked, ranked[1:]):
+            assert (-c1, s1) < (-c2, s2)
+
+    def test_long_probe_beyond_indexed_cap(self, spark, plex):
+        """Probes longer than MAX_INDEXED_PREFIX join on the 16-char bucket
+        and post-filter, exactly like the reference's long-prefix fallback
+        (PrefixSearchStructure.java:136-150)."""
+        probe = "supercalifragilisticexp"  # 23 chars, one of two bucket-mates
+        got = [
+            (r["suggestion"], r["ctf"])
+            for r in spell.prefix_suggest(plex, [probe], k=10).collect()
+        ]
+        assert got == [("supercalifragilisticexpialidocious", 4)]
+
+    def test_gates_and_k(self, spark, plex):
+        # min_word_len and min_count gates
+        got = {r["suggestion"] for r in spell.prefix_suggest(plex, ["quo"], k=10).collect()}
+        assert "quo" not in got
+        got = {r["suggestion"] for r in spell.prefix_suggest(plex, ["rare"], k=10).collect()}
+        assert got == set()
+        # k caps per probe
+        rows = spell.prefix_suggest(plex, ["spa", "que"], k=1).collect()
+        per = {}
+        for r in rows:
+            per[r["probe"]] = per.get(r["probe"], 0) + 1
+        assert all(v <= 1 for v in per.values()) and len(per) == 2
+
+    def test_empty_probes(self, spark, plex):
+        assert spell.prefix_suggest(plex, ["a", "  "], k=5).count() == 0

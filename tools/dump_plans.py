@@ -149,6 +149,23 @@ def main() -> None:
         )
     )
 
+    psugg = spell.prefix_suggest(
+        reader.lexicon.select("term", "ctf"), ["cus", "quer", "slo"], k=5
+    )
+    sections.append(
+        (
+            "Typeahead prefix suggest (probes `cus quer slo`)",
+            "Things to check: the tiny probe relation enters a "
+            "`BroadcastHashJoin` on the capped-prefix equi-key (plen, key) "
+            "— the lexicon is never shuffled for the match itself — the "
+            "`StartsWith` long-probe fallback rides the join condition, and "
+            "the per-probe top-k is `WindowGroupLimit` Partial → Final "
+            "(map-side rank pushdown before the single probe-partition "
+            "exchange).",
+            fmt(psugg),
+        )
+    )
+
     spans = dedup.duplicate_spans(
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(64),
         window=8,
