@@ -71,7 +71,7 @@ from marginaliasearch_spark.sources.transcripts import documents_as_transcripts
 # shared constants (must mirror the engine AND the oracle SQL)
 # ---------------------------------------------------------------------------
 
-_CACHE_VERSION = "v11"  # bump on any postings/journal wire-format change
+_CACHE_VERSION = "v12"  # bump on any postings/journal wire-format change
 _K = 20
 # deterministic query vector for similarity search (inlined into oracle SQL)
 _QVEC = [float((i * 37) % 19 - 9) / 10.0 for i in range(64)]
@@ -422,6 +422,7 @@ def _flag_partial_sql(term: str) -> str:
 def _bm25_sql(
     paths: list[list[str]],
     exclude: list[str] | None = None,
+    advice: list[str] | None = None,
     priority: list[str] | None = None,
     phrases: list[list[str]] | None = None,
     len_gt: int | None = None,
@@ -433,6 +434,7 @@ def _bm25_sql(
     lang: str | None = None,
     weighted: bool = False,
     rank_max: int | None = None,
+    year_cmp: tuple[str, int] | None = None,
     group_cap: tuple[int, int] | None = None,
     decorate: bool = False,
     opt_windows: list[list[str]] | None = None,
@@ -475,6 +477,12 @@ def _bm25_sql(
             f"NOT EXISTS (SELECT 1 FROM tf x WHERE x.doc_id = d.doc_id"
             f" AND x.term = '{w}')"
         )
+    # advisory terms: required to match, absent from the score expression
+    for w in advice or []:
+        wheres.append(
+            f"EXISTS (SELECT 1 FROM tf a WHERE a.doc_id = d.doc_id"
+            f" AND a.term = '{w}')"
+        )
     for ph in phrases or []:
         conds = " AND ".join(
             f"EXISTS (SELECT 1 FROM tok p{j} WHERE p{j}.doc_id = d.doc_id"
@@ -487,6 +495,12 @@ def _bm25_sql(
         )
     if len_gt is not None:
         wheres.append(f"d.doc_len > {len_gt}")
+    if year_cmp is not None:
+        # the index stamps year = year(first turn ts); driver data derives
+        # ts deterministically from doc_id (sources/transcripts.py:
+        # documents_as_transcripts), so the oracle recomputes it inline
+        op, val = year_cmp
+        wheres.append(f"(2020 + d.doc_id % 6) {op} {val}")
     if role_mod is not None:
         # role gate on single-turn docs = congruence class of doc_id % 4
         wheres.append(f"d.doc_id % 4 = {role_mod}")
@@ -1235,6 +1249,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rank-bucket specification limit (RankTerm analogue): restrict to
         # the top quality classes stamped in the doc-id high bits
         "fulltext_bm25_rank": _search("scan rank<=15"),
+        # YearTerm specification limit (QueryParser.java:229-231)
+        "fulltext_bm25_year": _search("scan year>2022"),
+        # advisory paren group (handleAdvisoryTerms): must match, unranked
+        "fulltext_bm25_advice": _search("scan ( batch filter )"),
         # per-group result cap (A7) + decoration join (J7)
         # incremental merge served through the gate: merged(half A, half B)
         # must hash-match the FULL-build oracle
@@ -1383,6 +1401,10 @@ SELECT doc_id, 0.0 AS score FROM doclen WHERE 1 = 0""",
         "fulltext_bm25_lang": _bm25_sql([["spark", "join"]], lang="en"),
         "fulltext_bm25_weighted": _bm25_sql([["spark", "join"]], weighted=True),
         "fulltext_bm25_rank": _bm25_sql([["scan"]], rank_max=15),
+        "fulltext_bm25_year": _bm25_sql([["scan"]], year_cmp=(">", 2022)),
+        "fulltext_bm25_advice": _bm25_sql(
+            [["scan"]], advice=["batch", "filter"]
+        ),
         "fulltext_group_cap": _bm25_sql([["scan"]], group_cap=(2, 10)),
         "fulltext_decorated": _bm25_sql([["spark", "join"]], decorate=True),
         # expansion seam: variant paths present only if their joined token

@@ -107,6 +107,8 @@ BENCH_QUERIES = [
     "sim_quantized_topk",
     "rank_pagerank",
     "index_prefix_suggest",
+    "fulltext_bm25_year",
+    "fulltext_bm25_advice",
 ]
 
 

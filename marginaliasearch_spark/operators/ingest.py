@@ -50,7 +50,8 @@ from ..functions.tokenizer import (
 # byte concatenation (see functions/blocks.py)
 JOURNAL_SCHEMA = (
     "conv_id string, doc_id long, term string, tf int, wtf_q4 int, "
-    "positions binary, flags int, doc_len int, n_turns int, lang string"
+    "positions binary, flags int, doc_len int, n_turns int, lang string, "
+    "year int"
 )
 
 # Role-span weights for the BM25 count (quarter-scaled so the journal and
@@ -281,6 +282,7 @@ def _tokenize_convs(batches: "Iterator") -> "Iterator":
         )
         conv_col = conv_pa.take(all_docs)
         lang_col = lang_pa.take(all_docs)
+        year_col = rb.column(rb.schema.get_field_index("year")).take(all_docs)
         term_col = pa.concat_arrays(
             [pa.nulls(n_docs, pa.string()), term_dict.take(pa.array(g_codes))]
         )
@@ -305,6 +307,9 @@ def _tokenize_convs(batches: "Iterator") -> "Iterator":
                 lang_col.combine_chunks()
                 if isinstance(lang_col, pa.ChunkedArray)
                 else lang_col,
+                year_col.combine_chunks()
+                if isinstance(year_col, pa.ChunkedArray)
+                else year_col,
             ],
             names=[
                 "conv_id",
@@ -317,6 +322,7 @@ def _tokenize_convs(batches: "Iterator") -> "Iterator":
                 "doc_len",
                 "n_turns",
                 "lang",
+                "year",
             ],
         )
 
@@ -352,10 +358,20 @@ def build_journal(
             )
         )
     )
+    # document year = year of the conversation's first turn (the reference
+    # stamps a year into DocumentMetadata for the year[=><] specification
+    # limit, QueryParser.java:229-231 / DocumentMetadata year bits); a
+    # ts-less source (unit-test fixtures) stamps 0 = "unknown"
+    year_aggs = (
+        [F.year(F.min("ts")).cast("int").alias("year")]
+        if "ts" in transcripts.columns
+        else [F.min(F.lit(0)).cast("int").alias("year")]
+    )
     conv_docs = transcripts.groupBy("conv_id").agg(
         F.array_join(
             F.transform(sorted_turns, lambda s: s["text"]), _BREAK_SEP
         ).alias("full_text"),
+        *year_aggs,
         # per-turn flag byte, aligned with the turn segments of full_text
         F.transform(
             sorted_turns,
@@ -387,7 +403,7 @@ def build_journal(
     # (_lang_batch) — one pyarrow pass per batch
     conv_docs = conv_docs.withColumn(
         "doc_id", doc_id_for_conv("conv_id", rank_col)
-    ).select("conv_id", "doc_id", "full_text", "turn_flags", "n_turns")
+    ).select("conv_id", "doc_id", "full_text", "turn_flags", "n_turns", "year")
     journal = conv_docs.mapInArrow(_tokenize_convs, schema=JOURNAL_SCHEMA)
     return journal.select(
         "doc_id",
@@ -401,6 +417,7 @@ def build_journal(
         "doc_len",
         "n_turns",
         "lang",
+        "year",
     )
 
 
@@ -433,7 +450,7 @@ def doc_stats(journal: DataFrame) -> DataFrame:
     so no shuffle (the reference's forward index,
     ForwardIndexConverter.java:65-160)."""
     return journal.filter(F.col("term").isNull()).select(
-        "doc_id", "conv_id", "doc_len", "n_turns", "lang"
+        "doc_id", "conv_id", "doc_len", "n_turns", "lang", "year"
     )
 
 

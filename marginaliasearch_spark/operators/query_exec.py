@@ -419,7 +419,9 @@ def run_query(
     phrase_terms = sorted({w for ph in pq.phrases for w in ph})
     # lang-scoped queries take df/N from that language's lexicon partition
     # and restrict candidates to its documents (per-language index surface)
-    stats = reader.term_stats(include_terms + pq.exclude + pq.priority, lang=lang)
+    stats = reader.term_stats(
+        include_terms + pq.exclude + pq.priority + pq.advice, lang=lang
+    )
     n_corpus = (
         reader.lang_doc_counts.get(lang, 0.0) if lang is not None else reader.n_docs
     )
@@ -439,6 +441,10 @@ def run_query(
         return empty()
     live_terms = sorted({w for p in live_paths for w in p} | set(phrase_terms))
     if any(w not in stats for w in live_terms):
+        return empty()
+    # an advisory term absent from the lexicon can match no document —
+    # required-but-unranked semantics make the result empty up front
+    if any(w not in stats for w in pq.advice):
         return empty()
 
     # ---- candidate generation: rarest term drives, per OR-path union ----
@@ -700,6 +706,25 @@ def run_query(
                 "left_anti",
             )
 
+    # ---- advisory terms: semi-join retain (AdviceTerm — required to
+    # match, excluded from ranking; QueryParser.java:25, the advice terms
+    # become retain filters but never enter the compiled score). Same
+    # candidate-pruned decode as exclusions: a head advice term skips
+    # blocks outside the candidate superset instead of scanning unpruned.
+    for word in pq.advice:
+        prune = (
+            _lazy_cand_bc()
+            if stats[word][1] > PRUNE_DF_THRESHOLD
+            else cand_bc
+        )
+        cand = cand.join(
+            reader.decode_term(
+                stats[word][0], candidates=prune, lang=lang
+            ).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+
     # ---- phrase constraints ----
     for ph in pq.phrases:
         cand = _phrase_filter(cand, ph)
@@ -719,6 +744,9 @@ def run_query(
             "turns": F.col("n_turns"),
             "len": F.col("doc_len"),
             "rank": F.shiftrightunsigned(F.col("doc_id"), 57),
+            # YearTerm specification limit (QueryParser.java:229-231) over
+            # the year stamped into doc stats at build time
+            "year": F.col("year"),
         }[lim.field]
         cand = cand.filter(getattr(col, op_map[lim.op])(F.lit(lim.value)))
 

@@ -118,6 +118,11 @@ class ParsedQuery:
     include: object | None = None  # And/Or/Term tree over normalized terms
     exclude: list[str] = field(default_factory=list)
     priority: list[str] = field(default_factory=list)
+    # advisory terms: ``( word ... )`` without ``|`` — required to match
+    # but contribute NOTHING to ranking (the reference's AdviceTerm,
+    # QueryParser.java:25 handleAdvisoryTerms; carried as
+    # searchTermsAdvice, excluded from the compiled ranking expression)
+    advice: list[str] = field(default_factory=list)
     phrases: list[list[str]] = field(default_factory=list)
     # optional phrase-constraint groups (reference: QueryFactory adds
     # expansion-produced segments as SearchPhraseConstraint.optional,
@@ -187,7 +192,16 @@ def parse_query(q: str) -> ParsedQuery:
                 and_items.extend(Term(w) for w in words)
             continue
         if raw.startswith("("):
-            and_items.append(parse_compiled(raw.lower()))
+            # ``( a | b )`` = compiled OR alternatives (ranked); a paren
+            # group with no ``|`` is the reference's ADVISORY group
+            # (QueryParser.java:25 handleAdvisoryTerms): the terms must
+            # match but are excluded from ranking
+            if "|" in raw:
+                and_items.append(parse_compiled(raw.lower()))
+            else:
+                inner = raw[1:-1] if raw.endswith(")") else raw[1:]
+                for tok in inner.split():
+                    out.advice.extend(_normalize(tok))
             continue
         if raw.lower().startswith("in:"):
             out.gates.append(raw[3:].lower())

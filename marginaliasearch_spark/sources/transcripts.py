@@ -230,5 +230,10 @@ def documents_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
         role.alias("role"),
         F.col("text"),
         F.lit("").alias("tool"),
-        F.lit(_EPOCH).cast("timestamp").alias("ts"),
+        # deterministic per-doc year (2020..2025) so the year[=><] spec
+        # limit is exercisable on driver data and stays a pure doc_id
+        # expression the DuckDB oracles can recompute
+        F.expr(
+            "make_timestamp(2020 + pmod(doc_id, 6), 1, 1, 0, 0, 0)"
+        ).alias("ts"),
     )

@@ -240,3 +240,122 @@ class TestParallelismInvariance:
             }
 
         assert decoded(roots[0]) == decoded(roots[1])
+
+
+class TestYearSpecLimit:
+    """`year[=><]N` — the reference's YearTerm specification limit
+    (QueryParser.java:229-231) over the year stamped into doc stats from
+    the conversation's first turn timestamp."""
+
+    @pytest.fixture(scope="class")
+    def year_index(self, spark, tmp_path_factory):
+        import datetime
+
+        from marginaliasearch_spark.sources.transcripts import (
+            TRANSCRIPT_SCHEMA,
+        )
+
+        rows = [
+            (
+                f"y{i}",
+                t,
+                "user",
+                "common marker",
+                "",
+                # first turn pins the year; a later turn in a DIFFERENT
+                # year must not move it (min-ts semantics)
+                datetime.datetime(2020 + i % 4 + t, 3, 1 + i % 20),
+            )
+            for i in range(16)
+            for t in range(2)
+        ]
+        df = spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA)
+        root = str(tmp_path_factory.mktemp("year_idx"))
+        build_index(spark, df, root, n_buckets=1)
+        return IndexReader(spark, root_paths(root))
+
+    def _ids(self, df):
+        return {int(r["conv_id"][1:]) for r in df.collect()}
+
+    def test_year_gt(self, year_index):
+        got = self._ids(run_query(year_index, "common year>2021", k=100))
+        assert got == {i for i in range(16) if 2020 + i % 4 > 2021}
+
+    def test_year_eq(self, year_index):
+        got = self._ids(run_query(year_index, "common year=2020", k=100))
+        assert got == {i for i in range(16) if i % 4 == 0}
+
+    def test_year_le_all(self, year_index):
+        got = self._ids(run_query(year_index, "common year<=2023", k=100))
+        assert got == set(range(16))
+
+    def test_tsless_source_stamps_zero(self, spark):
+        from marginaliasearch_spark.operators.ingest import (
+            build_journal,
+            doc_stats,
+        )
+
+        df = spark.createDataFrame(
+            [("c0", 0, "user", "hello world", "")],
+            "conv_id string, turn_idx int, role string, text string, tool string",
+        )
+        ds = doc_stats(build_journal(df)).collect()
+        assert len(ds) == 1 and ds[0]["year"] == 0
+
+
+class TestAdvisoryTerms:
+    """``( word ... )`` without ``|`` = the reference's advisory group
+    (QueryParser.java:25 handleAdvisoryTerms): terms must match but are
+    excluded from ranking."""
+
+    def test_advice_filters_without_scoring(self, factor_index):
+        # factor2 ( factor3 ) → multiples of 6, scored by factor2 ONLY:
+        # every result must score identically to the same doc in the plain
+        # factor2 query (advice contributes nothing to the score)
+        plain = {
+            r["doc_id"]: r["score"]
+            for r in run_query(factor_index, "factor2", k=1000).collect()
+        }
+        adv = run_query(factor_index, "factor2 ( factor3 )", k=1000).collect()
+        assert {int(r["conv_id"].removeprefix("conv")) for r in adv} == {
+            i for i in range(1, 513) if i % 6 == 0
+        }
+        for r in adv:
+            assert r["score"] == plain[r["doc_id"]]
+
+    def test_advice_differs_from_ranked_and(self, factor_index):
+        # same candidate set as the ranked AND, different scores
+        ranked = run_query(factor_index, "factor2 factor3", k=1000).collect()
+        adv = run_query(factor_index, "factor2 ( factor3 )", k=1000).collect()
+        assert {r["doc_id"] for r in ranked} == {r["doc_id"] for r in adv}
+        s_ranked = {r["doc_id"]: r["score"] for r in ranked}
+        assert any(s_ranked[r["doc_id"]] != r["score"] for r in adv)
+
+    def test_unknown_advice_term_empties(self, factor_index):
+        assert run_query(factor_index, "factor2 ( factor9999 )", k=10).count() == 0
+
+    def test_multiword_advice_group(self, factor_index):
+        got = {
+            int(r["conv_id"].removeprefix("conv"))
+            for r in run_query(
+                factor_index, "factor5 ( factor3 factor4 )", k=1000
+            ).collect()
+        }
+        assert got == {i for i in range(1, 513) if i % 60 == 0}
+
+    def test_or_parens_still_compiled(self, factor_index):
+        # a paren group WITH | keeps compiled-OR semantics (ranked)
+        res = run_query(factor_index, "( factor509 | factor510 ) factor2", k=100)
+        got = {int(r["conv_id"].removeprefix("conv")) for r in res.collect()}
+        assert got == {
+            i for i in range(1, 513) if i % 2 == 0 and (i % 509 == 0 or i % 510 == 0)
+        }
+
+    def test_wand_matches_plain_with_advice(self, factor_index):
+        from marginaliasearch_spark.operators.query_exec import run_query_wand
+
+        a = run_query(factor_index, "factor2 ( factor3 )", k=20).collect()
+        b = run_query_wand(factor_index, "factor2 ( factor3 )", k=20).collect()
+        assert [(r["doc_id"], r["score"]) for r in a] == [
+            (r["doc_id"], r["score"]) for r in b
+        ]
