@@ -42,6 +42,7 @@ from marginaliasearch_spark.operators import (
     bpe,
     decontam,
     dedup,
+    dsir,
     multimodal,
     ranking,
     redact,
@@ -1021,6 +1022,26 @@ def _q_prefix_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: DSIR target pool for the driver entries: three of the twenty sources
+_DSIR_TARGET = ("src0", "src1", "src2")
+
+
+def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed-ngram importance weights (Xie et al. 2023): every
+    raw-pool document's log importance ratio toward the target sources
+    (operators/dsir.py — bucket tables broadcast, left-fold weight sum)."""
+    return dsir.importance_weights(
+        _docs(spark, sf_dir), F.col("source").isin(*_DSIR_TARGET)
+    )
+
+
+def _q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic top-100 importance resample from the raw pool."""
+    return dsir.importance_resample(
+        _docs(spark, sf_dir), F.col("source").isin(*_DSIR_TARGET), n=100
+    )
+
+
 def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suffix-array-style duplicated-span detection (Lee et al. 2022
     analogue): maximal token ranges covered by an 8-token window that
@@ -1299,6 +1320,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- deterministic corpus sampling / splits ---
         "sample_split": _q_sample_split,
         "sample_stratified": _q_sample_stratified,
+        # DSIR hashed-ngram importance weights + deterministic resample
+        "dsir_weights": _q_dsir_weights,
+        "dsir_resample": _q_dsir_resample,
         # temperature-scaled mixing quota (mC4/XLM-R style)
         "sample_temperature": _q_sample_temperature,
         # sequence packing via two-pass distributed prefix sum (W1)
@@ -1589,6 +1613,10 @@ WHERE NOT EXISTS (
   WHERE c.doc_id = d.doc_id AND c.component <> c.doc_id)""",
         # deterministic hash split (salted md5 → 60-bit uint → % 100
         # buckets: train [0,98), val [98,99), test [99,100))
+        "dsir_weights": sql_oracles.dsir_weights_sql(_DSIR_TARGET),
+        "dsir_resample": sql_oracles.dsir_weights_sql(
+            _DSIR_TARGET, top_n=100
+        ),
         "sample_split": """
 WITH hs AS (
   SELECT doc_id, length(text) AS len,

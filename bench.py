@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "index_prefix_suggest",
     "fulltext_bm25_year",
     "fulltext_bm25_advice",
+    "dsir_resample",
 ]
 
 

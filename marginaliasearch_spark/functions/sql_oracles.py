@@ -747,3 +747,74 @@ SELECT id AS vec_id, s AS score,
        row_number() OVER (ORDER BY s DESC, id) - 1 AS rank
 FROM prit{iterations}
 ORDER BY s DESC, id LIMIT {k}"""
+
+
+# --- DSIR importance-resampling oracles -------------------------------------
+
+
+def dsir_weights_sql(
+    targets: tuple[str, ...],
+    n_buckets: int = 4096,
+    salt: str = "dsir-v1",
+    top_n: int | None = None,
+) -> str:
+    """Exact DuckDB twin of ``dsir.importance_weights`` (and, with
+    ``top_n``, ``dsir.importance_resample``).
+
+    Replays the engine byte for byte: the dedup-style token relation,
+    1-based bigram construction, the salted-md5 bucket hash, exact-integer
+    per-bucket totals, the identical scalar log-ratio expression, and —
+    the part that makes the doubles match — the per-doc weight as a
+    left-to-right ``list_reduce`` fold over contributions in ascending
+    bucket order, mirroring the engine's ``F.aggregate`` over a
+    bucket-sorted array (dsir.py:importance_weights). Only the final
+    weight is rounded (to 6), same as the engine.
+    """
+    tlist = ", ".join(f"'{t}'" for t in targets)
+    order = (
+        f"ORDER BY logw DESC, doc_id ASC LIMIT {top_n}" if top_n else ""
+    )
+    return f"""
+WITH dtoks AS (
+  SELECT doc_id, source IN ({tlist}) AS is_target,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '' AND length(t) < 64) AS l
+  FROM documents
+),
+dng AS (
+  SELECT doc_id, is_target, unnest(l) AS ng FROM dtoks
+  UNION ALL
+  SELECT doc_id, is_target,
+         unnest(list_transform(range(1, len(l)),
+                               i -> l[i] || ' ' || l[i + 1]))
+  FROM dtoks
+),
+dcnt AS (
+  SELECT doc_id, is_target,
+         ('0x' || substr(md5('{salt}:' || ng), 1, 15))::BIGINT
+           % {n_buckets} AS bucket,
+         count(*)::BIGINT AS cnt
+  FROM dng GROUP BY 1, 2, 3
+),
+ddist AS (
+  SELECT bucket,
+         sum(CASE WHEN is_target THEN cnt ELSE 0 END)::BIGINT AS tcnt,
+         sum(CASE WHEN NOT is_target THEN cnt ELSE 0 END)::BIGINT AS rcnt
+  FROM dcnt GROUP BY bucket
+),
+dtot AS (SELECT sum(tcnt)::BIGINT AS t, sum(rcnt)::BIGINT AS r FROM ddist),
+dlr AS (
+  SELECT bucket,
+         ln((tcnt::DOUBLE + 1.0) / (t + {n_buckets})::DOUBLE)
+       - ln((rcnt::DOUBLE + 1.0) / (r + {n_buckets})::DOUBLE) AS lr
+  FROM ddist, dtot
+),
+dcontrib AS (
+  SELECT c.doc_id, c.bucket, c.cnt::DOUBLE * dlr.lr AS contrib
+  FROM dcnt c JOIN dlr USING (bucket) WHERE NOT c.is_target
+)
+SELECT doc_id,
+       round(list_reduce(list_prepend(0.0::DOUBLE,
+                                      list(contrib ORDER BY bucket)),
+                         (a, x) -> a + x), 6) AS logw
+FROM dcontrib GROUP BY doc_id {order}"""

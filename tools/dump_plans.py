@@ -183,9 +183,28 @@ def main() -> None:
         )
     )
 
-    from marginaliasearch_spark.operators import decontam, textstats
+    from marginaliasearch_spark.operators import decontam, dsir, textstats
 
     raw_docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    dsirw = dsir.importance_resample(
+        raw_docs, F.col("source").isin("src0", "src1", "src2"), n=100
+    )
+    sections.append(
+        (
+            "DSIR importance resample (hashed-ngram weights → top-100)",
+            "Things to check: the (doc, bucket) counts are ONE partial-"
+            "first `HashAggregate` pair over pure codegen expressions "
+            "(regex tokenize, zip_with bigrams, md5 bucket hash — no "
+            "Python anywhere); the O(4096)-row log-ratio table enters a "
+            "`BroadcastHashJoin` (the corpus-sized side never shuffles "
+            "for it); the per-doc fold is one `ObjectHashAggregate` "
+            "(collect_list) on doc_id; the final selection is "
+            "`TakeOrderedAndProject`, not a global sort.",
+            fmt(dsirw),
+        )
+    )
+
     cont = decontam.contamination(raw_docs, shingle_width=3)
     sections.append(
         (
