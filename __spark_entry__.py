@@ -43,6 +43,7 @@ from marginaliasearch_spark.operators import (
     decontam,
     dedup,
     dsir,
+    lm,
     multimodal,
     ranking,
     redact,
@@ -1042,6 +1043,15 @@ def _q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality gate (Wenzek et al. 2020): Stupid Backoff
+    bigram LM (Brants et al. 2007) counted on the target sources, pseudo-
+    perplexity scored over every other document (operators/lm.py)."""
+    docs = _docs(spark, sf_dir)
+    pred = F.col("source").isin(*_DSIR_TARGET)
+    return lm.stupid_backoff_scores(docs.filter(~pred), docs.filter(pred))
+
+
 def _q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suffix-array-style duplicated-span detection (Lee et al. 2022
     analogue): maximal token ranges covered by an 8-token window that
@@ -1323,6 +1333,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DSIR hashed-ngram importance weights + deterministic resample
         "dsir_weights": _q_dsir_weights,
         "dsir_resample": _q_dsir_resample,
+        # Stupid Backoff LM perplexity gate (CCNet-style quality filter)
+        "lm_perplexity": _q_lm_ppl,
         # temperature-scaled mixing quota (mC4/XLM-R style)
         "sample_temperature": _q_sample_temperature,
         # sequence packing via two-pass distributed prefix sum (W1)
@@ -1617,6 +1629,7 @@ WHERE NOT EXISTS (
         "dsir_resample": sql_oracles.dsir_weights_sql(
             _DSIR_TARGET, top_n=100
         ),
+        "lm_perplexity": sql_oracles.stupid_backoff_sql(_DSIR_TARGET),
         "sample_split": """
 WITH hs AS (
   SELECT doc_id, length(text) AS len,

@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "fulltext_bm25_year",
     "fulltext_bm25_advice",
     "dsir_resample",
+    "lm_perplexity",
 ]
 
 

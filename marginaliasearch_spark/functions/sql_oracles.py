@@ -818,3 +818,71 @@ SELECT doc_id,
                                       list(contrib ORDER BY bucket)),
                          (a, x) -> a + x), 6) AS logw
 FROM dcontrib GROUP BY doc_id {order}"""
+
+
+def stupid_backoff_sql(targets: tuple[str, ...]) -> str:
+    """Exact DuckDB twin of ``lm.stupid_backoff_scores`` with the LM
+    counted on ``source IN targets`` and every other document scored.
+
+    Replays the engine op for op: the dedup-style token relation, 1-based
+    adjacent-pair construction, exact-integer bigram/unigram counts, the
+    identical per-transition CASE (seen ratio vs add-1 backoff with
+    ``0.4::DOUBLE`` and the exact ``(N + V)`` denominator), the per-doc
+    left-fold over transitions in ascending position order
+    (``list_reduce`` ↔ the engine's ``F.aggregate`` over a pos-sorted
+    array), logprob rounded to 6 FIRST, and ppl derived from the rounded
+    logprob — the same two final float ops in the same order.
+    """
+    tlist = ", ".join(f"'{t}'" for t in targets)
+    return f"""
+WITH lmtok AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '' AND length(t) < 64) AS l
+  FROM documents WHERE source IN ({tlist})
+),
+uni AS (
+  SELECT term, count(*)::BIGINT AS uc
+  FROM (SELECT unnest(l) AS term FROM lmtok) GROUP BY term
+),
+big AS (
+  SELECT pc['prev'] AS prev, pc['cur'] AS cur, count(*)::BIGINT AS bc
+  FROM (
+    SELECT unnest(list_transform(range(1, len(l)),
+                                 i -> {{'prev': l[i], 'cur': l[i + 1]}})) AS pc
+    FROM lmtok
+  ) GROUP BY 1, 2
+),
+tot AS (SELECT sum(uc)::BIGINT AS n, count(*)::BIGINT AS v FROM uni),
+ptok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '' AND length(t) < 64) AS l
+  FROM documents WHERE source NOT IN ({tlist})
+),
+ptr AS (
+  SELECT doc_id, i - 1 AS pos, l[i] AS prev, l[i + 1] AS cur
+  FROM ptok, unnest(range(1, len(l))) AS t(i)
+),
+sc AS (
+  SELECT p.doc_id, p.pos,
+         CASE WHEN b.bc IS NOT NULL AND u.uc IS NOT NULL
+              THEN ln(b.bc::DOUBLE / u.uc::DOUBLE)
+              ELSE ln(0.4::DOUBLE * (coalesce(cu.uc, 0)::DOUBLE + 1.0)
+                      / (tot.n + tot.v)::DOUBLE)
+         END AS lp
+  FROM ptr p
+  LEFT JOIN big b ON b.prev = p.prev AND b.cur = p.cur
+  LEFT JOIN uni u ON u.term = p.prev
+  LEFT JOIN uni cu ON cu.term = p.cur
+  CROSS JOIN tot
+),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_trans,
+         round(list_reduce(list_prepend(0.0::DOUBLE,
+                                        list(lp ORDER BY pos)),
+                           (a, x) -> a + x), 6) AS logprob
+  FROM sc GROUP BY doc_id
+)
+SELECT doc_id, n_trans, logprob,
+       round(exp(-logprob / n_trans::DOUBLE), 6) AS ppl
+FROM agg"""

@@ -205,6 +205,27 @@ def main() -> None:
         )
     )
 
+    from marginaliasearch_spark.operators import lm
+
+    lm_pred = F.col("source").isin("src0", "src1", "src2")
+    lmsc = lm.stupid_backoff_scores(
+        raw_docs.filter(~lm_pred), raw_docs.filter(lm_pred)
+    )
+    sections.append(
+        (
+            "Stupid Backoff LM perplexity (CCNet-style quality gate)",
+            "Things to check: adjacent-pair transitions are zip_with over "
+            "the token array (no positions self-join — one scan per "
+            "corpus); the bigram/unigram count tables meet the scored "
+            "transitions through joins co-keyed on the ngram (at 100 TB "
+            "these tables are vocabulary-sized, so the shuffle-hash-join "
+            "shape is the point — AQE may broadcast them at test scale); "
+            "count aggregations are partial-first `HashAggregate` pairs; "
+            "the per-doc fold is one `ObjectHashAggregate` on doc_id.",
+            fmt(lmsc),
+        )
+    )
+
     cont = decontam.contamination(raw_docs, shingle_width=3)
     sections.append(
         (
