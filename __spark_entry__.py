@@ -1043,6 +1043,30 @@ def _q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style corpus-boilerplate line removal
+    (dedup.strip_boilerplate). The driver corpus has no multiline text, so
+    the entry deterministically injects cookie-banner/footer chrome lines
+    (by doc_id congruence — each injected line occurs 100+ times, far over
+    min_count=3) and the operator must strip exactly those lines while
+    preserving every original line and the row count."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.pmod("doc_id", F.lit(2)) == 0,
+                F.lit("Cookie Notice: We Use Cookies\n"),
+            ).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(
+                F.pmod("doc_id", F.lit(3)) == 0,
+                F.lit("\nAll Rights Reserved"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return dedup.strip_boilerplate(docs, min_count=3).select("doc_id", "text")
+
+
 def _q_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality gate (Wenzek et al. 2020): Stupid Backoff
     bigram LM (Brants et al. 2007) counted on the target sources, pseudo-
@@ -1335,6 +1359,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_resample": _q_dsir_resample,
         # Stupid Backoff LM perplexity gate (CCNet-style quality filter)
         "lm_perplexity": _q_lm_ppl,
+        # corpus-boilerplate line removal (C4/RefinedWeb line dedup)
+        "dedup_line_removal": _q_line_removal,
         # temperature-scaled mixing quota (mC4/XLM-R style)
         "sample_temperature": _q_sample_temperature,
         # sequence packing via two-pass distributed prefix sum (W1)
@@ -1630,6 +1656,36 @@ WHERE NOT EXISTS (
             _DSIR_TARGET, top_n=100
         ),
         "lm_perplexity": sql_oracles.stupid_backoff_sql(_DSIR_TARGET),
+        # full twin: the same deterministic chrome injection, the same
+        # normalized-line >= 3 boilerplate set, removal with original
+        # line order preserved and row count kept (empty text survives)
+        "dedup_line_removal": """
+WITH injected AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0
+               THEN 'Cookie Notice: We Use Cookies' || chr(10) ELSE '' END)
+         || text
+         || (CASE WHEN doc_id % 3 = 0
+                  THEN chr(10) || 'All Rights Reserved' ELSE '' END) AS text
+  FROM documents
+),
+lns AS (
+  SELECT doc_id, i AS pos, l[i] AS line, trim(lower(l[i])) AS line_key
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM injected),
+       unnest(range(1, len(l) + 1)) AS t(i)
+),
+bp AS (
+  SELECT line_key FROM lns WHERE line_key <> ''
+  GROUP BY line_key HAVING count(*) >= 3
+)
+SELECT i.doc_id,
+       coalesce(
+         (SELECT string_agg(k.line, chr(10) ORDER BY k.pos)
+          FROM lns k
+          WHERE k.doc_id = i.doc_id
+            AND k.line_key NOT IN (SELECT line_key FROM bp)),
+         '') AS text
+FROM injected i""",
         "sample_split": """
 WITH hs AS (
   SELECT doc_id, length(text) AS len,

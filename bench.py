@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "fulltext_bm25_advice",
     "dsir_resample",
     "lm_perplexity",
+    "dedup_line_removal",
 ]
 
 

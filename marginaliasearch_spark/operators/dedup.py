@@ -884,3 +884,65 @@ def connected_components(
     return edges.union(centers).distinct().select(
         F.col("u").alias("doc_id"), F.col("v").alias("component")
     )
+
+
+# --- corpus-level boilerplate line removal -----------------------------------
+
+
+def boilerplate_lines(docs: DataFrame, min_count: int = 3) -> DataFrame:
+    """(line_key, n): normalized lines (trim + lowercase) that occur at
+    least ``min_count`` times across the corpus — navigation chrome,
+    cookie banners, license footers. The line-level analogue of C4's
+    repeated-span discard (Raffel et al. 2020 §2.2) as practiced by
+    RefinedWeb's line-wise corrections (Penedo et al. 2023 §3.2).
+
+    One partial-first count aggregation over codegen string expressions;
+    the result is corpus-boilerplate-sized (small), broadcastable into
+    the removal join. Empty/whitespace-only lines are never counted —
+    blank lines are document structure, not boilerplate.
+    """
+    lines = docs.select(
+        F.explode(F.split(F.col("text"), "\n")).alias("line")
+    ).select(F.trim(F.lower(F.col("line"))).alias("line_key"))
+    return (
+        lines.filter(F.col("line_key") != "")
+        .groupBy("line_key")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+
+
+def strip_boilerplate(docs: DataFrame, min_count: int = 3) -> DataFrame:
+    """documents with corpus-boilerplate lines removed: every line whose
+    normalized form occurs ``>= min_count`` times corpus-wide is dropped
+    from every document; surviving lines are rejoined in original order.
+    Row count is preserved (a fully-boilerplate document keeps an empty
+    text), so the op composes into filter chains.
+
+    Plan shape: the boilerplate set is (small) → broadcast anti-join on
+    the exploded line relation; rebuild is one per-doc aggregation with
+    positions carried so the join back is order-exact.
+    """
+    bp = boilerplate_lines(docs, min_count)
+    lines = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), "\n")).alias("pos", "line")
+    ).withColumn("line_key", F.trim(F.lower(F.col("line"))))
+    kept = lines.join(F.broadcast(bp.select("line_key")), "line_key", "left_anti")
+    rebuilt = (
+        kept.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "line"))).alias("ls"))
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform(F.col("ls"), lambda s: s["line"]), "\n"
+            ).alias("clean_text"),
+        )
+    )
+    return (
+        docs.join(rebuilt, "doc_id", "left")
+        .select(
+            *[c for c in docs.columns if c != "text"],
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("text"),
+        )
+        .select(*docs.columns)
+    )

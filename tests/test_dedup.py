@@ -329,3 +329,60 @@ def test_minhash_between_consistent_with_self_join(spark):
     # self-join orients doc_a < doc_b; between orients (A, B) — same here
     assert between == cross
     assert between[(0, 35)] == 1.0  # the identical doc is reported
+
+
+class TestBoilerplateLineRemoval:
+    """C4/RefinedWeb corpus-boilerplate line removal: lines repeated
+    >= min_count corpus-wide are stripped everywhere; originals, order,
+    blanks, and row count are preserved."""
+
+    DOCS = [
+        (1, "COOKIE banner\nreal content one\nfooter text"),
+        (2, "cookie banner\nreal content two\n\nfooter text"),
+        (3, "Cookie Banner  \nunique line\nfooter text"),
+        (4, "cookie banner\nfooter text"),         # fully boilerplate
+        (5, "solo document with one line"),
+        (6, ""),                                   # empty text
+    ]
+
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        return spark.createDataFrame(
+            self.DOCS, "doc_id long, text string"
+        ).cache()
+
+    def test_boilerplate_set(self, spark, docs):
+        got = {
+            (r["line_key"], r["n"])
+            for r in dedup.boilerplate_lines(docs, min_count=3).collect()
+        }
+        # case/trim-normalized: 'cookie banner' x4, 'footer text' x4;
+        # blanks never counted
+        assert got == {("cookie banner", 4), ("footer text", 4)}
+
+    def test_strip_preserves_rows_order_and_blanks(self, spark, docs):
+        out = {
+            r["doc_id"]: r["text"]
+            for r in dedup.strip_boilerplate(docs, min_count=3).collect()
+        }
+        assert len(out) == len(self.DOCS)
+        assert out[1] == "real content one"
+        assert out[2] == "real content two\n"       # blank line survives
+        assert out[3] == "unique line"
+        assert out[4] == ""                          # fully boilerplate
+        assert out[5] == "solo document with one line"
+        assert out[6] == ""
+
+    def test_min_count_boundary(self, spark, docs):
+        # at min_count=5 nothing repeats often enough — identity transform
+        out = {
+            r["doc_id"]: r["text"]
+            for r in dedup.strip_boilerplate(docs, min_count=5).collect()
+        }
+        assert out == {d: t for d, t in self.DOCS}
+
+    def test_extra_columns_pass_through(self, spark, docs):
+        df = docs.withColumn("source", F.concat(F.lit("s"), F.col("doc_id")))
+        out = dedup.strip_boilerplate(df, min_count=3)
+        assert out.columns == df.columns
+        assert {r["source"] for r in out.collect()} == {f"s{d}" for d, _ in self.DOCS}
