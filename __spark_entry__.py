@@ -195,6 +195,90 @@ def _get_merged_reader(spark: SparkSession, sf_dir: str) -> IndexReader:
     return _MERGED_READERS[key]
 
 
+_DELETED_ROOTS: dict[tuple[str, str], tuple[str, str]] = {}
+
+
+def _get_deleted_roots(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """(tombstoned root, compacted root) for the deletion-lifecycle
+    entries: the cached entry index is symlink-composed into a new root
+    (never mutated), conversations with doc_id % 7 == 0 are tombstoned
+    there, and compact_index absorbs them into the second root."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _DELETED_ROOTS:
+        from marginaliasearch_spark.operators.index_build import (
+            compact_index,
+            delete_convs,
+        )
+
+        base_reader = _get_reader(spark, sf_dir)
+        base = base_reader.paths.root
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join("/tmp", f"msq_entry_deleted_{_CACHE_VERSION}", tag)
+        link = os.path.join(root, "linked")
+        comp = os.path.join(root, "compacted")
+        os.makedirs(link, exist_ok=True)
+        for name in os.listdir(base):
+            if name == "tombstones":
+                continue
+            dst = os.path.join(link, name)
+            if not os.path.lexists(dst):
+                os.symlink(os.path.join(base, name), dst)
+        if not os.path.exists(
+            os.path.join(IndexPaths(link).tombstones, "_SUCCESS")
+        ):
+            # congruence over the RAW document id (= numeric conv_id on
+            # driver data), not the rank-stamped engine doc id — the
+            # oracle masks documents.doc_id % 7
+            convs = [
+                r["conv_id"]
+                for r in base_reader.doc_stats.filter(
+                    F.pmod(F.col("conv_id").cast("long"), F.lit(7)) == 0
+                )
+                .select("conv_id")
+                .collect()
+            ]
+            delete_convs(spark, link, convs)
+        if not os.path.exists(IndexPaths(comp).corpus_stats):
+            old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+            try:
+                compact_index(spark, link, comp)
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        _DELETED_ROOTS[key] = (link, comp)
+    return _DELETED_ROOTS[key]
+
+
+def _q_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion masking (index_build.delete_convs): tombstoned docs are
+    invisible immediately while df/N stay pre-deletion — the oracle scores
+    with FULL-corpus statistics and masks the doc_id % 7 == 0 congruence."""
+    link, _ = _get_deleted_roots(spark, sf_dir)
+    res = run_query(
+        IndexReader(spark, IndexPaths(link)),
+        "scan",
+        k=_K,
+        round_score_to=6,
+        tie_break=F.col("conv_id").cast("long"),
+    )
+    return res.select(F.col("conv_id").cast("long").alias("doc_id"), "score")
+
+
+def _q_deleted_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction absorbs tombstones (compact_index): the oracle recomputes
+    df and N over the surviving corpus only — hash-equality proves the
+    compacted index scores like a fresh build without the deleted convs."""
+    _, comp = _get_deleted_roots(spark, sf_dir)
+    res = run_query(
+        IndexReader(spark, IndexPaths(comp)),
+        "scan",
+        k=_K,
+        round_score_to=6,
+        tie_break=F.col("conv_id").cast("long"),
+    )
+    return res.select(F.col("conv_id").cast("long").alias("doc_id"), "score")
+
+
 def _q_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-merge correctness through the driver gate: a BM25 query
     served from merge_indexes(half A, half B) against the oracle of a
@@ -437,6 +521,8 @@ def _bm25_sql(
     weighted: bool = False,
     rank_max: int | None = None,
     year_cmp: tuple[str, int] | None = None,
+    mask_doc_mod: tuple[int, int] | None = None,
+    stats_doc_mod: tuple[int, int] | None = None,
     group_cap: tuple[int, int] | None = None,
     decorate: bool = False,
     opt_windows: list[list[str]] | None = None,
@@ -444,6 +530,11 @@ def _bm25_sql(
 ) -> str:
     all_terms = sorted({w for p in paths for w in p})
     stats_t, corpus_t = ("stats_l", "corpus_l") if lang else ("stats", "corpus")
+    # deletion lifecycle: stats_doc_mod scores with df/N recomputed over
+    # the surviving congruence class (the compacted-index semantics);
+    # mask_doc_mod alone = tombstone masking with stale full-corpus stats
+    if stats_doc_mod is not None:
+        stats_t, corpus_t = "stats_d", "corpus_d"
     single_path = len(paths) == 1
     joins, wheres = [], []
     for i, w in enumerate(all_terms):
@@ -507,6 +598,20 @@ def _bm25_sql(
         # role gate on single-turn docs = congruence class of doc_id % 4
         wheres.append(f"d.doc_id % 4 = {role_mod}")
     extra_ctes = ""
+    if mask_doc_mod is not None:
+        m_m, m_r = mask_doc_mod
+        wheres.append(f"d.doc_id % {m_m} <> {m_r}")
+    if stats_doc_mod is not None:
+        s_m, s_r = stats_doc_mod
+        wheres.append(f"d.doc_id % {s_m} <> {s_r}")
+        extra_ctes += f"""
+, stats_d AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf
+  WHERE doc_id % {s_m} <> {s_r} GROUP BY term
+),
+corpus_d AS (
+  SELECT count(*)::DOUBLE AS n FROM documents WHERE doc_id % {s_m} <> {s_r}
+)"""
     if lang:
         # lang-scoped stats: df/N over that language's documents only, and
         # candidates restricted to them (per-language lexicon analogue)
@@ -1308,6 +1413,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fulltext_bm25_year": _search("scan year>2022"),
         # advisory paren group (handleAdvisoryTerms): must match, unranked
         "fulltext_bm25_advice": _search("scan ( batch filter )"),
+        # deletion lifecycle: tombstone masking (stale stats) and
+        # compaction absorption (stats recomputed over survivors)
+        "fulltext_deleted": _q_deleted,
+        "fulltext_deleted_compacted": _q_deleted_compacted,
         # per-group result cap (A7) + decoration join (J7)
         # incremental merge served through the gate: merged(half A, half B)
         # must hash-match the FULL-build oracle
@@ -1466,6 +1575,10 @@ SELECT doc_id, 0.0 AS score FROM doclen WHERE 1 = 0""",
         "fulltext_bm25_year": _bm25_sql([["scan"]], year_cmp=(">", 2022)),
         "fulltext_bm25_advice": _bm25_sql(
             [["scan"]], advice=["batch", "filter"]
+        ),
+        "fulltext_deleted": _bm25_sql([["scan"]], mask_doc_mod=(7, 0)),
+        "fulltext_deleted_compacted": _bm25_sql(
+            [["scan"]], stats_doc_mod=(7, 0)
         ),
         "fulltext_group_cap": _bm25_sql([["scan"]], group_cap=(2, 10)),
         "fulltext_decorated": _bm25_sql([["spark", "join"]], decorate=True),

@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "dsir_resample",
     "lm_perplexity",
     "dedup_line_removal",
+    "fulltext_deleted",
 ]
 
 

@@ -69,6 +69,7 @@ class IndexPaths:
         self.term_bounds = os.path.join(root, "term_bounds")
         self.prio = os.path.join(root, "prio")
         self.ngrams = os.path.join(root, "ngrams")
+        self.tombstones = os.path.join(root, "tombstones")
         self.manifest_dir = os.path.join(root, "manifest")
         self.corpus_stats = os.path.join(root, "corpus_stats.json")
 
@@ -430,6 +431,36 @@ def _link_partitioned_files(srcs: list[str], dst: str) -> None:
         open(os.path.join(dst, "_SUCCESS"), "w").close()
 
 
+def delete_convs(
+    spark: SparkSession, root: str, conv_ids: list[str]
+) -> int:
+    """Tombstone whole conversations in a built index — deletion without a
+    rebuild (the GDPR/right-to-be-forgotten path; the reference deletes
+    documents only by re-ingesting a crawl without them and reconstructing,
+    so tombstones + compaction is the online analogue).
+
+    Appends (doc_id, conv_id) rows to ``<root>/tombstones``; the reader
+    masks tombstoned documents with a broadcast anti-join (results never
+    contain them from the moment the append commits), while corpus/df
+    statistics intentionally stay pre-deletion until ``compact_index``
+    absorbs the tombstones — the same stale-ranking-until-reconstruction
+    semantics the reference has between crawl re-ingests. Appending the
+    same conversation twice is harmless (the reader dedups doc ids).
+
+    Returns the number of documents tombstoned.
+    """
+    paths = IndexPaths(root)
+    hits = (
+        spark.read.parquet(paths.doc_stats)
+        .filter(F.col("conv_id").isin(list(conv_ids)))
+        .select("doc_id", "conv_id")
+    )
+    n = hits.count()
+    if n:
+        hits.coalesce(1).write.mode("append").parquet(paths.tombstones)
+    return n
+
+
 def merge_indexes(
     spark: SparkSession, base_root: str, delta_root: str, out_root: str
 ) -> IndexPaths:
@@ -541,6 +572,17 @@ def merge_indexes(
                 .agg(F.sum("cnt").alias("cnt"))
             )
         df.write.mode("overwrite").parquet(out.ngrams)
+    # deletion tombstones survive the merge: the union of both sides'
+    # masks keeps deleted docs invisible in the merged index too
+    tb = [
+        p.tombstones
+        for p in (base, delta)
+        if os.path.exists(os.path.join(p.tombstones, "_SUCCESS"))
+    ]
+    if tb:
+        spark.read.parquet(*tb).write.mode("overwrite").parquet(
+            out.tombstones
+        )
 
     # corpus stats last = the merge's commit record
     n = bstats["doc_count"] + dstats["doc_count"]
@@ -610,6 +652,21 @@ def compact_index(
         partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     os.makedirs(out.root, exist_ok=True)
     doc_len = spark.read.parquet(src.doc_stats).select("doc_id", "doc_len")
+    # deletion tombstones are ABSORBED here: tombstoned docs drop out of
+    # every re-encoded posting block, doc_stats, and the recomputed
+    # statistics below, and the output index carries no tombstone dir —
+    # compact(delete(idx)) answers queries identically to an index built
+    # from the corpus without those conversations (pinned in test_merge)
+    tomb = None
+    if os.path.exists(os.path.join(src.tombstones, "_SUCCESS")):
+        try:
+            tomb = (
+                spark.read.parquet(src.tombstones)
+                .select("doc_id")
+                .distinct()
+            )
+        except Exception:
+            tomb = None
 
     def _pos_blob(it):
         import numpy as np
@@ -664,6 +721,8 @@ def compact_index(
                 "term_id", "doc_id", "tf", "wtf_q4",
                 F.lit(b"").alias("positions"), "flags",
             )
+        if tomb is not None:
+            rows = rows.join(F.broadcast(tomb), "doc_id", "left_anti")
         return (
             rows.join(doc_len, "doc_id")
             .withColumn(
@@ -719,19 +778,88 @@ def compact_index(
                 },
             )
 
-    # statistics copy through unchanged (parquet rewrite resolves links)
+    # statistics: copy through unchanged (parquet rewrite resolves links)
+    # when there are no tombstones; with tombstones, doc_stats is filtered
+    # and the lexicons/corpus stats are RECOMPUTED below so a compacted
+    # index scores exactly like a fresh build over the surviving corpus.
+    # ngrams always copy: like the reference's separately-learned
+    # NgramLexicon, expansion segmentation stats refresh at re-ingest,
+    # not at deletion.
     for attr in ("doc_stats", "lexicon", "lexicon_lang", "ngrams"):
         sdir = getattr(src, attr)
-        if os.path.exists(os.path.join(sdir, "_SUCCESS")):
-            spark.read.parquet(sdir).write.mode("overwrite").parquet(
-                getattr(out, attr)
+        if not os.path.exists(os.path.join(sdir, "_SUCCESS")):
+            continue
+        df = spark.read.parquet(sdir)
+        if tomb is not None and attr == "doc_stats":
+            df = df.join(F.broadcast(tomb), "doc_id", "left_anti")
+        if tomb is not None and attr in ("lexicon", "lexicon_lang"):
+            continue  # recomputed below from the re-encoded postings
+        df.write.mode("overwrite").parquet(getattr(out, attr))
+    if tomb is not None:
+        # df/ctf over the SURVIVING postings — the same per-(term, lang)
+        # aggregation the build performs on the journal (decoded posting
+        # rows are journal rows: one per (doc, term)); term strings and
+        # stems join through from the old lexicons
+        outsrc = read_postings(spark, out)
+        langs = [r["lang"] for r in outsrc.select("lang").distinct().collect()]
+        parts = [
+            outsrc.filter(F.col("lang") == L)
+            .select(
+                "term_id", "n_docs", "doc_ids", "tfs", "wtfs", "flags",
+                "min_doc", "max_doc",
             )
+            .mapInPandas(
+                _partial(decode_blocks, with_positions=False, with_wtf=True),
+                schema=decoded_schema(False, True),
+            )
+            .withColumn("lang", F.lit(L))
+            for L in langs
+        ]
+        lexsrc = _reduce(lambda a, b: a.unionByName(b), parts)
+        terms_of = (
+            spark.read.parquet(src.lexicon_lang)
+            .select("term_id", "term")
+            .distinct()
+        )
+        new_ll = (
+            lexsrc.groupBy("term_id", "lang")
+            .agg(F.count("*").alias("df"), F.sum("tf").alias("ctf"))
+            .join(terms_of, "term_id")
+            .select("term_id", "term", "lang", "df", "ctf")
+        )
+        new_ll.write.mode("overwrite").parquet(out.lexicon_lang)
+        old_stem = spark.read.parquet(src.lexicon).select("term_id", "stem")
+        (
+            spark.read.parquet(out.lexicon_lang)
+            .groupBy("term_id", "term")
+            .agg(F.sum("df").alias("df"), F.sum("ctf").alias("ctf"))
+            .join(old_stem, "term_id")
+            .select("term_id", "term", "df", "ctf", "stem")
+            .write.mode("overwrite")
+            .parquet(out.lexicon)
+        )
     # block geometry changed: regenerate term_bounds from the NEW blocks
     read_postings(spark, out).groupBy("term_id").agg(
         F.max("max_tf_norm").alias("max_tf_norm"),
         F.count("*").alias("n_blocks"),
     ).coalesce(1).write.mode("overwrite").parquet(out.term_bounds)
     new_stats = dict(stats)
+    if tomb is not None:
+        # same grouping-sets formula as the build's corpus stats
+        lang_rows = (
+            spark.read.parquet(out.doc_stats)
+            .groupBy("lang")
+            .agg(F.count("*").alias("cnt"), F.sum("doc_len").alias("len_sum"))
+            .collect()
+        )
+        doc_count = sum(r["cnt"] for r in lang_rows)
+        new_stats["doc_count"] = doc_count
+        new_stats["avg_len"] = (
+            sum(r["len_sum"] for r in lang_rows) / doc_count
+            if doc_count
+            else 0.0
+        )
+        new_stats["lang_doc_counts"] = {r["lang"]: r["cnt"] for r in lang_rows}
     new_stats["block_docs"] = block_docs
     new_stats["compacted_from"] = os.path.abspath(src.root)
     _write_json_atomic(out.corpus_stats, new_stats)

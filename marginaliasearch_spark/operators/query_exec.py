@@ -213,6 +213,20 @@ class IndexReader:
                 self.prio = spark.read.parquet(paths.prio)
             except Exception:
                 self.prio = None
+        # deletion tombstones (index_build.delete_convs): results must
+        # never contain these docs; stats stay pre-deletion until
+        # compact_index absorbs them (stale-until-reconstruction, as the
+        # reference between crawl re-ingests)
+        self.tombstones = None
+        if os.path.exists(os.path.join(paths.tombstones, "_SUCCESS")):
+            try:
+                self.tombstones = (
+                    spark.read.parquet(paths.tombstones)
+                    .select("doc_id")
+                    .distinct()
+                )
+            except Exception:
+                self.tombstones = None
         with open(paths.corpus_stats) as f:
             stats = json.load(f)
         self.n_docs = float(stats["doc_count"])
@@ -731,6 +745,11 @@ def run_query(
 
     # ---- doc metadata join + spec limits (ParamMatchingQueryFilter) ----
     cand = cand.join(reader.doc_stats, "doc_id")
+    if reader.tombstones is not None:
+        # deleted docs are masked in BOTH WAND phases (each runs through
+        # here), so the phase-1 θ never counts a tombstoned doc — the cut
+        # stays sound after deletions
+        cand = cand.join(F.broadcast(reader.tombstones), "doc_id", "left_anti")
     if lang is not None:
         cand = cand.filter(F.col("lang") == lang)
     if pq.convs_exclude:

@@ -164,3 +164,110 @@ def test_compaction_equals_merged(spark, roots):
     bd = compacted.block_docs
     for t, (nb, _) in tb_c.items():
         assert nb <= -(-df_by_tid[t] // bd) + parts, t
+
+
+class TestDeletion:
+    """Tombstoned deletion lifecycle (index_build.delete_convs):
+    results mask instantly with pre-deletion statistics (the reference's
+    stale-ranking-until-reconstruction semantics), and compact_index
+    absorbs the tombstones into an index that answers queries identically
+    to a from-scratch build over the surviving corpus."""
+
+    DROP = [f"conv{i}" for i in range(1, 129) if i % 5 == 0]
+
+    @pytest.fixture(scope="class")
+    def del_roots(self, spark):
+        from marginaliasearch_spark.operators.index_build import (
+            compact_index,
+            delete_convs,
+        )
+
+        corpus = factor_corpus(spark, 128)
+        full_root = tempfile.mkdtemp(prefix="del_full_")
+        build_index(spark, corpus, full_root, n_buckets=2)
+        before = {
+            r["doc_id"]: r["score"]
+            for r in run_query(
+                IndexReader(spark, IndexPaths(full_root)), "factor2", k=200
+            ).collect()
+        }
+        n = delete_convs(spark, full_root, self.DROP)
+        assert n == len(self.DROP)
+        survivors_root = tempfile.mkdtemp(prefix="del_ref_")
+        build_index(
+            spark,
+            corpus.filter(~F.col("conv_id").isin(self.DROP)),
+            survivors_root,
+            n_buckets=2,
+        )
+        compacted_root = tempfile.mkdtemp(prefix="del_cmp_")
+        compact_index(spark, full_root, compacted_root)
+        return full_root, survivors_root, compacted_root, before
+
+    def _res(self, spark, root, q, **kw):
+        return [
+            (r["doc_id"], r["score"])
+            for r in run_query(
+                IndexReader(spark, IndexPaths(root)), q, k=200, **kw
+            ).collect()
+        ]
+
+    def test_mask_is_instant_and_scores_stale(self, spark, del_roots):
+        full_root, _, _, before = del_roots
+        reader = IndexReader(spark, IndexPaths(full_root))
+        got = {
+            r["doc_id"]: (r["conv_id"], r["score"])
+            for r in run_query(reader, "factor2", k=200).collect()
+        }
+        assert not {c for c, _ in got.values()} & set(self.DROP)
+        # survivors keep their PRE-deletion scores (df/N intentionally
+        # stale until compaction)
+        for d, (_, s) in got.items():
+            assert s == before[d]
+
+    @pytest.mark.parametrize(
+        "q", ["factor2", "factor2 factor3 -factor4", "( factor3 | factor5 ) factor2"]
+    )
+    def test_compacted_equals_fresh_build(self, spark, del_roots, q):
+        _, survivors_root, compacted_root, _ = del_roots
+        assert self._res(spark, compacted_root, q) == self._res(
+            spark, survivors_root, q
+        )
+
+    def test_compacted_carries_no_tombstones(self, spark, del_roots):
+        import json
+
+        _, survivors_root, compacted_root, _ = del_roots
+        assert not os.path.exists(
+            os.path.join(compacted_root, "tombstones", "_SUCCESS")
+        )
+        with open(IndexPaths(compacted_root).corpus_stats) as f:
+            cstats = json.load(f)
+        with open(IndexPaths(survivors_root).corpus_stats) as f:
+            sstats = json.load(f)
+        assert cstats["doc_count"] == sstats["doc_count"]
+        assert cstats["avg_len"] == sstats["avg_len"]
+
+    def test_wand_consistent_under_tombstones(self, spark, del_roots):
+        full_root, _, _, _ = del_roots
+        reader = IndexReader(spark, IndexPaths(full_root))
+        a = [
+            (r["doc_id"], r["score"])
+            for r in run_query(reader, "factor2 factor3", k=10).collect()
+        ]
+        b = [
+            (r["doc_id"], r["score"])
+            for r in run_query_wand(reader, "factor2 factor3", k=10).collect()
+        ]
+        assert a == b
+
+    def test_double_delete_idempotent(self, spark, del_roots):
+        from marginaliasearch_spark.operators.index_build import delete_convs
+
+        full_root, _, _, _ = del_roots
+        delete_convs(spark, full_root, self.DROP[:3])  # re-append subset
+        reader = IndexReader(spark, IndexPaths(full_root))
+        got = {
+            r["conv_id"] for r in run_query(reader, "factor2", k=200).collect()
+        }
+        assert not got & set(self.DROP)
