@@ -467,6 +467,9 @@ def _search_decorated(
             "score",
             "snippet",
             "first_role",
+            "pub_year",
+            "data_hash",
+            "words_total",
         )
 
     return fn
@@ -800,11 +803,21 @@ capped AS (
     if decorate:
         # J7 decoration join: top-k back to the source documents — the
         # snippet is the (single) turn's text, the role cycles doc_id % 4
-        join_doc = "JOIN documents dd ON dd.doc_id = t.doc_id"
+        # single-turn driver data: snippet = the turn's text, role cycles
+        # doc_id % 4, pub_year = the deterministic ts stamp's year,
+        # data_hash = the engine's 60-bit md5 over the full conv text
+        # (one turn → md5(text)), words_total = the indexed doc length
+        join_doc = (
+            "JOIN documents dd ON dd.doc_id = t.doc_id "
+            "JOIN doclen dl2 ON dl2.doc_id = t.doc_id"
+        )
         select_cols = (
             "t.doc_id, t.score, dd.text AS snippet, "
             "CASE t.doc_id % 4 WHEN 0 THEN 'system' WHEN 1 THEN 'assistant' "
-            "WHEN 2 THEN 'user' ELSE 'tool' END AS first_role"
+            "WHEN 2 THEN 'user' ELSE 'tool' END AS first_role, "
+            "(2020 + t.doc_id % 6)::INT AS pub_year, "
+            "('0x' || substr(md5(dd.text), 1, 15))::BIGINT AS data_hash, "
+            "dl2.doc_len AS words_total"
         )
     return f"""{_COMMON}
 {extra_ctes}

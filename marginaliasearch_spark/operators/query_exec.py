@@ -999,30 +999,59 @@ def decorate_results(
 ) -> DataFrame:
     """Join top-k results back to the source transcripts for display — the
     reference's document-DB decoration join (docId → url/title/description,
-    ``IndexQueryExecution.java:189-207``); for transcripts the decoration is
-    the first ``n_turns`` turns' text plus the opening role.
+    ``IndexQueryExecution.java:189-207``), carrying the same metadata its
+    ``DecoratedSearchResultItem`` does: description (here: the first
+    ``n_turns`` turns' text + opening role), ``pubYear`` (year of the first
+    turn, the build's doc-year semantics), ``dataHash`` (a 60-bit content
+    hash over the full conversation text), and ``wordsTotal`` (the indexed
+    doc length, already on the result row).
 
     The (tiny) result set is broadcast into the transcript scan, so the
-    big table is touched once with a semi-join — never the other way round.
+    big table is touched once with a semi-join — never the other way
+    round; all decoration fields come out of ONE aggregation over the
+    matched conversations.
     """
     hits = transcripts.join(
         F.broadcast(results.select("conv_id")), "conv_id", "left_semi"
     )
-    snippets = (
-        hits.filter(F.col("turn_idx") < n_turns)
-        .groupBy("conv_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
-                    lambda s: s["text"],
+    full_sorted = F.array_sort(F.collect_list(F.struct("turn_idx", "text")))
+    snippets = hits.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("turn_idx") < n_turns,
+                            F.struct("turn_idx", "text"),
+                        )
+                    )
                 ),
-                " ",
-            ).alias("snippet"),
-            F.min_by("role", "turn_idx").alias("first_role"),
+                lambda s: s["text"],
+            ),
+            " ",
+        ).alias("snippet"),
+        F.min_by("role", "turn_idx").alias("first_role"),
+        F.year(F.min("ts")).alias("pub_year"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.array_join(
+                        F.transform(full_sorted, lambda s: s["text"]), "\n"
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
         )
+        .cast("long")
+        .alias("data_hash"),
     )
-    return results.join(F.broadcast(snippets), "conv_id", "left")
+    out = results.join(F.broadcast(snippets), "conv_id", "left")
+    if "doc_len" in results.columns:
+        out = out.withColumn("words_total", F.col("doc_len").cast("long"))
+    return out
 
 
 def run_query_wand(

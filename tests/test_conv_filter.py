@@ -52,10 +52,27 @@ def test_decoration_join(spark, built):
     first_turns = {}
     for r in corpus.filter("turn_idx < 2").collect():
         first_turns.setdefault(r["conv_id"], []).append((r["turn_idx"], r["text"]))
+    all_turns = {}
+    for r in corpus.collect():
+        all_turns.setdefault(r["conv_id"], []).append(
+            (r["turn_idx"], r["text"], r["ts"])
+        )
+    import hashlib
+
     for row in dec:
         expect = " ".join(t for _, t in sorted(first_turns[row["conv_id"]]))
         assert row["snippet"] == expect
         assert row["first_role"] == "user"  # turn 0 role in factor corpus
+        # DecoratedSearchResultItem metadata parity: pubYear from the
+        # first turn's ts, dataHash over the FULL conversation text,
+        # wordsTotal = the indexed doc length
+        turns = sorted(all_turns[row["conv_id"]])
+        assert row["pub_year"] == min(ts for _, _, ts in turns).year
+        full = "\n".join(t for _, t, _ in turns)
+        assert row["data_hash"] == int(
+            hashlib.md5(full.encode()).hexdigest()[:15], 16
+        )
+        assert row["words_total"] == row["doc_len"]
 
 
 def test_keyword_positions_slot_semantics(spark):
