@@ -302,6 +302,7 @@ def _search(
     penalties: bool = False,
     weighted: bool = False,
     lang: str | None = None,
+    temporal: str | None = None,
 ) -> Callable[[SparkSession, str], DataFrame]:
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         reader = _get_reader(spark, sf_dir)
@@ -311,8 +312,9 @@ def _search(
                 flag_score=flag_score,
                 penalties=penalties,
                 weighted_counts=weighted,
+                temporal_bias=temporal,
             )
-            if (positional or flag_score or penalties or weighted)
+            if (positional or flag_score or penalties or weighted or temporal)
             else None
         )
         res = run_query(
@@ -526,6 +528,7 @@ def _bm25_sql(
     year_cmp: tuple[str, int] | None = None,
     mask_doc_mod: tuple[int, int] | None = None,
     stats_doc_mod: tuple[int, int] | None = None,
+    year_bias: str | None = None,
     group_cap: tuple[int, int] | None = None,
     decorate: bool = False,
     opt_windows: list[list[str]] | None = None,
@@ -630,6 +633,16 @@ corpus_l AS (SELECT count(*)::DOUBLE AS n FROM dlang WHERE lang = '{lang}')"""
             f" AND dn.lang = '{lang}')"
         )
     score_sql = "round(sqrt(501.0 / (1.0 + {raw})), 6)"
+    if year_bias is not None:
+        # temporal bias: engine pen = -min(0, -|year - anchor| * 5.0),
+        # which is exactly |year - anchor| * 5.0 (negation is IEEE-exact);
+        # driver-data years are 2020 + doc_id % 6 so the index's anchors
+        # are 2020 (old) / 2025 (recent)
+        anchor = 2025 if year_bias == "recent" else 2020
+        p_expr = f"abs(((2020 + d.doc_id % 6) - {anchor})::DOUBLE) * 5.0"
+        score_sql = (
+            f"round(sqrt((501.0 + 20.0 * ({p_expr})) / (1.0 + {{raw}})), 6)"
+        )
     pen_join = ""
     if penalties or rank_max is not None:
         # mirrors scoring.document_penalty over the quality-derived rank
@@ -1430,6 +1443,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # compaction absorption (stats recomputed over survivors)
         "fulltext_deleted": _q_deleted,
         "fulltext_deleted_compacted": _q_deleted_compacted,
+        # temporal-bias ranking (RECENT/OLD, IndexResultRankingService:322)
+        "fulltext_bm25_recent": _search("scan", temporal="recent"),
+        "fulltext_bm25_old": _search("scan", temporal="old"),
         # per-group result cap (A7) + decoration join (J7)
         # incremental merge served through the gate: merged(half A, half B)
         # must hash-match the FULL-build oracle
@@ -1589,6 +1605,8 @@ SELECT doc_id, 0.0 AS score FROM doclen WHERE 1 = 0""",
         "fulltext_bm25_advice": _bm25_sql(
             [["scan"]], advice=["batch", "filter"]
         ),
+        "fulltext_bm25_recent": _bm25_sql([["scan"]], year_bias="recent"),
+        "fulltext_bm25_old": _bm25_sql([["scan"]], year_bias="old"),
         "fulltext_deleted": _bm25_sql([["scan"]], mask_doc_mod=(7, 0)),
         "fulltext_deleted_compacted": _bm25_sql(
             [["scan"]], stats_doc_mod=(7, 0)

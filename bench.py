@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "lm_perplexity",
     "dedup_line_removal",
     "fulltext_deleted",
+    "fulltext_bm25_recent",
 ]
 
 

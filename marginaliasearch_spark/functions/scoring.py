@@ -125,6 +125,25 @@ def document_penalty(doc_len: Column, rank: Column) -> Column:
     return -F.least(F.lit(0.0), document_bonus(doc_len, rank))
 
 
+#: setTemporalBiasWeight default (PrototypeRankingParameters.java:24)
+TEMPORAL_BIAS_WEIGHT = 5.0
+
+
+def temporal_bias(
+    year: Column, anchor: int, weight: float = TEMPORAL_BIAS_WEIGHT
+) -> Column:
+    """``-|year - anchor| * weight`` — the reference's RECENT/OLD temporal
+    bias term in the document bonus
+    (IndexResultRankingService.java:322-330). Divergence note: the
+    reference anchors RECENT at wall-clock ``PubDate.MAX_YEAR`` and OLD at
+    the constant 1995; a deterministic engine anchors at the INDEX's own
+    max/min document year (IndexReader.year_range), which is reproducible
+    and tracks the corpus rather than the clock."""
+    return -F.abs(year.cast("double") - F.lit(float(anchor))) * F.lit(
+        float(weight)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Positional bonuses (IndexResultRankingService.java:133-135, 360-402,
 # 489-507; defaults TcfFirstPositionWeight=2.5, TcfProximityWeight=0.5,

@@ -80,12 +80,19 @@ class RankingParams:
     (system 2.5 / tool 1.25 / body 1.0 per occurrence — the reference's
     tag-span-weighted ``c``, UnorderedMatches :566-604) instead of the raw
     term frequency. Term presence/DF statistics are unchanged.
+
+    ``temporal_bias='recent'|'old'`` adds the reference's temporal bias
+    ``-|year - anchor| * weight`` to the document bonus
+    (IndexResultRankingService.java:322-330; scoring.temporal_bias —
+    anchored at the index's own max/min year for determinism).
     """
 
     positional: bool = False
     flag_score: bool = False
     penalties: bool = False
     weighted_counts: bool = False
+    temporal_bias: str | None = None
+    temporal_bias_weight: float = 5.0
 
 
 def _min_spread_batch(
@@ -217,6 +224,7 @@ class IndexReader:
         # never contain these docs; stats stay pre-deletion until
         # compact_index absorbs them (stale-until-reconstruction, as the
         # reference between crawl re-ingests)
+        self._year_range: tuple[int, int] | None = None
         self.tombstones = None
         if os.path.exists(os.path.join(paths.tombstones, "_SUCCESS")):
             try:
@@ -259,6 +267,23 @@ class IndexReader:
         # lexicon three times: wrapper + both phases)
         self._stats_cache: dict[tuple, tuple[int, int] | None] = {}
         self._bounds_cache: dict[int, float | None] = {}
+
+    @property
+    def year_range(self) -> tuple[int, int]:
+        """(min, max) document year in the index — the deterministic
+        anchors for temporal-bias ranking (one tiny driver probe, memoized;
+        the snapshot is immutable)."""
+        if self._year_range is None:
+            if "year" not in self.doc_stats.columns:
+                raise ValueError(
+                    "index predates the year stamp; rebuild to use "
+                    "temporal_bias"
+                )
+            r = self.doc_stats.agg(
+                F.min("year").alias("lo"), F.max("year").alias("hi")
+            ).collect()[0]
+            self._year_range = (int(r["lo"]), int(r["hi"]))
+        return self._year_range
 
     def term_bounds(self, term_ids: list[int]) -> dict[int, float]:
         """term_id → global max tf-norm (score UB = idf * max_tf_norm) from
@@ -917,11 +942,33 @@ def run_query(
         )
         raw = raw * F.exp(n_prio / 5.0)
 
-    if penalties:
+    t_bias = ranking.temporal_bias if ranking is not None else None
+    if penalties and t_bias is None:
         # rank bucket lives in the doc id's high bits (ids.py layout)
         rank_col = F.shiftrightunsigned(F.col("doc_id"), 57)
         pen = document_penalty(F.col("doc_len").cast("double"), rank_col)
         scored = cand.withColumn("score", normalize(raw, pen))
+    elif t_bias is not None:
+        # the temporal term joins the same document-bonus sum the other
+        # penalties live in (calculateDocumentBonus, then -min(0, bonus))
+        if t_bias not in ("recent", "old"):
+            raise ValueError(f"unknown temporal_bias {t_bias!r}")
+        lo, hi = reader.year_range
+        anchor = hi if t_bias == "recent" else lo
+        from ..functions.scoring import document_bonus, temporal_bias
+
+        bonus = temporal_bias(
+            F.col("year"), anchor, ranking.temporal_bias_weight
+        )
+        if penalties:
+            rank_col = F.shiftrightunsigned(F.col("doc_id"), 57)
+            bonus = (
+                document_bonus(F.col("doc_len").cast("double"), rank_col)
+                + bonus
+            )
+        scored = cand.withColumn(
+            "score", normalize(raw, -F.least(F.lit(0.0), bonus))
+        )
     else:
         scored = cand.withColumn("score", normalize(raw))
     if round_score_to is not None:
@@ -1124,6 +1171,7 @@ def run_query_wand(
                 or kw["ranking"].flag_score
                 or kw["ranking"].penalties
                 or kw["ranking"].weighted_counts
+                or kw["ranking"].temporal_bias is not None
             )
         )
     )

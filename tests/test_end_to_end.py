@@ -359,3 +359,78 @@ class TestAdvisoryTerms:
         assert [(r["doc_id"], r["score"]) for r in a] == [
             (r["doc_id"], r["score"]) for r in b
         ]
+
+
+class TestTemporalBias:
+    """RECENT/OLD temporal-bias ranking (IndexResultRankingService:322-330):
+    -|year - anchor| * weight joins the document bonus; anchors are the
+    index's own min/max year (deterministic divergence, scoring.py)."""
+
+    @pytest.fixture(scope="class")
+    def year_index(self, spark, tmp_path_factory):
+        import datetime
+
+        from marginaliasearch_spark.sources.transcripts import (
+            TRANSCRIPT_SCHEMA,
+        )
+
+        rows = [
+            (f"y{i}", 0, "user", "common marker", "",
+             datetime.datetime(2020 + i % 4, 3, 1))
+            for i in range(16)
+        ]
+        df = spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA)
+        root = str(tmp_path_factory.mktemp("tb_idx"))
+        build_index(spark, df, root, n_buckets=1)
+        return IndexReader(spark, root_paths(root))
+
+    def _years(self, reader, bias, k=16):
+        from marginaliasearch_spark.operators.query_exec import RankingParams
+
+        rows = run_query(
+            reader, "common", k=k,
+            ranking=RankingParams(temporal_bias=bias),
+        ).collect()
+        return [2020 + int(r["conv_id"][1:]) % 4 for r in rows]
+
+    def test_anchor_probe(self, year_index):
+        assert year_index.year_range == (2020, 2023)
+
+    def test_recent_orders_new_first(self, year_index):
+        ys = self._years(year_index, "recent")
+        assert ys == sorted(ys, reverse=True)  # identical text → year decides
+        assert ys[0] == 2023
+
+    def test_old_orders_old_first(self, year_index):
+        ys = self._years(year_index, "old")
+        assert ys == sorted(ys)
+        assert ys[0] == 2020
+
+    def test_none_is_plain_bm25(self, year_index):
+        from marginaliasearch_spark.operators.query_exec import RankingParams
+
+        a = run_query(year_index, "common", k=16).collect()
+        b = run_query(
+            year_index, "common", k=16, ranking=RankingParams()
+        ).collect()
+        assert [(r["doc_id"], r["score"]) for r in a] == [
+            (r["doc_id"], r["score"]) for r in b
+        ]
+
+    def test_combines_with_penalties(self, year_index):
+        from marginaliasearch_spark.operators.query_exec import RankingParams
+
+        rows = run_query(
+            year_index, "common", k=16,
+            ranking=RankingParams(penalties=True, temporal_bias="recent"),
+        ).collect()
+        assert len(rows) == 16
+
+    def test_bad_bias_rejected(self, year_index):
+        from marginaliasearch_spark.operators.query_exec import RankingParams
+
+        with pytest.raises(ValueError, match="temporal_bias"):
+            run_query(
+                year_index, "common", k=4,
+                ranking=RankingParams(temporal_bias="sideways"),
+            ).collect()
