@@ -531,6 +531,7 @@ def _bm25_sql(
     year_bias: str | None = None,
     group_cap: tuple[int, int] | None = None,
     decorate: bool = False,
+    explain: bool = False,
     opt_windows: list[list[str]] | None = None,
     opt_min_count: int | None = None,
 ) -> str:
@@ -832,6 +833,35 @@ capped AS (
             "('0x' || substr(md5(dd.text), 1, 15))::BIGINT AS data_hash, "
             "dl2.doc_len AS words_total"
         )
+    if explain:
+        # debugRankingFactors twin: per-term BM25 partials for the top-k,
+        # written with the ENGINE's operation association
+        # (idf * (tf_norm)), absent (doc, term) pairs explain as 0.0
+        def _exact_partial(alias: str, w: str) -> str:
+            dfq = f"(SELECT df::DOUBLE FROM {stats_t} WHERE term = '{w}')"
+            c = f"{alias}.tf::DOUBLE"
+            return (
+                f"ln(1.0 + ((SELECT n FROM {corpus_t}) - {dfq} + 0.5)"
+                f" / ({dfq} + 0.5))"
+                f" * (({c} * 2.2) / ({c} + 1.2 * (0.5 +"
+                f" (0.5 * d.doc_len::DOUBLE) / 5000.0)))"
+            )
+
+        join_doc = (
+            " ".join(
+                f"LEFT JOIN tf e{i} ON e{i}.doc_id = t.doc_id"
+                f" AND e{i}.term = '{w}'"
+                for i, w in enumerate(all_terms)
+            )
+            + " JOIN doclen d ON d.doc_id = t.doc_id"
+        )
+        eparts = ", ".join(
+            f"round(coalesce(CASE WHEN e{i}.tf IS NOT NULL THEN "
+            + _exact_partial(f"e{i}", w)
+            + f" END, 0.0), 6) AS bm25_{w}"
+            for i, w in enumerate(all_terms)
+        )
+        select_cols = f"t.doc_id, t.score, {eparts}"
     return f"""{_COMMON}
 {extra_ctes}
 , cand AS (
@@ -1174,6 +1204,28 @@ def _q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-factor explanation (debugRankingFactors parity,
+    query_exec.explain_scores): top-k results with per-term BM25 partial
+    columns next to the final score."""
+    from marginaliasearch_spark.operators.query_exec import explain_scores
+
+    reader = _get_reader(spark, sf_dir)
+    out = explain_scores(
+        reader,
+        "batch scan",
+        k=_K,
+        round_score_to=6,
+        tie_break=F.col("conv_id").cast("long"),
+    )
+    return out.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        "score",
+        "bm25_batch",
+        "bm25_scan",
+    )
+
+
 def _q_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/RefinedWeb-style corpus-boilerplate line removal
     (dedup.strip_boilerplate). The driver corpus has no multiline text, so
@@ -1446,6 +1498,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # temporal-bias ranking (RECENT/OLD, IndexResultRankingService:322)
         "fulltext_bm25_recent": _search("scan", temporal="recent"),
         "fulltext_bm25_old": _search("scan", temporal="old"),
+        # per-result ranking-factor explanation (debugRankingFactors)
+        "fulltext_explain": _q_explain,
         # per-group result cap (A7) + decoration join (J7)
         # incremental merge served through the gate: merged(half A, half B)
         # must hash-match the FULL-build oracle
@@ -1607,6 +1661,7 @@ SELECT doc_id, 0.0 AS score FROM doclen WHERE 1 = 0""",
         ),
         "fulltext_bm25_recent": _bm25_sql([["scan"]], year_bias="recent"),
         "fulltext_bm25_old": _bm25_sql([["scan"]], year_bias="old"),
+        "fulltext_explain": _bm25_sql([["batch", "scan"]], explain=True),
         "fulltext_deleted": _bm25_sql([["scan"]], mask_doc_mod=(7, 0)),
         "fulltext_deleted_compacted": _bm25_sql(
             [["scan"]], stats_doc_mod=(7, 0)

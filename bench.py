@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "dedup_line_removal",
     "fulltext_deleted",
     "fulltext_bm25_recent",
+    "fulltext_explain",
 ]
 
 

@@ -1041,6 +1041,72 @@ def keyword_positions(
     )
 
 
+def explain_scores(
+    reader: IndexReader,
+    query: str | ParsedQuery,
+    k: int = 10,
+    round_to: int = 6,
+    **kw,
+) -> DataFrame:
+    """Per-result ranking-factor report — the reference's
+    ``debugRankingFactors`` surface (``IndexResultRankingService`` records
+    ``termScore.bm25`` per term plus the document bonus components;
+    served through ``QueryDebugInterface``): the top-k results with one
+    ``bm25_<term>`` column per include term (that term's BM25 partial in
+    that document, rounded) alongside the final score.
+
+    The top-k set is tiny, so its ids collect to the driver and prune
+    each term's decode to candidate blocks (same J5 lookup as
+    ``keyword_positions``); an absent (doc, term) pair explains as 0.0,
+    matching a term that contributed nothing.
+    """
+    from ..functions.scoring import bm25_partial
+
+    pq = parse_query(query) if isinstance(query, str) else query
+    res = run_query(reader, pq, k=k, **kw)
+    lang = kw.get("lang") or pq.lang
+    terms = sorted(set(pq.all_include_terms()))
+    stats = reader.term_stats(terms, lang=lang)
+    n_corpus = (
+        reader.lang_doc_counts.get(lang, 0.0)
+        if lang is not None
+        else reader.n_docs
+    )
+    ids = np.sort(
+        np.array(
+            [r["doc_id"] for r in res.select("doc_id").collect()],
+            dtype=np.int64,
+        ).astype(np.uint64)
+    )
+    out = res
+    for w in terms:
+        # readable factor column for plain words, hash-safe otherwise
+        col = f"bm25_{w}" if w.isalnum() else f"bm25_{_safe(w)}"
+        if w not in stats or not len(ids):
+            out = out.withColumn(col, F.lit(0.0))
+            continue
+        dec = reader.decode_term(
+            stats[w][0], candidates=ids, lang=lang
+        ).select("doc_id", F.col("tf").alias(f"_tf_{_safe(w)}"))
+        out = out.join(F.broadcast(dec), "doc_id", "left")
+        partial = bm25_partial(
+            F.coalesce(F.col(f"_tf_{_safe(w)}").cast("double"), F.lit(0.0)),
+            F.col("doc_len").cast("double"),
+            F.lit(float(stats[w][1])),
+            n_corpus,
+        )
+        out = out.withColumn(
+            col,
+            F.round(
+                F.when(F.col(f"_tf_{_safe(w)}").isNull(), 0.0).otherwise(
+                    partial
+                ),
+                round_to,
+            ),
+        ).drop(f"_tf_{_safe(w)}")
+    return out
+
+
 def decorate_results(
     results: DataFrame, transcripts: DataFrame, n_turns: int = 1
 ) -> DataFrame:

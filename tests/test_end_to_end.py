@@ -434,3 +434,35 @@ class TestTemporalBias:
                 year_index, "common", k=4,
                 ranking=RankingParams(temporal_bias="sideways"),
             ).collect()
+
+
+class TestExplainScores:
+    """debugRankingFactors parity: each result's per-term BM25 partials
+    must reconstruct its final score exactly (single-path queries:
+    score = normalize(Σ partials))."""
+
+    def test_partials_reconstruct_score(self, factor_index):
+        import math
+
+        from marginaliasearch_spark.operators.query_exec import (
+            explain_scores,
+        )
+
+        rows = explain_scores(
+            factor_index, "factor2 factor3", k=20, round_to=9
+        ).collect()
+        assert rows
+        for r in rows:
+            raw = r["bm25_factor2"] + r["bm25_factor3"]
+            assert r["bm25_factor2"] > 0 and r["bm25_factor3"] > 0
+            assert abs(math.sqrt(501.0 / (1.0 + raw)) - r["score"]) < 1e-6
+
+    def test_missing_term_explains_zero(self, factor_index):
+        from marginaliasearch_spark.operators.query_exec import (
+            explain_scores,
+        )
+
+        rows = explain_scores(
+            factor_index, "( factor2 | factor9999 )", k=5
+        ).collect()
+        assert rows and all(r["bm25_factor9999"] == 0.0 for r in rows)
