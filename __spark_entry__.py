@@ -966,6 +966,28 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranking.pagerank_topk(scores, k=20).withColumnRenamed("id", "vec_id")
 
 
+def _q_adjacencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Website-adjacency similarity graph (WebsiteAdjacenciesCalculator):
+    "domains" are parts (every 5th part key), a part receives a link from
+    every part co-purchased with it in some order — then the reference's
+    two-stage cheap→weighted cosine over self-inclusive incoming sets.
+    Entry-scale params: threshold 0.2 (reference default 0.1 admits ~30k
+    pairs of this dense co-purchase graph), top 8 neighbors per part."""
+    li = (
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        .where(F.col("l_partkey") % 5 == 0)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+    )
+    edges = (
+        li.alias("a")
+        .join(li.alias("b"), "o")
+        .where(F.col("a.p") != F.col("b.p"))
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .distinct()
+    )
+    return ranking.adjacency_similarities(edges, threshold=0.2, top_k=8)
+
+
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) composite: embedding-cosine near-dup
     pairs (LSH bucket join) → connected components → keep each cluster's
@@ -1583,6 +1605,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_join": _q_knn_join,
         # PageRank domain ranking over the kNN graph (integer fixed-point)
         "rank_pagerank": _q_pagerank,
+        # similar-domains adjacency export (WebsiteAdjacenciesCalculator)
+        "rank_adjacencies": _q_adjacencies,
         "dedup_semantic": _q_semantic_dedup,
         # --- multimodal plumbing ---
         "mm_image_features": _q_image_features,
@@ -2248,6 +2272,14 @@ FROM s ORDER BY cosine DESC, vec_id LIMIT 10""",
         "sim_knn_join": sql_oracles.knn_join_sql(k=3, dim=64, n_planes=6),
         "rank_pagerank": sql_oracles.pagerank_knn_sql(
             k=20, iterations=5, knn_k=3, dim=64, n_planes=6
+        ),
+        "rank_adjacencies": sql_oracles.adjacency_sql(
+            """SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  AND a.l_partkey <> b.l_partkey
+  WHERE a.l_partkey % 5 = 0 AND b.l_partkey % 5 = 0""",
+            threshold=0.2,
+            top_k=8,
         ),
         # SemDeDup: same neardup pair set as sim_neardup, closed transitively,
         # smallest-id keeper per cluster

@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "fulltext_deleted",
     "fulltext_bm25_recent",
     "fulltext_explain",
+    "rank_adjacencies",
 ]
 
 

@@ -886,3 +886,93 @@ agg AS (
 SELECT doc_id, n_trans, logprob,
        round(exp(-logprob / n_trans::DOUBLE), 6) AS ppl
 FROM agg"""
+
+
+def adjacency_sql(
+    edges_sql: str,
+    *,
+    max_card: int = 10_000,
+    min_card: int = 10,
+    threshold: float = 0.1,
+    top_k: int = 128,
+) -> str:
+    """Exact oracle for ``ranking.adjacency_similarities``.
+
+    ``edges_sql`` is a SELECT producing ``(src, dst)`` link rows. The twin
+    replays the engine step-for-step: self-inclusive incoming sets,
+    ``card < max_card`` vector eligibility, the ``card > min_card`` driving
+    gate, the asymmetric ``cardMin = max(2, floor(0.01·card_a))`` candidate
+    gate, the cheap cosine ``(and/sqrt(ca))/sqrt(cb)`` with pinned division
+    order, weights ``coalesce(1/ln(2+card), 1.0)``, and the weighted
+    cosine whose Σw sums fold left-to-right over src-ascending lists
+    (``list_reduce`` ↔ the engine's ``F.aggregate`` over
+    ``sort_array(collect_list(...))``) — so every double matches
+    bit-for-bit and ``round(…, 6)`` / ``round(100·value)`` agree."""
+    return f"""WITH adje AS (
+  SELECT DISTINCT dst, src FROM ({edges_sql}) x WHERE dst <> src
+),
+adjr AS (
+  SELECT dst, src FROM adje
+  UNION ALL
+  SELECT DISTINCT dst, dst AS src FROM adje
+),
+adjcard AS (SELECT dst, count(*)::BIGINT AS c FROM adjr GROUP BY dst),
+adjelig AS (SELECT dst, c FROM adjcard WHERE c < {max_card}),
+adjvec AS (
+  SELECT r.dst, r.src, e.c FROM adjr r JOIN adjelig e ON e.dst = r.dst
+),
+adjwt AS (
+  SELECT s.src, coalesce(1.0 / ln(2.0 + e.c), 1.0) AS w
+  FROM (SELECT DISTINCT src FROM adjr) s
+  LEFT JOIN adjelig e ON e.dst = s.src
+),
+adjpairs AS (
+  SELECT a.dst AS da, b.dst AS db, a.c AS ca, b.c AS cb,
+         count(*)::BIGINT AS and_card
+  FROM adjvec a JOIN adjvec b ON a.src = b.src AND a.dst <> b.dst
+  GROUP BY a.dst, b.dst, a.c, b.c
+),
+adjsurv AS (
+  SELECT da, db, ca, cb, and_card FROM adjpairs
+  WHERE ca > {min_card}
+    AND cb >= greatest(2::BIGINT, floor(0.01 * ca)::BIGINT)
+    AND (and_card::DOUBLE / sqrt(ca::DOUBLE)) / sqrt(cb::DOUBLE)
+        > {threshold!r}
+),
+adjshared AS (
+  SELECT s.da, s.db, v1.src, w.w
+  FROM adjsurv s
+  JOIN adjvec v1 ON v1.dst = s.da
+  JOIN adjvec v2 ON v2.dst = s.db AND v2.src = v1.src
+  JOIN adjwt w ON w.src = v1.src
+),
+adjnum AS (
+  SELECT da, db,
+         list_reduce(list_prepend(0.0::DOUBLE, list(w ORDER BY src)),
+                     (acc, x) -> acc + x) AS num
+  FROM adjshared GROUP BY da, db
+),
+adjden AS (
+  SELECT v.dst,
+         list_reduce(list_prepend(0.0::DOUBLE, list(w.w ORDER BY v.src)),
+                     (acc, x) -> acc + x) AS den
+  FROM adjvec v JOIN adjwt w ON w.src = v.src
+  GROUP BY v.dst
+),
+adjval AS (
+  SELECT s.da, s.db, n.num / sqrt(d1.den * d2.den) AS value
+  FROM adjsurv s
+  JOIN adjnum n ON n.da = s.da AND n.db = s.db
+  JOIN adjden d1 ON d1.dst = s.da
+  JOIN adjden d2 ON d2.dst = s.db
+  WHERE n.num / sqrt(d1.den * d2.den) > {threshold!r}
+),
+adjtop AS (
+  SELECT da, db, value,
+         row_number() OVER (PARTITION BY da ORDER BY value DESC, db) AS rn
+  FROM adjval
+)
+SELECT da AS domain_id, db AS neighbor_id,
+       round(100.0 * value)::INTEGER AS relatedness,
+       round(value, 6) AS value
+FROM adjtop WHERE rn <= {top_k}"""

@@ -45,7 +45,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "pagerank_topk", "ranks_from_scores"]
+__all__ = [
+    "pagerank",
+    "pagerank_topk",
+    "ranks_from_scores",
+    "adjacency_similarities",
+]
 
 
 def pagerank(
@@ -159,4 +164,166 @@ def ranks_from_scores(scores: DataFrame, buckets: int = 64) -> DataFrame:
     return scores.select(
         F.col("id").alias("conv_id"),
         (F.ntile(buckets).over(w) - F.lit(1)).alias("rank"),
+    )
+
+
+def adjacency_similarities(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_card: int = 10_000,
+    min_card: int = 10,
+    threshold: float = 0.1,
+    top_k: int = 128,
+) -> DataFrame:
+    """Domain-adjacency similarity graph — the reference's website
+    adjacencies export (``code/processes/export-task-process/java/nu/
+    marginalia/adjacencies/WebsiteAdjacenciesCalculator.java:70-125``,
+    ``AdjacenciesData.java:24-122``, ``SparseBitVector.java:163-256``),
+    which feeds ``EC_DOMAIN_NEIGHBORS_2`` and the similar-domains service
+    (``SimilarDomainsService.java``).
+
+    Semantics, kept exactly:
+
+    - a domain's sparse vector is the set of sources linking to it PLUS
+      itself (``createBitmapWithSelf``); self-loops in the raw edge list
+      are absorbed by the set
+    - vectors exist only for *eligible* dests, ``card < max_card``
+      (``AdjacenciesData.isEligible``); a domain drives only when its
+      card strictly exceeds ``min_card`` (``cardinalityExceeds(10)``)
+    - a candidate must satisfy ``card_b >= max(2, int(0.01 * card_a))``
+      (asymmetric — the ``cardMin`` gate)
+    - two-stage scoring: cheap set cosine ``(and / sqrt(ca)) / sqrt(cb) >
+      threshold`` first, then the weighted cosine
+      ``Σ_{s∈A∩B} w_s / sqrt(Σ_{s∈A} w_s · Σ_{s∈B} w_s) > threshold``
+      with ``w_s = 1/ln(2 + card_s)`` for sources with an eligible
+      vector, else 1.0 (``getWeight``; double here vs the reference's
+      float32 — documented divergence, same everywhere)
+    - per driving domain keep the ``top_k`` highest values (the
+      reference's 128-cap), ties pinned on ascending neighbor id
+
+    Returns ``(domain_id, neighbor_id, relatedness, value)`` where
+    ``relatedness = round(100·value)`` is what the reference's service
+    serves (``SimilarDomainsService.java:117``) and ``value`` rounds to
+    6 places.
+
+    Scale shape: the one heavy relation (the co-source self-join) is
+    aggregated with a COUNT only (map-side combinable); shared-source
+    lists are collected solely for pairs that survive the cheap filter,
+    and denominators solely for domains appearing in survivors. Weighted
+    sums fold over src-ascending sorted lists, so they are bit-identical
+    across engines and partitionings (the DuckDB twin replays the same
+    fold). No all-pairs work anywhere: candidates come from the shared
+    source, exactly the reference's ``sToDMap`` candidate generation —
+    the self-bits make the co-source join complete (any pair with a
+    nonzero intersection shares an element that is a source of both).
+    A mega-out-degree source fans into outdeg² pair rows, the same
+    quadratic the reference's candidate sets pay; ``max_card``
+    eligibility is the reference's own guard on the dst side.
+    """
+    e = (
+        edges.select(
+            F.col(dst_col).cast("long").alias("dst"),
+            F.col(src_col).cast("long").alias("src"),
+        )
+        .where(F.col("dst") != F.col("src"))
+        .distinct()
+    )
+    dsts = e.select("dst").distinct()
+    r = e.unionByName(dsts.select("dst", F.col("dst").alias("src")))
+    card = r.groupBy("dst").agg(F.count(F.lit(1)).alias("c"))
+    elig = card.where(F.col("c") < max_card)
+    vec = r.join(elig, "dst")  # (dst, src, c) — eligible vectors only
+    wt = (
+        r.select("src")
+        .distinct()
+        .join(
+            elig.select(F.col("dst").alias("src"), F.col("c").alias("sc")),
+            "src",
+            "left",
+        )
+        .select(
+            "src",
+            F.coalesce(
+                F.lit(1.0) / F.log(F.lit(2.0) + F.col("sc")), F.lit(1.0)
+            ).alias("w"),
+        )
+    )
+    a = vec.select(F.col("dst").alias("da"), "src", F.col("c").alias("ca"))
+    b = vec.select(F.col("dst").alias("db"), "src", F.col("c").alias("cb"))
+    pairs = (
+        a.join(b, "src")
+        .where(F.col("da") != F.col("db"))
+        .groupBy("da", "db", "ca", "cb")
+        .agg(F.count(F.lit(1)).alias("and_card"))
+    )
+    surv = pairs.where(
+        (F.col("ca") > F.lit(min_card))
+        & (
+            F.col("cb")
+            >= F.greatest(
+                F.lit(2).cast("long"),
+                F.floor(F.lit(0.01) * F.col("ca")).cast("long"),
+            )
+        )
+        & (
+            (
+                F.col("and_card").cast("double")
+                / F.sqrt(F.col("ca").cast("double"))
+            )
+            / F.sqrt(F.col("cb").cast("double"))
+            > F.lit(threshold)
+        )
+    )
+    sv = surv.select("da", "db")
+    shared = (
+        sv.join(vec.select(F.col("dst").alias("da"), "src"), "da")
+        .join(vec.select(F.col("dst").alias("db"), "src"), ["db", "src"])
+        .join(wt, "src")
+    )
+    _fold = lambda c: F.aggregate(  # noqa: E731 — src-asc pinned fold
+        F.sort_array(F.collect_list(F.struct("src", "w"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["w"],
+    ).alias(c)
+    num = shared.groupBy("da", "db").agg(_fold("num"))
+    ids = sv.select(F.col("da").alias("dst")).union(
+        sv.select(F.col("db"))
+    ).distinct()
+    den = (
+        vec.join(ids, "dst")
+        .join(wt, "src")
+        .groupBy("dst")
+        .agg(_fold("den"))
+    )
+    out = (
+        surv.join(num, ["da", "db"])
+        .join(
+            den.select(F.col("dst").alias("da"), F.col("den").alias("dna")),
+            "da",
+        )
+        .join(
+            den.select(F.col("dst").alias("db"), F.col("den").alias("dnb")),
+            "db",
+        )
+        .withColumn(
+            "value", F.col("num") / F.sqrt(F.col("dna") * F.col("dnb"))
+        )
+        .where(F.col("value") > F.lit(threshold))
+    )
+    wnd = Window.partitionBy("da").orderBy(
+        F.col("value").desc(), F.col("db").asc()
+    )
+    return (
+        out.withColumn("rn", F.row_number().over(wnd))
+        .where(F.col("rn") <= top_k)
+        .select(
+            F.col("da").alias("domain_id"),
+            F.col("db").alias("neighbor_id"),
+            F.round(F.lit(100.0) * F.col("value")).cast("int").alias(
+                "relatedness"
+            ),
+            F.round(F.col("value"), 6).alias("value"),
+        )
     )
