@@ -40,6 +40,7 @@ from marginaliasearch_spark.functions import sql_oracles
 from marginaliasearch_spark.functions.tokenizer import STOPWORDS
 from marginaliasearch_spark.operators import (
     bpe,
+    classifier,
     decontam,
     dedup,
     dsir,
@@ -1028,6 +1029,20 @@ def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.quality_scores(_docs(spark, sf_dir))
 
 
+def _q_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = classifier.Vocabulary(classifier.DEFAULT_VOCAB)
+    return classifier.classify_documents(
+        _docs(spark, sf_dir), v, classifier.default_model(len(v), mode="binary")
+    )
+
+
+def _q_classify_counted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = classifier.Vocabulary(classifier.DEFAULT_VOCAB)
+    return classifier.classify_documents(
+        _docs(spark, sf_dir), v, classifier.default_model(len(v), mode="counted")
+    )
+
+
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.fingerprints(_docs(spark, sf_dir))
 
@@ -1595,6 +1610,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_fingerprint,
         # Gopher-style repetition signals (Rae et al. 2021)
         "text_repetition": _q_repetition,
+        # MLP document classifier (classifier-net NSFW-filter parity):
+        # BINARY and COUNTED sparse input activation
+        "text_classify": _q_classify,
+        "text_classify_counted": _q_classify_counted,
         # --- similarity search ---
         "sim_cosine_topk": _q_cosine_topk,
         "sim_lsh_topk": _q_lsh_topk,
@@ -2201,6 +2220,8 @@ FROM documents""",
         # Gopher repetition rules: all ratios are exact-integer divisions so
         # both engines produce bit-identical doubles (div-by-zero → NULL →
         # coalesce 0 on both sides)
+        "text_classify": sql_oracles.classify_sql("binary"),
+        "text_classify_counted": sql_oracles.classify_sql("counted"),
         "text_repetition": """
 WITH base AS (
   SELECT doc_id,

@@ -976,3 +976,94 @@ SELECT da AS domain_id, db AS neighbor_id,
        round(100.0 * value)::INTEGER AS relatedness,
        round(value, 6) AS value
 FROM adjtop WHERE rn <= {top_k}"""
+
+
+def classify_sql(mode: str = "binary") -> str:
+    """MLP document-classifier oracle (operators/classifier.py twin).
+
+    Recomputes the full forward pass in SQL: trimTerm'd unigram + bigram
+    feature extraction, per-hidden-unit weighted feature sums (exact —
+    the default model's weights are dyadic rationals), ReLU, and a
+    *textually left-associative* hidden→output chain matching the numpy
+    kernel's sequential accumulation, so the pre-sigmoid logit is
+    bit-identical on both engines. Only the sigmoid is transcendental;
+    both sides round it to 6 decimals, and the flag bit is decided on the
+    exact logit sign.
+    """
+    from ..operators.classifier import DEFAULT_VOCAB, Vocabulary, default_model
+
+    vocab = Vocabulary(DEFAULT_VOCAB)
+    model = default_model(len(vocab), mode=mode)
+    vterms = ", ".join(
+        f"({t!r}, {j})" for j, t in enumerate(vocab.terms)
+    )
+    w1_rows = ", ".join(
+        f"({h}, {j}, {model.w1[h, j]!r})"
+        for h in range(model.m_hidden)
+        for j in range(model.n_inputs)
+    )
+    if mode == "counted":
+        feats = "SELECT doc_id, j, COUNT(*)::DOUBLE AS act FROM matches GROUP BY doc_id, j"
+    else:
+        feats = (
+            "SELECT doc_id, j, 1.0::DOUBLE AS act FROM "
+            "(SELECT DISTINCT doc_id, j FROM matches)"
+        )
+    s_cols = ",\n    ".join(
+        f"COALESCE(SUM(CASE WHEN m.h = {h} THEN m.wv * f.act END), 0) AS s{h}"
+        for h in range(model.m_hidden)
+    )
+    z2 = repr(model.b2)
+    for h in range(model.m_hidden):
+        z2 = (
+            f"({z2} + greatest({model.b1[h]!r} + COALESCE(h.s{h}, 0), 0)"
+            f" * {model.w2[h]!r})"
+        )
+    return f"""
+WITH cbase AS (
+  SELECT doc_id,
+    list_transform(
+      list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''),
+      x -> regexp_replace(regexp_replace(x, '^[^a-z0-9]+', ''),
+                          '[^a-z0-9]+$', '')
+    ) AS tw
+  FROM documents
+),
+vterms(w, j) AS (VALUES {vterms}),
+cuni AS (SELECT doc_id, unnest(tw) AS w FROM cbase),
+cbi AS (
+  SELECT doc_id,
+         unnest(list_transform(range(2, len(tw) + 1),
+                               i -> tw[i - 1] || '_' || tw[i])) AS w
+  FROM cbase
+),
+matches AS (
+  SELECT u.doc_id, v.j FROM cuni u JOIN vterms v USING (w)
+  UNION ALL
+  SELECT b.doc_id, v.j FROM cbi b JOIN vterms v USING (w)
+),
+feats AS ({feats}),
+w1m(h, j, wv) AS (VALUES {w1_rows}),
+fstat AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_features, SUM(act)::BIGINT AS act_total
+  FROM feats GROUP BY doc_id
+),
+hs AS (
+  SELECT f.doc_id, {s_cols}
+  FROM feats f JOIN w1m m ON m.j = f.j
+  GROUP BY f.doc_id
+),
+zz AS (
+  SELECT d.doc_id,
+    COALESCE(fs.n_features, 0) AS n_features,
+    COALESCE(fs.act_total, 0) AS act_total,
+    {z2} AS z2
+  FROM documents d
+  LEFT JOIN hs h USING (doc_id)
+  LEFT JOIN fstat fs USING (doc_id)
+)
+SELECT doc_id, n_features, act_total,
+  round(z2, 6) AS logit,
+  round(1 / (1 + exp(-z2)), 6) AS score,
+  (z2 >= 0) AS is_flagged
+FROM zz"""
