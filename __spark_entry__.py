@@ -41,6 +41,7 @@ from marginaliasearch_spark.functions.tokenizer import STOPWORDS
 from marginaliasearch_spark.operators import (
     bpe,
     classifier,
+    topics,
     decontam,
     dedup,
     dsir,
@@ -1029,6 +1030,24 @@ def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.quality_scores(_docs(spark, sf_dir))
 
 
+def _q_topic_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topics.topic_scores(
+        _docs(spark, sf_dir),
+        topics.SYNTH_TOPIC_TERMS,
+        avg_length=topics.RECIPE_AVG_LENGTH,
+        mode="once",
+    )
+
+
+def _q_topic_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topics.topic_scores(
+        _docs(spark, sf_dir),
+        topics.SYNTH_TOPIC_TERMS,
+        avg_length=topics.ADHOC_AVG_LENGTH,
+        mode="decay",
+    )
+
+
 def _q_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = classifier.Vocabulary(classifier.DEFAULT_VOCAB)
     return classifier.classify_documents(
@@ -1614,6 +1633,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # BINARY and COUNTED sparse input activation
         "text_classify": _q_classify,
         "text_classify_counted": _q_classify_counted,
+        # weighted-term topic detectors (RecipeDetector/AdHocDetector)
+        "text_topic_once": _q_topic_once,
+        "text_topic_decay": _q_topic_decay,
         # --- similarity search ---
         "sim_cosine_topk": _q_cosine_topk,
         "sim_lsh_topk": _q_lsh_topk,
@@ -2220,6 +2242,12 @@ FROM documents""",
         # Gopher repetition rules: all ratios are exact-integer divisions so
         # both engines produce bit-identical doubles (div-by-zero → NULL →
         # coalesce 0 on both sides)
+        "text_topic_once": sql_oracles.topic_sql(
+            topics.SYNTH_TOPIC_TERMS, topics.RECIPE_AVG_LENGTH, "once"
+        ),
+        "text_topic_decay": sql_oracles.topic_sql(
+            topics.SYNTH_TOPIC_TERMS, topics.ADHOC_AVG_LENGTH, "decay"
+        ),
         "text_classify": sql_oracles.classify_sql("binary"),
         "text_classify_counted": sql_oracles.classify_sql("counted"),
         "text_repetition": """

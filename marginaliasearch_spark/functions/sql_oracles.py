@@ -1067,3 +1067,74 @@ SELECT doc_id, n_features, act_total,
   round(1 / (1 + exp(-z2)), 6) AS score,
   (z2 >= 0) AS is_flagged
 FROM zz"""
+
+
+def topic_sql(
+    term_values: dict[str, float],
+    avg_length: int,
+    mode: str = "once",
+) -> str:
+    """Topic-detector oracle (operators/topics.py twin).
+
+    Inlines the surface→stem image of the testdata word pool
+    (``topics.SYNTH_CORPUS_VOCAB`` — the documents generator's fixed
+    31-token vocabulary) computed with the same Porter stemmer the engine
+    uses; the engine derives its map from the corpus itself, and the two
+    agree on any corpus drawn from the pool. Once-mode sums exact integer
+    thousandths; decay-mode folds per-stem contributions in ascending-stem
+    order via ``list_reduce`` — the mirror of the engine's ``F.aggregate``
+    over a sorted array.
+    """
+    from ..functions.stemmer import porter_stem
+    from ..operators.topics import SYNTH_CORPUS_VOCAB, stem_dictionary
+
+    stem_vals = stem_dictionary(term_values)
+    surf = {
+        t: s
+        for t in SYNTH_CORPUS_VOCAB
+        if (s := porter_stem(t)) in stem_vals
+    }
+    if not surf:
+        raise ValueError("dictionary matches nothing in the corpus pool")
+    smap = ", ".join(f"({t!r}, {s!r})" for t, s in sorted(surf.items()))
+    vmap = ", ".join(
+        f"({s!r}, {int(round(v * 1000))})" for s, v in sorted(stem_vals.items())
+    )
+    if mode == "once":
+        agg = """
+  SELECT mm.doc_id, count(*)::BIGINT AS n_matched,
+         (SUM(v.mv)::DOUBLE / 1000.0) AS raw
+  FROM mm JOIN vmap v USING (stem) GROUP BY mm.doc_id"""
+    else:
+        agg = """
+  SELECT mm.doc_id, count(*)::BIGINT AS n_matched,
+         list_reduce(
+           list_prepend(0.0::DOUBLE,
+             list((v.mv::DOUBLE / 1000.0)
+                  * (2.0 - pow(2.0, 1.0 - mm.k::DOUBLE)) ORDER BY stem)),
+           (a, x) -> a + x) AS raw
+  FROM mm JOIN vmap v USING (stem) GROUP BY mm.doc_id"""
+    return f"""
+WITH tp AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                x -> x <> '') AS toks
+  FROM documents
+),
+tbase AS (SELECT doc_id, len(toks)::BIGINT AS n_words FROM tp),
+tt AS (SELECT doc_id, unnest(toks) AS tok FROM tp),
+smap(tok, stem) AS (VALUES {smap}),
+vmap(stem, mv) AS (VALUES {vmap}),
+mm AS (
+  SELECT t.doc_id, s.stem, count(*)::BIGINT AS k
+  FROM tt t JOIN smap s USING (tok) GROUP BY t.doc_id, s.stem
+),
+tagg AS ({agg})
+SELECT b.doc_id, b.n_words,
+  COALESCE(a.n_matched, 0) AS n_matched,
+  CASE WHEN b.n_words = 0 THEN 0.0 ELSE
+    round(COALESCE(a.raw, 0.0)
+          * (sqrt({float(avg_length)!r}) /
+             sqrt(greatest({float(avg_length)!r}, b.n_words::DOUBLE))), 6)
+  END AS score
+FROM tbase b LEFT JOIN tagg a USING (doc_id)"""
