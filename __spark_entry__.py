@@ -1030,6 +1030,89 @@ def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.quality_scores(_docs(spark, sf_dir))
 
 
+def _q_question_spam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic multi-turn relation from documents (conv = doc_id//32,
+    role cycles doc_id%4, question prefix by doc_id%5 prepended when
+    doc_id%5 < 3 — a rate that makes per-conv positives straddle the
+    ``> 4`` gate, so both spam outcomes occur; the oracle derives the
+    identical turns in SQL)."""
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    prefix = F.element_at(
+        F.array([F.lit(p) for p in topics.QUESTION_PREFIXES]),
+        (d % 5 + 1).cast("int"),
+    )
+    text = F.when(
+        d % 5 < 3, F.concat(prefix, F.lit(" "), F.col("text"))
+    ).otherwise(F.col("text"))
+    role = (
+        F.when(d % 4 == 0, F.lit("system"))
+        .when(d % 4 == 1, F.lit("assistant"))
+        .when(d % 4 == 2, F.lit("user"))
+        .otherwise(F.lit("tool"))
+    )
+    turns = docs.select(
+        F.floor(d / 32).cast("long").cast("string").alias("conv_id"),
+        role.alias("role"),
+        text.alias("text"),
+    )
+    return topics.question_spam_scores(turns)
+
+
+def _q_math_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calculator over a doc_id-derived expression column — the real
+    recursive-descent parser runs per row (mapInPandas); the oracle
+    computes the same arithmetic directly."""
+    import pandas as pd
+
+    from marginaliasearch_spark.plans.assistant import MathParser
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def run(batches):
+        p = MathParser()
+        for pdf in batches:
+            d = pdf["doc_id"]
+            expr = [
+                (
+                    f"{a} + {b} * ({c} - 1) / 4"
+                    if i % 3 == 0
+                    else (f"-{a} + 2 ^ {b}" if i % 3 == 1 else f"sqrt({a}) * {c}")
+                )
+                for i, a, b, c in zip(d, d % 50, d % 13, d % 7 + 2)
+            ]
+            yield pd.DataFrame(
+                {"doc_id": d, "value": [round(p.eval(e), 6) for e in expr]}
+            )
+
+    return docs.mapInPandas(run, "doc_id long, value double")
+
+
+def _q_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit conversion over doc_id-derived (value, from, to) triples via
+    the real Units table; the oracle inlines the four conversions."""
+    import pandas as pd
+
+    from marginaliasearch_spark.plans.assistant import Units
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    pairs = [("km", "miles"), ("kg", "lb"), ("c", "f"), ("min", "hours")]
+
+    def run(batches):
+        u = Units()
+        for pdf in batches:
+            d = pdf["doc_id"]
+            vals, units = [], []
+            for i, v in zip(d, d % 100):
+                fr, to = pairs[i % 4]
+                conv = u.convert(str(int(v)), fr, to)
+                vals.append(round(conv[0], 6))
+                units.append(conv[1])
+            yield pd.DataFrame({"doc_id": d, "value": vals, "unit": units})
+
+    return docs.mapInPandas(run, "doc_id long, value double, unit string")
+
+
 def _q_topic_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topics.topic_scores(
         _docs(spark, sf_dir),
@@ -1636,6 +1719,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # weighted-term topic detectors (RecipeDetector/AdHocDetector)
         "text_topic_once": _q_topic_once,
         "text_topic_decay": _q_topic_decay,
+        # question-prefix spam (GoogleAnwersSpamDetector adapted to turns)
+        "text_question_spam": _q_question_spam,
+        # search-box assistant: calculator + unit conversion (MathParser/
+        # Units parity), applied as a column job to gate the module
+        "assist_math_eval": _q_math_eval,
+        "assist_convert": _q_convert,
         # --- similarity search ---
         "sim_cosine_topk": _q_cosine_topk,
         "sim_lsh_topk": _q_lsh_topk,
@@ -2242,6 +2331,28 @@ FROM documents""",
         # Gopher repetition rules: all ratios are exact-integer divisions so
         # both engines produce bit-identical doubles (div-by-zero → NULL →
         # coalesce 0 on both sides)
+        "text_question_spam": sql_oracles.question_spam_sql(),
+        # both sides evaluate the identical doc_id-derived expressions;
+        # the parser itself is pinned by tests/test_assistant.py
+        "assist_math_eval": """
+SELECT doc_id,
+  CASE doc_id % 3
+    WHEN 0 THEN round((doc_id % 50) + (doc_id % 13) * ((doc_id % 7 + 2) - 1) / 4.0, 6)
+    WHEN 1 THEN round(-(doc_id % 50) + pow(2.0, (doc_id % 13)::DOUBLE), 6)
+    ELSE round(sqrt((doc_id % 50)::DOUBLE) * (doc_id % 7 + 2), 6)
+  END AS value
+FROM documents""",
+        "assist_convert": """
+SELECT doc_id,
+  CASE doc_id % 4
+    WHEN 0 THEN round(1000.0 * (doc_id % 100) / 1609.344, 6)
+    WHEN 1 THEN round(1.0 * (doc_id % 100) / 0.45359237, 6)
+    WHEN 2 THEN round(32.0 + 9 * (doc_id % 100) / 5.0, 6)
+    ELSE round(60.0 * (doc_id % 100) / 3600.0, 6)
+  END AS value,
+  CASE doc_id % 4 WHEN 0 THEN 'miles' WHEN 1 THEN 'lb'
+                  WHEN 2 THEN 'F' ELSE 'hour' END AS unit
+FROM documents""",
         "text_topic_once": sql_oracles.topic_sql(
             topics.SYNTH_TOPIC_TERMS, topics.RECIPE_AVG_LENGTH, "once"
         ),

@@ -1138,3 +1138,42 @@ SELECT b.doc_id, b.n_words,
              sqrt(greatest({float(avg_length)!r}, b.n_words::DOUBLE))), 6)
   END AS score
 FROM tbase b LEFT JOIN tagg a USING (doc_id)"""
+
+
+def question_spam_sql(
+    convs_per: int = 32,
+    inject_mod: int = 5,
+    min_positive: int = 4,
+    min_ratio: float = 0.5,
+) -> str:
+    """Question-prefix spam oracle (topics.question_spam_scores twin over
+    the driver entry's synthetic multi-turn relation: conv = doc_id//32,
+    role cycles doc_id%4, a question prefix chosen by doc_id%5 is
+    prepended when doc_id%5 < 3, straddling the > min_positive gate —
+    both sides derive the identical turns from the documents view)."""
+    from ..operators.topics import QUESTION_PREFIXES
+
+    parr = ", ".join(f"{p!r}" for p in QUESTION_PREFIXES)
+    return f"""
+WITH qturns AS (
+  SELECT (doc_id // {convs_per})::BIGINT AS conv_id,
+         doc_id % 4 AS role_idx,
+         CASE WHEN doc_id % {inject_mod} < 3
+              THEN [{parr}][(doc_id % 5 + 1)::INTEGER] || ' ' || text
+              ELSE text END AS text
+  FROM documents
+),
+qagg AS (
+  SELECT conv_id,
+         count(*)::BIGINT AS total,
+         count(*) FILTER (
+           WHERE {" OR ".join(f"starts_with(text, '{p}')" for p in QUESTION_PREFIXES)}
+         )::BIGINT AS positive
+  FROM qturns WHERE role_idx = 2
+  GROUP BY conv_id
+)
+SELECT conv_id::VARCHAR AS conv_id, total, positive,
+       CASE WHEN positive > {min_positive}
+                 AND positive / total::DOUBLE > {min_ratio!r}
+            THEN 1.0 ELSE 0.0 END AS spam_score
+FROM qagg"""

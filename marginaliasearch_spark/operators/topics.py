@@ -311,3 +311,42 @@ SYNTH_TOPIC_TERMS: dict[str, float] = {
     "table": 0.05, "scan": 0.05, "stream": 0.025, "window": 0.025,
     "vector": -0.15, "batch": 0.025,
 }
+
+
+QUESTION_PREFIXES: tuple[str, ...] = ("What", "Why", "How", "When", "Is")
+
+
+def question_spam_scores(
+    turns: DataFrame,
+    prefixes: tuple[str, ...] = QUESTION_PREFIXES,
+    min_positive: int = 4,
+    min_ratio: float = 0.5,
+    tag_role: str = "user",
+) -> DataFrame:
+    """Question-prefix spam detector (GoogleAnwersSpamDetector.java
+    adapted to transcripts): the reference flags a page when more than
+    ``min_positive`` of its h1/h2/h3 headings start with a question word
+    AND they are more than ``min_ratio`` of all such headings. Here the
+    "headings" are a conversation's ``tag_role`` turns (case-sensitive
+    ``startsWith``, as the reference).
+
+    One groupBy(conv_id) aggregation — count + conditional count, both
+    map-side combinable; output (conv_id, total, positive, spam_score)
+    with score 1.0/0.0 like ``testP``.
+    """
+    is_pos = F.lit(False)
+    for p in prefixes:
+        is_pos = is_pos | F.startswith(F.col("text"), F.lit(p))
+    agg = (
+        turns.filter(F.col("role") == tag_role)
+        .groupBy("conv_id")
+        .agg(
+            F.count("*").cast("long").alias("total"),
+            F.count_if(is_pos).cast("long").alias("positive"),
+        )
+    )
+    spam = (
+        (F.col("positive") > min_positive)
+        & (F.col("positive") / F.col("total") > F.lit(min_ratio))
+    ).cast("double")
+    return agg.select("conv_id", "total", "positive", spam.alias("spam_score"))
