@@ -116,6 +116,10 @@ BENCH_QUERIES = [
     "fulltext_bm25_recent",
     "fulltext_explain",
     "rank_adjacencies",
+    # round-3 continuation (this session)
+    "text_classify",
+    "text_topic_once",
+    "text_question_spam",
 ]
 
 
