@@ -374,6 +374,48 @@ def main() -> None:
         )
     )
 
+    from marginaliasearch_spark.operators import classifier, topics
+
+    vv = classifier.Vocabulary(classifier.DEFAULT_VOCAB)
+    cls = classifier.classify_documents(
+        raw_docs, vv, classifier.default_model(len(vv), mode="counted")
+    )
+    sections.append(
+        (
+            "MLP document classifier (counted features -> score/flag)",
+            "Things to check: ONE `Scan parquet` with a 2-column "
+            "`ReadSchema` (doc_id, text), then a single `MapInPandas` — "
+            "zero `Exchange` nodes. The model weights ride the closure; "
+            "rows out == rows in; the operator partition-parallelizes "
+            "untouched at any corpus size (inference is embarrassingly "
+            "parallel — training stays driver-side as in the reference).",
+            fmt(cls),
+        )
+    )
+
+    tp = topics.topic_scores(
+        raw_docs,
+        topics.SYNTH_TOPIC_TERMS,
+        mode="decay",
+        surface_stems={
+            w: s
+            for w in topics.SYNTH_CORPUS_VOCAB
+            if (s := topics.porter_stem(w))
+        },
+    )
+    sections.append(
+        (
+            "Topic detector (AdHoc decay mode, precomputed stem map)",
+            "Things to check: a single `Project` over a 2-column scan — "
+            "no Exchange, no Python at all: tokenize/stem-map/distinct/"
+            "fold run as JVM higher-order array expressions. The one "
+            "vocabulary-sized stem aggregation happens only when the "
+            "surface map is derived from the corpus (not in this plan; "
+            "an index build supplies the lexicon's stem column instead).",
+            fmt(tp),
+        )
+    )
+
     out = ["# EXPLAIN — formatted physical plans of the hot paths",
            "",
            "Generated by `python tools/dump_plans.py` over the sf0.001 driver",
