@@ -1030,6 +1030,12 @@ def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.quality_scores(_docs(spark, sf_dir))
 
 
+def _q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from marginaliasearch_spark.operators.keywords import tfidf_keywords
+
+    return tfidf_keywords(_docs(spark, sf_dir))
+
+
 def _q_question_spam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthetic multi-turn relation from documents (conv = doc_id//32,
     role cycles doc_id%4, question prefix by doc_id%5 prepended when
@@ -1721,6 +1727,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_topic_decay": _q_topic_decay,
         # question-prefix spam (GoogleAnwersSpamDetector adapted to turns)
         "text_question_spam": _q_question_spam,
+        # per-doc TF-IDF keyword flags (WordsTfIdfCounts / TfIdfHigh)
+        "index_tfidf_keywords": _q_tfidf_keywords,
         # search-box assistant: calculator + unit conversion (MathParser/
         # Units parity), applied as a column job to gate the module
         "assist_math_eval": _q_math_eval,
@@ -2332,6 +2340,7 @@ FROM documents""",
         # both engines produce bit-identical doubles (div-by-zero → NULL →
         # coalesce 0 on both sides)
         "text_question_spam": sql_oracles.question_spam_sql(),
+        "index_tfidf_keywords": sql_oracles.tfidf_keywords_sql(),
         # both sides evaluate the identical doc_id-derived expressions;
         # the parser itself is pinned by tests/test_assistant.py
         "assist_math_eval": """

@@ -1177,3 +1177,46 @@ SELECT conv_id::VARCHAR AS conv_id, total, positive,
                  AND positive / total::DOUBLE > {min_ratio!r}
             THEN 1.0 ELSE 0.0 END AS spam_score
 FROM qagg"""
+
+
+def tfidf_keywords_sql() -> str:
+    """TF-IDF keyword oracle (operators/keywords.py twin): identical
+    formula text (``(0.1 + 0.9·cnt/max)·ln(df/N)``, truncate-toward-zero
+    ×75) over the inlined surface→stem image of the testdata word pool
+    minus stopwords."""
+    from ..functions.stemmer import porter_stem
+    from ..functions.tokenizer import STOPWORDS
+    from ..operators.topics import SYNTH_CORPUS_VOCAB
+
+    smap = ", ".join(
+        f"({t!r}, {porter_stem(t)!r})"
+        for t in sorted(SYNTH_CORPUS_VOCAB)
+        if t not in STOPWORDS
+    )
+    norm = (
+        "trunc((-((0.1 + 0.9 * c.cnt::DOUBLE / x.maxv) * ln(d.df / kn.n)))"
+        " * 75.0)::BIGINT"
+    )
+    return f"""
+WITH kbase AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                t -> t <> '') AS toks
+  FROM documents
+),
+ksmap(tok, stem) AS (VALUES {smap}),
+ktok AS (SELECT doc_id, unnest(toks) AS tok FROM kbase),
+kcnt AS (
+  SELECT t.doc_id, m.stem, count(*)::BIGINT AS cnt
+  FROM ktok t JOIN ksmap m USING (tok) GROUP BY t.doc_id, m.stem
+),
+kmax AS (SELECT doc_id, max(cnt)::DOUBLE AS maxv FROM kcnt GROUP BY doc_id),
+kdf AS (SELECT stem, count(*)::DOUBLE AS df FROM kcnt GROUP BY stem),
+kn AS (SELECT count(*)::DOUBLE AS n FROM documents)
+SELECT c.doc_id, c.stem, c.cnt,
+  {norm} AS tfidf_norm,
+  (c.cnt > 1 AND {norm} > 100) AS is_high
+FROM kcnt c
+JOIN kmax x USING (doc_id)
+JOIN kdf d USING (stem)
+CROSS JOIN kn"""

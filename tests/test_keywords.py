@@ -1,0 +1,98 @@
+"""TF-IDF keyword extraction parity (WordsTfIdfCounts.java).
+
+Pins the value/normalize formulas against a straight-line mirror, the
+TfIdfHigh flag rule (cnt > 1 AND norm > 100), truncation-toward-zero,
+stopword exclusion, and stem-class merging of counts.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from marginaliasearch_spark.functions.stemmer import porter_stem
+from marginaliasearch_spark.functions.tokenizer import STOPWORDS
+from marginaliasearch_spark.operators.keywords import (
+    corpus_stem_map,
+    tfidf_keywords,
+)
+
+
+def _mirror(docs: list[str]) -> dict[tuple[int, str], tuple[int, int, bool]]:
+    """(doc, stem) -> (cnt, tfidf_norm, is_high), the reference loops."""
+    counts: list[dict[str, int]] = []
+    for text in docs:
+        c: dict[str, int] = {}
+        for tok in text.lower().split():
+            if tok in STOPWORDS:
+                continue
+            s = porter_stem(tok)
+            c[s] = c.get(s, 0) + 1
+        counts.append(c)
+    n = float(len(docs))
+    df: dict[str, int] = {}
+    for c in counts:
+        for s in c:
+            df[s] = df.get(s, 0) + 1
+    out = {}
+    for i, c in enumerate(counts):
+        if not c:
+            continue
+        maxv = max(c.values())
+        for s, cnt in c.items():
+            # WordsTfIdfCounts.value + normalizeValue: truncation to int
+            v = (0.1 + 0.9 * cnt / maxv) * math.log(df[s] / n)
+            norm = int(-v * 75)
+            out[(i, s)] = (cnt, norm, cnt > 1 and norm > 100)
+    return out
+
+
+def test_spark_matches_mirror_and_flags_rare_repeats(spark):
+    # 40 filler docs make 'xylophone' rare (df=1); doc 0 repeats it, so
+    # its norm clears 100 with cnt>1 -> TfIdfHigh fires
+    docs = ["xylophone xylophone common words here"] + [
+        f"common words here filler{i % 3}" for i in range(40)
+    ]
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    )
+    out = tfidf_keywords(sdf).toPandas()
+    got = {
+        (r.doc_id, r.stem): (r.cnt, r.tfidf_norm, r.is_high)
+        for r in out.itertuples()
+    }
+    assert got == _mirror(docs)
+    assert got[(0, porter_stem("xylophone"))][2] is True
+    assert any(not v[2] for v in got.values())
+
+
+def test_stopwords_excluded_and_stems_merge(spark):
+    docs = ["the tables table a big bigger"]
+    sdf = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": docs}))
+    out = tfidf_keywords(sdf).toPandas().set_index("stem")
+    assert "the" not in out.index and "a" not in out.index
+    # tables + table stem-merge into one count of 2
+    assert out.loc[porter_stem("table"), "cnt"] == 2
+
+
+def test_truncation_toward_zero():
+    # df == n -> ln(1) = 0 -> norm exactly 0 (not -1 from floor)
+    assert _mirror(["solo word", "solo word"])[(0, "solo")][1] == 0
+
+
+def test_empty_and_stopword_only_docs(spark):
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1, 2], "text": ["", "the a of", "real content"]})
+    )
+    out = tfidf_keywords(sdf).toPandas()
+    assert set(out.doc_id) == {2}
+
+
+def test_corpus_stem_map(spark):
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["the tables querying"]})
+    )
+    m = corpus_stem_map(sdf)
+    assert m == {"tables": "tabl", "querying": porter_stem("querying")}
