@@ -1030,6 +1030,24 @@ def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.quality_scores(_docs(spark, sf_dir))
 
 
+def _q_content_farm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Injects the reference's content-farm header lines by doc_id%4 (the
+    corpus has no such phrases) identically on both sides, then runs the
+    detector."""
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    nl = F.lit("\n")
+    itext = (
+        F.when(d % 4 == 1, F.concat(F.lit("Benefits of spark"), nl, F.col("text")))
+        .when(d % 4 == 2, F.concat(F.lit("Key benefits:"), nl, F.lit("Key takeaways:"), nl, F.col("text")))
+        .when(d % 4 == 3, F.concat(F.lit("benefits of x"), nl, F.lit("key benefits y"), nl, F.lit("key takeaways z"), nl, F.col("text")))
+        .otherwise(F.col("text"))
+    )
+    return topics.content_farm_penalty(
+        docs.select("doc_id", itext.alias("text"))
+    )
+
+
 def _q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from marginaliasearch_spark.operators.keywords import tfidf_keywords
 
@@ -1729,6 +1747,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_question_spam": _q_question_spam,
         # per-doc TF-IDF keyword flags (WordsTfIdfCounts / TfIdfHigh)
         "index_tfidf_keywords": _q_tfidf_keywords,
+        # AI-content-farm header penalty (DocumentValuator)
+        "text_content_farm": _q_content_farm,
         # search-box assistant: calculator + unit conversion (MathParser/
         # Units parity), applied as a column job to gate the module
         "assist_math_eval": _q_math_eval,
@@ -2341,6 +2361,7 @@ FROM documents""",
         # coalesce 0 on both sides)
         "text_question_spam": sql_oracles.question_spam_sql(),
         "index_tfidf_keywords": sql_oracles.tfidf_keywords_sql(),
+        "text_content_farm": sql_oracles.content_farm_sql(),
         # both sides evaluate the identical doc_id-derived expressions;
         # the parser itself is pinned by tests/test_assistant.py
         "assist_math_eval": """

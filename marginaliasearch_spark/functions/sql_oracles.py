@@ -1220,3 +1220,34 @@ FROM kcnt c
 JOIN kmax x USING (doc_id)
 JOIN kdf d USING (stem)
 CROSS JOIN kn"""
+
+
+def content_farm_sql() -> str:
+    """Content-farm-penalty oracle (topics.content_farm_penalty twin over
+    the entry's injected header lines: doc_id%4==1 prepends a 'benefits
+    of' line, %4==2 'key benefits' + 'key takeaways', %4==3 all three)."""
+    inject = """
+  CASE doc_id % 4
+    WHEN 1 THEN 'Benefits of spark' || chr(10) || text
+    WHEN 2 THEN 'Key benefits:' || chr(10) || 'Key takeaways:' || chr(10) || text
+    WHEN 3 THEN 'benefits of x' || chr(10) || 'key benefits y' || chr(10) || 'key takeaways z' || chr(10) || text
+    ELSE text
+  END"""
+    flag = (
+        "len(list_filter(string_split(lower(itext), chr(10)), "
+        "l -> starts_with(l, '{p}'))) > 0"
+    )
+    return f"""
+WITH cfi AS (SELECT doc_id, {inject} AS itext FROM documents),
+cff AS (
+  SELECT doc_id,
+    {flag.format(p='benefits of')} AS benefits_of,
+    {flag.format(p='key benefits')} AS key_benefits,
+    {flag.format(p='key takeaways')} AS key_takeaways
+  FROM cfi
+)
+SELECT doc_id, benefits_of, key_benefits, key_takeaways,
+  (CASE WHEN benefits_of THEN 10.0 ELSE 0.0 END
+   + CASE WHEN key_benefits THEN 5.0 ELSE 0.0 END
+   + CASE WHEN key_takeaways THEN 5.0 ELSE 0.0 END) AS penalty
+FROM cff"""

@@ -350,3 +350,45 @@ def question_spam_scores(
         & (F.col("positive") / F.col("total") > F.lit(min_ratio))
     ).cast("double")
     return agg.select("conv_id", "total", "positive", spam.alias("spam_score"))
+
+
+# DocumentValuator.getChatGptContentFarmPenalty: AI-content-farm header
+# prefixes and their penalty weights (converting-process/.../logic/
+# DocumentValuator.java:42-69 — "easily 90% of modern AI-authored content
+# farm spam has these nonsense headers")
+CONTENT_FARM_PREFIXES: tuple[tuple[str, float], ...] = (
+    ("benefits of", 10.0),
+    ("key benefits", 5.0),
+    ("key takeaways", 5.0),
+)
+
+
+def content_farm_penalty(
+    docs: DataFrame,
+    prefixes: tuple[tuple[str, float], ...] = CONTENT_FARM_PREFIXES,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """AI-content-farm penalty, adapted from headings to text lines (a
+    transcript has no h1/h2/h3; its lines play the heading role). Each
+    prefix contributes its weight ONCE if any lowercased line starts with
+    it — exactly the reference's boolean-per-prefix accumulation. Pure
+    JVM column expressions, shuffle-free."""
+    lines = F.split(F.lower(F.col(text_col)), "\n")
+
+    def has_prefix(p: str):
+        def pred(line):
+            return F.startswith(line, F.lit(p))
+
+        return F.exists(lines, pred)
+
+    flags = {p: has_prefix(p) for p, _ in prefixes}
+    penalty = F.lit(0.0)
+    for p, w in prefixes:
+        penalty = penalty + F.when(flags[p], F.lit(w)).otherwise(F.lit(0.0))
+    cols = [F.col(id_col).alias("doc_id")]
+    for (p, _), name in zip(
+        prefixes, ("benefits_of", "key_benefits", "key_takeaways")
+    ):
+        cols.append(flags[p].alias(name))
+    return docs.select(*cols, penalty.alias("penalty"))

@@ -147,3 +147,36 @@ def test_corpus_surface_stems(spark):
     )
     # inflected surfaces land on the dictionary stems; non-hits excluded
     assert m == {"customer": "custom", "tables": "tabl"}
+
+
+def test_content_farm_penalty(spark):
+    texts = [
+        "Benefits of widgets\nplain line",                     # 10
+        "key benefits here\nKey Takeaways follow",             # 5 + 5
+        "benefits of x\nkey benefits y\nkey takeaways z",      # all: 20
+        "no headers at all",                                   # 0
+        "the benefits of x",          # startsWith only: mid-line no match
+        "",                                                     # 0
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    out = (
+        T.content_farm_penalty(docs)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out.penalty) == [10.0, 10.0, 20.0, 0.0, 0.0, 0.0]
+    assert bool(out.loc[1, "key_benefits"]) and bool(out.loc[1, "key_takeaways"])
+    assert not out.loc[4, "benefits_of"]
+
+
+def test_content_farm_counts_each_prefix_once(spark):
+    # repeated headers still contribute their weight once (boolean flags,
+    # exactly the reference accumulation)
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["benefits of a\nbenefits of b"]})
+    )
+    out = T.content_farm_penalty(docs).toPandas()
+    assert out.loc[0, "penalty"] == 10.0
