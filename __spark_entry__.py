@@ -1413,6 +1413,13 @@ def _q_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.strip_boilerplate(docs, min_count=3).select("doc_id", "text")
 
 
+def _q_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pred = F.col("source").isin(*_DSIR_TARGET)
+    scored = lm.stupid_backoff_scores(docs.filter(~pred), docs.filter(pred))
+    return lm.ppl_buckets(scored.select("doc_id", "ppl"))
+
+
 def _q_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality gate (Wenzek et al. 2020): Stupid Backoff
     bigram LM (Brants et al. 2007) counted on the target sources, pseudo-
@@ -1714,6 +1721,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_resample": _q_dsir_resample,
         # Stupid Backoff LM perplexity gate (CCNet-style quality filter)
         "lm_perplexity": _q_lm_ppl,
+        # CCNet head/middle/tail perplexity tranches (Wenzek et al. §4.3)
+        "lm_ppl_buckets": _q_lm_buckets,
         # corpus-boilerplate line removal (C4/RefinedWeb line dedup)
         "dedup_line_removal": _q_line_removal,
         # temperature-scaled mixing quota (mC4/XLM-R style)
@@ -2037,6 +2046,7 @@ WHERE NOT EXISTS (
             _DSIR_TARGET, top_n=100
         ),
         "lm_perplexity": sql_oracles.stupid_backoff_sql(_DSIR_TARGET),
+        "lm_ppl_buckets": sql_oracles.ppl_buckets_sql(_DSIR_TARGET),
         # full twin: the same deterministic chrome injection, the same
         # normalized-line >= 3 boilerplate set, removal with original
         # line order preserved and row count kept (empty text survives)

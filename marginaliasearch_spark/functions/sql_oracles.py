@@ -1251,3 +1251,27 @@ SELECT doc_id, benefits_of, key_benefits, key_takeaways,
    + CASE WHEN key_benefits THEN 5.0 ELSE 0.0 END
    + CASE WHEN key_takeaways THEN 5.0 ELSE 0.0 END) AS penalty
 FROM cff"""
+
+
+def ppl_buckets_sql(targets: tuple[str, ...], buckets: int = 3) -> str:
+    """CCNet tranche oracle (lm.ppl_buckets twin): exact rank over
+    (ppl, doc_id), bucket = 1 + ((rank−1)·buckets) // n — pure integer
+    math over the nested Stupid Backoff scores."""
+    labels = (
+        ["head", "middle", "tail"]
+        if buckets == 3
+        else [f"b{i + 1}" for i in range(buckets)]
+    )
+    larr = ", ".join(f"{x!r}" for x in labels)
+    return f"""
+WITH pb AS ({stupid_backoff_sql(targets)}),
+pr AS (
+  SELECT doc_id, ppl,
+         row_number() OVER (ORDER BY ppl, doc_id) AS rank,
+         count(*) OVER () AS n
+  FROM pb
+)
+SELECT doc_id, ppl, rank::BIGINT AS rank,
+       (1 + ((rank - 1) * {buckets}) // n)::BIGINT AS bucket,
+       [{larr}][(1 + ((rank - 1) * {buckets}) // n)::INTEGER] AS tranche
+FROM pr"""

@@ -157,3 +157,67 @@ def stupid_backoff_scores(
             F.exp(-F.col("logprob") / F.col("n_trans").cast("double")), 6
         ).alias("ppl"),
     )
+
+
+def ppl_buckets(
+    scored: DataFrame,
+    buckets: int = 3,
+    n_parts: int = 32,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet head/middle/tail split (Wenzek et al. 2020 §4.3): documents
+    ranked by pseudo-perplexity are cut into ``buckets`` equal-size
+    tranches — bucket 1 ("head") is the most-fluent third that training
+    pipelines keep preferentially.
+
+    Distributed exact rank, no single-partition window: range-repartition
+    on (ppl, id), per-partition counts to the driver (``n_parts`` rows),
+    cumulative offsets + per-partition row_number. The global rank
+    depends only on the total order, so the sampled range boundaries do
+    not affect the result. (CCNet itself assigns by *threshold* from the
+    training distribution; thresholds fall out of this rank relation as
+    the ppl at ranks k·n/buckets, so either assignment form is served.)
+
+    Output: (doc_id, ppl, rank, bucket, tranche) — tranche is the CCNet
+    label for the default 3 buckets, else "b<i>".
+    """
+    from pyspark.sql import Window
+
+    part = scored.repartitionByRange(
+        n_parts, F.col("ppl"), F.col(id_col)
+    ).withColumn("_pid", F.spark_partition_id())
+    sizes = {
+        r["_pid"]: r["cnt"]
+        for r in part.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    n = sum(sizes.values())
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off = F.element_at(
+        F.create_map(
+            *[F.lit(x) for pid in sorted(sizes) for x in (pid, offsets[pid])]
+        ),
+        F.col("_pid"),
+    )
+    local = F.row_number().over(
+        Window.partitionBy("_pid").orderBy(F.col("ppl"), F.col(id_col))
+    )
+    rank = (off + local).cast("long")
+    bucket = (F.lit(1) + (rank - 1) * buckets / F.lit(n)).cast("long")
+    labels = (
+        ["head", "middle", "tail"]
+        if buckets == 3
+        else [f"b{i + 1}" for i in range(buckets)]
+    )
+    lab = F.element_at(
+        F.array([F.lit(x) for x in labels]), bucket.cast("int")
+    )
+    return part.select(
+        F.col(id_col),
+        "ppl",
+        rank.alias("rank"),
+        bucket.alias("bucket"),
+        lab.alias("tranche"),
+    )

@@ -112,3 +112,60 @@ def test_alpha_changes_only_backoff(spark, frames):
     }
     assert base[1] == half[1]          # fully-seen doc: no backoff terms
     assert half[3] < base[3]           # fully-OOV doc: every term shrinks
+
+
+def test_ppl_buckets_exact_thirds(spark):
+    import pandas as pd
+
+    from marginaliasearch_spark.operators.lm import ppl_buckets
+
+    # 9 docs with distinct ppl -> exact thirds; ties broken by doc_id
+    pdf = pd.DataFrame(
+        {"doc_id": range(9), "ppl": [5.0, 1.0, 3.0, 9.0, 7.0, 2.0, 8.0, 4.0, 6.0]}
+    )
+    out = (
+        ppl_buckets(spark.createDataFrame(pdf), n_parts=4)
+        .toPandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    assert list(out.doc_id) == [1, 5, 2, 7, 0, 8, 4, 6, 3]  # by ppl asc
+    assert list(out.bucket) == [1, 1, 1, 2, 2, 2, 3, 3, 3]
+    assert list(out.tranche) == ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    assert list(out["rank"]) == list(range(1, 10))
+
+
+def test_ppl_buckets_partition_invariance(spark):
+    import pandas as pd
+
+    from marginaliasearch_spark.operators.lm import ppl_buckets
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(100), "ppl": [(i * 37) % 100 + 0.5 for i in range(100)]}
+    )
+    base = None
+    for n_parts in (1, 3, 32):
+        out = (
+            ppl_buckets(spark.createDataFrame(pdf), n_parts=n_parts)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        if base is None:
+            base = out
+        else:
+            assert out.equals(base), n_parts
+
+
+def test_ppl_buckets_tie_break_by_doc_id(spark):
+    import pandas as pd
+
+    from marginaliasearch_spark.operators.lm import ppl_buckets
+
+    pdf = pd.DataFrame({"doc_id": [3, 1, 2], "ppl": [2.0, 2.0, 2.0]})
+    out = (
+        ppl_buckets(spark.createDataFrame(pdf), n_parts=2)
+        .toPandas()
+        .sort_values("rank")
+    )
+    assert list(out.doc_id) == [1, 2, 3]
