@@ -416,6 +416,44 @@ def main() -> None:
         )
     )
 
+    from marginaliasearch_spark.operators import lm as lm_ops
+    from marginaliasearch_spark.operators.keywords import tfidf_keywords
+    from pyspark.sql import functions as FF
+
+    kw = tfidf_keywords(raw_docs)
+    sections.append(
+        (
+            "TF-IDF keyword flags (per-doc counts JVM-side, one df shuffle)",
+            "Things to check: per-document counting produces NO Exchange "
+            "of the corpus relation (tokens/stems/counts are higher-order "
+            "array expressions; explode is map-side) — the only corpus "
+            "`Exchange hashpartitioning(stem)` feeds the vocabulary-sized "
+            "df aggregation (partial_count before it = map-side combine), "
+            "whose result re-enters via `BroadcastExchange`/"
+            "`BroadcastHashJoin`. The corpus is scanned twice — the "
+            "reference's TermFrequencyExporter lifecycle; pass term_df to "
+            "make it one scan.",
+            fmt(kw),
+        )
+    )
+
+    sb = lm_ops.stupid_backoff_scores(
+        raw_docs.filter(~FF.col("source").isin("src0", "src1", "src2")),
+        raw_docs.filter(FF.col("source").isin("src0", "src1", "src2")),
+    )
+    pbk = lm_ops.ppl_buckets(sb.select("doc_id", "ppl"))
+    sections.append(
+        (
+            "CCNet perplexity tranches (distributed exact rank)",
+            "Things to check: the rank `Window` is `partitionBy(_pid)` — "
+            "NOT an empty partition spec, so no single-partition global "
+            "sort; `RangePartitioning(ppl, doc_id)` distributes the order, "
+            "per-partition offsets ride a literal map. At 10^12 rows this "
+            "is one range shuffle + per-partition linear work.",
+            fmt(pbk),
+        )
+    )
+
     out = ["# EXPLAIN — formatted physical plans of the hot paths",
            "",
            "Generated by `python tools/dump_plans.py` over the sf0.001 driver",
