@@ -1048,6 +1048,36 @@ def _q_content_farm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_name_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Injects deterministic capitalization (the corpus is lowercase):
+    1-based token position p of doc_id goes ALL-CAPS when (doc_id+p)%7==0
+    (exercising the all-caps skip) else leading-cap when (doc_id+p)%3==0;
+    identical in the SQL twin."""
+    from marginaliasearch_spark.operators.keywords import name_like_keywords
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != ""
+    )
+    cap = F.transform(
+        toks,
+        lambda t, i: F.when(
+            (d + i + 1) % 7 == 0, F.upper(t)
+        ).when(
+            (d + i + 1) % 3 == 0,
+            F.concat(
+                F.upper(t.substr(F.lit(1), F.lit(1))),
+                t.substr(F.lit(2), F.length(t)),
+            ),
+        ).otherwise(t),
+    )
+    itext = F.concat_ws(" ", cap)
+    return name_like_keywords(
+        docs.select("doc_id", itext.alias("text"))
+    )
+
+
 def _q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from marginaliasearch_spark.operators.keywords import tfidf_keywords
 
@@ -1756,6 +1786,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_question_spam": _q_question_spam,
         # per-doc TF-IDF keyword flags (WordsTfIdfCounts / TfIdfHigh)
         "index_tfidf_keywords": _q_tfidf_keywords,
+        # name-like keyword stems (NamesWords flag source)
+        "index_name_keywords": _q_name_keywords,
         # AI-content-farm header penalty (DocumentValuator)
         "text_content_farm": _q_content_farm,
         # search-box assistant: calculator + unit conversion (MathParser/
@@ -2371,6 +2403,7 @@ FROM documents""",
         # coalesce 0 on both sides)
         "text_question_spam": sql_oracles.question_spam_sql(),
         "index_tfidf_keywords": sql_oracles.tfidf_keywords_sql(),
+        "index_name_keywords": sql_oracles.name_like_sql(),
         "text_content_farm": sql_oracles.content_farm_sql(),
         # both sides evaluate the identical doc_id-derived expressions;
         # the parser itself is pinned by tests/test_assistant.py

@@ -1200,8 +1200,11 @@ def tfidf_keywords_sql() -> str:
     return f"""
 WITH kbase AS (
   SELECT doc_id,
-    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
-                t -> t <> '') AS toks
+    list_filter(
+      list_transform(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     t -> regexp_replace(regexp_replace(t,
+                            '^[^a-z0-9]+', ''), '[^a-z0-9]+$', '')),
+      t -> t <> '') AS toks
   FROM documents
 ),
 ksmap(tok, stem) AS (VALUES {smap}),
@@ -1275,3 +1278,60 @@ SELECT doc_id, ppl, rank::BIGINT AS rank,
        (1 + ((rank - 1) * {buckets}) // n)::BIGINT AS bucket,
        [{larr}][(1 + ((rank - 1) * {buckets}) // n)::INTEGER] AS tranche
 FROM pr"""
+
+
+def name_like_sql(min_count: int = 2, top_k: int = 150) -> str:
+    """Name-like keyword oracle (keywords.name_like_keywords twin over
+    the entry's injected capitalization: 1-based token position p of
+    doc_id gets ALL-CAPS when (doc_id+p)%7==0 — skipped by the all-caps
+    rule — else leading-cap when (doc_id+p)%3==0)."""
+    from ..functions.stemmer import porter_stem
+    from ..functions.tokenizer import STOPWORDS
+    from ..operators.topics import SYNTH_CORPUS_VOCAB
+
+    # the engine's corpus_stem_map excludes stopwords (a determiner can
+    # never be a NAME span); mirror that here
+    smap = ", ".join(
+        f"({t!r}, {porter_stem(t)!r})"
+        for t in sorted(SYNTH_CORPUS_VOCAB)
+        if t not in STOPWORDS
+    )
+    return f"""
+WITH nlb AS (
+  SELECT doc_id,
+    list_filter(
+      list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                     t -> regexp_replace(regexp_replace(t,
+                            '^[^A-Za-z0-9]+', ''), '[^A-Za-z0-9]+$', '')),
+      t -> t <> '') AS toks
+  FROM documents
+),
+nli AS (
+  SELECT doc_id,
+    list_transform(range(1, len(toks) + 1), p ->
+      CASE WHEN (doc_id + p) % 7 = 0 THEN upper(toks[p])
+           WHEN (doc_id + p) % 3 = 0
+             THEN upper(substr(toks[p], 1, 1)) || substr(toks[p], 2)
+           ELSE toks[p] END) AS toks
+  FROM nlb
+),
+nlt AS (SELECT doc_id, unnest(toks) AS tok FROM nli),
+nlname AS (
+  SELECT doc_id, tok FROM nlt
+  WHERE regexp_matches(tok, '^[A-Z]')
+    AND NOT regexp_matches(tok, '^[A-Z0-9]+$')
+),
+nlsmap(tok, stem) AS (VALUES {smap}),
+nlcnt AS (
+  SELECT n.doc_id, m.stem, count(*)::BIGINT AS cnt
+  FROM nlname n JOIN nlsmap m ON m.tok = lower(n.tok)
+  GROUP BY n.doc_id, m.stem
+  HAVING count(*) >= {min_count + 1}
+),
+nlr AS (
+  SELECT doc_id, stem, cnt,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY cnt DESC, stem) AS rn
+  FROM nlcnt
+)
+SELECT doc_id, stem, cnt FROM nlr WHERE rn <= {top_k}"""

@@ -35,18 +35,29 @@ from ..functions.tokenizer import STOPWORDS
 __all__ = ["tfidf_keywords", "corpus_stem_map"]
 
 
+def _clean_tokens(text: F.Column | str, lower: bool = True) -> F.Column:
+    """Whitespace tokens with non-alphanumeric edges stripped (the
+    punctuation-clean word stream the reference's sentence extractor
+    produces); empty tokens dropped."""
+    col = F.col(text) if isinstance(text, str) else text
+    if lower:
+        col = F.lower(col)
+    return F.filter(
+        F.transform(
+            F.split(F.trim(col), r"\s+"),
+            lambda t: F.regexp_replace(
+                t, r"^[^A-Za-z0-9]+|[^A-Za-z0-9]+$", ""
+            ),
+        ),
+        lambda t: t != "",
+    )
+
+
 def corpus_stem_map(docs: DataFrame, text_col: str = "text") -> dict[str, str]:
     """surface token → stem for every distinct non-stopword corpus token
     (one vocabulary-sized aggregation + driver-side Porter)."""
     toks = (
-        docs.select(
-            F.explode(
-                F.filter(
-                    F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-                    lambda t: t != "",
-                )
-            ).alias("tok")
-        )
+        docs.select(F.explode(_clean_tokens(text_col)).alias("tok"))
         .distinct()
         .collect()
     )
@@ -85,9 +96,7 @@ def tfidf_keywords(
     if doc_count is None:
         doc_count = docs.count()
 
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
-    )
+    toks = _clean_tokens(text_col)
     smap = F.create_map(
         *[F.lit(x) for kv in sorted(surface_stems.items()) for x in kv]
     )
@@ -131,4 +140,67 @@ def tfidf_keywords(
         "cnt",
         norm.alias("tfidf_norm"),
         ((F.col("cnt") > 1) & (norm > 100)).alias("is_high"),
+    )
+
+
+def name_like_keywords(
+    docs: DataFrame,
+    surface_stems: Mapping[str, str] | None = None,
+    min_count: int = 2,
+    top_k: int = 150,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document name-like keyword stems (the NamesWords flag source).
+
+    Reference: ``keyword/extractors/NameLikeKeywords.java`` (constructed
+    with ``minCount=2``, ``DocumentKeywordExtractor.java:48``) — NAME-
+    pattern spans counted per stemmed form, single all-caps words skipped,
+    unigrams kept when seen ``>= minCount + 1`` times, top 150 by count.
+    The POS NAME pattern adapts to a capitalization heuristic (leading
+    uppercase letter, not all-caps) — transcripts ship no POS model; and
+    the reference's hash-order tie behavior is pinned deterministic here
+    (count desc, stem asc).
+
+    Shuffle-free: tokenize (case kept), candidate mask, stem map, count,
+    threshold, sort and cap all run as JVM array expressions; explode is
+    map-side. Output: (doc_id, stem, cnt).
+    """
+    if surface_stems is None:
+        surface_stems = corpus_stem_map(docs, text_col)
+    # case-preserving clean tokens so "Claude." and "Claude" count
+    # together (the reference's NAME spans are punctuation-clean words)
+    toks = _clean_tokens(text_col, lower=False)
+    smap = F.create_map(
+        *[F.lit(x) for kv in sorted(surface_stems.items()) for x in kv]
+    )
+    # leading uppercase letter, but not an all-caps word (isAllCaps skip)
+    is_name = lambda t: t.rlike("^[A-Z]") & ~t.rlike("^[A-Z0-9]+$")  # noqa: E731
+    name_stems = F.filter(
+        F.transform(
+            F.filter(toks, is_name), lambda t: F.element_at(smap, F.lower(t))
+        ),
+        lambda s: s.isNotNull(),
+    )
+    distinct = F.array_distinct(name_stems)
+
+    def cnt_of(s):
+        return F.size(F.filter(name_stems, lambda x: x == s))
+
+    kept = F.filter(distinct, lambda s: cnt_of(s) >= min_count + 1)
+    ranked = F.slice(
+        F.array_sort(
+            F.transform(
+                kept, lambda s: F.struct((-cnt_of(s)).alias("neg"), s.alias("stem"))
+            )
+        ),
+        1,
+        top_k,
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(ranked).alias("z")
+    ).select(
+        "doc_id",
+        F.col("z.stem").alias("stem"),
+        (-F.col("z.neg")).cast("long").alias("cnt"),
     )

@@ -96,3 +96,40 @@ def test_corpus_stem_map(spark):
     )
     m = corpus_stem_map(sdf)
     assert m == {"tables": "tabl", "querying": porter_stem("querying")}
+
+
+def test_name_like_keywords(spark):
+    from marginaliasearch_spark.operators.keywords import name_like_keywords
+
+    texts = [
+        # Alice x3 (capitalized) -> kept (needs >= min_count+1 = 3);
+        # Bob x2 -> dropped; NASA all-caps -> skipped entirely;
+        # lowercase alice occurrences don't count
+        "Alice met Bob then Alice called NASA while alice slept Alice Bob",
+        "nothing capitalized here at all",
+        "Xyz Xyz Xyz Xyz",  # 4x capitalized
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    out = name_like_keywords(docs).toPandas()
+    by_doc = {
+        (r.doc_id, r.stem): r.cnt for r in out.itertuples()
+    }
+    assert by_doc == {
+        (0, porter_stem("alice")): 3,
+        (2, porter_stem("xyz")): 4,
+    }
+
+
+def test_name_like_top_k_and_tiebreak(spark):
+    from marginaliasearch_spark.operators.keywords import name_like_keywords
+
+    # two stems tie at 3 -> both kept, output deterministic; top_k=1
+    # keeps the lexicographically first of the tie
+    text = "Aaa Aaa Aaa Bbb Bbb Bbb"
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": [text]}))
+    full = name_like_keywords(docs).toPandas()
+    assert list(full.sort_values("stem").stem) == ["aaa", "bbb"]
+    one = name_like_keywords(docs, top_k=1).toPandas()
+    assert list(one.stem) == ["aaa"]
