@@ -1048,6 +1048,24 @@ def _q_content_farm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_artifact_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Injects deterministic addresses (the corpus has none): plain,
+    ignored-user, and ignored-domain shapes by doc_id mods — identical
+    injection in the SQL twin."""
+    from marginaliasearch_spark.operators.keywords import artifact_keywords
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id").cast("string")
+    m = F.col("doc_id")
+    itext = F.concat(
+        F.col("text"),
+        F.when(m % 3 == 0, F.concat(F.lit(" reach user"), d, F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(m % 5 == 0, F.concat(F.lit(" or admin@test"), d, F.lit(".example.org"))).otherwise(F.lit("")),
+        F.when(m % 7 == 0, F.concat(F.lit(" else bob"), d, F.lit("@gmail.com"))).otherwise(F.lit("")),
+    )
+    return artifact_keywords(docs.select("doc_id", itext.alias("text")))
+
+
 def _q_name_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Injects deterministic capitalization (the corpus is lowercase):
     1-based token position p of doc_id goes ALL-CAPS when (doc_id+p)%7==0
@@ -1788,6 +1806,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_tfidf_keywords": _q_tfidf_keywords,
         # name-like keyword stems (NamesWords flag source)
         "index_name_keywords": _q_name_keywords,
+        # email-artifact keywords (ArtifactKeywords.java)
+        "index_artifact_keywords": _q_artifact_keywords,
         # AI-content-farm header penalty (DocumentValuator)
         "text_content_farm": _q_content_farm,
         # search-box assistant: calculator + unit conversion (MathParser/
@@ -2404,6 +2424,7 @@ FROM documents""",
         "text_question_spam": sql_oracles.question_spam_sql(),
         "index_tfidf_keywords": sql_oracles.tfidf_keywords_sql(),
         "index_name_keywords": sql_oracles.name_like_sql(),
+        "index_artifact_keywords": sql_oracles.artifact_keywords_sql(),
         "text_content_farm": sql_oracles.content_farm_sql(),
         # both sides evaluate the identical doc_id-derived expressions;
         # the parser itself is pinned by tests/test_assistant.py

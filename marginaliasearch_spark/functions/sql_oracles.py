@@ -1335,3 +1335,55 @@ nlr AS (
   FROM nlcnt
 )
 SELECT doc_id, stem, cnt FROM nlr WHERE rn <= {top_k}"""
+
+
+def artifact_keywords_sql() -> str:
+    """Artifact-keyword oracle (keywords.artifact_keywords twin over the
+    entry's injected addresses: doc_id%3==0 appends a plain address,
+    %5==0 an ignored-user address, %7==0 an ignored-domain address)."""
+    from ..operators.keywords import (
+        ARTIFACT_IGNORED_DOMAINS,
+        ARTIFACT_IGNORED_USERS,
+    )
+
+    dom_list = ", ".join(f"{d!r}" for d in ARTIFACT_IGNORED_DOMAINS)
+    usr_list = ", ".join(f"{u!r}" for u in ARTIFACT_IGNORED_USERS)
+    return f"""
+WITH akb AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' reach user' || doc_id::VARCHAR || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' or admin@test' || doc_id::VARCHAR || '.example.org' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' else bob' || doc_id::VARCHAR || '@gmail.com' ELSE '' END
+      AS text
+  FROM documents
+),
+akt AS (
+  SELECT doc_id, unnest(list_filter(
+    list_transform(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                   t -> regexp_replace(regexp_replace(t,
+                          '^[^a-z0-9]+', ''), '[^a-z0-9]+$', '')),
+    t -> t <> '')) AS tok
+  FROM akb
+),
+akm AS (
+  SELECT doc_id, tok,
+         string_split(tok, '@')[1] AS usr,
+         string_split(tok, '@')[2] AS dom
+  FROM akt
+  WHERE length(tok) >= 6
+    AND regexp_matches(tok, '^[a-zA-Z0-9._\\-]+@[a-zA-Z0-9]+(\\.[a-zA-Z0-9]+)+$')
+),
+aka AS (
+  SELECT doc_id, tok AS artifact FROM akm
+  UNION
+  SELECT doc_id, dom FROM akm WHERE '@' || dom NOT IN ({dom_list})
+  UNION
+  SELECT doc_id, '@' || dom FROM akm WHERE '@' || dom NOT IN ({dom_list})
+  UNION
+  SELECT doc_id, usr FROM akm WHERE usr NOT IN ({usr_list})
+)
+SELECT DISTINCT doc_id, artifact FROM aka"""

@@ -204,3 +204,53 @@ def name_like_keywords(
         F.col("z.stem").alias("stem"),
         (-F.col("z.neg")).cast("long").alias("cnt"),
     )
+
+
+# ArtifactKeywords.java: boilerplate addresses whose parts are not worth
+# indexing separately
+ARTIFACT_IGNORED_DOMAINS = ("@hotmail.com", "@gmail.com", "@paypal.com")
+ARTIFACT_IGNORED_USERS = (
+    "info", "legal", "contact", "press", "donotreply", "noreply",
+    "no-reply", "admin", "root",
+)
+_MAIL_RE = r"^[a-zA-Z0-9._\-]+@[a-zA-Z0-9]+(\.[a-zA-Z0-9]+)+$"
+
+
+def artifact_keywords(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Email-artifact keywords (keyword/extractors/ArtifactKeywords.java):
+    every mail-like token (length ≥ 6, full pattern match) contributes the
+    address itself, plus — unless boilerplate — its ``domain``/``@domain``
+    forms and its ``user`` part, so all four are searchable. Output one
+    (doc_id, artifact) row per distinct artifact; pure JVM array
+    expressions, shuffle-free."""
+    emails = F.filter(
+        _clean_tokens(text_col),
+        lambda t: (F.length(t) >= 6) & t.rlike(_MAIL_RE),
+    )
+
+    def expand(e):
+        user = F.split(e, "@")[0]
+        dom = F.split(e, "@")[1]
+        dom_at = F.concat(F.lit("@"), dom)
+        keep_dom = ~dom_at.isin(*ARTIFACT_IGNORED_DOMAINS)
+        keep_user = ~user.isin(*ARTIFACT_IGNORED_USERS)
+        return F.array(
+            e,
+            F.when(keep_dom, dom),
+            F.when(keep_dom, dom_at),
+            F.when(keep_user, user),
+        )
+
+    arts = F.array_sort(
+        F.array_distinct(
+            F.filter(
+                F.flatten(F.transform(emails, expand)),
+                lambda x: x.isNotNull(),
+            )
+        )
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(arts).alias("artifact")
+    )

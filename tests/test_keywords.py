@@ -133,3 +133,44 @@ def test_name_like_top_k_and_tiebreak(spark):
     assert list(full.sort_values("stem").stem) == ["aaa", "bbb"]
     one = name_like_keywords(docs, top_k=1).toPandas()
     assert list(one.stem) == ["aaa"]
+
+
+def test_artifact_keywords(spark):
+    from marginaliasearch_spark.operators.keywords import artifact_keywords
+
+    texts = [
+        "reach me at Jane.Doe-1@sub.Example.COM today",   # all 4 forms
+        "write to admin@corp.example.org please",          # ignored user
+        "or bob@gmail.com works too",                      # ignored domain
+        "not-an-email @nope a@b x@y.z",                    # too short / no match
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    out = artifact_keywords(docs).toPandas()
+    got = {(r.doc_id, r.artifact) for r in out.itertuples()}
+    assert got == {
+        # lowercased full address + domain forms + user
+        (0, "jane.doe-1@sub.example.com"),
+        (0, "sub.example.com"),
+        (0, "@sub.example.com"),
+        (0, "jane.doe-1"),
+        # ignored user: address + domain forms only
+        (1, "admin@corp.example.org"),
+        (1, "corp.example.org"),
+        (1, "@corp.example.org"),
+        # ignored domain: address + user only
+        (2, "bob@gmail.com"),
+        (2, "bob"),
+    }
+
+
+def test_artifact_min_length_and_full_match(spark):
+    from marginaliasearch_spark.operators.keywords import artifact_keywords
+
+    # 'a@b.c' is 5 chars -> rejected; 'aa@b.c' is 6 -> accepted
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["a@b.c", "aa@b.c"]})
+    )
+    out = artifact_keywords(docs).toPandas()
+    assert set(out.doc_id) == {1}
