@@ -1048,6 +1048,44 @@ def _q_content_farm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_serp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ranked SERP relation from documents (quartet md5
+    hashes with low-bit variations, doc_id%11 zero hashes, %6
+    superficial collisions, %5 groups) pushed through the real
+    first-wins dedup chain; the oracle replays the chain recursively."""
+    from marginaliasearch_spark.operators.serp import dedupe_results
+
+    d = F.col("doc_id")
+    base = F.conv(
+        F.substring(F.md5((d / 4).cast("long").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    variation = (
+        F.when(d % 4 == 0, 0).when(d % 4 == 1, 1).when(d % 4 == 2, 3).otherwise(7)
+    )
+    rel = (
+        _docs(spark, sf_dir)
+        .filter(d < 60)
+        .select(
+            d.alias("rank"),
+            F.when(
+                d % 6 < 3, F.concat(F.lit("s"), (d % 10).cast("string"))
+            ).otherwise(F.concat(F.lit("u"), d.cast("string"))).alias("superficial"),
+            F.when(d % 11 == 0, F.lit(0).cast("long"))
+            .otherwise(base.bitwiseXOR(variation.cast("long")))
+            .alias("data_hash"),
+            F.concat(F.lit("g"), (d % 5).cast("string")).alias("grp"),
+        )
+    )
+    return dedupe_results(
+        rel,
+        order_col="rank",
+        key_cols=("superficial",),
+        hash_col="data_hash",
+        group_col="grp",
+        results_per_key=2,
+    )
+
+
 def _q_artifact_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Injects deterministic addresses (the corpus has none): plain,
     ignored-user, and ignored-domain shapes by doc_id mods — identical
@@ -1808,6 +1846,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_name_keywords": _q_name_keywords,
         # email-artifact keywords (ArtifactKeywords.java)
         "index_artifact_keywords": _q_artifact_keywords,
+        # SERP result dedup chain (UrlDeduplicator)
+        "fulltext_serp_dedup": _q_serp_dedup,
         # AI-content-farm header penalty (DocumentValuator)
         "text_content_farm": _q_content_farm,
         # search-box assistant: calculator + unit conversion (MathParser/
@@ -2425,6 +2465,7 @@ FROM documents""",
         "index_tfidf_keywords": sql_oracles.tfidf_keywords_sql(),
         "index_name_keywords": sql_oracles.name_like_sql(),
         "index_artifact_keywords": sql_oracles.artifact_keywords_sql(),
+        "fulltext_serp_dedup": sql_oracles.serp_dedup_sql(),
         "text_content_farm": sql_oracles.content_farm_sql(),
         # both sides evaluate the identical doc_id-derived expressions;
         # the parser itself is pinned by tests/test_assistant.py

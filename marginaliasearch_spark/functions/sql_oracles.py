@@ -1387,3 +1387,56 @@ aka AS (
   SELECT doc_id, usr FROM akm WHERE usr NOT IN ({usr_list})
 )
 SELECT DISTINCT doc_id, artifact FROM aka"""
+
+
+def serp_dedup_sql(
+    n_results: int = 60, results_per_key: int = 2, max_hamming: int = 2
+) -> str:
+    """SERP-dedup oracle (operators/serp.dedupe_results twin): the
+    first-wins three-rule chain replayed as a recursive CTE whose state
+    row carries the seen-key / retained-hash / group lists — state
+    updates mirror UrlDeduplicator exactly (keys remembered even for
+    dropped rows; hashes and group counts advance only past the earlier
+    rules). Input relation is doc_id-derived on both engines: 60-bit
+    md5 hashes per quartet with low-bit XOR variations (hamming 1/2/3
+    chains), doc_id%11==0 zero hashes, superficial-key collisions by
+    doc_id%6, groups doc_id%5."""
+    sup = "CASE WHEN n.doc_id % 6 < 3 THEN 's' || (n.doc_id % 10)::VARCHAR ELSE 'u' || n.doc_id::VARCHAR END"
+    sup_ok = "NOT list_contains(c.keys, n.superficial)"
+    lsh_ok = (
+        "(n.data_hash = 0 OR len(list_filter(c.hashes, "
+        f"h -> bit_count(xor(h, n.data_hash)) < {max_hamming})) = 0)"
+    )
+    grp_ok = f"len(list_filter(c.grps, g -> g = n.grp)) < {results_per_key}"
+    return f"""
+WITH RECURSIVE snum AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 6 < 3 THEN 's' || (doc_id % 10)::VARCHAR
+         ELSE 'u' || doc_id::VARCHAR END AS superficial,
+    CASE WHEN doc_id % 11 = 0 THEN 0
+         ELSE xor(('0x' || substr(md5((doc_id // 4)::VARCHAR), 1, 15))::BIGINT,
+                  CASE doc_id % 4 WHEN 0 THEN 0 WHEN 1 THEN 1
+                                  WHEN 2 THEN 3 ELSE 7 END) END AS data_hash,
+    'g' || (doc_id % 5)::VARCHAR AS grp,
+    row_number() OVER (ORDER BY doc_id) AS rn
+  FROM documents WHERE doc_id < {n_results}
+),
+chain AS (
+  SELECT 0::BIGINT AS rn, []::VARCHAR[] AS keys, []::BIGINT[] AS hashes,
+         []::VARCHAR[] AS grps,
+         NULL::BIGINT AS doc_id, NULL::VARCHAR AS superficial,
+         NULL::BIGINT AS data_hash, NULL::VARCHAR AS grp,
+         NULL::BOOLEAN AS retained
+  UNION ALL
+  SELECT n.rn,
+    CASE WHEN {sup_ok} THEN list_append(c.keys, n.superficial) ELSE c.keys END,
+    CASE WHEN {sup_ok} AND n.data_hash <> 0 AND {lsh_ok}
+         THEN list_append(c.hashes, n.data_hash) ELSE c.hashes END,
+    CASE WHEN {sup_ok} AND {lsh_ok}
+         THEN list_append(c.grps, n.grp) ELSE c.grps END,
+    n.doc_id, n.superficial, n.data_hash, n.grp,
+    ({sup_ok} AND {lsh_ok} AND ({sup_ok} AND {lsh_ok} AND {grp_ok}))
+  FROM chain c JOIN snum n ON n.rn = c.rn + 1
+)
+SELECT doc_id AS rank, superficial, data_hash, grp, retained
+FROM chain WHERE rn >= 1"""
