@@ -40,6 +40,7 @@ from marginaliasearch_spark.functions import sql_oracles
 from marginaliasearch_spark.functions.tokenizer import STOPWORDS
 from marginaliasearch_spark.operators import (
     bpe,
+    browse,
     classifier,
     topics,
     decontam,
@@ -79,6 +80,13 @@ _CACHE_VERSION = "v12"  # bump on any postings/journal wire-format change
 _K = 20
 # deterministic query vector for similarity search (inlined into oracle SQL)
 _QVEC = [float((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+
+# co-purchase link graph over parts — SQL twin of _adj_edges (shared by the
+# rank_adjacencies and browse_similar oracles)
+_ADJ_EDGES_SQL = """SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  AND a.l_partkey <> b.l_partkey
+  WHERE a.l_partkey % 5 = 0 AND b.l_partkey % 5 = 0"""
 
 _STOP_SQL = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
 _TOKEN_SQL_RE = r"[a-z0-9]+(?:[.\-_/:+*@#][a-z0-9]+)*"
@@ -277,6 +285,32 @@ def _q_deleted_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_K,
         round_score_to=6,
         tie_break=F.col("conv_id").cast("long"),
+    )
+    return res.select(F.col("conv_id").cast("long").alias("doc_id"), "score")
+
+
+def _q_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiered safety blocklist at query time (NsfwDomainFilter.isBlocked,
+    `code/functions/nsfw-filter/.../domain/NsfwDomainFilter.java:64-74`):
+    an externally-synced blocked-id table — stand-in congruences
+    ``conv_id % 11 == 3`` as tier 1 (the danger lists) and ``% 13 == 5``
+    as tier 2 (the smut lists) — masks results at filter level
+    NSFW_BLOCK_SMUT (2 = both tiers) while df/N stay whole-corpus: the
+    reference filters per query against an unchanged index."""
+    reader = _get_reader(spark, sf_dir)
+    cid = F.col("conv_id").cast("long")
+    bl = reader.doc_stats.where((cid % 11 == 3) | (cid % 13 == 5)).select(
+        "doc_id",
+        F.when(cid % 11 == 3, F.lit(1)).otherwise(F.lit(2)).alias("tier"),
+    )
+    res = run_query(
+        reader,
+        "scan",
+        k=_K,
+        round_score_to=6,
+        tie_break=F.col("conv_id").cast("long"),
+        blocklist=bl,
+        safe_tier=2,
     )
     return res.select(F.col("conv_id").cast("long").alias("doc_id"), "score")
 
@@ -529,6 +563,7 @@ def _bm25_sql(
     rank_max: int | None = None,
     year_cmp: tuple[str, int] | None = None,
     mask_doc_mod: tuple[int, int] | None = None,
+    mask_mods: list[tuple[int, int]] | None = None,
     stats_doc_mod: tuple[int, int] | None = None,
     year_bias: str | None = None,
     group_cap: tuple[int, int] | None = None,
@@ -609,6 +644,11 @@ def _bm25_sql(
     extra_ctes = ""
     if mask_doc_mod is not None:
         m_m, m_r = mask_doc_mod
+        wheres.append(f"d.doc_id % {m_m} <> {m_r}")
+    # mask_mods: several congruence masks at once (the tiered safety
+    # blocklist entry excludes tier-1 AND tier-2 classes); same stale-stats
+    # semantics as mask_doc_mod
+    for m_m, m_r in mask_mods or []:
         wheres.append(f"d.doc_id % {m_m} <> {m_r}")
     if stats_doc_mod is not None:
         s_m, s_r = stats_doc_mod
@@ -968,26 +1008,111 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranking.pagerank_topk(scores, k=20).withColumnRenamed("id", "vec_id")
 
 
-def _q_adjacencies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Website-adjacency similarity graph (WebsiteAdjacenciesCalculator):
-    "domains" are parts (every 5th part key), a part receives a link from
-    every part co-purchased with it in some order — then the reference's
-    two-stage cheap→weighted cosine over self-inclusive incoming sets.
-    Entry-scale params: threshold 0.2 (reference default 0.1 admits ~30k
-    pairs of this dense co-purchase graph), top 8 neighbors per part."""
+def _adj_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase link graph over parts (every 5th part key): a part
+    receives a link from every part co-purchased with it in some order —
+    the entry-scale stand-in for the reference's domain link graph."""
     li = (
         spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
         .where(F.col("l_partkey") % 5 == 0)
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
     )
-    edges = (
+    return (
         li.alias("a")
         .join(li.alias("b"), "o")
         .where(F.col("a.p") != F.col("b.p"))
         .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
         .distinct()
     )
+
+
+def _q_adjacencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Website-adjacency similarity graph (WebsiteAdjacenciesCalculator):
+    the co-purchase link graph, then the reference's two-stage
+    cheap→weighted cosine over self-inclusive incoming sets.
+    Entry-scale params: threshold 0.2 (reference default 0.1 admits ~30k
+    pairs of this dense co-purchase graph), top 8 neighbors per part."""
+    edges = _adj_edges(spark, sf_dir)
     return ranking.adjacency_similarities(edges, threshold=0.2, top_k=8)
+
+
+def _q_browse_random(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-exploration browse (DbBrowseDomainsRandom.getRandomDomains):
+    eligible documents (``n_chars > 0``, the STATE/SERVER_AVAILABLE gate
+    analogue) in deterministic salted-md5 "RAND()" order, LIMIT 20, then
+    the blacklist — an externally-given id set, stand-in congruence
+    ``doc_id % 17 == 2`` — applied to the already-limited rows (reference
+    parity: a blacklisted row reduces the returned count)."""
+    d = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    bl = d.where(F.col("doc_id") % 17 == 2).select("doc_id")
+    return browse.random_browse(
+        d.where(F.col("n_chars") > 0).select("doc_id", "source"),
+        count=_K,
+        blacklist=bl,
+        id_col="doc_id",
+    )
+
+
+def _q_browse_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similar-domain browse (DbBrowseDomainsSimilarCosine): the
+    best-connected domain (most neighbors, min-id tie pin) in the
+    adjacency-similarity graph, its neighbor list gated on a presence dim
+    (DATA_DOMAIN_SCREENSHOT analogue: even part keys), blacklist
+    (``% 5 == 1``) skipped while filling 10 rows, ordered by integer
+    relatedness desc with the neighbor-id tie pin."""
+    nv = ranking.adjacency_similarities(
+        _adj_edges(spark, sf_dir), threshold=0.2, top_k=8
+    ).localCheckpoint()
+    dom = (
+        nv.groupBy("domain_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("domain_id"))
+        .first()["domain_id"]
+    )
+    part = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+    require = (
+        part.where(F.col("p_partkey") % 2 == 0)
+        .select(F.col("p_partkey").alias("neighbor_id"))
+    )
+    bl = (
+        part.where(F.col("p_partkey") % 5 == 1)
+        .select(F.col("p_partkey").alias("neighbor_id"))
+    )
+    return browse.similar_browse(
+        nv, dom, count=10, require=require, blacklist=bl
+    ).select("neighbor_id", "relatedness", "value")
+
+
+def _q_conv_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain information panel (DomainInformationService.domainInfo):
+    metadata + link-graph in/out counts + the integer-PageRank ranking
+    percentile ``round_half_up(100·(1−rank_norm))``, over the kNN graph of
+    the embeddings table; first 20 ids."""
+    emb = _emb(spark, sf_dir)
+    knn = similarity.knn_join(emb, k=3, dim=64, n_planes=6)
+    scores = ranking.pagerank(
+        emb.select("vec_id"),
+        knn,
+        iterations=5,
+        id_col="vec_id",
+        src_col="vec_id",
+        dst_col="neighbor_id",
+    ).withColumnRenamed("id", "vec_id")
+    meta = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("vec_id"),
+        "lang",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    info = browse.domain_info(
+        meta,
+        knn,
+        scores,
+        id_col="vec_id",
+        src_col="vec_id",
+        dst_col="neighbor_id",
+    )
+    return info.orderBy("vec_id").limit(_K)
 
 
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1750,6 +1875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deletion lifecycle: tombstone masking (stale stats) and
         # compaction absorption (stats recomputed over survivors)
         "fulltext_deleted": _q_deleted,
+        "fulltext_safe": _q_safe,
         "fulltext_deleted_compacted": _q_deleted_compacted,
         # temporal-bias ranking (RECENT/OLD, IndexResultRankingService:322)
         "fulltext_bm25_recent": _search("scan", temporal="recent"),
@@ -1866,6 +1992,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_pagerank": _q_pagerank,
         # similar-domains adjacency export (WebsiteAdjacenciesCalculator)
         "rank_adjacencies": _q_adjacencies,
+        "rank_conv_info": _q_conv_info,
+        "browse_random": _q_browse_random,
+        "browse_similar": _q_browse_similar,
         "dedup_semantic": _q_semantic_dedup,
         # --- multimodal plumbing ---
         "mm_image_features": _q_image_features,
@@ -1946,6 +2075,7 @@ SELECT doc_id, 0.0 AS score FROM doclen WHERE 1 = 0""",
         "fulltext_bm25_old": _bm25_sql([["scan"]], year_bias="old"),
         "fulltext_explain": _bm25_sql([["batch", "scan"]], explain=True),
         "fulltext_deleted": _bm25_sql([["scan"]], mask_doc_mod=(7, 0)),
+        "fulltext_safe": _bm25_sql([["scan"]], mask_mods=[(11, 3), (13, 5)]),
         "fulltext_deleted_compacted": _bm25_sql(
             [["scan"]], stats_doc_mod=(7, 0)
         ),
@@ -2569,13 +2699,34 @@ FROM s ORDER BY cosine DESC, vec_id LIMIT 10""",
             k=20, iterations=5, knn_k=3, dim=64, n_planes=6
         ),
         "rank_adjacencies": sql_oracles.adjacency_sql(
-            """SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-  AND a.l_partkey <> b.l_partkey
-  WHERE a.l_partkey % 5 = 0 AND b.l_partkey % 5 = 0""",
+            _ADJ_EDGES_SQL,
             threshold=0.2,
             top_k=8,
         ),
+        "rank_conv_info": sql_oracles.conv_info_sql(
+            k=_K, iterations=5, knn_k=3, dim=64, n_planes=6
+        ),
+        # browse_random: deterministic RAND() = the engine's _hash60 salted
+        # md5; the blacklist filter wraps the ALREADY-limited subquery
+        # (reference semantics: blacklisted rows reduce the returned count)
+        "browse_random": f"""WITH lim AS (
+  SELECT doc_id, source FROM documents WHERE n_chars > 0
+  ORDER BY ('0x' || substr(md5('browse-v1:' || doc_id::VARCHAR), 1, 15))::UBIGINT,
+           doc_id
+  LIMIT {_K}
+)
+SELECT doc_id, source FROM lim WHERE doc_id % 17 <> 2""",
+        # browse_similar: presence gate + blacklist BEFORE the count cut
+        # (the reference's loop skips blacklisted rows while filling)
+        "browse_similar": f"""WITH nv AS (
+{sql_oracles.adjacency_sql(_ADJ_EDGES_SQL, threshold=0.2, top_k=8)}
+)
+SELECT neighbor_id, relatedness, value FROM nv
+WHERE domain_id = (SELECT domain_id FROM nv GROUP BY domain_id
+                   ORDER BY count(*) DESC, domain_id LIMIT 1)
+  AND neighbor_id % 2 = 0
+  AND neighbor_id % 5 <> 1
+ORDER BY relatedness DESC, neighbor_id LIMIT 10""",
         # SemDeDup: same neardup pair set as sim_neardup, closed transitively,
         # smallest-id keeper per cluster
         "dedup_semantic": f"""WITH comp AS (

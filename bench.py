@@ -120,6 +120,10 @@ BENCH_QUERIES = [
     "text_classify",
     "text_topic_once",
     "text_question_spam",
+    "fulltext_safe",
+    "rank_conv_info",
+    "browse_random",
+    "browse_similar",
 ]
 
 

@@ -709,6 +709,21 @@ def pagerank_knn_sql(
     matching Spark's int64 throughout (all values non-negative, so floor
     and truncating division agree).
     """
+    body = _pagerank_ctes(iterations, scale, knn_k, dim, n_planes)
+    return f"""WITH {body}
+SELECT id AS vec_id, s AS score,
+       row_number() OVER (ORDER BY s DESC, id) - 1 AS rank
+FROM prit{iterations}
+ORDER BY s DESC, id LIMIT {k}"""
+
+
+def _pagerank_ctes(
+    iterations: int, scale: int, knn_k: int, dim: int, n_planes: int
+) -> str:
+    """The shared WITH-body of the integer-PageRank replay (see
+    :func:`pagerank_knn_sql` for why it is exact): edge list ``predges``,
+    vertex set ``prnodes``, and one (dangling, contrib, scores) CTE triple
+    per unrolled iteration ending at ``prit{iterations}``."""
     knn = knn_join_sql(k=knn_k, dim=dim, n_planes=n_planes)
     base = f"(15 * {scale}::BIGINT * (SELECT n FROM prn)) // (100 * (SELECT n FROM prn))"
     ctes = [
@@ -741,12 +756,47 @@ prit{i + 1} AS (
   FROM prnodes nd LEFT JOIN prc{i} c ON nd.id = c.id
 )"""
         )
-    body = ",\n".join(ctes)
-    return f"""WITH {body}
-SELECT id AS vec_id, s AS score,
-       row_number() OVER (ORDER BY s DESC, id) - 1 AS rank
-FROM prit{iterations}
-ORDER BY s DESC, id LIMIT {k}"""
+    return ",\n".join(ctes)
+
+
+def conv_info_sql(
+    k: int = 20,
+    iterations: int = 5,
+    scale: int = 10**12,
+    knn_k: int = 3,
+    dim: int = 64,
+    n_planes: int = 6,
+) -> str:
+    """Exact oracle for ``browse.domain_info`` over the kNN graph +
+    integer PageRank of the ``embeddings`` view with metadata from
+    ``documents`` (the engine's ``rank_conv_info`` entry).
+
+    Exactness: the link counts are integer aggregates; the ranking
+    percentile is computed in the SAME exact-integer round-half-up
+    arithmetic as the engine (``(200·(N−1−rn) + (N−1)) // (2·(N−1))``
+    over the pinned (score desc, id) row_number), and the PageRank scores
+    it ranks are the order-independent fixed-point integers of
+    :func:`_pagerank_ctes` — no float anywhere."""
+    body = _pagerank_ctes(iterations, scale, knn_k, dim, n_planes)
+    nm1 = "((SELECT n FROM prn) - 1)"
+    return f"""WITH {body},
+dideg_out AS (SELECT src AS id, count(*)::BIGINT AS c FROM predges GROUP BY src),
+dideg_in AS (SELECT dst AS id, count(*)::BIGINT AS c FROM predges GROUP BY dst),
+dirk AS (
+  SELECT id, row_number() OVER (ORDER BY s DESC, id) - 1 AS rn
+  FROM prit{iterations}
+)
+SELECT d.doc_id AS vec_id, d.lang, d.source, d.n_chars::BIGINT AS n_chars,
+       coalesce(i.c, 0)::BIGINT AS incoming_links,
+       coalesce(o.c, 0)::BIGINT AS outbound_links,
+       coalesce(
+         (200 * ({nm1} - r.rn) + {nm1}) // (2 * {nm1}), 0
+       )::BIGINT AS ranking
+FROM documents d
+LEFT JOIN dideg_in i ON i.id = d.doc_id
+LEFT JOIN dideg_out o ON o.id = d.doc_id
+LEFT JOIN dirk r ON r.id = d.doc_id
+ORDER BY d.doc_id LIMIT {k}"""
 
 
 # --- DSIR importance-resampling oracles -------------------------------------

@@ -434,6 +434,8 @@ def run_query(
     ranking: RankingParams | None = None,
     budget_blocks: int | None = None,
     lang: str | None = None,
+    blocklist: DataFrame | None = None,
+    safe_tier: int = 0,
     _driver_top_blocks: int | None = None,
     _driver_min_tf_norm: dict[str, float] | None = None,
 ) -> DataFrame:
@@ -775,6 +777,18 @@ def run_query(
         # here), so the phase-1 θ never counts a tombstoned doc — the cut
         # stays sound after deletions
         cand = cand.join(F.broadcast(reader.tombstones), "doc_id", "left_anti")
+    if blocklist is not None and safe_tier >= 1:
+        # tiered safety blocklist (NsfwDomainFilter.isBlocked, nsfw-filter/
+        # .../domain/NsfwDomainFilter.java:64-74): filter level t blocks
+        # every list row with tier <= t; 0 disables. Applied at the same
+        # point as tombstones so both WAND phases mask identically and the
+        # phase-1 θ never counts a blocked doc. The list is a vertex-sized
+        # dim (the reference syncs ~10^4 rows from NSFW_DOMAINS hourly) —
+        # broadcast anti-join, no shuffle of the candidate side.
+        blocked = blocklist.where(F.col("tier") <= F.lit(safe_tier)).select(
+            "doc_id"
+        )
+        cand = cand.join(F.broadcast(blocked), "doc_id", "left_anti")
     if lang is not None:
         cand = cand.filter(F.col("lang") == lang)
     if pq.convs_exclude:

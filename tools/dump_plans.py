@@ -454,6 +454,49 @@ def main() -> None:
         )
     )
 
+    from marginaliasearch_spark.operators import browse as browse_ops
+
+    bl = reader.doc_stats.where(FF.col("doc_len") % 11 == 3).select(
+        "doc_id", FF.lit(1).alias("tier")
+    )
+    q_safe = run_query(reader, "customer query", k=10, blocklist=bl, safe_tier=2)
+    sections.append(
+        (
+            "Tiered safety blocklist gate (NsfwDomainFilter.isBlocked analogue)",
+            "Things to check: the blocklist enters as a `BroadcastExchange` "
+            "feeding a `BroadcastHashJoin ... LeftAnti` on doc_id (a "
+            "vertex-sized dim — the reference syncs ~10^4 NSFW_DOMAINS rows "
+            "hourly), applied BEFORE `TakeOrderedAndProject` so the top-k "
+            "never ranks a blocked doc; the tier<=level filter is a plain "
+            "JVM `Filter` on the broadcast side, not a shuffle.",
+            fmt(q_safe),
+        )
+    )
+
+    di_meta = raw_docs.select("doc_id", "source")
+    di_edges = raw_docs.select(
+        FF.col("doc_id").alias("src"),
+        ((FF.col("doc_id") + 1) % 500).alias("dst"),
+    )
+    di_scores = raw_docs.select(
+        FF.col("doc_id"), (FF.col("doc_id") % 97).cast("long").alias("score")
+    )
+    di = browse_ops.domain_info(di_meta, di_edges, di_scores, id_col="doc_id")
+    sections.append(
+        (
+            "Domain information panel (DomainInformationService analogue)",
+            "Things to check: both degree counts are map-side-combinable "
+            "`HashAggregate` pairs re-entering via `BroadcastExchange`/"
+            "`BroadcastHashJoin` (LEFT) — the corpus-side relation is never "
+            "shuffled; the single rank `Window` runs over the vertex-sized "
+            "scores relation only (documented bound, as ranks_from_scores); "
+            "the ranking percentile is integer `div` arithmetic inside "
+            "WholeStageCodegen — no float rounding to diverge across "
+            "engines.",
+            fmt(di),
+        )
+    )
+
     out = ["# EXPLAIN — formatted physical plans of the hot paths",
            "",
            "Generated by `python tools/dump_plans.py` over the sf0.001 driver",
