@@ -1348,6 +1348,38 @@ def _q_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(run, "doc_id long, value double, unit string")
 
 
+def _q_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-front-end command dispatch (SearchQueryService chain,
+    plans/commands.route_queries): ten doc_id-derived query shapes, one
+    per special command plus fall-through cases (unknown unit → search,
+    unknown lang code → search). The REAL router runs per row on the
+    Spark side; the oracle states each template's expected routing (the
+    router itself is pinned by tests/test_commands.py)."""
+    from marginaliasearch_spark.plans import commands
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    q = d.withColumn(
+        "query",
+        F.expr(
+            """CASE doc_id % 10
+  WHEN 0 THEN 'browse:random'
+  WHEN 1 THEN 'browse:' || source
+  WHEN 2 THEN '2 km in miles'
+  WHEN 3 THEN '5 km in banana'
+  WHEN 4 THEN 'define:' || source
+  WHEN 5 THEN '!w ' || source
+  WHEN 6 THEN 'hello lang:en world'
+  WHEN 7 THEN 'hello lang:zz world'
+  WHEN 8 THEN 'links:https://' || source || '.com/path'
+  ELSE 'find ' || source
+END"""
+        ),
+    )
+    return commands.route_queries(q, "query").select(
+        "doc_id", "query", "command", "payload"
+    )
+
+
 def _q_topic_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topics.topic_scores(
         _docs(spark, sf_dir),
@@ -1980,6 +2012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Units parity), applied as a column job to gate the module
         "assist_math_eval": _q_math_eval,
         "assist_convert": _q_convert,
+        "assist_route": _q_route,
         # --- similarity search ---
         "sim_cosine_topk": _q_cosine_topk,
         "sim_lsh_topk": _q_lsh_topk,
@@ -2617,6 +2650,42 @@ SELECT doc_id,
   END AS value,
   CASE doc_id % 4 WHEN 0 THEN 'miles' WHEN 1 THEN 'lb'
                   WHEN 2 THEN 'F' ELSE 'hour' END AS unit
+FROM documents""",
+        # command-chain routing: each template's expected (command,
+        # payload) per SearchQueryService chain order; the engine runs the
+        # real router per row (fall-throughs: unknown unit/lang → search)
+        "assist_route": """
+SELECT doc_id,
+  CASE doc_id % 10
+    WHEN 0 THEN 'browse:random'
+    WHEN 1 THEN 'browse:' || source
+    WHEN 2 THEN '2 km in miles'
+    WHEN 3 THEN '5 km in banana'
+    WHEN 4 THEN 'define:' || source
+    WHEN 5 THEN '!w ' || source
+    WHEN 6 THEN 'hello lang:en world'
+    WHEN 7 THEN 'hello lang:zz world'
+    WHEN 8 THEN 'links:https://' || source || '.com/path'
+    ELSE 'find ' || source
+  END AS query,
+  CASE doc_id % 10
+    WHEN 0 THEN 'browse' WHEN 1 THEN 'browse' WHEN 2 THEN 'convert'
+    WHEN 3 THEN 'search' WHEN 4 THEN 'define' WHEN 5 THEN 'bang'
+    WHEN 6 THEN 'lang' WHEN 7 THEN 'search' WHEN 8 THEN 'site'
+    ELSE 'search'
+  END AS command,
+  CASE doc_id % 10
+    WHEN 0 THEN '/explore'
+    WHEN 1 THEN '/explore/' || source
+    WHEN 2 THEN '2 |km|miles'
+    WHEN 3 THEN '5 km in banana'
+    WHEN 4 THEN source
+    WHEN 5 THEN '!w ' || source
+    WHEN 6 THEN 'en hello world'
+    WHEN 7 THEN 'hello lang:zz world'
+    WHEN 8 THEN '/site/' || source || '.com?view=links'
+    ELSE 'find ' || source
+  END AS payload
 FROM documents""",
         "text_topic_once": sql_oracles.topic_sql(
             topics.SYNTH_TOPIC_TERMS, topics.RECIPE_AVG_LENGTH, "once"

@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "rank_conv_info",
     "browse_random",
     "browse_similar",
+    "assist_route",
 ]
 
 
