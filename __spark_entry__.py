@@ -315,6 +315,24 @@ def _q_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(F.col("conv_id").cast("long").alias("doc_id"), "score")
 
 
+def _q_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Result pagination (IndexClient.executeQueries subList slice): page 2
+    of size 5 from a top-20 gather — rows [5, 10) of the ranked order."""
+    from marginaliasearch_spark.operators.query_exec import run_query_page
+
+    reader = _get_reader(spark, sf_dir)
+    res = run_query_page(
+        reader,
+        "scan",
+        page=2,
+        page_size=5,
+        total_limit=_K,
+        round_score_to=6,
+        tie_break=F.col("conv_id").cast("long"),
+    )
+    return res.select(F.col("conv_id").cast("long").alias("doc_id"), "score")
+
+
 def _q_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-merge correctness through the driver gate: a BM25 query
     served from merge_indexes(half A, half B) against the oracle of a
@@ -571,6 +589,7 @@ def _bm25_sql(
     explain: bool = False,
     opt_windows: list[list[str]] | None = None,
     opt_min_count: int | None = None,
+    offset: int | None = None,
 ) -> str:
     all_terms = sorted({w for p in paths for w in p})
     stats_t, corpus_t = ("stats_l", "corpus_l") if lang else ("stats", "corpus")
@@ -904,6 +923,9 @@ capped AS (
             for i, w in enumerate(all_terms)
         )
         select_cols = f"t.doc_id, t.score, {eparts}"
+    # pagination slice (IndexClient.java:167-172): rows [offset, offset+k)
+    # of the ranked order
+    offset_sql = f" OFFSET {offset}" if offset else ""
     return f"""{_COMMON}
 {extra_ctes}
 , cand AS (
@@ -914,7 +936,7 @@ capped AS (
   {where_sql}
 ){cap_cte}
 SELECT {select_cols} FROM (
-  SELECT doc_id, score FROM {src} ORDER BY score ASC, doc_id ASC LIMIT {k}
+  SELECT doc_id, score FROM {src} ORDER BY score ASC, doc_id ASC LIMIT {k}{offset_sql}
 ) t {join_doc}
 """
 
@@ -1908,6 +1930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # compaction absorption (stats recomputed over survivors)
         "fulltext_deleted": _q_deleted,
         "fulltext_safe": _q_safe,
+        "fulltext_page": _q_page,
         "fulltext_deleted_compacted": _q_deleted_compacted,
         # temporal-bias ranking (RECENT/OLD, IndexResultRankingService:322)
         "fulltext_bm25_recent": _search("scan", temporal="recent"),
@@ -2109,6 +2132,7 @@ SELECT doc_id, 0.0 AS score FROM doclen WHERE 1 = 0""",
         "fulltext_explain": _bm25_sql([["batch", "scan"]], explain=True),
         "fulltext_deleted": _bm25_sql([["scan"]], mask_doc_mod=(7, 0)),
         "fulltext_safe": _bm25_sql([["scan"]], mask_mods=[(11, 3), (13, 5)]),
+        "fulltext_page": _bm25_sql([["scan"]], k=5, offset=5),
         "fulltext_deleted_compacted": _bm25_sql(
             [["scan"]], stats_doc_mod=(7, 0)
         ),

@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "browse_random",
     "browse_similar",
     "assist_route",
+    "fulltext_page",
 ]
 
 

@@ -1324,3 +1324,30 @@ def run_query_wand(
         if not cuts:
             return run_query(reader, pq, k=k, **kw)  # no pruning possible
     return run_query(reader, pq, k=k, _driver_min_tf_norm=cuts, **kw)
+
+
+def run_query_page(
+    reader: IndexReader,
+    query: str | ParsedQuery,
+    page: int = 1,
+    page_size: int = 10,
+    total_limit: int = 100,
+    use_wand: bool = False,
+    **kw,
+) -> DataFrame:
+    """Result pagination — the reference's ``IndexClient.executeQueries``
+    slice (`code/index/api/java/nu/marginalia/index/api/IndexClient.java:
+    167-175`): gather the ranked top ``total_limit`` (the query's
+    ``resultsTotal`` budget), then return rows ``[(page−1)·page_size,
+    …+page_size)`` of it; a page past the end is empty, page ≤ 1 starts
+    at 0 (the reference's ``Math.max(0, …)``).
+
+    Spark shape: the gather is the usual ``TakeOrderedAndProject``; the
+    slice is ``GlobalLimit``+``Offset`` over the already-``total_limit``-
+    sized relation — no extra shuffle, and deeper pages reuse the same
+    plan (pass ``use_wand=True`` to let block-max pruning serve the
+    gather for eligible shapes)."""
+    runner = run_query_wand if use_wand else run_query
+    res = runner(reader, query, k=total_limit, **kw)
+    start = max(0, (page - 1) * page_size)
+    return res.offset(start).limit(page_size)

@@ -230,3 +230,74 @@ def test_blocklist_wand_matches_plain(spark, built):
     assert plain == wand
     blocked = {"conv2", "conv6", "conv12"}
     assert not blocked & {c for c, _ in plain}
+
+
+# ---------------------------------------------------------------------------
+# pagination (IndexClient.executeQueries subList slice)
+# ---------------------------------------------------------------------------
+
+
+def test_pagination_slices_cover_topk(spark, built):
+    from marginaliasearch_spark.operators.query_exec import run_query_page
+
+    reader = built
+    top = [
+        (r["conv_id"], r["score"])
+        for r in run_query(
+            reader, "factor2", k=12, round_score_to=6
+        ).collect()
+    ]
+    pages = []
+    for p in (1, 2, 3):
+        pages += [
+            (r["conv_id"], r["score"])
+            for r in run_query_page(
+                reader,
+                "factor2",
+                page=p,
+                page_size=4,
+                total_limit=12,
+                round_score_to=6,
+            ).collect()
+        ]
+    assert pages == top  # concatenated pages == the single gather
+
+
+def test_pagination_edges(spark, built):
+    from marginaliasearch_spark.operators.query_exec import run_query_page
+
+    reader = built
+    # page past the end of the gather → empty, reference subList semantics
+    assert (
+        run_query_page(
+            reader, "factor2", page=9, page_size=10, total_limit=12
+        ).count()
+        == 0
+    )
+    # page <= 1 starts at row 0 (Math.max(0, ...))
+    p0 = run_query_page(
+        reader, "factor2", page=0, page_size=3, total_limit=12,
+        round_score_to=6,
+    ).collect()
+    p1 = run_query_page(
+        reader, "factor2", page=1, page_size=3, total_limit=12,
+        round_score_to=6,
+    ).collect()
+    assert [r["conv_id"] for r in p0] == [r["conv_id"] for r in p1]
+
+
+def test_pagination_wand_gather(spark, built):
+    from marginaliasearch_spark.operators.query_exec import run_query_page
+
+    reader = built
+    plain = run_query_page(
+        reader, "factor2", page=2, page_size=4, total_limit=12,
+        round_score_to=6,
+    ).collect()
+    wand = run_query_page(
+        reader, "factor2", page=2, page_size=4, total_limit=12,
+        round_score_to=6, use_wand=True,
+    ).collect()
+    assert [(r["conv_id"], r["score"]) for r in plain] == [
+        (r["conv_id"], r["score"]) for r in wand
+    ]
