@@ -1111,7 +1111,9 @@ def _q_conv_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile ``round_half_up(100·(1−rank_norm))``, over the kNN graph of
     the embeddings table; first 20 ids."""
     emb = _emb(spark, sf_dir)
-    knn = similarity.knn_join(emb, k=3, dim=64, n_planes=6)
+    # checkpoint: pagerank's edge build and BOTH degree aggregations read
+    # this relation — without it the LSH self-join would execute 3 times
+    knn = similarity.knn_join(emb, k=3, dim=64, n_planes=6).localCheckpoint()
     scores = ranking.pagerank(
         emb.select("vec_id"),
         knn,

@@ -789,9 +789,10 @@ dirk AS (
 SELECT d.doc_id AS vec_id, d.lang, d.source, d.n_chars::BIGINT AS n_chars,
        coalesce(i.c, 0)::BIGINT AS incoming_links,
        coalesce(o.c, 0)::BIGINT AS outbound_links,
-       coalesce(
-         (200 * ({nm1} - r.rn) + {nm1}) // (2 * {nm1}), 0
-       )::BIGINT AS ranking
+       (CASE WHEN r.rn IS NULL THEN 0
+             WHEN {nm1} = 0 THEN 100
+             ELSE (200 * ({nm1} - r.rn) + {nm1}) // (2 * {nm1})
+        END)::BIGINT AS ranking
 FROM documents d
 LEFT JOIN dideg_in i ON i.id = d.doc_id
 LEFT JOIN dideg_out o ON o.id = d.doc_id

@@ -150,6 +150,10 @@ def domain_info(
     in_deg = edges.groupBy(F.col(dst_col).alias(id_col)).agg(
         F.count(F.lit(1)).alias("incoming_links")
     )
+    # the count() below needs an action anyway; checkpointing first means
+    # the caller's scores plan (e.g. the last lazy PageRank iteration)
+    # executes once, not once for the count and again under the window
+    scores = scores.localCheckpoint()
     n = scores.count()
     w = Window.orderBy(F.col("score").desc(), F.col(id_col))
     rk = scores.select(

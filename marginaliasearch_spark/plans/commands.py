@@ -74,6 +74,23 @@ _EVAL_RE = re.compile(
 )
 
 
+# Java Pattern line terminators: a non-MULTILINE `$` also matches just
+# before ONE final terminator, so `^browse:...$` via asPredicate() accepts
+# a trailing newline (the command then consumes the RAW remainder,
+# terminator included). matches()-based predicates (conversion, eval) are
+# strict full-input and get plain fullmatch.
+_TERMINATORS = ("\r\n", "\n", "\r", "\x85", "\u2028", "\u2029")
+
+
+def _java_anchored(rx: re.Pattern, s: str) -> bool:
+    if rx.fullmatch(s):
+        return True
+    for t in _TERMINATORS:
+        if s.endswith(t):
+            return rx.fullmatch(s, 0, len(s) - len(t)) is not None
+    return False
+
+
 def _match_bang(query: str, key: str) -> str | None:
     """BangMatcher replay: find ``key`` with space-or-edge on both sides;
     remainder = trimmed prefix + ' ' + trimmed suffix, trimmed. Returns
@@ -123,7 +140,10 @@ def route_query(
     ``assist_convert`` surface); define → the lowercased word; bang →
     ``<key> <remainder>``; lang → ``<iso> <rewritten query>``; site/links
     → the redirect path; search → the query unchanged."""
-    if _BROWSE_RE.fullmatch(query):
+    if not isinstance(query, str):
+        # SearchParameters coerces a missing query to "" (requireNonNullElse)
+        query = ""
+    if _java_anchored(_BROWSE_RE, query):
         word = query[len("browse:"):].lower()
         return ("browse", "/explore" if word == "random" else f"/explore/{word}")
     m = _CONVERSION_RE.fullmatch(query)
@@ -131,7 +151,7 @@ def route_query(
         u = units if units is not None else _default_units()
         if u.convert(m.group(1), m.group(3), m.group(4)) is not None:
             return ("convert", f"{m.group(1)}|{m.group(3)}|{m.group(4)}")
-    if _DEFINE_RE.fullmatch(query):
+    if _java_anchored(_DEFINE_RE, query):
         return ("define", query[len("define:"):].lower())
     for key in BANGS:
         rem = _match_bang(query, key)
@@ -140,7 +160,7 @@ def route_query(
     m = _LANG_RE.search(query)
     if m is not None and m.group(2) in known_langs:
         return ("lang", f"{m.group(2)} {_LANG_RE.sub(' ', query).strip()}")
-    if _SITE_RE.fullmatch(query):
+    if _java_anchored(_SITE_RE, query):
         idx = query.index(":")
         prefix, domain = query[:idx], query[idx + 1:].lower()
         if ":" in domain:

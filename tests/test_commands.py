@@ -109,3 +109,22 @@ def test_route_queries_column(spark):
     # the input DataFrame's schema must not be mutated by routing
     assert df.columns == ["id", "query"]
     assert df.select(F.col("query")).count() == 4
+
+
+def test_null_query_routes_to_search():
+    # SearchParameters coerces a missing query to "" (requireNonNullElse)
+    assert route_query(None) == ("search", "")
+
+
+def test_trailing_newline_java_dollar_semantics():
+    # Java's non-MULTILINE $ matches before ONE final line terminator, and
+    # the command consumes the RAW remainder (terminator included)
+    assert route_query("browse:foo\n") == ("browse", "/explore/foo\n")
+    assert route_query("site:a.com\r\n") == ("site", "/site/a.com\r\n?view=info")
+    # a trailing SPACE is not a line terminator — falls through to search
+    assert route_query("browse:foo ")[0] == "search"
+    # conversion is matches()-based; '\n' rides into the to-unit group via
+    # the pattern's \s?, the unit lookup then fails → falls through
+    assert route_query("2 km in miles\n")[0] != "convert"
+    # the eval alphabet contains \s+, so a trailing newline still evals
+    assert try_eval("3*3\n")
