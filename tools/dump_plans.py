@@ -454,6 +454,21 @@ def main() -> None:
         )
     )
 
+    from marginaliasearch_spark.operators.query_exec import run_query_page
+
+    q_page = run_query_page(reader, "customer query", page=2, page_size=5,
+                            total_limit=20)
+    sections.append(
+        (
+            "Result pagination (IndexClient subList slice)",
+            "Things to check: the gather is the SAME TakeOrderedAndProject "
+            "as the unpaged query (top-total_limit); the page slice is one "
+            "`CollectLimit (limit, offset)` over that tiny ordered relation "
+            "— no extra shuffle, no second scan of the postings.",
+            fmt(q_page),
+        )
+    )
+
     from marginaliasearch_spark.operators import browse as browse_ops
 
     bl = reader.doc_stats.where(FF.col("doc_len") % 11 == 3).select(
