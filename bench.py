@@ -230,6 +230,48 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def run_percentiles(spark, sf_dir: str, reps: int) -> dict:
+    """Latency-percentile harness — the reference perf harness's metric
+    shape (`PerfTestMain.java:236-264`: P1/P10/P90/P99 over a trailing
+    query window + an items-ranked/sec throughput figure). Each fulltext
+    query runs ``reps`` times ROUND-ROBIN (not back-to-back), so
+    cross-session tenant drift spreads across all queries instead of
+    biasing whichever ran last — the same interleaving rule as the
+    scaling-ladder protocol. Throughput divergence, documented: the
+    reference counts candidates *ranked*; a declarative engine has no
+    per-candidate counter, so this reports result rows returned per
+    second instead."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    names = [n for n in BENCH_QUERIES if n.startswith("fulltext_")]
+    entry_mod._get_reader(spark, sf_dir)  # build/warm the index once
+    qs["fulltext_proximity"](spark, sf_dir).count()  # worker-spawn warmup
+    lat: dict[str, list[float]] = {n: [] for n in names}
+    rows = 0
+    t_all = time.time()
+    for _ in range(reps):
+        for n in names:
+            t0 = time.time()
+            rows += qs[n](spark, sf_dir).count()
+            lat[n].append(time.time() - t0)
+    wall = time.time() - t_all
+
+    def pct(xs: list[float], q: int) -> float:
+        s = sorted(xs)
+        return round(s[min(len(s) - 1, int(q / 100.0 * len(s)))], 3)
+
+    return {
+        "reps": reps,
+        "queries": len(names),
+        "results_per_sec": round(rows / wall, 1),
+        "latency": {
+            n: {f"p{q}": pct(v, q) for q in (1, 10, 50, 90, 99)}
+            for n, v in lat.items()
+        },
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
@@ -254,6 +296,15 @@ def main() -> None:
         type=int,
         default=3,
         help="runs per cell (best-of-N and median-of-N both reported)",
+    )
+    ap.add_argument(
+        "--percentiles",
+        type=int,
+        default=0,
+        metavar="R",
+        help="run each fulltext query R times round-robin and report "
+        "P1/P10/P50/P90/P99 latencies + results/sec (reference perf-"
+        "harness metric shape, PerfTestMain.java)",
     )
     args = ap.parse_args()
 
@@ -321,6 +372,26 @@ def main() -> None:
     from marginaliasearch_spark.session import get_spark
 
     probe_before = _host_probe()
+    if args.percentiles:
+        spark = get_spark("bench", cores=args.cores)
+        try:
+            out = run_percentiles(spark, args.sf_dir, args.percentiles)
+        finally:
+            spark.stop()
+        print(
+            json.dumps(
+                {
+                    "metric": "fulltext query latency percentiles",
+                    "value": out["results_per_sec"],
+                    "unit": "results/sec",
+                    "sf": _sf_of(args.sf_dir),
+                    "cores": args.cores,
+                    "percentiles": out,
+                    "host": {"before": probe_before, "after": _host_probe()},
+                }
+            )
+        )
+        return
     spark = get_spark("bench", cores=args.cores)
     workdir = tempfile.mkdtemp(prefix="msq_bench_idx_")
     try:
