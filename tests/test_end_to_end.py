@@ -148,6 +148,30 @@ class TestBm25Oracle:
             if not near_tie:
                 assert g_id == e_id
 
+    def test_randomized_differential_sweep(self, corpus_and_reader):
+        """Seeded random query shapes (1-3 includes, 0-2 excludes over the
+        corpus vocabulary) differentially checked against the independent
+        numpy oracle — widens the fixed QUERIES net to arbitrary term
+        combinations, deterministic across runs."""
+        import random
+
+        docs, reader = corpus_and_reader
+        rng = random.Random(20260818)
+        vocab = [f"word{i:02d}" for i in range(50)]
+        for _ in range(30):
+            words = rng.sample(vocab, rng.randint(1, 5))
+            n_inc = rng.randint(1, min(3, len(words)))
+            include, exclude = words[:n_inc], words[n_inc:][: rng.randint(0, 2)]
+            expect = oracle_ref.bm25_rank(docs, include, exclude, k=10)
+            q = " ".join(include + [f"-{w}" for w in exclude])
+            got = [
+                (r["conv_id"], r["score"])
+                for r in run_query(reader, q, k=10).collect()
+            ]
+            assert len(got) == len(expect), q
+            for (g_id, g_s), (e_id, e_s) in zip(got, expect):
+                assert abs(g_s - e_s) < 1e-9, (q, g_id, e_id)
+
 
 class TestPhrase:
     @pytest.fixture(scope="class")
