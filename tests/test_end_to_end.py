@@ -172,6 +172,41 @@ class TestBm25Oracle:
             for (g_id, g_s), (e_id, e_s) in zip(got, expect):
                 assert abs(g_s - e_s) < 1e-9, (q, g_id, e_id)
 
+    def test_randomized_wand_equivalence_sweep(self, corpus_and_reader):
+        """Random single/AND/OR/AND-of-OR shapes: block-max WAND must be
+        EXACTLY the plain pipeline (same ids, same rounded scores) — the
+        θ-cut soundness property, fuzzed beyond test_wand's fixed shapes."""
+        import random
+
+        from marginaliasearch_spark.operators.query_exec import run_query_wand
+
+        _, reader = corpus_and_reader
+        rng = random.Random(20260819)
+        vocab = [f"word{i:02d}" for i in range(50)]
+        for _ in range(12):
+            shape = rng.randrange(3)
+            if shape == 0:  # single / plain AND
+                q = " ".join(rng.sample(vocab, rng.randint(1, 3)))
+            elif shape == 1:  # pure OR
+                a, b = rng.sample(vocab, 2)
+                q = f"( {a} | {b} )"
+            else:  # mixed AND-of-OR
+                a, b, c = rng.sample(vocab, 3)
+                q = f"( {a} | {b} ) {c}"
+            plain = [
+                (r["conv_id"], r["score"])
+                for r in run_query(
+                    reader, q, k=10, round_score_to=6
+                ).collect()
+            ]
+            wand = [
+                (r["conv_id"], r["score"])
+                for r in run_query_wand(
+                    reader, q, k=10, round_score_to=6
+                ).collect()
+            ]
+            assert plain == wand, q
+
 
 class TestPhrase:
     @pytest.fixture(scope="class")
