@@ -1022,7 +1022,7 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = ranking.pagerank(
         emb.select("vec_id"),
         knn,
-        iterations=5,
+        iterations=3,
         id_col="vec_id",
         src_col="vec_id",
         dst_col="neighbor_id",
@@ -1117,7 +1117,7 @@ def _q_conv_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = ranking.pagerank(
         emb.select("vec_id"),
         knn,
-        iterations=5,
+        iterations=3,
         id_col="vec_id",
         src_col="vec_id",
         dst_col="neighbor_id",
@@ -1884,8 +1884,46 @@ def entry(spark: SparkSession) -> DataFrame:
     return _search("spark join -dup", k=10)(spark, "/root/testdata/sf0.001")
 
 
+# Driver-verification priority: the per-round CORRECTNESS sweep walks
+# queries() in dict order and has historically truncated (50 of 99 keys in
+# round 3), so entries that have NEVER had a driver oracle row must lead.
+# Tier 1 = no green row in CORRECTNESS_r01/r02/r03; tier 2 = verified in
+# r01/r02 but absent from r03; everything else (long-verified fulltext
+# core) trails. New entries added after round 3 are prepended in tier 0 —
+# see _NEW_THIS_ROUND.
+_NEW_THIS_ROUND: list[str] = []
+_NEVER_DRIVER_VERIFIED = [
+    "sample_stratified", "dsir_weights", "dsir_resample", "lm_perplexity",
+    "lm_ppl_buckets", "dedup_line_removal", "sample_temperature",
+    "sample_pack", "decontam_overlap", "text_filter_chain",
+    "text_pii_redact", "sample_chunks", "text_bpe_vocab",
+    "text_repetition", "text_classify", "text_classify_counted",
+    "text_topic_once", "text_topic_decay", "text_question_spam",
+    "index_tfidf_keywords", "index_name_keywords",
+    "index_artifact_keywords", "fulltext_serp_dedup", "text_content_farm",
+    "assist_math_eval", "assist_convert", "assist_route",
+    "sim_quantized_topk", "sim_knn_join", "rank_pagerank",
+    "rank_adjacencies", "rank_conv_info", "browse_random",
+    "browse_similar", "dedup_semantic", "mm_image_resize",
+    "mm_audio_features", "events_sessions",
+]
+_STALE_SINCE_R02 = [
+    "events_hourly", "mm_frame_sample", "mm_image_features",
+    "sim_cosine_topk", "sim_ivf_topk", "sim_lsh_topk", "sim_neardup",
+    "text_fingerprint", "text_language_id", "text_quality",
+    "text_token_counts",
+]
+
+
+def _verification_order(base: dict) -> dict:
+    lead = [k for k in (_NEW_THIS_ROUND + _NEVER_DRIVER_VERIFIED
+                        + _STALE_SINCE_R02) if k in base]
+    return {k: base[k] for k in lead} | {
+        k: v for k, v in base.items() if k not in set(lead)}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return _verification_order({
         # --- fulltext engine (SURVEY §2: J1/F2/F3/U1/U3/A4/A5/A6/O3/O5) ---
         "fulltext_bm25_single": _search("spark"),
         "fulltext_bm25_and": _search("spark join"),
@@ -2062,7 +2100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- windowed aggregation / sessionization ---
         "events_hourly": _q_events_hourly,
         "events_sessions": _q_events_sessions,
-    }
+    })
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2791,7 +2829,7 @@ FROM s ORDER BY cosine DESC, vec_id LIMIT 10""",
         ),
         "sim_knn_join": sql_oracles.knn_join_sql(k=3, dim=64, n_planes=6),
         "rank_pagerank": sql_oracles.pagerank_knn_sql(
-            k=20, iterations=5, knn_k=3, dim=64, n_planes=6
+            k=20, iterations=3, knn_k=3, dim=64, n_planes=6
         ),
         "rank_adjacencies": sql_oracles.adjacency_sql(
             _ADJ_EDGES_SQL,
@@ -2799,7 +2837,7 @@ FROM s ORDER BY cosine DESC, vec_id LIMIT 10""",
             top_k=8,
         ),
         "rank_conv_info": sql_oracles.conv_info_sql(
-            k=_K, iterations=5, knn_k=3, dim=64, n_planes=6
+            k=_K, iterations=3, knn_k=3, dim=64, n_planes=6
         ),
         # browse_random: deterministic RAND() = the engine's _hash60 salted
         # md5; the blacklist filter wraps the ALREADY-limited subquery
