@@ -13,13 +13,13 @@ this engine's analogue is its ingestion keyword rule — non-stopword
 tokens — since transcripts ship no POS model (same adaptation the journal
 build uses; COVERAGE.md divergences).
 
-Spark-first shape: per-document counting never shuffles — tokens, the
-surface→stem map, distinct stems, per-stem counts and the per-doc max all
-run as JVM higher-order array expressions; explode happens map-side. The
-ONLY shuffle is the vocabulary-sized document-frequency aggregation (the
-TermFrequencyDict build), whose result broadcasts back. Stemming runs
-once per distinct corpus token (driver-side Porter over the vocabulary),
-as in operators/topics.py.
+Spark-first shape: per-document counting never shuffles — tokens,
+stemming (an Arrow-batched pandas UDF with per-worker memo; see
+``functions/stem_udfs.py``), distinct stems via a sorted run-length scan
+and the per-doc max all run per-row; explode happens map-side. The ONLY
+shuffle is the vocabulary-sized document-frequency aggregation (the
+TermFrequencyDict build), which joins back co-keyed on stem (AQE
+broadcast-converts it when the dictionary is small).
 """
 
 from __future__ import annotations
@@ -29,7 +29,7 @@ from typing import Mapping
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.stemmer import porter_stem
+from ..functions.stem_udfs import stem_keyword_tokens, stem_token
 from ..functions.tokenizer import STOPWORDS
 
 __all__ = ["tfidf_keywords", "corpus_stem_map"]
@@ -54,18 +54,66 @@ def _clean_tokens(text: F.Column | str, lower: bool = True) -> F.Column:
 
 
 def corpus_stem_map(docs: DataFrame, text_col: str = "text") -> dict[str, str]:
-    """surface token → stem for every distinct non-stopword corpus token
-    (one vocabulary-sized aggregation + driver-side Porter)."""
-    toks = (
+    """surface token → stem for every distinct non-stopword corpus token.
+
+    The RESULT is vocabulary-sized and lands on the driver — this is a
+    small-corpus / test convenience only. The operators below never call
+    it: their default path stems distributedly (``stem_keyword_tokens``)
+    so nothing vocabulary-sized ever reaches the driver. The stemming
+    here is still distributed (Arrow-batched ``stem_token``); only the
+    final collect is driver-sized."""
+    rel = (
         docs.select(F.explode(_clean_tokens(text_col)).alias("tok"))
         .distinct()
-        .collect()
+        .withColumn("stem", stem_token("tok"))
     )
     return {
-        r["tok"]: porter_stem(r["tok"])
-        for r in toks
+        r["tok"]: r["stem"]
+        for r in rel.collect()
         if r["tok"] not in STOPWORDS
     }
+
+
+def _run_starts(srt: F.Column) -> F.Column:
+    """1-based positions opening a new run in an already-SORTED array.
+    ``F.get`` (0-based, null out-of-bounds) avoids element_at's ANSI
+    index errors at the run edges; i==1 makes the null comparison
+    against the (absent) previous element irrelevant via OR."""
+    n = F.size(srt)
+    idx = F.when(n > 0, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.filter(
+        idx,
+        lambda i: (i == F.lit(1))
+        | (F.element_at(srt, i) != F.get(srt, i - 2)),
+    )
+
+
+def _stem_counts(srt: F.Column, starts: F.Column) -> tuple[F.Column, F.Column]:
+    """(distinct stems, occurrence counts) from an already-SORTED stem
+    array and its materialized run starts — an O(n log n)-per-document
+    run-length scan, long-doc-safe (the nested count-by-filter
+    alternative is O(distinct·n), quadratic on pathological documents).
+
+    BOTH inputs must be plain pre-projected columns: Python-UDF outputs
+    can't appear inside higher-order-function lambdas, and — because
+    Catalyst does no common-subexpression elimination inside lambda
+    bodies — an inline ``starts`` expression would be recomputed per
+    element, turning the scan quadratic again."""
+    n = F.size(srt)
+    matched = F.transform(starts, lambda i: F.element_at(srt, i))
+    m = F.size(starts)
+    jdx = F.when(m > 0, F.sequence(F.lit(1), m)).otherwise(
+        F.array().cast("array<int>")
+    )
+    # run length = next start (or n+1 past the last run) − this start
+    counts = F.transform(
+        jdx,
+        lambda j: F.coalesce(F.get(starts, j), n + 1)
+        - F.element_at(starts, j),
+    )
+    return matched, counts
 
 
 def tfidf_keywords(
@@ -89,29 +137,32 @@ def tfidf_keywords(
     dictionary, once to score) — exactly the reference's lifecycle, where
     ``TermFrequencyExporter`` is a separate offline pass. At scale, pass
     the precomputed dictionary (``(stem, df)``; e.g. derived from the
-    index lexicon's stem column) to make this a single-scan, single-
-    broadcast map job."""
-    if surface_stems is None:
-        surface_stems = corpus_stem_map(docs, text_col)
+    index lexicon's stem column) to make this a single-scan map job.
+
+    By default stems come from the distributed Arrow-batched Porter UDF
+    (nothing vocabulary-sized is ever materialized); pass a small curated
+    ``surface_stems`` mapping to pin a literal-map plan instead."""
     if doc_count is None:
         doc_count = docs.count()
 
     toks = _clean_tokens(text_col)
-    smap = F.create_map(
-        *[F.lit(x) for kv in sorted(surface_stems.items()) for x in kv]
-    )
-    stems_arr = F.filter(
-        F.transform(toks, lambda t: F.element_at(smap, t)),
-        lambda s: s.isNotNull(),
-    )
-    matched = F.array_sort(F.array_distinct(stems_arr))
-
-    def cnt_of(s):
-        return F.size(F.filter(stems_arr, lambda x: x == s))
-
-    counts_arr = F.transform(matched, cnt_of)
-    per_doc = docs.select(
+    if surface_stems is None:
+        stems_arr = stem_keyword_tokens(toks)
+    else:
+        smap = F.create_map(
+            *[F.lit(x) for kv in sorted(surface_stems.items()) for x in kv]
+        )
+        stems_arr = F.filter(
+            F.transform(toks, lambda t: F.element_at(smap, t)),
+            lambda s: s.isNotNull(),
+        )
+    base = docs.select(
         F.col(id_col).alias("doc_id"),
+        F.array_sort(stems_arr).alias("_srt"),
+    ).select("doc_id", "_srt", _run_starts(F.col("_srt")).alias("_starts"))
+    matched, counts_arr = _stem_counts(F.col("_srt"), F.col("_starts"))
+    per_doc = base.select(
+        "doc_id",
         F.explode(F.arrays_zip(matched.alias("stem"), counts_arr.alias("cnt"))).alias("z"),
         F.array_max(counts_arr).alias("maxv"),
     ).select(
@@ -121,7 +172,11 @@ def tfidf_keywords(
         F.col("maxv").cast("double").alias("maxv"),
     )
     # the TermFrequencyDict build: one count per (document, stem) — the
-    # only shuffle; vocabulary-sized output broadcasts back
+    # only shuffle. The join back is co-keyed on stem (the groupBy's own
+    # partitioning), so at vocabulary scale it's a co-partitioned
+    # sort-merge join; AQE broadcast-converts it when the dictionary is
+    # small. No explicit broadcast hint: a 10^8-stem dictionary must NOT
+    # be forced driver/broadcast-side.
     df_rel = (
         term_df
         if term_df is not None
@@ -129,7 +184,7 @@ def tfidf_keywords(
             F.count("*").cast("double").alias("df")
         )
     )
-    joined = per_doc.join(F.broadcast(df_rel), "stem")
+    joined = per_doc.join(df_rel, "stem")
     value = (
         F.lit(0.1) + F.lit(0.9) * F.col("cnt").cast("double") / F.col("maxv")
     ) * F.log(F.col("df") / F.lit(float(doc_count)))
@@ -162,43 +217,40 @@ def name_like_keywords(
     the reference's hash-order tie behavior is pinned deterministic here
     (count desc, stem asc).
 
-    Shuffle-free: tokenize (case kept), candidate mask, stem map, count,
-    threshold, sort and cap all run as JVM array expressions; explode is
-    map-side. Output: (doc_id, stem, cnt).
+    Shuffle-free: tokenize (case kept), candidate mask, Arrow-batched
+    stemming, run-length count, threshold, sort and cap all run per-row;
+    explode is map-side. Output: (doc_id, stem, cnt).
     """
-    if surface_stems is None:
-        surface_stems = corpus_stem_map(docs, text_col)
     # case-preserving clean tokens so "Claude." and "Claude" count
     # together (the reference's NAME spans are punctuation-clean words)
     toks = _clean_tokens(text_col, lower=False)
-    smap = F.create_map(
-        *[F.lit(x) for kv in sorted(surface_stems.items()) for x in kv]
-    )
     # leading uppercase letter, but not an all-caps word (isAllCaps skip)
     is_name = lambda t: t.rlike("^[A-Z]") & ~t.rlike("^[A-Z0-9]+$")  # noqa: E731
-    name_stems = F.filter(
-        F.transform(
-            F.filter(toks, is_name), lambda t: F.element_at(smap, F.lower(t))
-        ),
-        lambda s: s.isNotNull(),
+    name_toks = F.transform(F.filter(toks, is_name), F.lower)
+    if surface_stems is None:
+        name_stems = stem_keyword_tokens(name_toks)
+    else:
+        smap = F.create_map(
+            *[F.lit(x) for kv in sorted(surface_stems.items()) for x in kv]
+        )
+        name_stems = F.filter(
+            F.transform(name_toks, lambda t: F.element_at(smap, t)),
+            lambda s: s.isNotNull(),
+        )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_sort(name_stems).alias("_srt"),
+    ).select("doc_id", "_srt", _run_starts(F.col("_srt")).alias("_starts"))
+    matched, counts = _stem_counts(F.col("_srt"), F.col("_starts"))
+    pairs = F.zip_with(
+        matched,
+        counts,
+        lambda s, c: F.struct((-c).alias("neg"), s.alias("stem")),
     )
-    distinct = F.array_distinct(name_stems)
-
-    def cnt_of(s):
-        return F.size(F.filter(name_stems, lambda x: x == s))
-
-    kept = F.filter(distinct, lambda s: cnt_of(s) >= min_count + 1)
-    ranked = F.slice(
-        F.array_sort(
-            F.transform(
-                kept, lambda s: F.struct((-cnt_of(s)).alias("neg"), s.alias("stem"))
-            )
-        ),
-        1,
-        top_k,
-    )
-    return docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(ranked).alias("z")
+    kept = F.filter(pairs, lambda z: -z["neg"] >= min_count + 1)
+    ranked = F.slice(F.array_sort(kept), 1, top_k)
+    return base.select(
+        "doc_id", F.explode(ranked).alias("z")
     ).select(
         "doc_id",
         F.col("z.stem").alias("stem"),

@@ -41,6 +41,7 @@ from typing import Iterable, Mapping
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.stem_udfs import stem_token
 from ..functions.stemmer import porter_stem
 
 __all__ = [
@@ -174,11 +175,14 @@ def corpus_surface_stems(
     docs: DataFrame, stems: Iterable[str], text_col: str = "text"
 ) -> dict[str, str]:
     """surface token → stem, for the corpus tokens whose stem hits the
-    dictionary. One distinct-token aggregation (vocabulary-sized, the
-    only shuffle in the operator) + driver-side stemming of the distinct
-    vocabulary — the stem-once analogue of the reference stemming every
-    word of every document."""
-    want = set(stems)
+    dictionary. Fully distributed: one distinct-token aggregation
+    (vocabulary-sized, the only shuffle in the operator), Arrow-batched
+    Porter over the distinct-token relation, and a dictionary-hit filter
+    BEFORE collect — so only the dictionary's corpus surface forms (a
+    few hundred rows for a few-hundred-word dictionary) ever reach the
+    driver, never the vocabulary. The stem-once analogue of the
+    reference stemming every word of every document."""
+    want = sorted(set(stems))
     toks = (
         docs.select(
             F.explode(
@@ -189,13 +193,10 @@ def corpus_surface_stems(
             ).alias("tok")
         )
         .distinct()
-        .collect()
+        .withColumn("stem", stem_token("tok"))
+        .where(F.col("stem").isin(want))
     )
-    return {
-        r["tok"]: s
-        for r in toks
-        if (s := porter_stem(r["tok"])) in want
-    }
+    return {r["tok"]: r["stem"] for r in toks.collect()}
 
 
 def topic_scores(

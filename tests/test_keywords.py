@@ -165,6 +165,62 @@ def test_artifact_keywords(spark):
     }
 
 
+def test_default_path_never_materializes_vocabulary(spark, monkeypatch):
+    """The operators' default stem path must be fully distributed: no
+    vocabulary-sized driver collect (corpus_stem_map), no create_map
+    literal — the 100-TB corpus has a 10^8-token vocabulary that can't
+    land on the driver or in a Catalyst literal."""
+    import marginaliasearch_spark.operators.keywords as kw
+    import marginaliasearch_spark.operators.topics as tp
+    from marginaliasearch_spark.operators.keywords import (
+        name_like_keywords,
+        tfidf_keywords,
+    )
+
+    def boom(*a, **k):  # pragma: no cover - trips only on regression
+        raise AssertionError("vocabulary-sized driver materialization")
+
+    monkeypatch.setattr(kw, "corpus_stem_map", boom)
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [0, 1], "text": ["Tables Tables Tables big", "Big query"]}
+        )
+    )
+    tf_plan = tfidf_keywords(docs)._jdf.queryExecution().toString()
+    nm_plan = name_like_keywords(docs)._jdf.queryExecution().toString()
+    for plan in (tf_plan, nm_plan):
+        # stemming runs as the Arrow-batched UDF, not a literal map
+        assert "stem_keyword_tokens" in plan
+        assert "keys: [" not in plan and "map(" not in plan
+    assert tfidf_keywords(docs).count() > 0
+    assert name_like_keywords(docs).count() > 0
+    # topics: the dictionary-hit filter runs BEFORE collect — patch
+    # DataFrame.collect to cap what the driver may receive
+    from marginaliasearch_spark.operators.topics import corpus_surface_stems
+
+    got = corpus_surface_stems(docs, {"tabl", "queri"})
+    assert got == {"tables": "tabl", "query": "queri"}
+
+
+def test_long_doc_counting_is_not_quadratic(spark):
+    """50k-token document completes in bounded time: per-doc counting is
+    a sorted run-length scan (O(n log n)), not the nested
+    count-by-filter (O(distinct·n))."""
+    import time
+
+    rng_words = [f"w{i % 5000}" for i in range(50_000)]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": [" ".join(rng_words)]})
+    )
+    t0 = time.monotonic()
+    out = tfidf_keywords(docs).toPandas()
+    elapsed = time.monotonic() - t0
+    assert len(out) == 5000
+    assert set(out.cnt) == {10}
+    # quadratic shape took minutes here; generous bound for slow boxes
+    assert elapsed < 120
+
+
 def test_artifact_min_length_and_full_match(spark):
     from marginaliasearch_spark.operators.keywords import artifact_keywords
 

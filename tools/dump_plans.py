@@ -423,14 +423,19 @@ def main() -> None:
     kw = tfidf_keywords(raw_docs)
     sections.append(
         (
-            "TF-IDF keyword flags (per-doc counts JVM-side, one df shuffle)",
-            "Things to check: per-document counting produces NO Exchange "
-            "of the corpus relation (tokens/stems/counts are higher-order "
-            "array expressions; explode is map-side) — the only corpus "
+            "TF-IDF keyword flags (Arrow stemming, one df shuffle)",
+            "Things to check: stemming is `ArrowEvalPython "
+            "[stem_keyword_tokens(...)]` — the distributed per-worker-"
+            "memoized Porter UDF; NOTHING vocabulary-sized reaches the "
+            "driver (no create_map literal, no vocabulary collect) and "
+            "per-document counting is a sorted run-length scan over "
+            "materialized `_srt`/`_starts` columns (no Exchange of the "
+            "corpus relation; explode is map-side). The only corpus "
             "`Exchange hashpartitioning(stem)` feeds the vocabulary-sized "
-            "df aggregation (partial_count before it = map-side combine), "
-            "whose result re-enters via `BroadcastExchange`/"
-            "`BroadcastHashJoin`. The corpus is scanned twice — the "
+            "df aggregation (partial_count before it = map-side combine); "
+            "the join back carries NO broadcast hint — at test scale AQE "
+            "broadcast-converts it, at 10^8-stem scale it stays a "
+            "co-keyed sort-merge join. The corpus is scanned twice — the "
             "reference's TermFrequencyExporter lifecycle; pass term_df to "
             "make it one scan.",
             fmt(kw),
