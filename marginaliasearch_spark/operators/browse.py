@@ -64,8 +64,11 @@ def random_browse(
     (``DbBrowseDomainsRandom.java:36-40``).
 
     Scale shape: salted-md5 key + ``orderBy().limit()`` is
-    TakeOrderedAndProject (per-partition top-count, no global sort), and
-    the blacklist is a broadcast anti-join over ≤ ``count`` rows.
+    TakeOrderedAndProject (per-partition top-count, no global sort); the
+    ≤ ``count``-row limited result is then anti-joined against the
+    broadcast blacklist. The BLACKLIST side is what broadcasts, so it
+    should be dimension-sized (the reference's is a curated table) — a
+    corpus-sized blacklist would need the hint dropped.
     """
     key = _hash60(F.col(id_col), salt)
     out = (

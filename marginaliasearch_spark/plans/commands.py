@@ -56,10 +56,13 @@ BANGS = {
     "!w": "/search?query=%s+site:en.wikipedia.org",
 }
 
-_BROWSE_RE = re.compile(r"browse:[.A-Za-z\-0-9:]+")
-_DEFINE_RE = re.compile(r"define:[A-Za-z\s\-0-9]+")
-_SITE_RE = re.compile(r"(?:site|links):[.A-Za-z\-0-9:/]+")
-_LANG_RE = re.compile(r"(^|\s)lang:([a-z]{2})(\s|$)")
+# re.ASCII throughout: Java Pattern \s is [ \t\n\x0B\f\r] and \d is
+# [0-9] by default, while Python's default \s/\d are Unicode-aware — a
+# query containing NBSP/U+2028 must NOT route as if it held a space.
+_BROWSE_RE = re.compile(r"browse:[.A-Za-z\-0-9:]+", re.ASCII)
+_DEFINE_RE = re.compile(r"define:[A-Za-z\s\-0-9]+", re.ASCII)
+_SITE_RE = re.compile(r"(?:site|links):[.A-Za-z\-0-9:/]+", re.ASCII)
+_LANG_RE = re.compile(r"(^|\s)lang:([a-z]{2})(\s|$)", re.ASCII)
 # SearchUnitConversionService.conversionPattern, verbatim (matches() =
 # full match). Group numbering as in Java: 1 = value expression,
 # 3 = from-unit, 4 = to-unit.
@@ -67,11 +70,22 @@ _CONVERSION_RE = re.compile(
     r"((\d+|\s+|[.()\-^+%*/]|log[^a-z]|log2[^a-z]|sqrt[^a-z]|log10"
     r"|cos[^a-z]|sin[^a-z]|tan[^a-z]|log2|pi[^a-z]|e[^a-z]|2pi[^a-z])+)"
     r"\s*([a-zA-Z][a-zA-Z^.0-9]*\s?[a-zA-Z^.0-9]*)"
-    r"\s+in\s+([a-zA-Z^.0-9]+\s?[a-zA-Z^.0-9]*)"
+    r"\s+in\s+([a-zA-Z^.0-9]+\s?[a-zA-Z^.0-9]*)",
+    re.ASCII,
 )
 _EVAL_RE = re.compile(
-    r"(\d+|\s+|[.()\-^+%*/]|log|log2|sqrt|log10|cos|sin|tan|pi|e|2pi)+"
+    r"(\d+|\s+|[.()\-^+%*/]|log|log2|sqrt|log10|cos|sin|tan|pi|e|2pi)+",
+    re.ASCII,
 )
+
+
+_JAVA_WS = "".join(chr(c) for c in range(0x21))
+
+
+def _java_trim(s: str) -> str:
+    """String.trim() parity: strip only chars <= U+0020 (str.strip()
+    removes ALL Unicode whitespace — NBSP etc. must survive)."""
+    return s.strip(_JAVA_WS)
 
 
 # Java Pattern line terminators: a non-MULTILINE `$` also matches just
@@ -111,7 +125,9 @@ def _match_bang(query: str, key: str) -> str | None:
         after_ok = end >= len(query) or _space(query[end])
         if not (before_ok and after_ok):
             continue
-        ret = (query[:pos].strip() + " " + query[end:].strip()).strip()
+        ret = _java_trim(
+            _java_trim(query[:pos]) + " " + _java_trim(query[end:])
+        )
         return ret or None
 
 
@@ -159,7 +175,7 @@ def route_query(
             return ("bang", f"{key} {rem}")
     m = _LANG_RE.search(query)
     if m is not None and m.group(2) in known_langs:
-        return ("lang", f"{m.group(2)} {_LANG_RE.sub(' ', query).strip()}")
+        return ("lang", f"{m.group(2)} {_java_trim(_LANG_RE.sub(' ', query))}")
     if _java_anchored(_SITE_RE, query):
         idx = query.index(":")
         prefix, domain = query[:idx], query[idx + 1:].lower()

@@ -128,3 +128,20 @@ def test_trailing_newline_java_dollar_semantics():
     assert route_query("2 km in miles\n")[0] != "convert"
     # the eval alphabet contains \s+, so a trailing newline still evals
     assert try_eval("3*3\n")
+
+
+def test_unicode_whitespace_is_not_java_whitespace():
+    # Java Pattern \s is ASCII-only and String.trim() strips <= U+0020;
+    # NBSP / U+2028 must not route or trim as whitespace
+    assert route_query("define:a b")[0] == "search"   # \s won't span NBSP
+    assert route_query("lang:en foo")[0] == "search"  # needs ASCII \s|$
+    # bang boundary is Character.isSpaceChar (Zs) — NBSP IS a boundary
+    # there, but the remainder keeps it: trim() can't strip NBSP
+    cmd, payload = route_query("!w foo")
+    assert (cmd, payload) == ("bang", "!w  foo")
+    # trailing U+2028 is a line terminator for $ but survives trim in the
+    # lang rewrite payload
+    cmd, payload = route_query("lang:en foo ")
+    assert cmd == "lang" and payload == "en foo "
+    # eval alphabet: \s+ is ASCII-only, NBSP breaks the full match
+    assert not try_eval("3*3 ")
