@@ -1289,6 +1289,50 @@ def _q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_keywords(_docs(spark, sf_dir))
 
 
+def _q_subject_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Injects deterministic verbs/commas (the corpus has neither): after
+    0-based token i of doc_id, a verb from SUBJECT_ENTRY_VERBS (picked by
+    (doc_id+i)%4) is inserted when (doc_id+i)%5==0 and a comma attached
+    when (doc_id+i)%7==0, so noun-before-verb spans, bigram spans and
+    comma vetoes all occur; identical injection in the SQL twin.
+
+    threshold=12: the reference's absolute >= 100 cut is calibrated to
+    real web df/N spreads; the synthetic pool's 31-word vocabulary keeps
+    df/N near 1 so scores top out at ~89 here — 12 (p80) makes both the
+    keep and the cut outcome occur. The operator default stays 100."""
+    from marginaliasearch_spark.functions.sql_oracles import (
+        SUBJECT_ENTRY_VERBS,
+    )
+    from marginaliasearch_spark.operators.keywords import (
+        subject_like_keywords,
+    )
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != ""
+    )
+    verbs = F.array([F.lit(v) for v in SUBJECT_ENTRY_VERBS])
+    pieces = F.transform(
+        toks,
+        lambda t, i: F.concat(
+            t,
+            F.when((d + i) % 7 == 0, F.lit(",")).otherwise(F.lit("")),
+            F.when(
+                (d + i) % 5 == 0,
+                F.concat(
+                    F.lit(" "),
+                    F.element_at(verbs, ((d + i) % 4 + 1).cast("int")),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    itext = F.concat_ws(" ", pieces)
+    return subject_like_keywords(
+        docs.select("doc_id", itext.alias("text")), threshold=12
+    )
+
+
 def _q_question_spam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthetic multi-turn relation from documents (conv = doc_id//32,
     role cycles doc_id%4, question prefix by doc_id%5 prepended when
@@ -1891,7 +1935,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # r01/r02 but absent from r03; everything else (long-verified fulltext
 # core) trails. New entries added after round 3 are prepended in tier 0 —
 # see _NEW_THIS_ROUND.
-_NEW_THIS_ROUND: list[str] = []
+_NEW_THIS_ROUND: list[str] = ["index_subject_keywords"]
 _NEVER_DRIVER_VERIFIED = [
     "sample_stratified", "dsir_weights", "dsir_resample", "lm_perplexity",
     "lm_ppl_buckets", "dedup_line_removal", "sample_temperature",
@@ -2063,6 +2107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_question_spam": _q_question_spam,
         # per-doc TF-IDF keyword flags (WordsTfIdfCounts / TfIdfHigh)
         "index_tfidf_keywords": _q_tfidf_keywords,
+        # subject-like keyword stems (SubjectLikeKeywords.java adaptation)
+        "index_subject_keywords": _q_subject_keywords,
         # name-like keyword stems (NamesWords flag source)
         "index_name_keywords": _q_name_keywords,
         # email-artifact keywords (ArtifactKeywords.java)
@@ -2690,6 +2736,7 @@ FROM documents""",
         # coalesce 0 on both sides)
         "text_question_spam": sql_oracles.question_spam_sql(),
         "index_tfidf_keywords": sql_oracles.tfidf_keywords_sql(),
+        "index_subject_keywords": sql_oracles.subject_like_sql(threshold=12),
         "index_name_keywords": sql_oracles.name_like_sql(),
         "index_artifact_keywords": sql_oracles.artifact_keywords_sql(),
         "fulltext_serp_dedup": sql_oracles.serp_dedup_sql(),

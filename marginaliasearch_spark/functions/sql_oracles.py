@@ -1276,6 +1276,121 @@ JOIN kdf d USING (stem)
 CROSS JOIN kn"""
 
 
+SUBJECT_ENTRY_VERBS: tuple[str, ...] = ("was", "merged", "scanned", "is")
+
+
+def subject_like_sql(threshold: int = 100) -> str:
+    """Subject-like keyword oracle (keywords.subject_like_keywords twin)
+    over the entry's injected text: after token i of each document, a verb
+    from ``SUBJECT_ENTRY_VERBS`` (picked by ``(doc_id+i)%4``) is inserted
+    when ``(doc_id+i)%5==0``, and a comma is attached when
+    ``(doc_id+i)%7==0`` — giving the synthetic bags noun-before-verb spans
+    plus comma vetoes. The pipeline then mirrors the operator exactly:
+    re-tokenize, unigram/bigram candidates via window lookahead, per-doc
+    TF-IDF over the same injected text, int-division bigram averaging,
+    ``score >= threshold``."""
+    from ..functions.stemmer import porter_stem
+    from ..functions.tokenizer import STOPWORDS
+    from ..operators.keywords import SUBJECT_AUX_VERBS
+    from ..operators.topics import SYNTH_CORPUS_VOCAB
+
+    vocab = sorted(set(SYNTH_CORPUS_VOCAB) | set(SUBJECT_ENTRY_VERBS))
+    smap = ", ".join(
+        f"({t!r}, {porter_stem(t)!r})" for t in vocab if t not in STOPWORDS
+    )
+    aux = ", ".join(f"'{v}'" for v in SUBJECT_AUX_VERBS)
+    verbs = ", ".join(f"'{v}'" for v in SUBJECT_ENTRY_VERBS)
+    verbish = (
+        "({c} IN ({aux}) OR (len({c}) >= 4 AND {c} LIKE '%ed'))"
+    )
+    norm = (
+        "trunc((-((0.1 + 0.9 * c.cnt::DOUBLE / x.maxv) * ln(d.df / kn.n)))"
+        " * 75.0)::BIGINT"
+    )
+    return f"""
+WITH sjb AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+sjt AS (
+  SELECT doc_id, unnest(toks) AS tok, unnest(range(0, len(toks))) AS i
+  FROM sjb
+),
+sjp AS (
+  SELECT doc_id, i,
+    tok
+    || CASE WHEN (doc_id + i) % 7 = 0 THEN ',' ELSE '' END
+    || CASE WHEN (doc_id + i) % 5 = 0
+            THEN ' ' || [{verbs}][CAST((doc_id + i) % 4 AS INTEGER) + 1]
+            ELSE '' END AS piece
+  FROM sjt
+),
+sdoc AS (
+  SELECT doc_id, string_agg(piece, ' ' ORDER BY i) AS itext
+  FROM sjp GROUP BY doc_id
+),
+srw AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(trim(itext), '\\s+'), t -> t <> '') AS rt
+  FROM sdoc
+),
+sct AS (
+  SELECT doc_id, p, contains(raw, ',') AS cm,
+    regexp_replace(regexp_replace(lower(raw),
+                   '^[^a-z0-9]+', ''), '[^a-z0-9]+$', '') AS cl
+  FROM (SELECT doc_id, unnest(rt) AS raw,
+               unnest(range(1, len(rt) + 1)) AS p FROM srw)
+),
+slk AS (
+  SELECT doc_id, cl, cm,
+    lead(cl) OVER w AS c1, lead(cm) OVER w AS m1,
+    lead(cl, 2) OVER w AS c2
+  FROM sct
+  WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+),
+ksmap(tok, stem) AS (VALUES {smap}),
+kcnt AS (
+  SELECT t.doc_id, m.stem, count(*)::BIGINT AS cnt
+  FROM sct t JOIN ksmap m ON m.tok = t.cl GROUP BY t.doc_id, m.stem
+),
+kmax AS (SELECT doc_id, max(cnt)::DOUBLE AS maxv FROM kcnt GROUP BY doc_id),
+kdf AS (SELECT stem, count(*)::DOUBLE AS df FROM kcnt GROUP BY stem),
+kn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+ktf AS (
+  SELECT c.doc_id, c.stem, {norm} AS norm
+  FROM kcnt c JOIN kmax x USING (doc_id) JOIN kdf d USING (stem)
+  CROSS JOIN kn
+),
+uc AS (
+  SELECT l.doc_id, ms.stem AS s1, CAST(NULL AS VARCHAR) AS s2
+  FROM slk l JOIN ksmap ms ON ms.tok = l.cl
+  WHERE NOT l.cm AND {verbish.format(c='l.c1', aux=aux)}
+),
+bc AS (
+  SELECT l.doc_id, m1s.stem AS s1, m2s.stem AS s2
+  FROM slk l
+  JOIN ksmap m1s ON m1s.tok = l.cl
+  JOIN ksmap m2s ON m2s.tok = l.c1
+  WHERE NOT l.cm AND NOT l.m1 AND {verbish.format(c='l.c2', aux=aux)}
+),
+cand AS (
+  SELECT DISTINCT doc_id, s1, s2
+  FROM (SELECT * FROM uc UNION ALL SELECT * FROM bc)
+),
+scored AS (
+  SELECT c.doc_id,
+    CASE WHEN c.s2 IS NULL THEN c.s1 ELSE c.s1 || '_' || c.s2 END AS stem,
+    CASE WHEN c.s2 IS NULL THEN t1.norm
+         ELSE (t1.norm + t2.norm) // 2 END AS score
+  FROM cand c
+  JOIN ktf t1 ON t1.doc_id = c.doc_id AND t1.stem = c.s1
+  LEFT JOIN ktf t2 ON t2.doc_id = c.doc_id AND t2.stem = c.s2
+)
+SELECT DISTINCT doc_id, stem, score::BIGINT AS score
+FROM scored WHERE score >= {threshold}"""
+
+
 def content_farm_sql() -> str:
     """Content-farm-penalty oracle (topics.content_farm_penalty twin over
     the entry's injected header lines: doc_id%4==1 prepends a 'benefits

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from ..functions.stem_udfs import stem_keyword_tokens, stem_token
 from ..functions.tokenizer import STOPWORDS
 
-__all__ = ["tfidf_keywords", "corpus_stem_map"]
+__all__ = ["tfidf_keywords", "corpus_stem_map", "subject_like_keywords"]
 
 
 def _clean_tokens(text: F.Column | str, lower: bool = True) -> F.Column:
@@ -255,6 +255,168 @@ def name_like_keywords(
         "doc_id",
         F.col("z.stem").alias("stem"),
         (-F.col("z.neg")).cast("long").alias("cnt"),
+    )
+
+
+# SubjectLikeKeywords.java adaptation: the reference matches POS grammar
+# patterns ([NOUN span] followed by a SUBJECT_SUFFIX verb pattern —
+# languages-experimental.xml: (VBD VBZ) | MD VB | VBZ DT | ...). No POS
+# model ships in transcripts (COVERAGE.md divergence 9), so "verb-like"
+# adapts to: an auxiliary/modal surface form, or a regular past form
+# (length >= 4 ending in 'ed' — the VBD suffix rule). The auxiliary list
+# covers the finite forms the SUBJECT_SUFFIX patterns anchor on.
+SUBJECT_AUX_VERBS = (
+    "am", "is", "are", "was", "were", "be", "been", "being",
+    "has", "have", "had", "do", "does", "did",
+    "will", "would", "can", "could", "shall", "should", "may",
+    "might", "must",
+)
+
+
+def subject_like_keywords(
+    docs: DataFrame,
+    threshold: int = 100,
+    doc_count: int | None = None,
+    term_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document subject-like keyword stems (the Subjects flag source).
+
+    Reference: ``keyword/extractors/SubjectLikeKeywords.java:14`` — noun
+    spans in the pattern ``[Name] (Verbs) ...`` ("Greeks bearing gifts" →
+    Greeks), rejected when a comma immediately follows the span
+    (``nextCommaPos(kw.end-1) <= kw.end``), grouped by stemmed form,
+    scored by the span's TF-IDF (``getTermTfIdf``: an ``_``-joined n-gram
+    averages its parts with Java int division), kept when ``score >= 100``.
+
+    Adaptation (documented divergence — no POS model in transcripts):
+    a "noun" is any non-stopword clean token; a span is a unigram or a
+    bigram of adjacent nouns; "verb follows" means the next token is
+    auxiliary/modal or a ``*ed`` past form (``SUBJECT_AUX_VERBS``); the
+    comma rule becomes "the span's last raw token carries a comma" (and a
+    comma between the two bigram words breaks the span, as a comma token
+    breaks the reference's NOUN pattern).
+
+    Spark-first shape: candidate detection is a per-row index scan over
+    the raw token array (map-side, shuffle-free); candidate rows are
+    sparse (only noun-before-verb positions survive), so the two scoring
+    joins against the per-doc TF-IDF relation — co-keyed on
+    ``(doc_id, stem)``, the groupBy's own partitioning — move candidate-
+    sized data only. Nothing vocabulary-sized reaches the driver.
+
+    Output: one (doc_id, stem, score) row per distinct surviving stem.
+    """
+    if doc_count is None:
+        doc_count = docs.count()
+
+    raw = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"), raw.alias("_raw"))
+    clean = F.transform(
+        F.col("_raw"),
+        lambda t: F.regexp_replace(
+            F.lower(t), r"^[^a-z0-9]+|[^a-z0-9]+$", ""
+        ),
+    )
+    comma = F.transform(F.col("_raw"), lambda t: t.contains(","))
+    toked = base.select(
+        "doc_id", clean.alias("_clean"), comma.alias("_comma")
+    )
+
+    c, m = F.col("_clean"), F.col("_comma")
+    n = F.size(c)
+    # 0-based positions; F.get is 0-based and null out-of-bounds, so the
+    # lookahead needs no edge guards
+    idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+    def noun(t):
+        return t.isNotNull() & (t != "") & ~t.isin(*STOPWORDS)
+
+    def verbish(t):
+        return t.isNotNull() & (
+            t.isin(*SUBJECT_AUX_VERBS)
+            | ((F.length(t) >= 4) & t.endswith("ed"))
+        )
+
+    uni = F.transform(
+        F.filter(
+            idx,
+            lambda i: noun(F.get(c, i))
+            & ~F.get(m, i)
+            & verbish(F.get(c, i + 1)),
+        ),
+        lambda i: F.struct(
+            F.get(c, i).alias("w1"),
+            F.lit(None).cast("string").alias("w2"),
+        ),
+    )
+    bi = F.transform(
+        F.filter(
+            idx,
+            lambda i: noun(F.get(c, i))
+            & noun(F.get(c, i + 1))
+            & ~F.get(m, i)
+            & ~F.get(m, i + 1)
+            & verbish(F.get(c, i + 2)),
+        ),
+        lambda i: F.struct(
+            F.get(c, i).alias("w1"), F.get(c, i + 1).alias("w2")
+        ),
+    )
+    cands = (
+        toked.select(
+            "doc_id", F.explode(F.concat(uni, bi)).alias("z")
+        )
+        .select("doc_id", F.col("z.w1").alias("w1"), F.col("z.w2").alias("w2"))
+        .distinct()
+        .withColumn("s1", stem_token("w1"))
+        .withColumn("s2", stem_token("w2"))
+    )
+
+    tf = tfidf_keywords(
+        docs,
+        doc_count=doc_count,
+        term_df=term_df,
+        text_col=text_col,
+        id_col=id_col,
+    ).select("doc_id", "stem", "tfidf_norm")
+    # candidate words are non-stopword tokens of the same document, so
+    # every part has a per-doc TF-IDF row: inner on the first part, left
+    # on the (unigram-null) second
+    j = (
+        cands.join(
+            tf.withColumnRenamed("stem", "s1").withColumnRenamed(
+                "tfidf_norm", "n1"
+            ),
+            ["doc_id", "s1"],
+        ).join(
+            tf.withColumnRenamed("stem", "s2").withColumnRenamed(
+                "tfidf_norm", "n2"
+            ),
+            ["doc_id", "s2"],
+            "left",
+        )
+    )
+    # getTermTfIdf: '_'-joined n-grams average their parts with Java int
+    # division (sum / parts.length, truncation; values are non-negative)
+    score = F.when(
+        F.col("s2").isNull(), F.col("n1")
+    ).otherwise(
+        F.floor((F.col("n1") + F.col("n2")) / F.lit(2)).cast("long")
+    )
+    stem = F.when(F.col("s2").isNull(), F.col("s1")).otherwise(
+        F.concat_ws("_", "s1", "s2")
+    )
+    return (
+        j.select(
+            "doc_id", stem.alias("stem"), score.alias("score")
+        )
+        .where(F.col("score") >= threshold)
+        .distinct()
     )
 
 

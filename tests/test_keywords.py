@@ -230,3 +230,108 @@ def test_artifact_min_length_and_full_match(spark):
     )
     out = artifact_keywords(docs).toPandas()
     assert set(out.doc_id) == {1}
+
+
+def _subject_mirror(
+    docs: list[str], threshold: int = 100
+) -> set[tuple[int, str, int]]:
+    """Straight-line SubjectLikeKeywords.java mirror under the documented
+    adaptation: spans are non-stopword unigrams/bigrams whose next token
+    is auxiliary/modal or a >=4-char '*ed' form, rejected when the span's
+    last raw token carries a comma (or one splits the bigram); score =
+    per-doc tfidf_norm, bigrams averaging parts with int division; keep
+    score >= threshold."""
+    from marginaliasearch_spark.operators.keywords import SUBJECT_AUX_VERBS
+
+    tf = _mirror(docs)  # (doc, stem) -> (cnt, norm, high)
+
+    def clean(t: str) -> str:
+        import re
+
+        t = t.lower()
+        return re.sub(r"^[^a-z0-9]+|[^a-z0-9]+$", "", t)
+
+    def verbish(t: str | None) -> bool:
+        return t is not None and (
+            t in SUBJECT_AUX_VERBS or (len(t) >= 4 and t.endswith("ed"))
+        )
+
+    def noun(t: str | None) -> bool:
+        return bool(t) and t not in STOPWORDS
+
+    out: set[tuple[int, str, int]] = set()
+    for d, text in enumerate(docs):
+        raws = text.split()
+        cl = [clean(t) for t in raws]
+        cm = ["," in t for t in raws]
+
+        def get(i):
+            return cl[i] if 0 <= i < len(cl) else None
+
+        for i in range(len(raws)):
+            if noun(get(i)) and not cm[i] and verbish(get(i + 1)):
+                s = porter_stem(cl[i])
+                sc = tf[(d, s)][1]
+                if sc >= threshold:
+                    out.add((d, s, sc))
+            if (
+                noun(get(i))
+                and noun(get(i + 1))
+                and not cm[i]
+                and not cm[i + 1]
+                and verbish(get(i + 2))
+            ):
+                s1, s2 = porter_stem(cl[i]), porter_stem(cl[i + 1])
+                sc = (tf[(d, s1)][1] + tf[(d, s2)][1]) // 2
+                if sc >= threshold:
+                    out.add((d, f"{s1}_{s2}", sc))
+    return out
+
+
+def test_subject_like_keywords_matches_mirror(spark):
+    from marginaliasearch_spark.operators.keywords import subject_like_keywords
+
+    # rare nouns before verbs clear the tfidf cut; commas veto; bigram
+    # spans average their parts; filler docs push df down for the subjects
+    docs = [
+        "caesar crossed rivers and caesar marched while senate, was watching",
+        "roman republic was strong and roman republic endured the wars",
+        "gifts carried by greeks, were suspected but greeks bearing gifts arrived",
+        "plain filler text without any subjects at all",
+    ] + [f"common filler{i % 5} words here" for i in range(30)]
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    )
+    got = {
+        (r.doc_id, r.stem, r.score)
+        for r in subject_like_keywords(sdf).toPandas().itertuples()
+    }
+    exp = _subject_mirror(docs)
+    assert got == exp
+    # sanity: the fixture genuinely exercises unigram, bigram and veto paths
+    assert any("_" in s for _, s, _ in exp)
+    assert any("_" not in s for _, s, _ in exp)
+    assert not any(s.startswith("senate") and "_" not in s for _, s, _ in exp)
+
+
+def test_subject_like_threshold_and_comma_rules(spark):
+    from marginaliasearch_spark.operators.keywords import subject_like_keywords
+
+    docs = [
+        "zebra was here",  # unigram subject
+        "zebra, was here",  # comma veto
+        "quick zebra was here",  # bigram + unigram
+        "quick, zebra was here",  # comma splits the bigram, unigram survives
+    ] + ["filler words only"] * 20
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    )
+    out = subject_like_keywords(sdf, threshold=1).toPandas()
+    by_doc = {
+        d: sorted(g.stem) for d, g in out.groupby("doc_id")
+    }
+    assert by_doc.get(0) == ["zebra"]
+    assert 1 not in by_doc
+    assert by_doc.get(2) == ["quick_zebra", "zebra"]
+    assert by_doc.get(3) == ["zebra"]
+    assert set(out.columns) == {"doc_id", "stem", "score"}
