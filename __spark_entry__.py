@@ -1617,6 +1617,92 @@ def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the REAL ``streaming_exact_dedup`` StreamingQuery (three
+    doc_id-ordered arrival batches, availableNow, memory sink — see
+    streaming/harness.py). Duplicates are synthesized on the stream
+    (doc_id%3==0 collapses to one of 40 canonical texts, spanning all
+    three micro-batches; others are uniqued with a doc_id suffix), so the
+    cross-batch first-occurrence-wins state is what the oracle checks:
+    with doc_id-ordered arrival the keeper per digest is the global min
+    doc_id — exactly the batch ``exact_dedup`` rule."""
+    from marginaliasearch_spark.streaming.harness import (
+        replay,
+        write_arrival_batches,
+    )
+    from marginaliasearch_spark.streaming.sessions import (
+        streaming_exact_dedup,
+    )
+
+    def op(s: DataFrame) -> DataFrame:
+        d = F.col("doc_id")
+        itext = F.when(
+            d % 3 == 0, F.concat(F.lit("dup "), (d % 40).cast("string"))
+        ).otherwise(
+            F.concat(F.col("text"), F.lit(" "), d.cast("string"))
+        )
+        return streaming_exact_dedup(s.select("doc_id", itext.alias("text")))
+
+    bdir = write_arrival_batches(
+        f"{sf_dir}/documents.parquet", [("doc_id", "ascending")], 3
+    )
+    return replay(spark, bdir, op).select("text_hash", "doc_id")
+
+
+def _q_streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the REAL watermarked ``windowed_event_counts`` StreamingQuery
+    over four ts-ordered arrival batches plus one LATE batch (first-week
+    rows with event_id%13==0 are displaced to arrive last — the final
+    watermark, max(ts)−30min, is weeks past their windows, so append mode
+    must drop them). The emitted set is therefore: hourly aggregates over
+    the non-displaced rows, restricted to windows sealed by the final
+    watermark (window_end <= max(ts)−30min) — both effects recomputed by
+    the SQL twin, so the oracle row checks watermark sealing AND
+    late-drop, not just the aggregation."""
+    import numpy as np
+    import pyarrow as pa
+
+    from marginaliasearch_spark.streaming.harness import (
+        replay,
+        write_arrival_batches,
+    )
+    from marginaliasearch_spark.streaming.sessions import (
+        windowed_event_counts,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    def displace(tbl):
+        eid = tbl.column("event_id").to_numpy()
+        ts = tbl.column("ts").to_numpy()
+        cut = ts.min() + np.timedelta64(7, "D")
+        late = (eid % 13 == 0) & (ts < cut)
+        return tbl.filter(pa.array(~late)), tbl.filter(pa.array(late))
+
+    bdir = write_arrival_batches(
+        f"{sf_dir}/events.parquet",
+        [("ts", "ascending"), ("event_id", "ascending")],
+        4,
+        displace=displace,
+    )
+    out = replay(
+        spark,
+        bdir,
+        lambda s: windowed_event_counts(
+            s, "1 hour", "30 minutes", key="event_type"
+        ),
+        ts_cols=("ts",),
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        "sum_value",
+    )
+
+
 # fixed misspelling probes for the spell entry (must stay within edit
 # distance 2 of real corpus terms so the suggestion lists are non-trivial)
 _SPELL_PROBES = [
@@ -1935,7 +2021,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # r01/r02 but absent from r03; everything else (long-verified fulltext
 # core) trails. New entries added after round 3 are prepended in tier 0 —
 # see _NEW_THIS_ROUND.
-_NEW_THIS_ROUND: list[str] = ["index_subject_keywords"]
+_NEW_THIS_ROUND: list[str] = [
+    "index_subject_keywords", "streaming_dedup", "streaming_windows",
+]
 _NEVER_DRIVER_VERIFIED = [
     "sample_stratified", "dsir_weights", "dsir_resample", "lm_perplexity",
     "lm_ppl_buckets", "dedup_line_removal", "sample_temperature",
@@ -2146,6 +2234,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- windowed aggregation / sessionization ---
         "events_hourly": _q_events_hourly,
         "events_sessions": _q_events_sessions,
+        # REAL StreamingQuery runs through the oracle gate (bounded
+        # deterministic replay — streaming/harness.py)
+        "streaming_dedup": _q_streaming_dedup,
+        "streaming_windows": _q_streaming_windows,
     })
 
 
@@ -2949,4 +3041,31 @@ SELECT user_id,
        count(*)::BIGINT AS n_events,
        round(sum(value), 6) AS sum_value
 FROM s GROUP BY user_id, sid""",
+        # streaming exact dedup replay: first-occurrence-wins over
+        # doc_id-ordered arrival == min doc_id per digest
+        "streaming_dedup": """
+WITH sdd AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN 'dup ' || (doc_id % 40)::VARCHAR
+         ELSE text || ' ' || doc_id::VARCHAR END AS itext
+  FROM documents
+)
+SELECT md5(lower(itext)) AS text_hash, min(doc_id)::BIGINT AS doc_id
+FROM sdd GROUP BY 1""",
+        # streaming windowed-count replay: displaced first-week rows are
+        # late beyond the final watermark (dropped), and only windows the
+        # watermark sealed (end <= max(ts) - 30min) were emitted
+        "streaming_windows": """
+WITH swb AS (
+  SELECT min(ts) AS lo, max(ts) AS hi FROM events
+),
+swk AS (
+  SELECT e.* FROM events e, swb
+  WHERE NOT (e.event_id % 13 = 0 AND e.ts < swb.lo + INTERVAL 7 DAY)
+)
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value
+FROM swk, swb
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= swb.hi - INTERVAL 30 MINUTE
+GROUP BY 1, 2""",
     }

@@ -287,3 +287,49 @@ def test_streaming_exact_dedup_first_occurrence_wins(spark, tmp_path_factory):
     # (id 3 arrived before id 1): batch keeps global-min 1, streaming
     # keeps first-seen 3 — same CLUSTERS, documented ordering difference
     assert batch_ids == {1, 5, 11}
+
+
+def test_replay_harness_order_and_late_batch(spark, tmp_path):
+    """streaming/harness.py: arrival batches are mtime-ordered slices of
+    the sort order, the displace hook's rows arrive LAST, and replay
+    drives one micro-batch per file — pinned via streaming_exact_dedup,
+    whose keeper (first batch to contain a digest wins) is
+    arrival-order-sensitive."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from marginaliasearch_spark.streaming.harness import (
+        replay,
+        write_arrival_batches,
+    )
+    from marginaliasearch_spark.streaming.sessions import (
+        streaming_exact_dedup,
+    )
+
+    # same text for ids 5 (early) and 1 (displaced-late): without the
+    # late hook id 1 would win (min doc_id); arrival order must make 5 win
+    src = tmp_path / "docs.parquet"
+    pd.DataFrame(
+        {"doc_id": [5, 1, 9, 12], "text": ["same", "same", "other", "same"]}
+    ).to_parquet(src, index=False)
+
+    def displace(tbl):
+        late = pa.array(
+            [i == 1 for i in tbl.column("doc_id").to_pylist()]
+        )
+        import pyarrow.compute as pc
+
+        return tbl.filter(pc.invert(late)), tbl.filter(late)
+
+    bdir = write_arrival_batches(
+        str(src), [("doc_id", "ascending")], 2, displace=displace
+    )
+    import os
+
+    files = sorted(os.listdir(bdir))
+    assert len(files) == 3  # 2 batches + 1 late
+    mtimes = [os.path.getmtime(os.path.join(bdir, f)) for f in files]
+    assert mtimes == sorted(mtimes)
+
+    out = replay(spark, bdir, streaming_exact_dedup).toPandas()
+    assert sorted(out.doc_id) == [5, 9]  # 5 beat displaced 1; 12 deduped
