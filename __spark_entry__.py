@@ -1538,6 +1538,33 @@ def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_image_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode (stdlib zlib + full filter reconstruction) through
+    the distributed feature kernel: the fixture's payloads are genuine
+    PNGs with cycling scanline filters, fake=False decodes them in
+    mapInPandas, and the oracle recomputes features from the closed-form
+    pixels the fixture encoded."""
+    media = multimodal.synth_png_media(spark, n=64)
+    feats = multimodal.image_features(media, fake=False)
+    return feats.select(
+        "media_id",
+        *[F.round(F.col(c), 6).alias(c) for c in multimodal.FEATURE_COLS],
+    )
+
+
+def _q_image_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode + nearest resize (32→8) + scalar audit, same
+    fixture/oracle scheme as mm_image_png_features."""
+    media = multimodal.synth_png_media(spark, n=64)
+    resized = multimodal.resize_images(media, out_h=8, out_w=8, fake=False)
+    s = multimodal.resize_summary(resized)
+    return s.select(
+        "media_id",
+        *[F.round(F.col(c), 6).alias(c) for c in ("mean_r", "mean_g", "mean_b")],
+        "px_sum",
+    )
+
+
 def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.synth_media(spark, n=64)
     out = multimodal.frame_sample(media.filter(F.col("kind") == "video"))
@@ -2023,6 +2050,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # see _NEW_THIS_ROUND.
 _NEW_THIS_ROUND: list[str] = [
     "index_subject_keywords", "streaming_dedup", "streaming_windows",
+    "mm_image_png_features", "mm_image_png_resize",
 ]
 _NEVER_DRIVER_VERIFIED = [
     "sample_stratified", "dsir_weights", "dsir_resample", "lm_perplexity",
@@ -2229,6 +2257,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- multimodal plumbing ---
         "mm_image_features": _q_image_features,
         "mm_image_resize": _q_image_resize,
+        # REAL PNG payloads (zlib decode, all five scanline filters)
+        "mm_image_png_features": _q_image_png_features,
+        "mm_image_png_resize": _q_image_png_resize,
         "mm_frame_sample": _q_frame_sample,
         "mm_audio_features": _q_audio_features,
         # --- windowed aggregation / sessionization ---
@@ -3014,6 +3045,12 @@ WHERE NOT EXISTS (
   WHERE c.doc_id = e.vec_id AND c.component <> c.doc_id)""",
         "mm_image_features": sql_oracles.image_features_sql(n=64),
         "mm_image_resize": sql_oracles.image_resize_sql(n=64),
+        "mm_image_png_features": sql_oracles.image_features_sql(
+            n=64, png=True
+        ),
+        "mm_image_png_resize": sql_oracles.image_resize_sql(
+            n=64, png=True
+        ),
         "mm_frame_sample": sql_oracles.frame_sample_sql(n=64),
         "mm_audio_features": sql_oracles.audio_features_sql(n=64),
         "events_hourly": """

@@ -247,9 +247,32 @@ m2 AS (
 )"""
 
 
-def image_features_sql(n: int = 64) -> str:
+def _image_seed_ctes(n: int, png: bool) -> str:
+    """``... , seed(media_id, s)``: the pixel-seed relation. ``png=False``
+    is the fake decoder (seed = md5 of the synthetic payload hex);
+    ``png=True`` is ``synth_png_media``'s closed form (seed =
+    md5('png:' || media_id)) — the PNG entries decode REAL png payloads
+    on the Spark side, but the pixels they reconstruct are this closed
+    form, so the oracle never needs a decoder."""
+    if png:
+        return f"""
+mm AS (SELECT unnest(range({n})) AS media_id),
+seed AS (
+  SELECT media_id,
+         ('0x' || substr(md5('png:' || media_id), 1, 16))::UBIGINT AS s
+  FROM mm
+)"""
+    return f"""{media_ctes(n)},
+seed AS (
+  SELECT media_id, ('0x' || substr(md5(payload_hex), 1, 16))::UBIGINT AS s
+  FROM m2
+)"""
+
+
+def image_features_sql(n: int = 64, png: bool = False) -> str:
     """Exact oracle for ``multimodal.image_features`` over the synthetic
-    media table (fake decoder: splitmix64 pixels seeded by md5(payload))."""
+    media table (fake decoder: splitmix64 pixels seeded by md5(payload);
+    ``png=True``: the real-PNG fixture's media_id-seeded pixels)."""
     from ..operators.multimodal import _BIN_DIV, _N_PIX, HIST_BINS
 
     n_vals = _N_PIX * 3
@@ -263,11 +286,7 @@ def image_features_sql(n: int = 64) -> str:
         f" / {_N_PIX}.0, 6) AS h{b}"
         for b in range(HIST_BINS)
     )
-    return f"""WITH {media_ctes(n)},
-seed AS (
-  SELECT media_id, ('0x' || substr(md5(payload_hex), 1, 16))::UBIGINT AS s
-  FROM m2
-),
+    return f"""WITH {_image_seed_ctes(n, png)},
 pix0 AS (
   SELECT media_id, p, {sql64.add64('s', 'p::UBIGINT')} AS x
   FROM seed CROSS JOIN (SELECT unnest(range({n_vals})) AS p) pp
@@ -306,7 +325,9 @@ SELECT media_id, frame_idx::BIGINT AS frame_idx,
 FROM fr"""
 
 
-def image_resize_sql(n: int = 64, out_h: int = 8, out_w: int = 8) -> str:
+def image_resize_sql(
+    n: int = 64, out_h: int = 8, out_w: int = 8, png: bool = False
+) -> str:
     """Exact oracle for ``multimodal.resize_images(method='nearest')`` +
     ``resize_summary`` over the synthetic media table: the nearest-resized
     pixel (i, j, c) is the fake-decoded value at flat index
@@ -320,11 +341,7 @@ def image_resize_sql(n: int = 64, out_h: int = 8, out_w: int = 8) -> str:
         f" AS mean_{name}"
         for c, name in enumerate("rgb")
     )
-    return f"""WITH {media_ctes(n)},
-seed AS (
-  SELECT media_id, ('0x' || substr(md5(payload_hex), 1, 16))::UBIGINT AS s
-  FROM m2
-),
+    return f"""WITH {_image_seed_ctes(n, png)},
 grid AS (
   SELECT i, j, ch,
          (((i * {IMG_H}) // {out_h}) * {IMG_W}

@@ -358,3 +358,96 @@ def test_resize_images_real_ppm_end_to_end(spark):
     got = np.frombuffer(bytes(out[0]["pixels"]), dtype=np.uint8).reshape(8, 8, 3)
     want = multimodal.resize_image(img, 8, 8, "nearest")
     assert (got == want).all()
+
+
+# --- real PNG decode (stdlib zlib + numpy unfilter) -------------------------
+
+
+def test_png_roundtrip_all_filters_and_color_types():
+    from marginaliasearch_spark.operators.multimodal import (
+        _decode_png,
+        decode_image,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(7)
+    for shape in [(32, 32, 3), (5, 7, 3), (1, 1, 3), (16, 9, 4), (8, 8, 1)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for filt in [0, 1, 2, 3, 4, "cycle"]:
+            dec = _decode_png(encode_png(img, filters=filt))
+            if shape[2] == 1:
+                exp = np.repeat(img, 3, axis=2)
+            elif shape[2] == 4:
+                exp = img[:, :, :3]  # alpha dropped
+            else:
+                exp = img
+            assert np.array_equal(dec, exp), (shape, filt)
+    # gradient image (makes Sub/Paeth predictions non-trivial)
+    g = np.arange(32 * 32 * 3, dtype=np.int64).reshape(32, 32, 3) % 256
+    g = g.astype(np.uint8)
+    assert np.array_equal(decode_image(encode_png(g)), g)
+
+
+def test_png_unsupported_shapes_raise():
+    import zlib
+
+    import pytest as _pytest
+
+    from marginaliasearch_spark.operators.multimodal import (
+        _PNG_SIG,
+        _decode_png,
+        encode_png,
+    )
+
+    ok = encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+
+    def patch_ihdr(payload: bytes, off: int, val: int) -> bytes:
+        # IHDR data starts at sig+8(len,type); depth/ctype/... at +8+off
+        i = len(_PNG_SIG) + 8 + off
+        return payload[:i] + bytes([val]) + payload[i + 1 :]
+
+    with _pytest.raises(NotImplementedError):  # 16-bit depth
+        _decode_png(patch_ihdr(ok, 8, 16))
+    with _pytest.raises(NotImplementedError):  # palette color type
+        _decode_png(patch_ihdr(ok, 9, 3))
+    with _pytest.raises(NotImplementedError):  # Adam7 interlace
+        _decode_png(patch_ihdr(ok, 12, 1))
+    with _pytest.raises(NotImplementedError):  # missing IDAT
+        _decode_png(_PNG_SIG)
+
+
+def test_image_features_over_real_png(spark):
+    """image_features with fake=False over the PNG fixture — mapInPandas
+    runs the zlib decode per payload; features must equal the mirror over
+    the closed-form pixels the fixture encoded."""
+    from marginaliasearch_spark.operators.dedup import _splitmix64
+    from marginaliasearch_spark.operators.multimodal import (
+        _BIN_DIV,
+        _N_PIX,
+        HIST_BINS,
+        image_features,
+        png_pixel_seed,
+        synth_png_media,
+    )
+
+    media = synth_png_media(spark, n=8)
+    out = (
+        image_features(media, fake=False)
+        .toPandas()
+        .set_index("media_id")
+        .sort_index()
+    )
+    idx = np.arange(_N_PIX * 3, dtype=np.uint64)
+    for i in range(8):
+        vals = (
+            (_splitmix64(png_pixel_seed(i) + idx) & np.uint64(255))
+            .astype(np.int64)
+            .reshape(_N_PIX, 3)
+        )
+        assert np.isclose(
+            out.loc[i, "mean_r"], vals[:, 0].mean() / 255.0, atol=1e-9
+        )
+        bins = np.minimum(vals.sum(axis=1) // _BIN_DIV, HIST_BINS - 1)
+        counts = np.bincount(bins, minlength=HIST_BINS) / _N_PIX
+        got = np.array([out.loc[i, f"h{b}"] for b in range(HIST_BINS)])
+        assert np.allclose(got, counts, atol=1e-9)
