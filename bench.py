@@ -126,6 +126,11 @@ BENCH_QUERIES = [
     "browse_similar",
     "assist_route",
     "fulltext_page",
+    # round-4 additions
+    "index_subject_keywords",
+    "mm_image_png_features",
+    "streaming_dedup",
+    "streaming_windows",
 ]
 
 
