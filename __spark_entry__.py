@@ -315,6 +315,55 @@ def _q_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(F.col("conv_id").cast("long").alias("doc_id"), "score")
 
 
+def _q_searchset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time search-set gate (``set:<name>`` → SetTerm,
+    QueryParser.java:228; membership check RankingSearchSet.contains,
+    `code/index/java/nu/marginalia/index/searchset/RankingSearchSet.java:73-82`):
+    a persisted conversation set — stand-in congruence ``conv_id % 7 == 1``
+    (the curated-set analogue) — written through the real lifecycle
+    (searchset.write_search_set → load at query) scopes candidates while
+    df/N stay whole-corpus, exactly like the reference filters per query
+    against an unchanged index."""
+    from marginaliasearch_spark.operators import searchset
+
+    reader = _get_reader(spark, sf_dir)
+    cid = F.col("conv_id").cast("long")
+    members = reader.doc_stats.where(cid % 7 == 1).select("conv_id")
+    searchset.write_search_set(
+        searchset.explicit_search_set(members), reader.paths.root, "septile"
+    )
+    reader._searchset_cache.pop("septile", None)
+    res = run_query(
+        reader,
+        "scan set:septile",
+        k=_K,
+        round_score_to=6,
+        tie_break=F.col("conv_id").cast("long"),
+    )
+    return res.select(F.col("conv_id").cast("long").alias("doc_id"), "score")
+
+
+def _q_searchset_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-set BUILDER (SearchSetsService.recalculateNormal,
+    `SearchSetsService.java:145-168`): PageRank over the graph, keep the
+    top-``depth`` ranked ids as the set relation
+    (``calculate(depth, RankingResultHashSetAccumulator)``) — here the
+    same kNN-graph integer PageRank as ``rank_pagerank``, depth 25."""
+    from marginaliasearch_spark.operators import searchset
+
+    emb = _emb(spark, sf_dir)
+    knn = similarity.knn_join(emb, k=3, dim=64, n_planes=6)
+    scores = ranking.pagerank(
+        emb.select("vec_id"),
+        knn,
+        iterations=3,
+        id_col="vec_id",
+        src_col="vec_id",
+        dst_col="neighbor_id",
+    )
+    return searchset.ranking_search_set(scores, depth=25, id_col="id")
+
+
 def _q_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Result pagination (IndexClient.executeQueries subList slice): page 2
     of size 5 from a top-20 gather — rows [5, 10) of the ranked order."""
@@ -582,6 +631,7 @@ def _bm25_sql(
     year_cmp: tuple[str, int] | None = None,
     mask_doc_mod: tuple[int, int] | None = None,
     mask_mods: list[tuple[int, int]] | None = None,
+    set_mods: list[tuple[int, int]] | None = None,
     stats_doc_mod: tuple[int, int] | None = None,
     year_bias: str | None = None,
     group_cap: tuple[int, int] | None = None,
@@ -669,6 +719,11 @@ def _bm25_sql(
     # semantics as mask_doc_mod
     for m_m, m_r in mask_mods or []:
         wheres.append(f"d.doc_id % {m_m} <> {m_r}")
+    # set_mods: INCLUSION congruences — the persisted search-set entry's
+    # membership class (set:<name> → RankingSearchSet.contains); candidates
+    # restricted to members while df/N stay whole-corpus
+    for s_m, s_r in set_mods or []:
+        wheres.append(f"d.doc_id % {s_m} = {s_r}")
     if stats_doc_mod is not None:
         s_m, s_r = stats_doc_mod
         wheres.append(f"d.doc_id % {s_m} <> {s_r}")
@@ -2051,6 +2106,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _NEW_THIS_ROUND: list[str] = [
     "index_subject_keywords", "streaming_dedup", "streaming_windows",
     "mm_image_png_features", "mm_image_png_resize",
+    "fulltext_searchset", "index_search_set",
 ]
 _NEVER_DRIVER_VERIFIED = [
     "sample_stratified", "dsir_weights", "dsir_resample", "lm_perplexity",
@@ -2130,6 +2186,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # compaction absorption (stats recomputed over survivors)
         "fulltext_deleted": _q_deleted,
         "fulltext_safe": _q_safe,
+        "fulltext_searchset": _q_searchset,
+        "index_search_set": _q_searchset_build,
         "fulltext_page": _q_page,
         "fulltext_deleted_compacted": _q_deleted_compacted,
         # temporal-bias ranking (RECENT/OLD, IndexResultRankingService:322)
@@ -2341,6 +2399,10 @@ SELECT doc_id, 0.0 AS score FROM doclen WHERE 1 = 0""",
         "fulltext_explain": _bm25_sql([["batch", "scan"]], explain=True),
         "fulltext_deleted": _bm25_sql([["scan"]], mask_doc_mod=(7, 0)),
         "fulltext_safe": _bm25_sql([["scan"]], mask_mods=[(11, 3), (13, 5)]),
+        "fulltext_searchset": _bm25_sql([["scan"]], set_mods=[(7, 1)]),
+        "index_search_set": sql_oracles.search_set_sql(
+            depth=25, iterations=3, knn_k=3, dim=64, n_planes=6
+        ),
         "fulltext_page": _bm25_sql([["scan"]], k=5, offset=5),
         "fulltext_deleted_compacted": _bm25_sql(
             [["scan"]], stats_doc_mod=(7, 0)

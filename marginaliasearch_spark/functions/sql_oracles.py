@@ -734,6 +734,26 @@ FROM prit{iterations}
 ORDER BY s DESC, id LIMIT {k}"""
 
 
+def search_set_sql(
+    depth: int = 25,
+    iterations: int = 3,
+    scale: int = 10**12,
+    knn_k: int = 3,
+    dim: int = 64,
+    n_planes: int = 6,
+) -> str:
+    """Exact oracle for ``searchset.ranking_search_set`` over the same
+    integer-PageRank replay as :func:`pagerank_knn_sql`: the top-``depth``
+    ranked ids (score desc, id tiebreak) as a one-column conv_id set —
+    ``SearchSetsService.recalculateNormal``'s
+    ``calculate(depth, accumulator)`` selection."""
+    body = _pagerank_ctes(iterations, scale, knn_k, dim, n_planes)
+    return f"""WITH {body}
+SELECT CAST(id AS VARCHAR) AS conv_id
+FROM prit{iterations}
+ORDER BY s DESC, id LIMIT {depth}"""
+
+
 def _pagerank_ctes(
     iterations: int, scale: int, knn_k: int, dim: int, n_planes: int
 ) -> str:

@@ -267,6 +267,19 @@ class IndexReader:
         # lexicon three times: wrapper + both phases)
         self._stats_cache: dict[tuple, tuple[int, int] | None] = {}
         self._bounds_cache: dict[int, float | None] = {}
+        self._searchset_cache: dict[str, DataFrame | None] = {}
+
+    def search_set(self, name: str) -> DataFrame | None:
+        """Persisted search set by name (RankingSearchSet load-at-query);
+        None = missing or empty, which imposes NO constraint (the
+        reference's contains() quirk, RankingSearchSet.java:73-82)."""
+        from .searchset import load_search_set
+
+        if name not in self._searchset_cache:
+            self._searchset_cache[name] = load_search_set(
+                self.spark, self.paths.root, name
+            )
+        return self._searchset_cache[name]
 
     @property
     def year_range(self) -> tuple[int, int]:
@@ -555,6 +568,33 @@ def run_query(
         if conv_doc_ids.size == 0:
             return empty()
 
+    # set:<name> search sets (RankingSearchSet membership): members resolve
+    # to doc ids through the forward index and seed the decode like conv:
+    # ranges (the reference holds the set in RAM, so the driver-side id
+    # array honors the same size contract); a missing/empty set imposes no
+    # constraint (contains() quirk). Oversized sets (beyond the candidate
+    # cap) degrade to a distributed semi-join after the doc-stats join
+    # instead of a driver collect.
+    set_post_filters: list[DataFrame] = []
+    for set_name in pq.sets:
+        sdf = reader.search_set(set_name)
+        if sdf is None:
+            continue
+        members = reader.doc_stats.join(
+            F.broadcast(sdf), "conv_id", "left_semi"
+        ).select("doc_id")
+        if members.limit(MAX_DRIVER_CANDIDATES + 1).count() > MAX_DRIVER_CANDIDATES:
+            set_post_filters.append(members)
+            continue
+        ids = np.sort(_collect_ids_u64(members))
+        if ids.size == 0:
+            return empty()
+        conv_doc_ids = (
+            ids if conv_doc_ids is None else np.intersect1d(conv_doc_ids, ids)
+        )
+        if conv_doc_ids.size == 0:
+            return empty()
+
     # the candidate-superset broadcast, if one is made during candidate
     # generation — reused to prune the exclusion / priority term decodes
     # below (those joins only care about docs already in the candidate set,
@@ -772,6 +812,11 @@ def run_query(
 
     # ---- doc metadata join + spec limits (ParamMatchingQueryFilter) ----
     cand = cand.join(reader.doc_stats, "doc_id")
+    for members in set_post_filters:
+        # corpus-scale search set: plain (shuffling) semi-join — correct at
+        # any set size; the common dimension-sized case was already folded
+        # into the decode seed above
+        cand = cand.join(members, "doc_id", "left_semi")
     if reader.tombstones is not None:
         # deleted docs are masked in BOTH WAND phases (each runs through
         # here), so the phase-1 θ never counts a tombstoned doc — the cut

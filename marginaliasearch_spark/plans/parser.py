@@ -145,6 +145,10 @@ class ParsedQuery:
     # partition (the reference's lang: token, QueryParser.java:225-227,
     # backed here by the per-language index surface)
     lang: str | None = None
+    # ``set:<name>`` — named persisted search set (QueryParser.java:228,
+    # SetTerm; RankingSearchSet membership gate). Several set: tokens
+    # intersect (each is its own membership constraint).
+    sets: list[str] = field(default_factory=list)
 
     def all_include_terms(self) -> list[str]:
         terms: set[str] = set() if self.include is None else set(
@@ -211,6 +215,9 @@ def parse_query(q: str) -> ParsedQuery:
             continue
         if raw.lower().startswith("lang:"):
             out.lang = raw[5:].lower()
+            continue
+        if raw.lower().startswith("set:"):
+            out.sets.append(raw[4:].lower())
             continue
         if raw.lower().startswith("-conv:"):
             out.convs_exclude.append(raw[6:])
