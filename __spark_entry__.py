@@ -1620,6 +1620,34 @@ def _q_image_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_image_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode (pure-Python variable-width LZW + interlace
+    reorder + palette mapping, `multimodal._decode_gif`) through the
+    distributed feature kernel: the fixture's payloads are genuine GIF89a
+    streams (every other image interlaced), fake=False decodes them in
+    mapInPandas, and the oracle recomputes features from the closed-form
+    palette indices the fixture encoded."""
+    media = multimodal.synth_gif_media(spark, n=64)
+    feats = multimodal.image_features(media, fake=False)
+    return feats.select(
+        "media_id",
+        *[F.round(F.col(c), 6).alias(c) for c in multimodal.FEATURE_COLS],
+    )
+
+
+def _q_image_gif_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode + nearest resize (32→8) + scalar audit, same
+    fixture/oracle scheme as mm_image_gif_features."""
+    media = multimodal.synth_gif_media(spark, n=64)
+    resized = multimodal.resize_images(media, out_h=8, out_w=8, fake=False)
+    s = multimodal.resize_summary(resized)
+    return s.select(
+        "media_id",
+        *[F.round(F.col(c), 6).alias(c) for c in ("mean_r", "mean_g", "mean_b")],
+        "px_sum",
+    )
+
+
 def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.synth_media(spark, n=64)
     out = multimodal.frame_sample(media.filter(F.col("kind") == "video"))
@@ -2107,6 +2135,7 @@ _NEW_THIS_ROUND: list[str] = [
     "index_subject_keywords", "streaming_dedup", "streaming_windows",
     "mm_image_png_features", "mm_image_png_resize",
     "fulltext_searchset", "index_search_set",
+    "mm_image_gif_features", "mm_image_gif_resize",
 ]
 _NEVER_DRIVER_VERIFIED = [
     "sample_stratified", "dsir_weights", "dsir_resample", "lm_perplexity",
@@ -2318,6 +2347,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # REAL PNG payloads (zlib decode, all five scanline filters)
         "mm_image_png_features": _q_image_png_features,
         "mm_image_png_resize": _q_image_png_resize,
+        "mm_image_gif_features": _q_image_gif_features,
+        "mm_image_gif_resize": _q_image_gif_resize,
         "mm_frame_sample": _q_frame_sample,
         "mm_audio_features": _q_audio_features,
         # --- windowed aggregation / sessionization ---
@@ -3113,6 +3144,8 @@ WHERE NOT EXISTS (
         "mm_image_png_resize": sql_oracles.image_resize_sql(
             n=64, png=True
         ),
+        "mm_image_gif_features": sql_oracles.gif_features_sql(n=64),
+        "mm_image_gif_resize": sql_oracles.gif_resize_sql(n=64),
         "mm_frame_sample": sql_oracles.frame_sample_sql(n=64),
         "mm_audio_features": sql_oracles.audio_features_sql(n=64),
         "events_hourly": """

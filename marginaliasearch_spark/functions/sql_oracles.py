@@ -307,6 +307,111 @@ SELECT c.* , h.h0, h.h1, h.h2, h.h3, h.h4, h.h5, h.h6, h.h7
 FROM chans c JOIN hist h USING (media_id)"""
 
 
+def _gif_pix_ctes(n: int) -> str:
+    """``... , pix(media_id, pxl, ch, v)``: the GIF fixture's closed-form
+    pixels — palette index ``splitmix64(md5('gif:'||id) + pxl) & 255``,
+    channel ``c`` = ``(mul_c * idx + add_c) & 255`` (synth_gif_media)."""
+    from ..operators.multimodal import _N_PIX, GIF_PAL_ADDS, GIF_PAL_MULS
+
+    chan = " ".join(
+        f"WHEN ch = {c} THEN ({m} * idx + {a}) & 255"
+        for c, (m, a) in enumerate(zip(GIF_PAL_MULS, GIF_PAL_ADDS))
+    )
+    return f"""
+mm AS (SELECT unnest(range({n})) AS media_id),
+gseed AS (
+  SELECT media_id,
+         ('0x' || substr(md5('gif:' || media_id), 1, 16))::UBIGINT AS s
+  FROM mm
+),
+gidx0 AS (
+  SELECT media_id, pxl, {sql64.add64('s', 'pxl::UBIGINT')} AS x
+  FROM gseed CROSS JOIN (SELECT unnest(range({_N_PIX})) AS pxl) pp
+),
+gidx AS (
+  SELECT media_id, pxl, ({sql64.sm64('x')} & 255::UBIGINT)::BIGINT AS idx
+  FROM gidx0
+),
+pix AS (
+  SELECT media_id, pxl, ch, (CASE {chan} END)::BIGINT AS v
+  FROM gidx CROSS JOIN (SELECT unnest(range(3)) AS ch) cc
+)"""
+
+
+def gif_features_sql(n: int = 64) -> str:
+    """Exact oracle for ``multimodal.image_features(fake=False)`` over the
+    real-GIF fixture (`synth_gif_media`): same mean/histogram aggregates
+    as :func:`image_features_sql`, pixels from the palette closed form."""
+    from ..operators.multimodal import _BIN_DIV, _N_PIX, HIST_BINS
+
+    mean_cols = ", ".join(
+        f"round(sum(CASE WHEN ch = {c} THEN v END)::DOUBLE / {_N_PIX}.0 / 255.0, 6)"
+        f" AS mean_{name}"
+        for c, name in enumerate("rgb")
+    )
+    hist_cols = ", ".join(
+        f"round(coalesce(sum(CASE WHEN bin = {b} THEN cnt END), 0)::DOUBLE"
+        f" / {_N_PIX}.0, 6) AS h{b}"
+        for b in range(HIST_BINS)
+    )
+    return f"""WITH {_gif_pix_ctes(n)},
+chans AS (SELECT media_id, {mean_cols} FROM pix GROUP BY media_id),
+inten AS (
+  SELECT media_id, pxl, least(sum(v) // {_BIN_DIV}, {HIST_BINS - 1}) AS bin
+  FROM pix GROUP BY media_id, pxl
+),
+hist0 AS (SELECT media_id, bin, count(*)::BIGINT AS cnt FROM inten GROUP BY 1, 2),
+hist AS (SELECT media_id, {hist_cols} FROM hist0 GROUP BY media_id)
+SELECT c.* , h.h0, h.h1, h.h2, h.h3, h.h4, h.h5, h.h6, h.h7
+FROM chans c JOIN hist h USING (media_id)"""
+
+
+def gif_resize_sql(n: int = 64, out_h: int = 8, out_w: int = 8) -> str:
+    """Exact oracle for nearest resize + ``resize_summary`` over the
+    real-GIF fixture: the resized pixel (i, j) is the closed-form palette
+    index at ``(i*H//oh)*W + (j*W//ow)``, channels via the palette map."""
+    from ..operators.multimodal import (
+        GIF_PAL_ADDS, GIF_PAL_MULS, IMG_H, IMG_W,
+    )
+
+    n_out = out_h * out_w
+    chan = " ".join(
+        f"WHEN ch = {c} THEN ({m} * idx + {a}) & 255"
+        for c, (m, a) in enumerate(zip(GIF_PAL_MULS, GIF_PAL_ADDS))
+    )
+    mean_cols = ", ".join(
+        f"round(sum(CASE WHEN ch = {c} THEN v END)::DOUBLE / {n_out}.0 / 255.0, 6)"
+        f" AS mean_{name}"
+        for c, name in enumerate("rgb")
+    )
+    return f"""WITH
+mm AS (SELECT unnest(range({n})) AS media_id),
+gseed AS (
+  SELECT media_id,
+         ('0x' || substr(md5('gif:' || media_id), 1, 16))::UBIGINT AS s
+  FROM mm
+),
+grid AS (
+  SELECT ((i * {IMG_H}) // {out_h}) * {IMG_W} + ((j * {IMG_W}) // {out_w}) AS pxl
+  FROM (SELECT unnest(range({out_h})) AS i),
+       (SELECT unnest(range({out_w})) AS j)
+),
+ridx0 AS (
+  SELECT media_id, {sql64.add64('s', 'pxl::UBIGINT')} AS x
+  FROM gseed CROSS JOIN grid
+),
+ridx AS (
+  SELECT media_id, ({sql64.sm64('x')} & 255::UBIGINT)::BIGINT AS idx
+  FROM ridx0
+),
+rval AS (
+  SELECT media_id, ch, (CASE {chan} END)::BIGINT AS v
+  FROM ridx CROSS JOIN (SELECT unnest(range(3)) AS ch) cc
+)
+SELECT media_id, {mean_cols}, sum(v)::BIGINT AS px_sum
+FROM rval GROUP BY media_id"""
+
+
 def frame_sample_sql(n: int = 64, every_ms: int = 1000) -> str:
     """Exact oracle for ``multimodal.frame_sample`` over the synthetic
     media table's video rows."""

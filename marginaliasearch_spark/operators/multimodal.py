@@ -4,7 +4,8 @@ Image/audio/video payloads are carried as ``binary`` columns with typed
 metadata; decode / feature-extraction / frame-sample run as Arrow-batched
 ``mapInPandas`` kernels. Real decoders (pure numpy + stdlib, no codec
 libs): binary PPM, uncompressed 24-bit BMP, 8-bit PNG (zlib inflate +
-full scanline-filter reconstruction), PCM WAV and y4m. Entropy-coded
+full scanline-filter reconstruction), GIF87a/89a (variable-width LZW,
+interlace, local color tables), PCM WAV and y4m. Entropy-coded
 formats (JPEG/MP3/H.264/...) raise ``NotImplementedError`` — this
 container ships no codec libs; ``fake=True`` selects a deterministic
 fake decoder (content-hash-seeded splitmix64 pixels) that exercises the
@@ -254,6 +255,205 @@ def encode_png(img: np.ndarray, filters: int | str = "cycle") -> bytes:
     )
 
 
+def _gif_interlace_rows(h: int) -> np.ndarray:
+    """GIF89a appendix E interlace pass order: the k-th decoded row's
+    display position."""
+    return np.concatenate(
+        [np.arange(0, h, 8), np.arange(4, h, 8),
+         np.arange(2, h, 4), np.arange(1, h, 2)]
+    )
+
+
+def _lzw_decode(data: bytes, mcs: int, n_px: int) -> np.ndarray:
+    """GIF variable-width LZW (LSB-first bit packing, clear/EOI codes,
+    width grows to 12 bits) → ``n_px`` palette indices."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = np.empty(n_px, np.uint8)
+    n_out = 0
+    acc = nbits = pos = 0
+    table: list[bytes] = []
+    width = mcs + 1
+    prev: bytes | None = None
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = mcs + 1
+        prev = None
+
+    reset()
+    while n_out < n_px:
+        while nbits < width:
+            if pos >= len(data):
+                raise NotImplementedError("truncated GIF LZW stream")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the cScSc case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise NotImplementedError("corrupt GIF LZW code")
+        out[n_out : n_out + len(entry)] = np.frombuffer(entry, np.uint8)
+        n_out += len(entry)
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    if n_out != n_px:
+        raise NotImplementedError("GIF pixel data does not fill the image")
+    return out
+
+
+def _lzw_encode(indices: bytes, mcs: int) -> bytes:
+    """GIF LZW encoder (the inverse convention of ``_lzw_decode``: width
+    bumps after the table add that makes ``next_code == 2^width + 1``;
+    a CLEAR resets the table when it fills at 4096)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 255)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = mcs + 1
+    emit(clear, width)
+    w = b""
+    for i in indices:
+        ch = bytes([i])
+        wc = w + ch
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code == 4097:  # table full: spec-compliant reset
+            emit(clear, width)
+            table = {bytes([j]): j for j in range(clear)}
+            next_code = eoi + 1
+            width = mcs + 1
+        w = ch
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 255)
+    return bytes(out)
+
+
+def _decode_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/89a → HxWx3 uint8, pure Python/numpy (real variable-width
+    LZW, global/local color tables, interlace; extensions skipped). For
+    animations the FIRST frame is returned. Frames smaller than the
+    logical screen are composed onto a background of palette entry 0."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise NotImplementedError("not a GIF payload")
+    sw = int.from_bytes(payload[6:8], "little")
+    sh = int.from_bytes(payload[8:10], "little")
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(payload[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            left = int.from_bytes(payload[pos + 1 : pos + 3], "little")
+            top = int.from_bytes(payload[pos + 3 : pos + 5], "little")
+            w = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+            h = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+            ip = payload[pos + 9]
+            pos += 10
+            pal = gct
+            if ip & 0x80:
+                n = 2 << (ip & 7)
+                pal = np.frombuffer(
+                    payload[pos : pos + 3 * n], np.uint8
+                ).reshape(n, 3)
+                pos += 3 * n
+            if pal is None:
+                raise NotImplementedError("GIF without a color table")
+            mcs = payload[pos]
+            pos += 1
+            chunks = []
+            while payload[pos]:
+                ln = payload[pos]
+                chunks.append(payload[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_decode(b"".join(chunks), mcs, w * h).reshape(h, w)
+            if ip & 0x40:  # interlaced: reorder decoded rows
+                disp = np.empty_like(idx)
+                disp[_gif_interlace_rows(h)] = idx
+                idx = disp
+            img = np.zeros((sh, sw), np.uint8)
+            img[top : top + h, left : left + w] = idx
+            return np.ascontiguousarray(pal[np.minimum(img, len(pal) - 1)])
+        elif b == 0x3B:
+            break
+        else:
+            raise NotImplementedError(f"unknown GIF block 0x{b:02x}")
+    raise NotImplementedError("GIF contains no image block")
+
+
+def encode_gif(
+    indices: np.ndarray, palette: np.ndarray, interlace: bool = False
+) -> bytes:
+    """HxW uint8 palette indices + Px3 palette → GIF89a bytes (real LZW;
+    ``interlace=True`` writes appendix-E row order so the decoder's
+    reorder path is exercised)."""
+    h, w = indices.shape
+    p = len(palette)
+    bits = max(1, (p - 1).bit_length())
+    n = 1 << bits
+    pal = np.zeros((n, 3), np.uint8)
+    pal[:p] = palette
+    mcs = max(2, bits)
+    rows = indices[_gif_interlace_rows(h)] if interlace else indices
+    data = _lzw_encode(rows.astype(np.uint8).tobytes(), mcs)
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | (bits - 1), 0, 0]) + pal.tobytes()
+    out += b"\x2c" + b"\x00" * 4
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x40 if interlace else 0, mcs])
+    for i in range(0, len(data), 255):
+        blk = data[i : i + 255]
+        out += bytes([len(blk)]) + blk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """payload → HxWx3 uint8 array.
 
@@ -274,10 +474,12 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         return _decode_bmp(bytes(payload))
     if bytes(payload[: len(_PNG_SIG)]) == _PNG_SIG:
         return _decode_png(bytes(payload))
+    if bytes(payload[:4]) == b"GIF8":
+        return _decode_gif(bytes(payload))
     raise NotImplementedError(
-        "compressed image formats beyond PNG require codec libraries not "
-        "present in this container; supported real formats: PPM (P6), "
-        "24-bit BMP, 8-bit PNG"
+        "compressed image formats beyond PNG/GIF require codec libraries "
+        "not present in this container; supported real formats: PPM (P6), "
+        "24-bit BMP, 8-bit PNG, GIF87a/89a"
     )
 
 
@@ -687,6 +889,53 @@ def synth_png_media(spark, n: int = 64) -> DataFrame:
         payload = encode_png(vals.reshape(IMG_H, IMG_W, 3), filters="cycle")
         rows.append(
             (i, "image", bytearray(payload), "image/png", IMG_W, IMG_H, 0)
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def gif_pixel_seed(media_id: int) -> np.uint64:
+    """Closed-form palette-index seed for the GIF fixture — first 8 bytes
+    of ``md5('gif:' || media_id)`` (the SQL twin's expression)."""
+    return np.uint64(
+        int(hashlib.md5(f"gif:{media_id}".encode()).hexdigest()[:16], 16)
+    )
+
+
+# the GIF fixture's 256-entry palette: channel c of entry j is an affine
+# map of j mod 256 — closed-form for the SQL twin, and every entry is
+# distinct so encode→decode round-trips the exact indices
+GIF_PAL_MULS = (7, 13, 29)
+GIF_PAL_ADDS = (11, 5, 3)
+
+
+def _gif_palette() -> np.ndarray:
+    j = np.arange(256, dtype=np.int64)
+    return np.stack(
+        [(m * j + a) & 255 for m, a in zip(GIF_PAL_MULS, GIF_PAL_ADDS)],
+        axis=1,
+    ).astype(np.uint8)
+
+
+def synth_gif_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic REAL-GIF media table: palette index of pixel ``p`` in
+    image ``i`` is ``splitmix64(gif_pixel_seed(i) + p) & 255`` and channel
+    ``c`` of the pixel is ``(GIF_PAL_MULS[c] * idx + GIF_PAL_ADDS[c]) & 255``
+    (closed form a SQL oracle recomputes without decoding); the payload is
+    that index grid GIF-encoded with real variable-width LZW, every other
+    image interlaced — so ``fake=False`` entries exercise the genuine LZW
+    + interlace-reorder path while staying hash-exact against DuckDB."""
+    pal = _gif_palette()
+    idx = np.arange(_N_PIX, dtype=np.uint64)
+    rows = []
+    for i in range(n):
+        pix = (
+            _splitmix64(gif_pixel_seed(i) + idx) & np.uint64(255)
+        ).astype(np.uint8)
+        payload = encode_gif(
+            pix.reshape(IMG_H, IMG_W), pal, interlace=bool(i % 2)
+        )
+        rows.append(
+            (i, "image", bytearray(payload), "image/gif", IMG_W, IMG_H, 0)
         )
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 

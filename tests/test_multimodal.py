@@ -451,3 +451,92 @@ def test_image_features_over_real_png(spark):
         counts = np.bincount(bins, minlength=HIST_BINS) / _N_PIX
         got = np.array([out.loc[i, f"h{b}"] for b in range(HIST_BINS)])
         assert np.allclose(got, counts, atol=1e-9)
+
+
+def test_gif_roundtrip_lzw_interlace_and_palette():
+    """encode_gif → _decode_gif is exact: random images (plain and
+    interlaced), long constant runs (the LZW cScSc case), a 6400-px image
+    (forces the 4096-entry table reset), and a 2-color palette (minimum
+    code size floor)."""
+    import pytest as _pytest
+
+    from marginaliasearch_spark.operators.multimodal import (
+        _decode_gif,
+        _gif_palette,
+        encode_gif,
+    )
+
+    pal = _gif_palette()
+    rng = np.random.default_rng(7)
+    for _ in range(4):
+        h, w = rng.integers(1, 40, 2)
+        pix = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        for inter in (False, True):
+            assert (
+                _decode_gif(encode_gif(pix, pal, interlace=inter)) == pal[pix]
+            ).all()
+    runs = np.zeros((64, 64), np.uint8)
+    runs[::3] = 7
+    assert (_decode_gif(encode_gif(runs, pal)) == pal[runs]).all()
+    big = rng.integers(0, 256, (80, 80)).astype(np.uint8)
+    assert (_decode_gif(encode_gif(big, pal)) == pal[big]).all()
+    two = np.array([[0, 1, 1, 0], [1, 0, 0, 1]], np.uint8)
+    small_pal = np.array([[255, 0, 0], [0, 255, 0]], np.uint8)
+    got = _decode_gif(encode_gif(two, small_pal))
+    assert (got == small_pal[two]).all()
+    with _pytest.raises(NotImplementedError):
+        _decode_gif(b"GIF89a" + b"\x00" * 7)  # no color table, no image
+
+
+def test_decode_image_dispatches_gif():
+    from marginaliasearch_spark.operators.multimodal import (
+        _gif_palette,
+        decode_image,
+        encode_gif,
+    )
+
+    pix = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    img = decode_image(encode_gif(pix, _gif_palette()))
+    assert img.shape == (3, 4, 3)
+    assert (img == _gif_palette()[pix]).all()
+
+
+def test_image_features_over_real_gif(spark):
+    """image_features with fake=False over the GIF fixture — mapInPandas
+    runs the LZW decode per payload (odd ids interlaced); features must
+    equal the mirror over the closed-form palette indices."""
+    from marginaliasearch_spark.operators.dedup import _splitmix64
+    from marginaliasearch_spark.operators.multimodal import (
+        _BIN_DIV,
+        _N_PIX,
+        HIST_BINS,
+        _gif_palette,
+        gif_pixel_seed,
+        image_features,
+        synth_gif_media,
+    )
+
+    media = synth_gif_media(spark, n=6)
+    out = (
+        image_features(media, fake=False)
+        .toPandas()
+        .set_index("media_id")
+        .sort_index()
+    )
+    pal = _gif_palette().astype(np.int64)
+    p = np.arange(_N_PIX, dtype=np.uint64)
+    for i in range(6):
+        idx = (_splitmix64(gif_pixel_seed(i) + p) & np.uint64(255)).astype(
+            np.int64
+        )
+        vals = pal[idx]
+        for c, name in enumerate("rgb"):
+            assert np.isclose(
+                out.loc[i, f"mean_{name}"],
+                vals[:, c].mean() / 255.0,
+                atol=1e-9,
+            )
+        bins = np.minimum(vals.sum(axis=1) // _BIN_DIV, HIST_BINS - 1)
+        counts = np.bincount(bins, minlength=HIST_BINS) / _N_PIX
+        got = np.array([out.loc[i, f"h{b}"] for b in range(HIST_BINS)])
+        assert np.allclose(got, counts, atol=1e-9)
