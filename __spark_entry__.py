@@ -595,6 +595,27 @@ def _search_wand(query: str, k: int = _K) -> Callable[[SparkSession, str], DataF
     return fn
 
 
+def _search_qs(query: str, k: int = _K) -> Callable[[SparkSession, str], DataFrame]:
+    """Strategy-dispatching search — the query string carries a ``qs=``
+    execution-strategy override (QueryParser.java:238 QsTerm →
+    QueryFactory.parseQueryStrategy) routed through ``run_search``."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from marginaliasearch_spark.operators.query_exec import run_search
+
+        reader = _get_reader(spark, sf_dir)
+        res = run_search(
+            reader,
+            query,
+            k=k,
+            round_score_to=6,
+            tie_break=F.col("conv_id").cast("long"),
+        )
+        return res.select(F.col("conv_id").cast("long").alias("doc_id"), "score")
+
+    return fn
+
+
 # role of a document = doc_id % 4 (documents_as_transcripts):
 # 0=system, 1=assistant, 2=user, 3=tool. Flag pseudo-count weights mirror
 # scoring.FLAG_WEIGHT_* (system 1.5, tool 1.25, assistant 0.25, user 0).
@@ -2136,6 +2157,7 @@ _NEW_THIS_ROUND: list[str] = [
     "mm_image_png_features", "mm_image_png_resize",
     "fulltext_searchset", "index_search_set",
     "mm_image_gif_features", "mm_image_gif_resize",
+    "fulltext_qs_wand", "fulltext_qs_gate",
 ]
 _NEVER_DRIVER_VERIFIED = [
     "sample_stratified", "dsir_weights", "dsir_resample", "lm_perplexity",
@@ -2193,6 +2215,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # two-role gate is unsatisfiable on single-turn docs
         "fulltext_gate_pass": _search("spark join in:user"),
         "fulltext_gate_empty": _search("spark join in:system in:user"),
+        # qs= execution-strategy override (QueryParser.java:238 QsTerm):
+        # qs=topic forces the block-max WAND runner (exact-equal results,
+        # same oracle as the plain shape); qs=rf_user is the
+        # REQUIRE_FIELD_* analogue — folded into the role gate, so it
+        # shares fulltext_gate_pass's oracle
+        "fulltext_qs_wand": _search_qs("spark join -dup qs=topic"),
+        "fulltext_qs_gate": _search_qs("spark join qs=rf_user"),
         # flag-BM25 (score_bFlags) + document penalties (normalize's
         # penalty argument) — reference ranking features over role flags
         # and the quality-derived rank bucket
@@ -2413,6 +2442,8 @@ GROUP BY tk.doc_id, t.term, f.tf""",
         "fulltext_wand_or_and": _bm25_sql(
             [["stream", "scan"], ["vector", "scan"]]
         ),
+        "fulltext_qs_wand": _bm25_sql([["spark", "join"]], exclude=["dup"]),
+        "fulltext_qs_gate": _bm25_sql([["spark", "join"]], role_mod=2),
         "fulltext_gate_pass": _bm25_sql([["spark", "join"]], role_mod=2),
         "fulltext_gate_empty": f"""{_COMMON}
 SELECT doc_id, 0.0 AS score FROM doclen WHERE 1 = 0""",

@@ -1396,3 +1396,31 @@ def run_query_page(
     res = runner(reader, query, k=total_limit, **kw)
     start = max(0, (page - 1) * page_size)
     return res.offset(start).limit(page_size)
+
+
+def run_search(
+    reader: IndexReader,
+    query: str | ParsedQuery,
+    k: int = 10,
+    **kw,
+) -> DataFrame:
+    """Strategy-dispatching entry point — honors the query's ``qs=``
+    execution-strategy override (``QueryParser.java:238`` QsTerm →
+    ``QueryFactory.java:246-258`` parseQueryStrategy; the index applies a
+    non-AUTO strategy via ``setQueryStrategy``, QueryFactory.java:214).
+
+    Mapping (documented divergence: the reference's SENTENCE/TOPIC pick a
+    positional-vs-topic scan; our two physical strategies are the plain
+    decode pipeline and block-max WAND, which return EXACT-equal results):
+
+    - ``qs=sentence`` / ``qs=plain`` → :func:`run_query`
+    - ``qs=topic`` / ``qs=wand`` → :func:`run_query_wand` (falls back to
+      the plain pipeline for shapes WAND can't prune, same results)
+    - ``qs=rf_<role>`` → folded into the role gate by the parser
+      (REQUIRE_FIELD_* analogue) — strategy stays AUTO
+    - anything else → AUTO = plain pipeline (reference default)
+    """
+    pq = parse_query(query) if isinstance(query, str) else query
+    if pq.strategy == "wand":
+        return run_query_wand(reader, pq, k=k, **kw)
+    return run_query(reader, pq, k=k, **kw)
