@@ -1684,6 +1684,15 @@ def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_audio_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio decode under the oracle gate: G.711 μ-law /
+    A-law table decode + IMA ADPCM quantizer recurrence (WAV format tags
+    7/6/0x11) over closed-form code streams; the DuckDB twin replays the
+    g711.c bit math and the ADPCM recurrence (recursive CTE) in SQL."""
+    media = multimodal.synth_compressed_audio_media(spark, n=64)
+    return multimodal.audio_features(media, fake=False)
+
+
 def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -2158,6 +2167,7 @@ _NEW_THIS_ROUND: list[str] = [
     "fulltext_searchset", "index_search_set",
     "mm_image_gif_features", "mm_image_gif_resize",
     "fulltext_qs_wand", "fulltext_qs_gate",
+    "mm_audio_compressed",
 ]
 _NEVER_DRIVER_VERIFIED = [
     "sample_stratified", "dsir_weights", "dsir_resample", "lm_perplexity",
@@ -2380,6 +2390,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_gif_resize": _q_image_gif_resize,
         "mm_frame_sample": _q_frame_sample,
         "mm_audio_features": _q_audio_features,
+        # REAL compressed WAV payloads (G.711 mu/A-law + IMA ADPCM)
+        "mm_audio_compressed": _q_audio_compressed,
         # --- windowed aggregation / sessionization ---
         "events_hourly": _q_events_hourly,
         "events_sessions": _q_events_sessions,
@@ -3179,6 +3191,7 @@ WHERE NOT EXISTS (
         "mm_image_gif_resize": sql_oracles.gif_resize_sql(n=64),
         "mm_frame_sample": sql_oracles.frame_sample_sql(n=64),
         "mm_audio_features": sql_oracles.audio_features_sql(n=64),
+        "mm_audio_compressed": sql_oracles.audio_compressed_sql(n=64),
         "events_hourly": """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        event_type, count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value

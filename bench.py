@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "mm_image_png_features",
     "streaming_dedup",
     "streaming_windows",
+    "mm_audio_compressed",
 ]
 
 

@@ -510,6 +510,117 @@ SELECT media_id,
 FROM lagged GROUP BY media_id"""
 
 
+def audio_compressed_sql(n: int = 64) -> str:
+    """Exact oracle for ``multimodal.audio_features(fake=False)`` over
+    ``synth_compressed_audio_media``: the fixture's *code streams* are
+    closed-form (splitmix64 of ``md5('aud:' || media_id)``), so this
+    replays decode-of-known-codes without any binary parsing —
+    G.711 μ-law/A-law as g711.c integer bit math, IMA ADPCM as a
+    recursive CTE stepping the quantizer state one 4-bit code at a time
+    (89-entry step table inlined as a list literal). Feature aggregation
+    tail is identical to ``audio_features_sql``."""
+    from ..operators.multimodal import _IMA_STEP, AUDIO_RATE
+
+    step_list = ", ".join(str(int(v)) for v in _IMA_STEP)
+    # g711.c ulaw2linear / alaw2linear over the staged code byte c
+    # (c = ~b for mu-law, b XOR 0x55 for A-law; staged in g1)
+    ulaw_mag = "((((c & 15) << 3) + 132) << ((c >> 4) & 7))"
+    alaw_mag = (
+        "(CASE WHEN (c >> 4) & 7 = 0 THEN ((c & 15) << 4) + 8"
+        f" ELSE (((c & 15) << 4) + 264) << (((c >> 4) & 7) - 1) END)"
+    )
+    return f"""WITH RECURSIVE
+mm AS (SELECT unnest(range({n})) AS media_id),
+seeds AS (
+  SELECT media_id,
+         {sql64.md5_u64("'aud:' || media_id")} AS s,
+         media_id % 3 AS codec,
+         (600 + (media_id * 37) % 300)::BIGINT AS nb,
+         (2 * (300 + (media_id * 29) % 150))::BIGINT AS nnib,
+         ((media_id * 9973) % 65536 - 32768)::BIGINT AS pred0,
+         ((media_id * 31) % 89)::BIGINT AS idx0
+  FROM mm
+),
+steps AS (
+  SELECT k, [{step_list}][k + 1]::BIGINT AS step
+  FROM (SELECT unnest(range(89)) AS k)
+),
+g0 AS (
+  SELECT media_id, codec, j, {sql64.add64('s', 'j::UBIGINT')} AS x
+  FROM seeds CROSS JOIN (SELECT unnest(range(900)) AS j) jj
+  WHERE codec IN (0, 1) AND j < nb
+),
+gb AS (
+  SELECT media_id, codec, j,
+         ({sql64.sm64('x')} & 255::UBIGINT)::BIGINT AS b
+  FROM g0
+),
+g1 AS (
+  SELECT media_id, codec, j,
+         CASE WHEN codec = 0 THEN 255 - b ELSE xor(b, 85) END AS c
+  FROM gb
+),
+gsamp AS (
+  SELECT media_id, j AS ord,
+         CASE WHEN codec = 0 THEN
+           CASE WHEN c & 128 > 0 THEN 132 - {ulaw_mag}
+                ELSE {ulaw_mag} - 132 END
+         ELSE
+           CASE WHEN c & 128 > 0 THEN {alaw_mag} ELSE -{alaw_mag} END
+         END AS v
+  FROM g1
+),
+adp AS (SELECT media_id, s, nnib, pred0, idx0 FROM seeds WHERE codec = 2),
+dec(media_id, j, pred, idx) AS (
+  SELECT media_id, 0::BIGINT AS j, pred0 AS pred, idx0 AS idx FROM adp
+  UNION ALL
+  SELECT media_id, j,
+         CASE WHEN nib & 8 > 0 THEN greatest(pred - diff, -32768)
+              ELSE least(pred + diff, 32767) END AS pred,
+         least(greatest(idx + CASE nib & 7
+                 WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 6 WHEN 7 THEN 8
+                 ELSE -1 END, 0), 88) AS idx
+  FROM (
+    SELECT media_id, j, pred, idx, nib, step,
+           (step >> 3)
+           + CASE WHEN nib & 1 > 0 THEN step >> 2 ELSE 0 END
+           + CASE WHEN nib & 2 > 0 THEN step >> 1 ELSE 0 END
+           + CASE WHEN nib & 4 > 0 THEN step ELSE 0 END AS diff
+    FROM (
+      SELECT media_id, j, pred, idx, step,
+             ({sql64.sm64('x')} & 15::UBIGINT)::BIGINT AS nib
+      FROM (
+        SELECT d.media_id, d.j + 1 AS j, d.pred, d.idx, st.step,
+               {sql64.add64('a.s', 'd.j::UBIGINT')} AS x
+        FROM dec d
+        JOIN adp a ON a.media_id = d.media_id
+        JOIN steps st ON st.k = d.idx
+        WHERE d.j < a.nnib
+      ) p
+    ) q
+  ) r
+),
+samp AS (
+  SELECT media_id, ord, v FROM gsamp
+  UNION ALL
+  SELECT media_id, j AS ord, pred AS v FROM dec
+),
+lagged AS (
+  SELECT media_id, v,
+         lag(v) OVER (PARTITION BY media_id ORDER BY ord) AS pv
+  FROM samp
+)
+SELECT media_id,
+       count(*)::BIGINT AS n_samples,
+       {AUDIO_RATE}::INT AS sample_rate,
+       max(abs(v))::BIGINT AS peak,
+       sum(CASE WHEN pv IS NOT NULL AND (pv >= 0) <> (v >= 0)
+                THEN 1 ELSE 0 END)::BIGINT AS zero_crossings,
+       round(sqrt(sum(v * v)::DOUBLE / count(*)), 6) AS rms,
+       round(sum(abs(v))::DOUBLE / count(*), 6) AS mean_amp
+FROM lagged GROUP BY media_id"""
+
+
 # --- similarity-search oracles ---------------------------------------------
 #
 # Floating-point exactness: DuckDB's list_sum is NOT a plain left-to-right

@@ -5,9 +5,10 @@ metadata; decode / feature-extraction / frame-sample run as Arrow-batched
 ``mapInPandas`` kernels. Real decoders (pure numpy + stdlib, no codec
 libs): binary PPM, uncompressed 24-bit BMP, 8-bit PNG (zlib inflate +
 full scanline-filter reconstruction), GIF87a/89a (variable-width LZW,
-interlace, local color tables), PCM WAV and y4m. Entropy-coded
-formats (JPEG/MP3/H.264/...) raise ``NotImplementedError`` — this
-container ships no codec libs; ``fake=True`` selects a deterministic
+interlace, local color tables), PCM WAV, G.711 μ-law/A-law WAV, mono
+IMA ADPCM WAV, and y4m. Perceptually-coded formats (JPEG/MP3/H.264/...)
+raise ``NotImplementedError`` — this container ships no codec libs;
+``fake=True`` selects a deterministic
 fake decoder (content-hash-seeded splitmix64 pixels) that exercises the
 full Spark plumbing — schema, batching, partitioning.
 
@@ -622,17 +623,182 @@ def resize_summary(resized: DataFrame) -> DataFrame:
 AUDIO_RATE = 8000  # fake-decoder sample rate (Hz)
 
 
-def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """RIFF/WAVE PCM → (int16 mono samples, sample_rate). Pure numpy.
+def _build_ulaw_table() -> np.ndarray:
+    """256-entry μ-law → linear int16 table (Sun g711.c ``ulaw2linear``:
+    t = ((mantissa << 3) + BIAS) << exponent with BIAS 0x84; sign bit
+    selects BIAS − t). Byte 0xFF decodes to 0, byte 0x00 to −32124."""
+    u = (~np.arange(256, dtype=np.int64)) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84)
 
-    Walks the chunk list (``fmt `` then ``data``; other chunks skipped).
-    Supported: uncompressed PCM (format tag 1), 8- or 16-bit, any channel
-    count (channel 0 is taken — deterministic, no resample/mix). Compressed
-    tags (ADPCM/MP3/float/extensible) raise ``NotImplementedError``.
+
+def _build_alaw_table() -> np.ndarray:
+    """256-entry A-law → linear int16 table (Sun g711.c ``alaw2linear``:
+    XOR 0x55, segment 0 → (mant << 4) + 8, else ((mant << 4) + 0x108) <<
+    (seg − 1); sign bit SET means positive). Byte 0x55 decodes to −8,
+    byte 0xAA to +8, extremes reach ±32256."""
+    a = np.arange(256, dtype=np.int64) ^ 0x55
+    seg = (a >> 4) & 7
+    t = (a & 0x0F) << 4
+    mag = np.where(seg == 0, t + 8, (t + 0x108) << np.maximum(seg - 1, 0))
+    return np.where(a & 0x80, mag, -mag)
+
+
+_ULAW_TABLE = _build_ulaw_table()
+_ALAW_TABLE = _build_alaw_table()
+
+# IMA/DVI ADPCM quantizer step table (89 entries) and index-adjust table —
+# constants from the IMA Digital Audio Compatibility spec (public).
+_IMA_STEP = np.array(
+    [7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+     41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+     190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+     724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+     2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+     6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+     16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767],
+    dtype=np.int64,
+)
+_IMA_INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+
+
+def _ima_adpcm_decode_block(
+    nibbles: np.ndarray, pred: int, idx: int
+) -> list[int]:
+    """One mono IMA ADPCM block: header predictor is emitted as sample 0,
+    then one sample per 4-bit code. Sequential by construction (each
+    step's quantizer state depends on the previous) — the per-payload
+    loop is linear and payloads parallelize across rows in mapInPandas."""
+    out = [pred]
+    for n in nibbles:
+        step = int(_IMA_STEP[idx])
+        diff = step >> 3
+        if n & 1:
+            diff += step >> 2
+        if n & 2:
+            diff += step >> 1
+        if n & 4:
+            diff += step
+        pred = pred - diff if n & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + int(_IMA_INDEX_ADJ[n & 7])))
+        out.append(pred)
+    return out
+
+
+def _ima_adpcm_decode(data: bytes, block_align: int) -> np.ndarray:
+    """Mono IMA ADPCM data chunk → int64 samples. Each ``block_align``-byte
+    block: int16 LE initial predictor, uint8 step index, reserved byte,
+    then two 4-bit codes per byte (LOW nibble first, per RIFF spec)."""
+    if block_align < 4:
+        raise ValueError("IMA ADPCM block_align must be >= 4")
+    out: list[int] = []
+    for off in range(0, len(data), block_align):
+        block = data[off : off + block_align]
+        if len(block) < 4:
+            break
+        pred = int.from_bytes(block[0:2], "little", signed=True)
+        idx = min(88, block[2])
+        body = np.frombuffer(block[4:], dtype=np.uint8).astype(np.int64)
+        nibbles = np.empty(2 * len(body), dtype=np.int64)
+        nibbles[0::2] = body & 0x0F
+        nibbles[1::2] = body >> 4
+        out.extend(_ima_adpcm_decode_block(nibbles, pred, idx))
+    return np.asarray(out, dtype=np.int64)
+
+
+def _wav_header(
+    fmt_tag: int,
+    bits: int,
+    block_align: int,
+    data_len: int,
+    sample_rate: int,
+    fact_samples: int | None = None,
+) -> bytes:
+    """RIFF/WAVE header for a mono stream (fmt + optional fact chunk)."""
+    fmt = (
+        fmt_tag.to_bytes(2, "little")
+        + (1).to_bytes(2, "little")  # channels
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * block_align).to_bytes(4, "little")  # byte rate
+        + block_align.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    if fact_samples is not None:
+        chunks += b"fact" + (4).to_bytes(4, "little") + fact_samples.to_bytes(
+            4, "little"
+        )
+    riff_len = 4 + len(chunks) + 8 + data_len + (data_len & 1)
+    return (
+        b"RIFF" + riff_len.to_bytes(4, "little") + b"WAVE" + chunks
+        + b"data" + data_len.to_bytes(4, "little")
+    )
+
+
+def encode_wav_g711(
+    codes: np.ndarray | bytes, law: str, sample_rate: int = AUDIO_RATE
+) -> bytes:
+    """G.711 code bytes → mono WAV payload (format tag 7 μ-law / 6 A-law,
+    8 bits per sample). The codes are stored verbatim — G.711 WAV *is*
+    the code stream, so decode(encode(codes)) == table[codes] exactly."""
+    data = bytes(np.asarray(codes, dtype=np.uint8).tobytes()) if not isinstance(
+        codes, bytes
+    ) else codes
+    tag = {"ulaw": 7, "alaw": 6}[law]
+    payload = _wav_header(tag, 8, 1, len(data), sample_rate) + data
+    return payload + (b"\x00" if len(data) & 1 else b"")
+
+
+def encode_wav_ima_adpcm(
+    nibbles: np.ndarray,
+    pred0: int,
+    idx0: int,
+    sample_rate: int = AUDIO_RATE,
+) -> bytes:
+    """4-bit IMA ADPCM codes → single-block mono WAV payload (format tag
+    0x11). ``nibbles`` must have even length; the block header carries
+    ``(pred0, idx0)`` and the fact chunk pins ``len(nibbles) + 1``
+    samples (header sample + one per code)."""
+    nib = np.asarray(nibbles, dtype=np.int64)
+    if len(nib) % 2:
+        raise ValueError("IMA ADPCM nibble count must be even")
+    body = (nib[0::2] & 0x0F) | ((nib[1::2] & 0x0F) << 4)
+    data = (
+        int(pred0).to_bytes(2, "little", signed=True)
+        + bytes([int(idx0) & 0xFF, 0])
+        + body.astype(np.uint8).tobytes()
+    )
+    block_align = len(data)
+    payload = (
+        _wav_header(
+            0x11, 4, block_align, len(data), sample_rate,
+            fact_samples=len(nib) + 1,
+        )
+        + data
+    )
+    return payload + (b"\x00" if len(data) & 1 else b"")
+
+
+def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE → (int16-range mono samples as int64, sample_rate).
+
+    Walks the chunk list (``fmt ``/``fact``/``data``; other chunks
+    skipped). Supported format tags — all pure numpy/stdlib:
+
+    * 1 (PCM), 8- or 16-bit, any channel count (channel 0 is taken —
+      deterministic, no resample/mix)
+    * 6 (G.711 A-law) and 7 (G.711 μ-law), mono — table decode with the
+      Sun ``g711.c`` reference semantics (public domain)
+    * 0x11 (IMA/DVI ADPCM), mono, 4-bit — block-structured decode per the
+      IMA ADPCM spec, truncated to the ``fact`` sample count when present
+
+    Perceptually-coded tags (MP3/float/extensible) raise
+    ``NotImplementedError`` — this container ships no codec libs.
     """
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, fmt, data = 12, None, None
+    pos, fmt, data, fact = 12, None, None, None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
@@ -641,17 +807,32 @@ def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
             fmt = body
         elif cid == b"data":
             data = body
+        elif cid == b"fact":
+            fact = int.from_bytes(body[0:4], "little")
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format = int.from_bytes(fmt[0:2], "little")
     channels = int.from_bytes(fmt[2:4], "little")
     sample_rate = int.from_bytes(fmt[4:8], "little")
+    block_align = int.from_bytes(fmt[12:14], "little")
     bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format in (6, 7):  # G.711 A-law / μ-law
+        if channels != 1:
+            raise NotImplementedError("G.711 WAV: mono only")
+        table = _ALAW_TABLE if audio_format == 6 else _ULAW_TABLE
+        return table[np.frombuffer(data, dtype=np.uint8)], sample_rate
+    if audio_format == 0x11:  # IMA/DVI ADPCM
+        if channels != 1 or bits != 4:
+            raise NotImplementedError("IMA ADPCM WAV: mono 4-bit only")
+        samples = _ima_adpcm_decode(data, block_align)
+        if fact is not None:
+            samples = samples[:fact]
+        return samples, sample_rate
     if audio_format != 1:
         raise NotImplementedError(
-            f"only PCM WAV supported (format tag {audio_format}); compressed "
-            "audio requires codec libraries not present in this container"
+            f"WAV format tag {audio_format} not supported; perceptual "
+            "codecs require codec libraries not present in this container"
         )
     if bits == 16:
         samples = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
@@ -672,8 +853,9 @@ def decode_audio(
 ) -> tuple[np.ndarray, int]:
     """payload → (int64 mono samples in [-32768, 32767], sample_rate).
 
-    Real decoder (pure numpy, no external libs): RIFF/WAVE PCM 8/16-bit.
-    Compressed formats raise ``NotImplementedError``. ``fake=True`` is the
+    Real decoder (pure numpy, no external libs): RIFF/WAVE PCM 8/16-bit,
+    G.711 μ-law/A-law (tags 7/6), and mono IMA ADPCM (tag 0x11).
+    Perceptual codecs raise ``NotImplementedError``. ``fake=True`` is the
     deterministic content-hash decoder used by the SQL-twinned oracles:
     sample ``i`` = low 16 bits of ``splitmix64(md5seed + i)`` minus 32768,
     ``n_samples`` supplied by the caller (duration-derived).
@@ -688,8 +870,9 @@ def decode_audio(
     if payload[:4] == b"RIFF":
         return _decode_wav(bytes(payload))
     raise NotImplementedError(
-        "compressed audio formats require codec libraries not present in "
-        "this container; supported real format: RIFF/WAVE PCM (8/16-bit)"
+        "perceptually-coded audio requires codec libraries not present in "
+        "this container; supported real formats: RIFF/WAVE PCM (8/16-bit), "
+        "G.711 mu-law/A-law, mono IMA ADPCM"
     )
 
 
@@ -937,6 +1120,62 @@ def synth_gif_media(spark, n: int = 64) -> DataFrame:
         rows.append(
             (i, "image", bytearray(payload), "image/gif", IMG_W, IMG_H, 0)
         )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def audio_codec_seed(media_id: int) -> np.uint64:
+    """Closed-form code-stream seed for the compressed-audio fixture —
+    first 8 bytes of ``md5('aud:' || media_id)`` (the SQL twin's
+    ``('0x' || substr(md5('aud:' || media_id), 1, 16))::UBIGINT``)."""
+    return np.uint64(
+        int(hashlib.md5(f"aud:{media_id}".encode()).hexdigest()[:16], 16)
+    )
+
+
+def synth_compressed_audio_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic REAL compressed-audio media table cycling the three
+    supported compressed WAV codecs by ``media_id % 3`` (0 μ-law,
+    1 A-law, 2 IMA ADPCM). The *code stream* — not the linear signal —
+    is the closed form, so no encoder pass is needed and the SQL twin
+    replays decode-of-known-codes exactly:
+
+    * G.711: code byte ``j`` = ``splitmix64(audio_codec_seed(i) + j) &
+      255`` over ``600 + (i * 37) % 300`` bytes; decoded sample =
+      g711.c table entry (pure integer bit math in SQL).
+    * IMA ADPCM: 4-bit code ``j`` = ``splitmix64(seed + j) & 15`` over
+      ``2 * (300 + (i * 29) % 150)`` nibbles, block header predictor
+      ``(i * 9973) % 65536 - 32768`` and step index ``(i * 31) % 89``;
+      the SQL twin replays the quantizer recurrence with a recursive CTE.
+
+    Entries running ``fake=False`` over this table exercise the genuine
+    chunk-walk + table/recurrence decode path while staying hash-exact
+    against DuckDB (``sql_oracles.audio_compressed_sql``).
+    """
+    rows = []
+    for i in range(n):
+        seed = audio_codec_seed(i)
+        codec = i % 3
+        if codec in (0, 1):
+            nb = 600 + (i * 37) % 300
+            idx = np.arange(nb, dtype=np.uint64)
+            codes = (_splitmix64(seed + idx) & np.uint64(255)).astype(
+                np.uint8
+            )
+            payload = encode_wav_g711(
+                codes, "ulaw" if codec == 0 else "alaw"
+            )
+            mime = "audio/basic" if codec == 0 else "audio/x-alaw"
+        else:
+            nnib = 2 * (300 + (i * 29) % 150)
+            idx = np.arange(nnib, dtype=np.uint64)
+            nibbles = (_splitmix64(seed + idx) & np.uint64(15)).astype(
+                np.int64
+            )
+            payload = encode_wav_ima_adpcm(
+                nibbles, (i * 9973) % 65536 - 32768, (i * 31) % 89
+            )
+            mime = "audio/x-adpcm"
+        rows.append((i, "audio", bytearray(payload), mime, 0, 0, 0))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
