@@ -1641,6 +1641,21 @@ def _q_image_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_image_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode (entropy-coded scan → table-driven
+    Huffman → dequantize → IDCT → YCbCr, `multimodal.decode_jpeg`)
+    through the distributed feature kernel: the fixture's payloads are
+    genuine JPEG streams whose DC-only blocks have a closed decoded
+    form, so the oracle replays pixels as integer + fixed-literal double
+    math without a decoder."""
+    media = multimodal.synth_jpeg_media(spark, n=64)
+    feats = multimodal.image_features(media, fake=False)
+    return feats.select(
+        "media_id",
+        *[F.round(F.col(c), 6).alias(c) for c in multimodal.FEATURE_COLS],
+    )
+
+
 def _q_image_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL GIF decode (pure-Python variable-width LZW + interlace
     reorder + palette mapping, `multimodal._decode_gif`) through the
@@ -2167,7 +2182,7 @@ _NEW_THIS_ROUND: list[str] = [
     "fulltext_searchset", "index_search_set",
     "mm_image_gif_features", "mm_image_gif_resize",
     "fulltext_qs_wand", "fulltext_qs_gate",
-    "mm_audio_compressed",
+    "mm_audio_compressed", "mm_image_jpeg_features",
 ]
 _NEVER_DRIVER_VERIFIED = [
     "sample_stratified", "dsir_weights", "dsir_resample", "lm_perplexity",
@@ -2386,6 +2401,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # REAL PNG payloads (zlib decode, all five scanline filters)
         "mm_image_png_features": _q_image_png_features,
         "mm_image_png_resize": _q_image_png_resize,
+        # REAL baseline-JPEG payloads (Huffman + IDCT + YCbCr)
+        "mm_image_jpeg_features": _q_image_jpeg_features,
         "mm_image_gif_features": _q_image_gif_features,
         "mm_image_gif_resize": _q_image_gif_resize,
         "mm_frame_sample": _q_frame_sample,
@@ -3187,6 +3204,7 @@ WHERE NOT EXISTS (
         "mm_image_png_resize": sql_oracles.image_resize_sql(
             n=64, png=True
         ),
+        "mm_image_jpeg_features": sql_oracles.jpeg_features_sql(n=64),
         "mm_image_gif_features": sql_oracles.gif_features_sql(n=64),
         "mm_image_gif_resize": sql_oracles.gif_resize_sql(n=64),
         "mm_frame_sample": sql_oracles.frame_sample_sql(n=64),

@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "streaming_dedup",
     "streaming_windows",
     "mm_audio_compressed",
+    "mm_image_jpeg_features",
 ]
 
 

@@ -510,6 +510,68 @@ SELECT media_id,
 FROM lagged GROUP BY media_id"""
 
 
+def jpeg_features_sql(n: int = 64) -> str:
+    """Exact oracle for ``multimodal.image_features(fake=False)`` over
+    ``synth_jpeg_media``: blocks are DC-only with quant step 16, so the
+    decoded plane value is the integer ``2k + 128`` and the YCbCr→RGB
+    transform is the decoder's own fixed-literal double math
+    (``floor(x + 0.5)``, left-associated sums, clamp after floor) —
+    replayed here verbatim. Every block contributes 64 identical pixels,
+    so aggregation weights each block by 64."""
+    from ..operators.multimodal import _BIN_DIV, _N_PIX, HIST_BINS, IMG_H
+
+    nb = (IMG_H // 8) ** 2  # blocks per image
+    mean_cols = ", ".join(
+        f"round(sum({c}) * 64.0 / {_N_PIX} / 255.0, 6) AS mean_{c}"
+        for c in ("r", "g", "b")
+    )
+    hist_cols = ", ".join(
+        f"round(coalesce(sum(CASE WHEN bin = {bi} THEN 64 END), 0)::DOUBLE"
+        f" / {_N_PIX}.0, 6) AS h{bi}"
+        for bi in range(HIST_BINS)
+    )
+    clamp = "greatest(least(floor({}), 255), 0)::BIGINT"
+    r_expr = clamp.format("y + 1.402::DOUBLE * (cr - 128) + 0.5")
+    g_expr = clamp.format(
+        "y - 0.344136::DOUBLE * (cb - 128) - 0.714136::DOUBLE * (cr - 128)"
+        " + 0.5"
+    )
+    b_expr = clamp.format("y + 1.772::DOUBLE * (cb - 128) + 0.5")
+    return f"""WITH
+mm AS (SELECT unnest(range({n})) AS media_id),
+seed AS (
+  SELECT media_id, {sql64.md5_u64("'jpg:' || media_id")} AS s FROM mm
+),
+k0 AS (
+  SELECT media_id, p // 3 AS blk, p % 3 AS comp,
+         {sql64.add64('s', 'p::UBIGINT')} AS x
+  FROM seed CROSS JOIN (SELECT unnest(range({nb * 3})) AS p) pp
+),
+kv AS (
+  SELECT media_id, blk, comp,
+         ({sql64.sm64('x')} & 127::UBIGINT)::BIGINT - 64 AS k
+  FROM k0
+),
+ycc AS (
+  SELECT media_id, blk,
+         2 * max(CASE WHEN comp = 0 THEN k END) + 128 AS y,
+         2 * max(CASE WHEN comp = 1 THEN k END) + 128 AS cb,
+         2 * max(CASE WHEN comp = 2 THEN k END) + 128 AS cr
+  FROM kv GROUP BY media_id, blk
+),
+rgb AS (
+  SELECT media_id, blk, {r_expr} AS r, {g_expr} AS g, {b_expr} AS b
+  FROM ycc
+),
+binned AS (
+  SELECT media_id, r, g, b, least((r + g + b) // {_BIN_DIV},
+                                  {HIST_BINS - 1}) AS bin
+  FROM rgb
+)
+SELECT media_id, {mean_cols}, {hist_cols}
+FROM binned GROUP BY media_id"""
+
+
 def audio_compressed_sql(n: int = 64) -> str:
     """Exact oracle for ``multimodal.audio_features(fake=False)`` over
     ``synth_compressed_audio_media``: the fixture's *code streams* are

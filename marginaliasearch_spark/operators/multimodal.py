@@ -455,14 +455,391 @@ def encode_gif(
     return bytes(out)
 
 
+# --- baseline JPEG (ITU-T T.81 / ISO 10918-1, sequential DCT) ---------------
+#
+# Pure numpy + stdlib: marker parse, table-driven canonical Huffman (any
+# DHT, including Annex K tables), dequantize + inverse zigzag, matrix
+# IDCT, deterministic floor(x + 0.5) rounding, nearest chroma upsample,
+# restart markers. Progressive / arithmetic / 12-bit scans raise
+# NotImplementedError. Rounding discipline: uint8 planes are produced
+# with floor(idct + 128 + 0.5) and the YCbCr→RGB transform uses
+# floor(x + 0.5) on IEEE doubles with fixed literal coefficients and
+# left-associated sums — the exact op order the SQL twin replays.
+
+_ZIGZAG = np.array(
+    [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5, 12, 19, 26,
+     33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28, 35, 42, 49, 56,
+     57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51, 58, 59, 52, 45, 38,
+     31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    dtype=np.int64,
+)
+
+
+def _dct_basis() -> np.ndarray:
+    """8x8 orthonormal DCT-II basis A with A[u, x] = c(u)/2 *
+    cos((2x+1) u pi / 16); IDCT of coefficient block F is A.T @ F @ A."""
+    u = np.arange(8).reshape(-1, 1)
+    x = np.arange(8).reshape(1, -1)
+    a = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    a[0, :] = 0.5 / np.sqrt(2.0)
+    return a
+
+
+_DCT_A = _dct_basis()
+
+
+class _HuffTable:
+    """Canonical Huffman table from a DHT segment (counts per length +
+    values), decoded with the mincode/maxcode/valptr walk of T.81 F.16."""
+
+    def __init__(self, counts: list[int], values: bytes):
+        self.values = values
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code, k = 0, 0
+        for ln in range(1, 17):
+            if counts[ln - 1]:
+                self.valptr[ln] = k
+                self.mincode[ln] = code
+                code += counts[ln - 1]
+                k += counts[ln - 1]
+                self.maxcode[ln] = code - 1
+            code <<= 1
+
+
+class _BitReader:
+    """MSB-first bit reader over an entropy-coded segment with 0xFF00
+    byte unstuffing; stops (and records the marker) at any other 0xFFxx."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                self.marker = nxt
+                b = 0  # pad past the marker (T.81: fill with 1s/0s is moot)
+                self.pos += 0
+                self.acc = (self.acc << 8) | b
+                self.nbits += 8
+                return
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_restart(self) -> None:
+        """Consume a RSTn marker at a restart boundary."""
+        self.acc = 0
+        self.nbits = 0
+        if self.marker is not None:
+            self.marker = None
+            self.pos += 2  # 0xFF 0xDn
+        elif (
+            self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
+
+
+def _huff_decode(br: _BitReader, table: _HuffTable) -> int:
+    code = br.read_bit()
+    for ln in range(1, 17):
+        if table.maxcode[ln] >= code >= table.mincode[ln]:
+            return table.values[table.valptr[ln] + code - table.mincode[ln]]
+        code = (code << 1) | br.read_bit()
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.12 sign extension of a t-bit magnitude."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline sequential JPEG → HxWx3 uint8 RGB (grayscale replicated).
+
+    General table-driven decode — any DQT/DHT (Annex K or custom),
+    1 or 3 components, sampling factors up to 2x2 (nearest upsample),
+    DRI/RSTn. Deterministic rounding as described in the section header.
+    """
+    data = bytes(payload)
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _HuffTable] = {}
+    comps: list[dict] = []
+    h_img = w_img = 0
+    restart_interval = 0
+    while pos < len(data):
+        assert data[pos] == 0xFF, "marker expected"
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        seglen = int.from_bytes(data[pos : pos + 2], "big")
+        body = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(body):
+                prec, tid = body[p] >> 4, body[p] & 15
+                if prec:
+                    raise NotImplementedError("16-bit quant tables")
+                qt[tid] = np.frombuffer(
+                    body[p + 1 : p + 65], dtype=np.uint8
+                ).astype(np.int64)
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(body):
+                cls, tid = body[p] >> 4, body[p] & 15
+                counts = list(body[p + 1 : p + 17])
+                nval = sum(counts)
+                huff[(cls, tid)] = _HuffTable(
+                    counts, body[p + 17 : p + 17 + nval]
+                )
+                p += 17 + nval
+        elif marker == 0xC0:  # SOF0 baseline
+            h_img = int.from_bytes(body[1:3], "big")
+            w_img = int.from_bytes(body[3:5], "big")
+            ncomp = body[5]
+            for c in range(ncomp):
+                cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append(
+                    {"id": cid, "h": samp >> 4, "v": samp & 15, "tq": tq}
+                )
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline sequential JPEG (SOF0) is supported"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(body[0:2], "big")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            for c in range(ns):
+                cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
+                for comp in comps:
+                    if comp["id"] == cid:
+                        comp["td"], comp["ta"] = tabs >> 4, tabs & 15
+            pos += seglen
+            break
+        pos += seglen
+    if not comps or not h_img:
+        raise ValueError("JPEG missing SOF0/SOS")
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax > 2 or vmax > 2:
+        raise NotImplementedError("sampling factors up to 2x2 only")
+    mcux = -(-w_img // (8 * hmax))
+    mcuy = -(-h_img // (8 * vmax))
+    planes = [
+        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+        for c in comps
+    ]
+    br = _BitReader(data, pos)
+    pred = [0] * len(comps)
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            br.align_restart()
+            pred = [0] * len(comps)
+        my, mx = divmod(m, mcux)
+        for ci, comp in enumerate(comps):
+            for by in range(comp["v"]):
+                for bx in range(comp["h"]):
+                    coeffs = np.zeros(64, dtype=np.int64)
+                    t = _huff_decode(br, huff[(0, comp["td"])])
+                    pred[ci] += _extend(br.read_bits(t), t)
+                    coeffs[0] = pred[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_decode(br, huff[(1, comp["ta"])])
+                        r, s = rs >> 4, rs & 15
+                        if rs == 0x00:  # EOB
+                            break
+                        if rs == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        k += r
+                        coeffs[k] = _extend(br.read_bits(s), s)
+                        k += 1
+                    block = np.zeros(64, dtype=np.float64)
+                    # DQT bytes are stored in zigzag order, like coeffs
+                    block[_ZIGZAG] = coeffs * qt[comp["tq"]]
+                    f = block.reshape(8, 8)
+                    pix = _DCT_A.T @ f @ _DCT_A
+                    y0 = (my * comp["v"] + by) * 8
+                    x0 = (mx * comp["h"] + bx) * 8
+                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
+
+    out_planes = []
+    for ci, comp in enumerate(comps):
+        p8 = np.clip(
+            np.floor(planes[ci] + 128.0 + 0.5), 0, 255
+        ).astype(np.int64)
+        # nearest upsample to full resolution
+        ry = np.arange(h_img) * comp["v"] // vmax
+        rx = np.arange(w_img) * comp["h"] // hmax
+        out_planes.append(p8[ry][:, rx])
+    if len(out_planes) == 1:
+        y = out_planes[0]
+        return np.stack([y, y, y], axis=2).astype(np.uint8)
+    y, cb, cr = (p.astype(np.float64) for p in out_planes)
+    r = np.floor(y + 1.402 * (cr - 128.0) + 0.5)
+    g = np.floor(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0) + 0.5)
+    b = np.floor(y + 1.772 * (cb - 128.0) + 0.5)
+    return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
+
+
+def _huff_canonical_codes(counts: list[int], values: bytes) -> dict:
+    """symbol → (code, length) for a canonical table (encoder side)."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            out[values[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+# fixture-grade custom tables: 12 DC symbols at length 4 (Kraft 12/16),
+# all 162 AC (run, size) symbols at length 8 (Kraft 162/256) — valid
+# canonical prefix codes the table-driven decoder reads from DHT like
+# any other; Annex K tables would work identically but are not needed.
+_ENC_DC_COUNTS = [0, 0, 0, 12] + [0] * 12
+_ENC_DC_VALUES = bytes(range(12))
+_ENC_AC_VALUES = bytes(
+    [0x00, 0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_ENC_AC_COUNTS = [0] * 7 + [len(_ENC_AC_VALUES)] + [0] * 8
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per T.81
+        return bytes(self.buf)
+
+
+def encode_jpeg(
+    coeff_blocks: np.ndarray, h: int, w: int, qtable: np.ndarray
+) -> bytes:
+    """Quantized coefficient blocks → baseline JPEG (3 components, 4:4:4,
+    one shared quant table, custom canonical Huffman tables in DHT).
+
+    ``coeff_blocks`` is ``(n_blocks_y, n_blocks_x, 3, 64)`` int64 in
+    NATURAL (row-major) order, already quantized; DC prediction, zigzag,
+    (run, size) coding and byte stuffing are applied here. This is the
+    fixture writer — the decoder above is the general artifact.
+    """
+    nby, nbx = coeff_blocks.shape[:2]
+    if (nby * 8, nbx * 8) != (h, w):
+        raise ValueError("block grid does not cover image")
+    dc_codes = _huff_canonical_codes(_ENC_DC_COUNTS, _ENC_DC_VALUES)
+    ac_codes = _huff_canonical_codes(_ENC_AC_COUNTS, _ENC_AC_VALUES)
+
+    def marker(m: int, body: bytes) -> bytes:
+        return bytes([0xFF, m]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    qzig = qtable[_ZIGZAG]  # DQT stores the table in zigzag order
+    head = b"\xff\xd8"
+    head += marker(0xDB, bytes([0]) + qzig.astype(np.uint8).tobytes())
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes(
+        [3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]
+    )
+    head += marker(0xC0, sof)
+    head += marker(
+        0xC4, bytes([0x00]) + bytes(_ENC_DC_COUNTS) + _ENC_DC_VALUES
+    )
+    head += marker(
+        0xC4, bytes([0x10]) + bytes(_ENC_AC_COUNTS) + _ENC_AC_VALUES
+    )
+    head += marker(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    for m in range(nby * nbx):
+        my, mx = divmod(m, nbx)
+        for c in range(3):
+            zz = coeff_blocks[my, mx, c][_ZIGZAG]
+            diff = int(zz[0]) - pred[c]
+            pred[c] = int(zz[0])
+            t = abs(diff).bit_length()
+            code, ln = dc_codes[t]
+            bw.write(code, ln)
+            if t:
+                bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+            k, run = 1, 0
+            while k < 64:
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                else:
+                    while run > 15:
+                        code, ln = ac_codes[0xF0]
+                        bw.write(code, ln)
+                        run -= 16
+                    s = abs(v).bit_length()
+                    code, ln = ac_codes[(run << 4) | s]
+                    bw.write(code, ln)
+                    bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+                    run = 0
+                k += 1
+            if run:
+                code, ln = ac_codes[0x00]
+                bw.write(code, ln)
+    return head + bw.flush() + b"\xff\xd9"
+
+
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """payload → HxWx3 uint8 array.
 
     Real decoders (pure numpy, no external libs): binary PPM (``P6``),
-    uncompressed 24-bit BMP (``BM``), and 8-bit PNG (stdlib zlib
-    inflate + full filter reconstruction). JPEG and friends still raise
-    ``NotImplementedError`` — entropy-coded DCT needs codec libs this
-    container doesn't ship. ``fake=True`` keeps the deterministic
+    uncompressed 24-bit BMP (``BM``), 8-bit PNG (stdlib zlib inflate +
+    full filter reconstruction), GIF87a/89a, and baseline sequential
+    JPEG (table-driven Huffman + matrix IDCT; progressive/arithmetic
+    raise ``NotImplementedError``). ``fake=True`` keeps the deterministic
     content-hash decoder used by the SQL-twinned correctness oracles."""
     if fake:
         seed = _seed_from_payload(payload)
@@ -477,10 +854,12 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         return _decode_png(bytes(payload))
     if bytes(payload[:4]) == b"GIF8":
         return _decode_gif(bytes(payload))
+    if bytes(payload[:2]) == b"\xff\xd8":
+        return decode_jpeg(bytes(payload))
     raise NotImplementedError(
-        "compressed image formats beyond PNG/GIF require codec libraries "
-        "not present in this container; supported real formats: PPM (P6), "
-        "24-bit BMP, 8-bit PNG, GIF87a/89a"
+        "image formats beyond PNG/GIF/baseline-JPEG require codec "
+        "libraries not present in this container; supported real formats: "
+        "PPM (P6), 24-bit BMP, 8-bit PNG, GIF87a/89a, baseline JPEG"
     )
 
 
@@ -1119,6 +1498,50 @@ def synth_gif_media(spark, n: int = 64) -> DataFrame:
         )
         rows.append(
             (i, "image", bytearray(payload), "image/gif", IMG_W, IMG_H, 0)
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def jpeg_dc_seed(media_id: int) -> np.uint64:
+    """Closed-form DC-coefficient seed for the JPEG fixture — first 8
+    bytes of ``md5('jpg:' || media_id)`` (the SQL twin's expression)."""
+    return np.uint64(
+        int(hashlib.md5(f"jpg:{media_id}".encode()).hexdigest()[:16], 16)
+    )
+
+
+JPEG_QDC = 16  # fixture DC quant step; divisible by 8 so IDCT(DC) is exact
+
+
+def synth_jpeg_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic REAL baseline-JPEG media table: each 32x32 image is
+    16 DC-only 8x8 blocks per component (4:4:4), with quantized DC of
+    block ``b`` / component ``c`` = ``(splitmix64(jpeg_dc_seed(i) +
+    (b*3 + c)) & 127) - 64``. With the DC quant step 16 (divisible by 8)
+    the IDCT of a DC-only block is the exact constant ``2k``, so the
+    decoded plane value is ``2k + 128`` with no rounding ambiguity and
+    the SQL twin replays pixels as pure integer + fixed-literal double
+    math (``sql_oracles.jpeg_features_sql``). The payloads are genuine
+    entropy-coded JPEG scans — Huffman decode, dequantize, IDCT and the
+    YCbCr transform all run for real on the Spark side; AC coefficients
+    are exercised by the round-trip pytest suite instead (their IDCT is
+    irrational and so has no closed SQL form)."""
+    q = np.full(64, JPEG_QDC, dtype=np.int64)
+    nb = (IMG_H // 8) * (IMG_W // 8)
+    rows = []
+    for i in range(n):
+        idx = np.arange(nb * 3, dtype=np.uint64)
+        ks = (
+            (_splitmix64(jpeg_dc_seed(i) + idx) & np.uint64(127)).astype(
+                np.int64
+            )
+            - 64
+        )
+        coeffs = np.zeros((IMG_H // 8, IMG_W // 8, 3, 64), dtype=np.int64)
+        coeffs[..., 0] = ks.reshape(IMG_H // 8, IMG_W // 8, 3)
+        payload = encode_jpeg(coeffs, IMG_H, IMG_W, q)
+        rows.append(
+            (i, "image", bytearray(payload), "image/jpeg", IMG_W, IMG_H, 0)
         )
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 

@@ -1,0 +1,195 @@
+"""Baseline JPEG codec: round-trip, subsampling, tables, oracle parity.
+
+The decoder is general (table-driven Huffman, any DQT, up to 2x2
+sampling, DRI/RSTn); the encoder is the 4:4:4 fixture writer. Round-trip
+tests pin the full AC path against an independent IDCT reconstruction;
+the DuckDB twin is pinned through the DC-only fixture.
+"""
+
+import duckdb
+import numpy as np
+import pytest
+
+from marginaliasearch_spark.functions.sql_oracles import jpeg_features_sql
+from marginaliasearch_spark.operators import multimodal as mm
+
+Q16 = np.full(64, 16, dtype=np.int64)
+
+
+def _expected_rgb(planes):
+    y, cb, cr = (p.astype(np.float64) for p in planes)
+    r = np.floor(y + 1.402 * (cr - 128.0) + 0.5)
+    g = np.floor(
+        y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0) + 0.5
+    )
+    b = np.floor(y + 1.772 * (cb - 128.0) + 0.5)
+    return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
+
+
+def _idct_plane(coeffs, q, nby, nbx):
+    a = mm._dct_basis()
+    plane = np.zeros((nby * 8, nbx * 8))
+    for by in range(nby):
+        for bx in range(nbx):
+            blk = np.zeros(64)
+            blk[mm._ZIGZAG] = coeffs[by, bx][mm._ZIGZAG] * q[mm._ZIGZAG]
+            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                a.T @ blk.reshape(8, 8) @ a
+            )
+    return np.clip(np.floor(plane + 128.0 + 0.5), 0, 255).astype(np.int64)
+
+
+def test_roundtrip_with_ac_coefficients():
+    rng = np.random.default_rng(7)
+    coeffs = np.zeros((4, 4, 3, 64), dtype=np.int64)
+    coeffs[..., 0] = rng.integers(-64, 64, size=(4, 4, 3))
+    mask = rng.random((4, 4, 3, 63)) < 0.2
+    acs = rng.integers(-40, 41, size=(4, 4, 3, 63))
+    acs[acs == 0] = 1
+    coeffs[..., 1:] = np.where(mask, acs, 0)
+    img = mm.decode_jpeg(mm.encode_jpeg(coeffs, 32, 32, Q16))
+    exp = _expected_rgb(
+        [_idct_plane(coeffs[:, :, c], Q16, 4, 4) for c in range(3)]
+    )
+    assert np.array_equal(img, exp)
+
+
+def test_roundtrip_dense_ac_exercises_zrl_and_stuffing():
+    # every AC populated -> long (run,size) streams; values chosen so the
+    # entropy stream is long enough to contain stuffed 0xFF bytes with
+    # high probability across blocks
+    rng = np.random.default_rng(11)
+    coeffs = rng.integers(-30, 31, size=(2, 2, 3, 64)).astype(np.int64)
+    coeffs[coeffs == 0] = 3
+    coeffs[..., 0] = np.clip(coeffs[..., 0], -64, 63)
+    img = mm.decode_jpeg(mm.encode_jpeg(coeffs, 16, 16, Q16))
+    exp = _expected_rgb(
+        [_idct_plane(coeffs[:, :, c], Q16, 2, 2) for c in range(2 + 1)]
+    )
+    assert np.array_equal(img, exp)
+
+
+def test_huffman_canonical_mixed_lengths():
+    # symbols 5 (len 1, code 0), 9 (len 2, code 10), 2 (len 3, code 110)
+    counts = [1, 1, 1] + [0] * 13
+    table = mm._HuffTable(counts, bytes([5, 9, 2]))
+
+    class Bits:
+        def __init__(self, s):
+            self.s, self.i = s, 0
+
+        def read_bit(self):
+            self.i += 1
+            return int(self.s[self.i - 1])
+
+    assert mm._huff_decode(Bits("0"), table) == 5
+    assert mm._huff_decode(Bits("10"), table) == 9
+    assert mm._huff_decode(Bits("110"), table) == 2
+
+
+def _marker(m, body):
+    return bytes([0xFF, m]) + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def test_grayscale_single_component():
+    # hand-built 8x8 single-component DC-only JPEG: k = 10 -> plane 148
+    dc = mm._huff_canonical_codes(mm._ENC_DC_COUNTS, mm._ENC_DC_VALUES)
+    ac = mm._huff_canonical_codes(mm._ENC_AC_COUNTS, mm._ENC_AC_VALUES)
+    bw = mm._BitWriter()
+    code, ln = dc[4]  # category of 10
+    bw.write(code, ln)
+    bw.write(10, 4)
+    code, ln = ac[0x00]
+    bw.write(code, ln)
+    data = (
+        b"\xff\xd8"
+        + _marker(0xDB, bytes([0]) + Q16.astype(np.uint8)[mm._ZIGZAG].tobytes())
+        + _marker(0xC0, bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
+        + _marker(0xC4, bytes([0x00]) + bytes(mm._ENC_DC_COUNTS) + mm._ENC_DC_VALUES)
+        + _marker(0xC4, bytes([0x10]) + bytes(mm._ENC_AC_COUNTS) + mm._ENC_AC_VALUES)
+        + _marker(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + bw.flush()
+        + b"\xff\xd9"
+    )
+    img = mm.decode_jpeg(data)
+    assert img.shape == (8, 8, 3)
+    assert np.all(img == 2 * 10 + 128)
+
+
+def test_chroma_subsampling_420():
+    # hand-built 16x16 4:2:0: one MCU = 4 Y blocks + Cb + Cr, DC-only
+    dc = mm._huff_canonical_codes(mm._ENC_DC_COUNTS, mm._ENC_DC_VALUES)
+    ac = mm._huff_canonical_codes(mm._ENC_AC_COUNTS, mm._ENC_AC_VALUES)
+    ky = [20, -20, 5, -5]
+    kcb, kcr = 8, -8
+    bw = mm._BitWriter()
+    pred = 0
+    for k in ky:  # Y blocks, diff-coded within the component
+        diff = k - pred
+        pred = k
+        t = abs(diff).bit_length()
+        code, ln = dc[t]
+        bw.write(code, ln)
+        if t:
+            bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        code, ln = ac[0x00]
+        bw.write(code, ln)
+    for k in (kcb, kcr):
+        t = abs(k).bit_length()
+        code, ln = dc[t]
+        bw.write(code, ln)
+        if t:
+            bw.write(k if k >= 0 else k + (1 << t) - 1, t)
+        code, ln = ac[0x00]
+        bw.write(code, ln)
+    data = (
+        b"\xff\xd8"
+        + _marker(0xDB, bytes([0]) + Q16.astype(np.uint8)[mm._ZIGZAG].tobytes())
+        + _marker(
+            0xC0,
+            bytes([8, 0, 16, 0, 16, 3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]),
+        )
+        + _marker(0xC4, bytes([0x00]) + bytes(mm._ENC_DC_COUNTS) + mm._ENC_DC_VALUES)
+        + _marker(0xC4, bytes([0x10]) + bytes(mm._ENC_AC_COUNTS) + mm._ENC_AC_VALUES)
+        + _marker(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+        + bw.flush()
+        + b"\xff\xd9"
+    )
+    img = mm.decode_jpeg(data)
+    assert img.shape == (16, 16, 3)
+    # Y quadrants constant; chroma constant after nearest upsample
+    y = np.zeros((16, 16), dtype=np.int64)
+    y[:8, :8], y[:8, 8:] = 2 * ky[0] + 128, 2 * ky[1] + 128
+    y[8:, :8], y[8:, 8:] = 2 * ky[2] + 128, 2 * ky[3] + 128
+    cb = np.full((16, 16), 2 * kcb + 128, dtype=np.int64)
+    cr = np.full((16, 16), 2 * kcr + 128, dtype=np.int64)
+    assert np.array_equal(img, _expected_rgb([y, cb, cr]))
+
+
+def test_progressive_raises():
+    data = b"\xff\xd8" + _marker(0xC2, bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
+    with pytest.raises(NotImplementedError):
+        mm.decode_jpeg(data)
+
+
+def test_decode_image_dispatches_jpeg():
+    coeffs = np.zeros((1, 1, 3, 64), dtype=np.int64)
+    coeffs[0, 0, :, 0] = [0, 0, 0]
+    img = mm.decode_image(mm.encode_jpeg(coeffs, 8, 8, Q16))
+    assert np.all(img == 128)
+
+
+def test_jpeg_features_match_duckdb_oracle(spark):
+    media = mm.synth_jpeg_media(spark, n=6)
+    feats = mm.image_features(media, fake=False).collect()
+    got = {
+        r.media_id: tuple(
+            round(float(getattr(r, c)), 6) for c in mm.FEATURE_COLS
+        )
+        for r in feats
+    }
+    exp = {
+        row[0]: tuple(row[1:])
+        for row in duckdb.sql(jpeg_features_sql(6)).fetchall()
+    }
+    assert got == exp
