@@ -1702,8 +1702,10 @@ def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_audio_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL compressed-audio decode under the oracle gate: G.711 μ-law /
     A-law table decode + IMA ADPCM quantizer recurrence (WAV format tags
-    7/6/0x11) over closed-form code streams; the DuckDB twin replays the
-    g711.c bit math and the ADPCM recurrence (recursive CTE) in SQL."""
+    7/6/0x11) over closed-form code streams, plus lossless FLAC (rice /
+    escape residuals + FIXED predictors, CRC-verified); the DuckDB twin
+    replays the g711.c bit math, the ADPCM recurrence (recursive CTE),
+    and the FLAC closed-form samples in SQL."""
     media = multimodal.synth_compressed_audio_media(spark, n=64)
     return multimodal.audio_features(media, fake=False)
 

@@ -579,8 +579,10 @@ def audio_compressed_sql(n: int = 64) -> str:
     replays decode-of-known-codes without any binary parsing —
     G.711 μ-law/A-law as g711.c integer bit math, IMA ADPCM as a
     recursive CTE stepping the quantizer state one 4-bit code at a time
-    (89-entry step table inlined as a list literal). Feature aggregation
-    tail is identical to ``audio_features_sql``."""
+    (89-entry step table inlined as a list literal), and FLAC directly
+    from the closed-form samples (the codec is lossless, so the
+    bitstream decode must reproduce them bit-exactly). Feature
+    aggregation tail is identical to ``audio_features_sql``."""
     from ..operators.multimodal import _IMA_STEP, AUDIO_RATE
 
     step_list = ", ".join(str(int(v)) for v in _IMA_STEP)
@@ -596,11 +598,12 @@ mm AS (SELECT unnest(range({n})) AS media_id),
 seeds AS (
   SELECT media_id,
          {sql64.md5_u64("'aud:' || media_id")} AS s,
-         media_id % 3 AS codec,
+         media_id % 4 AS codec,
          (600 + (media_id * 37) % 300)::BIGINT AS nb,
          (2 * (300 + (media_id * 29) % 150))::BIGINT AS nnib,
          ((media_id * 9973) % 65536 - 32768)::BIGINT AS pred0,
-         ((media_id * 31) % 89)::BIGINT AS idx0
+         ((media_id * 31) % 89)::BIGINT AS idx0,
+         (500 + (media_id * 13) % 200)::BIGINT AS nfs
   FROM mm
 ),
 steps AS (
@@ -662,10 +665,22 @@ dec(media_id, j, pred, idx) AS (
     ) q
   ) r
 ),
+f0 AS (
+  SELECT media_id, j, {sql64.add64('s', 'j::UBIGINT')} AS x
+  FROM seeds CROSS JOIN (SELECT unnest(range(700)) AS j) fj
+  WHERE codec = 3 AND j < nfs
+),
+fs AS (
+  SELECT media_id, j AS ord,
+         ({sql64.sm64('x')} & 2047::UBIGINT)::BIGINT - 1024 AS v
+  FROM f0
+),
 samp AS (
   SELECT media_id, ord, v FROM gsamp
   UNION ALL
   SELECT media_id, j AS ord, pred AS v FROM dec
+  UNION ALL
+  SELECT media_id, ord, v FROM fs
 ),
 lagged AS (
   SELECT media_id, v,

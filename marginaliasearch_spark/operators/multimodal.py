@@ -1248,10 +1248,12 @@ def decode_audio(
         return vals - 32768, AUDIO_RATE
     if payload[:4] == b"RIFF":
         return _decode_wav(bytes(payload))
+    if payload[:4] == b"fLaC":
+        return decode_flac(bytes(payload))
     raise NotImplementedError(
         "perceptually-coded audio requires codec libraries not present in "
         "this container; supported real formats: RIFF/WAVE PCM (8/16-bit), "
-        "G.711 mu-law/A-law, mono IMA ADPCM"
+        "G.711 mu-law/A-law, mono IMA ADPCM, FLAC"
     )
 
 
@@ -1311,7 +1313,371 @@ def audio_features(
     )
 
 
-def _decode_y4m(payload: bytes) -> tuple[np.ndarray, float]:
+# --- FLAC (free lossless audio codec, RFC 9639) -----------------------------
+#
+# Pure Python/numpy bitstream decode: STREAMINFO parse, frame headers
+# (UTF-8 frame numbers, CRC-8/CRC-16 verified), subframes CONSTANT /
+# VERBATIM / FIXED 0-4 / LPC, rice-coded and escape (raw) residual
+# partitions. Lossless integer reconstruction — decode(encode(s)) == s
+# exactly, which is what lets the compressed-audio oracle stay
+# hash-exact. Mono and independent-stereo; mid/side raises.
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8 poly 0x07 init 0 (FLAC frame-header CRC)."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16 poly 0x8005 init 0 (FLAC frame CRC)."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _FlacBitWriter:
+    """MSB-first bit writer, no byte stuffing (unlike the JPEG writer)."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.nbits += nbits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+
+    def write_unary(self, q: int) -> None:
+        """FLAC unary: q zero bits then a one bit."""
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)
+
+    def align(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+    def bytes(self) -> bytes:
+        assert self.nbits == 0, "writer not byte-aligned"
+        return bytes(self.buf)
+
+
+class _FlacBitReader:
+    """MSB-first bit reader with byte-position tracking for CRC spans."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos  # byte position of the next unread byte
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, nbits: int) -> int:
+        while self.nbits < nbits:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated FLAC bitstream")
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        self.nbits -= nbits
+        v = (self.acc >> self.nbits) & ((1 << nbits) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def read_signed(self, nbits: int) -> int:
+        v = self.read(nbits)
+        return v - (1 << nbits) if v >> (nbits - 1) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        self.nbits = 0
+        self.acc = 0
+
+
+_FLAC_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _flac_residual_read(
+    br: _FlacBitReader, blocksize: int, pred_order: int
+) -> list[int]:
+    """Rice/escape residual section (both 4- and 5-bit param methods)."""
+    method = br.read(2)
+    if method > 1:
+        raise ValueError("reserved FLAC residual coding method")
+    pbits = 4 + method
+    escape = (1 << pbits) - 1
+    porder = br.read(4)
+    nparts = 1 << porder
+    out: list[int] = []
+    for p in range(nparts):
+        count = blocksize >> porder
+        if p == 0:
+            count -= pred_order
+        param = br.read(pbits)
+        if param == escape:
+            raw = br.read(5)
+            for _ in range(count):
+                out.append(br.read_signed(raw) if raw else 0)
+        else:
+            for _ in range(count):
+                zz = (br.read_unary() << param) | br.read(param)
+                out.append((zz >> 1) ^ -(zz & 1))
+    return out
+
+
+def _flac_subframe(
+    br: _FlacBitReader, blocksize: int, bps: int
+) -> np.ndarray:
+    pad = br.read(1)
+    if pad:
+        raise ValueError("invalid FLAC subframe padding bit")
+    stype = br.read(6)
+    wasted = 0
+    if br.read(1):  # wasted-bits flag: unary count - 1
+        wasted = br.read_unary() + 1
+        bps -= wasted
+    if stype == 0:  # CONSTANT
+        samples = [br.read_signed(bps)] * blocksize
+    elif stype == 1:  # VERBATIM
+        samples = [br.read_signed(bps) for _ in range(blocksize)]
+    elif 8 <= stype <= 12:  # FIXED order 0-4
+        order = stype - 8
+        samples = [br.read_signed(bps) for _ in range(order)]
+        res = _flac_residual_read(br, blocksize, order)
+        coefs = _FLAC_FIXED_COEFS[order]
+        for r in res:
+            pred = sum(
+                c * samples[-(j + 1)] for j, c in enumerate(coefs)
+            )
+            samples.append(r + pred)
+    elif stype >= 32:  # LPC order (stype & 31) + 1
+        order = (stype & 31) + 1
+        samples = [br.read_signed(bps) for _ in range(order)]
+        precision = br.read(4) + 1
+        if precision == 16:
+            raise ValueError("invalid FLAC LPC precision escape")
+        shift = br.read_signed(5)
+        coefs = [br.read_signed(precision) for _ in range(order)]
+        res = _flac_residual_read(br, blocksize, order)
+        for r in res:
+            pred = sum(
+                c * samples[-(j + 1)] for j, c in enumerate(coefs)
+            ) >> shift
+            samples.append(r + pred)
+    else:
+        raise ValueError(f"reserved FLAC subframe type {stype}")
+    return np.asarray(samples, dtype=np.int64) << wasted
+
+
+_FLAC_BPS_CODES = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6}
+
+
+def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
+    """FLAC stream → (int64 mono samples, sample_rate).
+
+    Verifies frame-header CRC-8 and frame CRC-16. Channel 0 is taken
+    from independent-channel streams (mono/stereo); mid/side stereo
+    raises ``NotImplementedError``.
+    """
+    if payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload")
+    pos = 4
+    sample_rate = bps = 0
+    total = -1
+    while True:  # metadata blocks
+        hdr = payload[pos]
+        length = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 4 + length]
+        if hdr & 0x7F == 0:  # STREAMINFO
+            sr_bits = int.from_bytes(body[10:13], "big")
+            sample_rate = sr_bits >> 4
+            bps = (int.from_bytes(body[12:14], "big") >> 4 & 0x1F) + 1
+            total = int.from_bytes(body[13:18], "big") & ((1 << 36) - 1)
+        pos += 4 + length
+        if hdr & 0x80:
+            break
+    out: list[np.ndarray] = []
+    got = 0
+    while (total < 0 or got < total) and pos < len(payload) - 1:
+        frame_start = pos
+        br = _FlacBitReader(payload, pos)
+        sync = br.read(14)
+        if sync != 0b11111111111110:
+            raise ValueError("bad FLAC frame sync")
+        br.read(1)  # reserved
+        br.read(1)  # blocking strategy
+        bs_code = br.read(4)
+        sr_code = br.read(4)
+        chan = br.read(4)
+        bps_code = br.read(3)
+        br.read(1)  # reserved
+        if chan >= 8:
+            raise NotImplementedError("FLAC mid/side stereo not supported")
+        nchan = chan + 1
+        # UTF-8 coded frame/sample number
+        lead = br.read(8)
+        nfollow = 0
+        while (lead << nfollow) & 0x80 and nfollow < 7:
+            if nfollow == 0 and not lead & 0x80:
+                break
+            nfollow += 1
+        if lead & 0x80:
+            nfollow -= 1  # first 1-bit run counts the total bytes
+            for _ in range(nfollow):
+                br.read(8)
+        if bs_code == 0b0110:
+            blocksize = br.read(8) + 1
+        elif bs_code == 0b0111:
+            blocksize = br.read(16) + 1
+        elif bs_code == 0b0001:
+            blocksize = 192
+        elif 2 <= bs_code <= 5:
+            blocksize = 576 << (bs_code - 2)
+        else:
+            blocksize = 256 << (bs_code - 8)
+        if sr_code in (0b1100, 0b1101, 0b1110):
+            br.read(8 if sr_code == 0b1100 else 16)
+        frame_bps = bps
+        for k, v in _FLAC_BPS_CODES.items():
+            if v == bps_code:
+                frame_bps = k
+        hdr_crc = br.read(8)
+        if _crc8(payload[frame_start : br.pos - 1]) != hdr_crc:
+            raise ValueError("FLAC frame header CRC mismatch")
+        chans = [
+            _flac_subframe(br, blocksize, frame_bps) for _ in range(nchan)
+        ]
+        br.align()
+        frame_crc = br.read(16)
+        if _crc16(payload[frame_start : br.pos - 2]) != frame_crc:
+            raise ValueError("FLAC frame CRC mismatch")
+        out.append(chans[0])
+        got += blocksize
+        pos = br.pos
+    samples = np.concatenate(out) if out else np.zeros(0, dtype=np.int64)
+    if total >= 0:
+        samples = samples[:total]
+    return samples, sample_rate
+
+
+def encode_flac(
+    samples: np.ndarray,
+    order: int,
+    sample_rate: int = AUDIO_RATE,
+    escape_raw: bool | None = None,
+    lpc: tuple[list[int], int] | None = None,
+) -> bytes:
+    """int16 mono samples → single-frame FLAC (FIXED order 0-4 subframe,
+    or an LPC subframe when ``lpc=(coefs, shift)`` is given). Residuals
+    go rice-coded (one partition, tight param) or — when ``escape_raw``
+    (default for order >= 2, where residual range can exceed a sane rice
+    quotient) — as an escape partition of raw signed values. Lossless:
+    ``decode_flac(encode_flac(s, o))[0] == s`` for any order."""
+    s = [int(v) for v in samples]
+    n = len(s)
+    if lpc is not None:
+        coefs, shift = lpc
+        order = len(coefs)
+        res = [
+            s[i]
+            - (sum(c * s[i - 1 - j] for j, c in enumerate(coefs)) >> shift)
+            for i in range(order, n)
+        ]
+    else:
+        coefs = _FLAC_FIXED_COEFS[order]
+        res = [
+            s[i] - sum(c * s[i - 1 - j] for j, c in enumerate(coefs))
+            for i in range(order, n)
+        ]
+    if escape_raw is None:
+        escape_raw = lpc is None and order >= 2
+
+    si = _FlacBitWriter()  # STREAMINFO body
+    si.write(n, 16)  # min blocksize
+    si.write(n, 16)  # max blocksize
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(sample_rate, 20)
+    si.write(0, 3)  # channels - 1
+    si.write(15, 5)  # bps - 1 = 16-bit
+    si.write(n, 36)
+    info = si.bytes() + b"\x00" * 16  # md5 unset (all zero = unknown)
+    head = b"fLaC" + bytes([0x80, 0, 0, len(info)]) + info
+
+    fw = _FlacBitWriter()
+    fw.write(0b11111111111110, 14)
+    fw.write(0, 1)
+    fw.write(0, 1)  # fixed blocksize strategy
+    fw.write(0b0111, 4)  # blocksize: 16 bit at end of header
+    fw.write(0b0000, 4)  # sample rate: from STREAMINFO
+    fw.write(0, 4)  # mono
+    fw.write(_FLAC_BPS_CODES[16], 3)
+    fw.write(0, 1)
+    fw.write(0, 8)  # frame number 0 (UTF-8 single byte)
+    fw.write(n - 1, 16)
+    hdr = fw.buf + bytearray()  # snapshot for CRC-8 (byte-aligned here)
+    fw.write(_crc8(bytes(hdr)), 8)
+    # subframe header
+    if lpc is not None:
+        fw.write(0, 1)
+        fw.write(32 | (order - 1), 6)
+        fw.write(0, 1)
+    else:
+        fw.write(0, 1)
+        fw.write(8 + order, 6)
+        fw.write(0, 1)
+    for v in s[:order]:  # warmup
+        fw.write(v & 0xFFFF, 16)
+    if lpc is not None:
+        precision = 15
+        fw.write(precision - 1, 4)
+        fw.write(shift & 0x1F, 5)
+        for c in coefs:
+            fw.write(c & ((1 << precision) - 1), precision)
+    fw.write(0, 2)  # rice method: 4-bit params
+    fw.write(0, 4)  # partition order 0
+    if escape_raw:
+        raw = max(
+            (abs(r) + (r >= 0)).bit_length() + 1 for r in res
+        ) if res else 1
+        fw.write(0b1111, 4)
+        fw.write(raw, 5)
+        for r in res:
+            fw.write(r & ((1 << raw) - 1), raw)
+    else:
+        zz = [(r << 1) if r >= 0 else (-(r << 1) - 1) for r in res]
+        param = max((max(zz).bit_length() - 3) if zz and max(zz) else 0, 0)
+        param = min(param, 14)
+        fw.write(param, 4)
+        for z in zz:
+            fw.write_unary(z >> param)
+            if param:
+                fw.write(z & ((1 << param) - 1), param)
+    fw.align()
+    frame = bytes(fw.buf)
+    return head + frame + _crc16(frame).to_bytes(2, "big")
     """YUV4MPEG2 (.y4m) → (Y planes as ``(n_frames, h, w)`` uint8, fps).
 
     Pure numpy — no video libs. The y4m container is an ASCII stream
@@ -1556,11 +1922,14 @@ def audio_codec_seed(media_id: int) -> np.uint64:
 
 
 def synth_compressed_audio_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic REAL compressed-audio media table cycling the three
-    supported compressed WAV codecs by ``media_id % 3`` (0 μ-law,
-    1 A-law, 2 IMA ADPCM). The *code stream* — not the linear signal —
-    is the closed form, so no encoder pass is needed and the SQL twin
-    replays decode-of-known-codes exactly:
+    """Deterministic REAL compressed-audio media table cycling the four
+    supported compressed codecs by ``media_id % 4`` (0 μ-law, 1 A-law,
+    2 IMA ADPCM, 3 FLAC). For the lossy WAV codecs the *code stream* —
+    not the linear signal — is the closed form, so no encoder pass is
+    needed; for lossless FLAC the samples themselves are closed-form and
+    the encoder derives the fixed-predictor residuals (decode must
+    reproduce them exactly). Either way the SQL twin replays known
+    values without a decoder:
 
     * G.711: code byte ``j`` = ``splitmix64(audio_codec_seed(i) + j) &
       255`` over ``600 + (i * 37) % 300`` bytes; decoded sample =
@@ -1569,15 +1938,20 @@ def synth_compressed_audio_media(spark, n: int = 64) -> DataFrame:
       ``2 * (300 + (i * 29) % 150)`` nibbles, block header predictor
       ``(i * 9973) % 65536 - 32768`` and step index ``(i * 31) % 89``;
       the SQL twin replays the quantizer recurrence with a recursive CTE.
+    * FLAC: sample ``j`` = ``(splitmix64(seed + j) & 2047) - 1024`` over
+      ``500 + (i * 13) % 200`` samples, FIXED predictor order
+      ``(i // 4) % 5`` (rice residuals for orders 0-1, escape/raw for
+      2-4) — the decoder runs the real rice/escape + predictor path and
+      losslessness makes the closed-form samples the oracle.
 
     Entries running ``fake=False`` over this table exercise the genuine
-    chunk-walk + table/recurrence decode path while staying hash-exact
-    against DuckDB (``sql_oracles.audio_compressed_sql``).
+    chunk-walk + table/recurrence/bitstream decode paths while staying
+    hash-exact against DuckDB (``sql_oracles.audio_compressed_sql``).
     """
     rows = []
     for i in range(n):
         seed = audio_codec_seed(i)
-        codec = i % 3
+        codec = i % 4
         if codec in (0, 1):
             nb = 600 + (i * 37) % 300
             idx = np.arange(nb, dtype=np.uint64)
@@ -1588,7 +1962,7 @@ def synth_compressed_audio_media(spark, n: int = 64) -> DataFrame:
                 codes, "ulaw" if codec == 0 else "alaw"
             )
             mime = "audio/basic" if codec == 0 else "audio/x-alaw"
-        else:
+        elif codec == 2:
             nnib = 2 * (300 + (i * 29) % 150)
             idx = np.arange(nnib, dtype=np.uint64)
             nibbles = (_splitmix64(seed + idx) & np.uint64(15)).astype(
@@ -1598,6 +1972,15 @@ def synth_compressed_audio_media(spark, n: int = 64) -> DataFrame:
                 nibbles, (i * 9973) % 65536 - 32768, (i * 31) % 89
             )
             mime = "audio/x-adpcm"
+        else:
+            nfs = 500 + (i * 13) % 200
+            idx = np.arange(nfs, dtype=np.uint64)
+            samples = (
+                (_splitmix64(seed + idx) & np.uint64(2047)).astype(np.int64)
+                - 1024
+            )
+            payload = encode_flac(samples, (i // 4) % 5)
+            mime = "audio/flac"
         rows.append((i, "audio", bytearray(payload), mime, 0, 0, 0))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 

@@ -92,16 +92,51 @@ def test_adpcm_multi_block_and_fact_truncation():
     assert s.tolist() == exp[: total - 3]
 
 
+def test_flac_roundtrip_all_fixed_orders():
+    rng = np.random.default_rng(3)
+    for order in range(5):
+        for escape in (True, False):
+            s = rng.integers(-1024, 1024, size=400).astype(np.int64)
+            dec, rate = mm.decode_flac(
+                mm.encode_flac(s, order, escape_raw=escape)
+            )
+            assert rate == mm.AUDIO_RATE
+            assert np.array_equal(dec, s), (order, escape)
+
+
+def test_flac_lpc_roundtrip():
+    rng = np.random.default_rng(5)
+    s = rng.integers(-2000, 2000, size=300).astype(np.int64)
+    dec, _ = mm.decode_flac(mm.encode_flac(s, 0, lpc=([3000, -1500, 400], 11)))
+    assert np.array_equal(dec, s)
+
+
+def test_flac_crc_rejects_corruption():
+    s = np.arange(-50, 50, dtype=np.int64)
+    payload = bytearray(mm.encode_flac(s, 1))
+    # flip a bit in the fixed-width warmup sample (byte 51: after the
+    # 42-byte header, 8-byte frame header, 1-byte subframe header) so the
+    # bitstream still parses and the frame CRC-16 is what catches it
+    payload[51] ^= 0x40
+    with pytest.raises(ValueError, match="CRC"):
+        mm.decode_flac(bytes(payload))
+    # corruption that derails rice parsing raises too (truncation guard)
+    p2 = bytearray(mm.encode_flac(s, 1))
+    p2[-10] ^= 0x40
+    with pytest.raises(ValueError):
+        mm.decode_flac(bytes(p2))
+
+
 def test_synth_fixture_codecs_cycle(spark):
-    media = mm.synth_compressed_audio_media(spark, n=6).collect()
+    media = mm.synth_compressed_audio_media(spark, n=8).collect()
     mimes = [r.mime for r in sorted(media, key=lambda r: r.media_id)]
     assert mimes == [
-        "audio/basic", "audio/x-alaw", "audio/x-adpcm",
+        "audio/basic", "audio/x-alaw", "audio/x-adpcm", "audio/flac",
     ] * 2
-    # every payload is a decodable RIFF stream
+    # every payload is a decodable compressed stream
     for r in media:
         s, rate = mm.decode_audio(bytes(r.payload))
-        assert rate == mm.AUDIO_RATE and len(s) >= 600
+        assert rate == mm.AUDIO_RATE and len(s) >= 500
 
 
 def test_audio_compressed_matches_duckdb_oracle(spark):
