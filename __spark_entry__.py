@@ -1710,6 +1710,16 @@ def _q_audio_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.audio_features(media, fake=False)
 
 
+def _q_video_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-video decode under the oracle gate: Motion-JPEG
+    AVI container walk + per-frame baseline-JPEG decode
+    (`multimodal._decode_avi_mjpeg`), exploded to per-frame luma stats;
+    the DC-only grayscale fixture gives the DuckDB twin a closed
+    integer form per frame."""
+    media = multimodal.synth_mjpeg_media(spark, n=64)
+    return multimodal.video_frame_stats(media)
+
+
 def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -2201,6 +2211,12 @@ _NEVER_DRIVER_VERIFIED = [
     "browse_similar", "dedup_semantic", "mm_image_resize",
     "mm_audio_features", "events_sessions",
 ]
+# Tier 2: new entries that did not fit inside the driver's historical
+# 50-entry sweep window without displacing a never-verified one; they
+# are pytest-pinned and spot-checkable via tools/check_entry.py.
+_NEW_TIER2 = [
+    "mm_video_mjpeg_frames",
+]
 _STALE_SINCE_R02 = [
     "events_hourly", "mm_frame_sample", "mm_image_features",
     "sim_cosine_topk", "sim_ivf_topk", "sim_lsh_topk", "sim_neardup",
@@ -2211,7 +2227,7 @@ _STALE_SINCE_R02 = [
 
 def _verification_order(base: dict) -> dict:
     lead = [k for k in (_NEW_THIS_ROUND + _NEVER_DRIVER_VERIFIED
-                        + _STALE_SINCE_R02) if k in base]
+                        + _NEW_TIER2 + _STALE_SINCE_R02) if k in base]
     return {k: base[k] for k in lead} | {
         k: v for k, v in base.items() if k not in set(lead)}
 
@@ -2409,8 +2425,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_gif_resize": _q_image_gif_resize,
         "mm_frame_sample": _q_frame_sample,
         "mm_audio_features": _q_audio_features,
-        # REAL compressed WAV payloads (G.711 mu/A-law + IMA ADPCM)
+        # REAL compressed payloads (G.711 mu/A-law + IMA ADPCM + FLAC;
+        # Motion-JPEG AVI)
         "mm_audio_compressed": _q_audio_compressed,
+        "mm_video_mjpeg_frames": _q_video_mjpeg,
         # --- windowed aggregation / sessionization ---
         "events_hourly": _q_events_hourly,
         "events_sessions": _q_events_sessions,
@@ -3212,6 +3230,7 @@ WHERE NOT EXISTS (
         "mm_frame_sample": sql_oracles.frame_sample_sql(n=64),
         "mm_audio_features": sql_oracles.audio_features_sql(n=64),
         "mm_audio_compressed": sql_oracles.audio_compressed_sql(n=64),
+        "mm_video_mjpeg_frames": sql_oracles.mjpeg_frames_sql(n=64),
         "events_hourly": """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        event_type, count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value

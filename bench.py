@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "streaming_windows",
     "mm_audio_compressed",
     "mm_image_jpeg_features",
+    "mm_video_mjpeg_frames",
 ]
 
 

@@ -572,6 +572,46 @@ SELECT media_id, {mean_cols}, {hist_cols}
 FROM binned GROUP BY media_id"""
 
 
+def mjpeg_frames_sql(n: int = 64) -> str:
+    """Exact oracle for ``multimodal.video_frame_stats`` over
+    ``synth_mjpeg_media``: every decoded luma pixel of a DC-only
+    grayscale MJPEG frame is the integer ``2k + 128``, so per-frame
+    stats are pure integer sums; ``mean_y`` uses the decoder's own
+    explicit half-up expression (``floor(x * 1e6 + 0.5) / 1e6``) so the
+    doubles are bit-identical."""
+    from ..operators.multimodal import MJPEG_H, MJPEG_W
+
+    n_px = MJPEG_H * MJPEG_W
+    return f"""WITH
+mm AS (SELECT unnest(range({n})) AS media_id),
+seed AS (
+  SELECT media_id, {sql64.md5_u64("'avi:' || media_id")} AS s,
+         2 + media_id % 3 AS nf
+  FROM mm
+),
+kb AS (
+  SELECT media_id, p // 4 AS frame_idx,
+         {sql64.add64('s', 'p::UBIGINT')} AS x
+  FROM seed CROSS JOIN (SELECT unnest(range(16)) AS p) pp
+  WHERE p < nf * 4
+),
+kv AS (
+  SELECT media_id, frame_idx,
+         ({sql64.sm64('x')} & 127::UBIGINT)::BIGINT - 64 AS k
+  FROM kb
+),
+fr AS (
+  SELECT media_id, frame_idx,
+         sum(64 * (2 * k + 128))::BIGINT AS y_sum
+  FROM kv GROUP BY media_id, frame_idx
+)
+SELECT media_id, frame_idx::INT AS frame_idx, y_sum,
+       {n_px}::BIGINT AS n_px,
+       floor(y_sum::DOUBLE / {n_px} / 255.0 * 1000000 + 0.5) / 1000000
+         AS mean_y
+FROM fr"""
+
+
 def audio_compressed_sql(n: int = 64) -> str:
     """Exact oracle for ``multimodal.audio_features(fake=False)`` over
     ``synth_compressed_audio_media``: the fixture's *code streams* are

@@ -21,6 +21,7 @@ plumbing gets a hash-exact check, not a rows-only one.
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -1726,18 +1727,88 @@ def encode_flac(
     return stacked, num / den
 
 
+def _decode_avi_mjpeg(payload: bytes) -> tuple[np.ndarray, float]:
+    """Motion-JPEG AVI → (luma planes ``(n_frames, h, w)`` uint8, fps).
+
+    Minimal RIFF/AVI walk: ``avih`` supplies dwMicroSecPerFrame (fps),
+    every ``..dc``/``..db`` chunk in ``movi`` order is one complete
+    baseline JPEG decoded with ``decode_jpeg`` (luma = channel 0).
+    Pure container parsing — the only codec involved is the JPEG
+    decoder above, so this stays stdlib+numpy."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    fps = 25.0
+    frames: list[np.ndarray] = []
+    stack = [(12, len(payload))]  # (pos, end) spans to walk
+    while stack:
+        pos, end = stack.pop()
+        while pos + 8 <= end:
+            cid = payload[pos : pos + 4]
+            size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+            body_start = pos + 8
+            if cid == b"LIST":
+                stack.append((body_start + 4, body_start + size))
+            elif cid == b"avih":
+                usec = int.from_bytes(
+                    payload[body_start : body_start + 4], "little"
+                )
+                if usec:
+                    fps = 1_000_000.0 / usec
+            elif cid[2:4] in (b"dc", b"db"):
+                frames.append(
+                    decode_jpeg(payload[body_start : body_start + size])[
+                        :, :, 0
+                    ]
+                )
+            pos = body_start + size + (size & 1)
+    if not frames:
+        raise ValueError("AVI contains no video chunks")
+    return np.stack(frames), fps
+
+
+def encode_avi_mjpeg(
+    jpeg_frames: list[bytes], fps: int, w: int, h: int
+) -> bytes:
+    """Complete JPEG payloads → minimal MJPEG AVI container (RIFF header,
+    ``hdrl`` with avih, ``movi`` with one ``00dc`` chunk per frame)."""
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + len(body).to_bytes(4, "little") + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    avih = (
+        (1_000_000 // fps).to_bytes(4, "little")
+        + b"\x00" * 12
+        + len(jpeg_frames).to_bytes(4, "little")
+        + b"\x00" * 8
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+    movi = chunk(
+        b"LIST", b"movi" + b"".join(chunk(b"00dc", f) for f in jpeg_frames)
+    )
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
 def decode_video(payload: bytes) -> tuple[np.ndarray, float]:
     """payload → (Y planes ``(n_frames, h, w)`` uint8, fps).
 
-    Real decoder (pure numpy, no external libs): YUV4MPEG2 (.y4m), the
-    standard uncompressed interchange format. Compressed containers
-    (MP4/WebM/...) raise ``NotImplementedError`` — no codec libs here.
+    Real decoders (pure numpy, no external libs): YUV4MPEG2 (.y4m), the
+    standard uncompressed interchange format, and Motion-JPEG AVI
+    (per-frame baseline JPEG). Inter-frame-predicted codecs (MP4/H.264/
+    WebM/...) raise ``NotImplementedError`` — no codec libs here.
     """
     if payload[:9] == b"YUV4MPEG2":
         return _decode_y4m(bytes(payload))
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return _decode_avi_mjpeg(bytes(payload))
     raise NotImplementedError(
-        "compressed video formats require codec libraries not present in "
-        "this container; supported real format: YUV4MPEG2 (.y4m)"
+        "inter-frame-predicted video requires codec libraries not present "
+        "in this container; supported real formats: YUV4MPEG2 (.y4m), "
+        "Motion-JPEG AVI"
     )
 
 
@@ -1790,6 +1861,104 @@ def frame_sample(
     return media.select("media_id", payload_col, "duration_ms").mapInPandas(
         batch, schema="media_id long, frame_idx int, frame_hex string"
     )
+
+
+def video_frame_stats(
+    media: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Video → one row per frame (media_id, frame_idx, y_sum, n_px,
+    mean_y): exact integer luma sum + pixel count per decoded frame,
+    with one rounded double for readability. Same explode shape as
+    ``frame_sample`` (partition-local mapInPandas, no shuffle); the
+    integer columns keep the DuckDB twin rounding-free."""
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, sums, npxs, means = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                lumas, _fps = decode_video(bytes(payload))
+                for i, frame in enumerate(lumas):
+                    n_px = int(frame.size)
+                    ys = int(frame.astype(np.int64).sum())
+                    ids.append(mid)
+                    idxs.append(i)
+                    sums.append(ys)
+                    npxs.append(n_px)
+                    # explicit half-up rounding (Python round() is
+                    # banker's; DuckDB/Spark round are half-away)
+                    means.append(
+                        math.floor(ys / n_px / 255.0 * 1e6 + 0.5) / 1e6
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "y_sum": sums,
+                    "n_px": npxs,
+                    "mean_y": means,
+                }
+            )
+
+    return media.select("media_id", payload_col).mapInPandas(
+        batch,
+        schema="media_id long, frame_idx int, y_sum long, n_px long, "
+        "mean_y double",
+    )
+
+
+def mjpeg_seed(media_id: int) -> np.uint64:
+    """Closed-form DC seed for the MJPEG fixture — first 8 bytes of
+    ``md5('avi:' || media_id)`` (the SQL twin's expression)."""
+    return np.uint64(
+        int(hashlib.md5(f"avi:{media_id}".encode()).hexdigest()[:16], 16)
+    )
+
+
+MJPEG_W = MJPEG_H = 16  # fixture frame size: 4 blocks of 8x8
+
+
+def synth_mjpeg_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic REAL Motion-JPEG AVI media table: media ``i`` has
+    ``2 + i % 3`` frames of 16x16 grayscale DC-only JPEG (4 blocks;
+    quantized DC of frame ``f`` block ``b`` = ``(splitmix64(
+    mjpeg_seed(i) + (f*4 + b)) & 127) - 64``), so every decoded luma
+    pixel is the exact integer ``2k + 128`` and the SQL twin replays
+    per-frame stats without any decoder. The payloads are genuine AVI
+    containers of genuine entropy-coded JPEG scans."""
+    q = np.full(64, JPEG_QDC, dtype=np.int64)
+    rows = []
+    for i in range(n):
+        nf = 2 + i % 3
+        frames = []
+        for f in range(nf):
+            idx = np.arange(4, dtype=np.uint64) + np.uint64(f * 4)
+            ks = (
+                (_splitmix64(mjpeg_seed(i) + idx) & np.uint64(127)).astype(
+                    np.int64
+                )
+                - 64
+            )
+            coeffs = np.zeros((2, 2, 3, 64), dtype=np.int64)
+            # grayscale content: all three components share the DC, so
+            # YCbCr->RGB is the identity on the luma channel
+            for c in range(3):
+                coeffs[..., c, 0] = (
+                    ks.reshape(2, 2) if c == 0 else np.zeros((2, 2))
+                )
+            frames.append(encode_jpeg(coeffs, MJPEG_H, MJPEG_W, q))
+        payload = encode_avi_mjpeg(frames, fps=5, w=MJPEG_W, h=MJPEG_H)
+        rows.append(
+            (
+                i,
+                "video",
+                bytearray(payload),
+                "video/x-msvideo",
+                MJPEG_W,
+                MJPEG_H,
+                nf * 200,
+            )
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
 def png_pixel_seed(media_id: int) -> np.uint64:

@@ -193,3 +193,48 @@ def test_jpeg_features_match_duckdb_oracle(spark):
         for row in duckdb.sql(jpeg_features_sql(6)).fetchall()
     }
     assert got == exp
+
+
+def test_mjpeg_avi_roundtrip():
+    # two 16x16 frames with distinct DC content survive the container
+    q = np.full(64, 16, dtype=np.int64)
+    frames = []
+    for k in (7, -30):
+        coeffs = np.zeros((2, 2, 3, 64), dtype=np.int64)
+        coeffs[..., 0, 0] = k
+        frames.append(mm.encode_jpeg(coeffs, 16, 16, q))
+    payload = mm.encode_avi_mjpeg(frames, fps=10, w=16, h=16)
+    lumas, fps = mm.decode_video(payload)
+    assert fps == 10.0 and lumas.shape == (2, 16, 16)
+    assert np.all(lumas[0] == 2 * 7 + 128)
+    assert np.all(lumas[1] == 2 * -30 + 128)
+
+
+def test_mjpeg_odd_sized_chunks_word_aligned():
+    # an odd-length JPEG chunk forces the RIFF pad-byte path between
+    # frames; a trailing byte after EOI is common in MJPEG writers
+    q = np.full(64, 16, dtype=np.int64)
+    coeffs = np.zeros((1, 1, 3, 64), dtype=np.int64)
+    jpg = mm.encode_jpeg(coeffs, 8, 8, q)
+    if len(jpg) % 2 == 0:
+        jpg += b"\x00"
+    payload = mm.encode_avi_mjpeg([jpg, jpg], fps=5, w=8, h=8)
+    lumas, _ = mm.decode_video(payload)
+    assert lumas.shape == (2, 8, 8) and np.all(lumas == 128)
+
+
+def test_video_frame_stats_matches_duckdb_oracle(spark):
+    import duckdb as _duckdb
+
+    from marginaliasearch_spark.functions.sql_oracles import mjpeg_frames_sql
+
+    media = mm.synth_mjpeg_media(spark, n=5)
+    got = {
+        (r.media_id, r.frame_idx): (r.y_sum, r.n_px, r.mean_y)
+        for r in mm.video_frame_stats(media).collect()
+    }
+    exp = {
+        (row[0], row[1]): tuple(row[2:])
+        for row in _duckdb.sql(mjpeg_frames_sql(5)).fetchall()
+    }
+    assert got == exp
