@@ -595,7 +595,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     h_img = w_img = 0
     restart_interval = 0
     while pos < len(data):
-        assert data[pos] == 0xFF, "marker expected"
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
         marker = data[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
@@ -1679,6 +1680,9 @@ def encode_flac(
     fw.align()
     frame = bytes(fw.buf)
     return head + frame + _crc16(frame).to_bytes(2, "big")
+
+
+def _decode_y4m(payload: bytes) -> tuple[np.ndarray, float]:
     """YUV4MPEG2 (.y4m) → (Y planes as ``(n_frames, h, w)`` uint8, fps).
 
     Pure numpy — no video libs. The y4m container is an ASCII stream

@@ -232,6 +232,13 @@ def parse_query(q: str) -> ParsedQuery:
         if raw.lower().startswith("set:"):
             out.sets.append(raw[4:].lower())
             continue
+        if raw.lower().startswith("near:"):
+            # QueryParser.java:223-224 parses NearTerm, but no consumer
+            # exists in the reference (QueryFactory never reads it and
+            # QueryParams.nearDomain is dead) — exact parity is parse-
+            # and-drop: the token is recognized and removed from the
+            # term stream, influencing nothing.
+            continue
         if raw.lower().startswith("qs="):
             val = raw[3:].lower()
             if val.startswith("rf_") and val[3:] in _QS_ROLES:

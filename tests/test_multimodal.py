@@ -115,8 +115,13 @@ def test_decode_compressed_still_raises():
 
     from marginaliasearch_spark.operators.multimodal import decode_image
 
+    # WebP (VP8 entropy coding) genuinely needs codec libs
     with _pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0JFIF-fake-jpeg")
+        decode_image(b"RIFF\x10\x00\x00\x00WEBPVP8 fake")
+    # JPEG now dispatches to the real decoder; a truncated stream is a
+    # parse error, not a missing-codec stub
+    with _pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xe0\x00\x04JFIF-fake-jpeg")
 
 
 def test_image_features_over_real_ppm(spark):

@@ -94,3 +94,22 @@ def test_run_search_qs_sentence_forces_plain(reader):
     assert _pairs(run_search(reader, q, k=10).collect()) == _pairs(
         run_query(reader, "word00", k=10).collect()
     )
+
+
+def test_near_token_parsed_and_dropped():
+    # QueryParser.java:223-224 creates a NearTerm, but nothing in the
+    # reference consumes it (QueryParams.nearDomain is dead) — parity is
+    # recognize-and-ignore: identical parse to the query without it.
+    with_near = parse_query("word00 near:conv12 -word45")
+    without = parse_query("word00 -word45")
+    assert with_near.include == without.include
+    assert with_near.exclude == without.exclude
+    assert with_near.gates == without.gates
+    assert with_near.limits == without.limits
+
+
+def test_run_search_near_token_is_inert(reader):
+    q = "word00 -word45"
+    assert _pairs(run_search(reader, f"{q} near:conv3", k=10).collect()) == _pairs(
+        run_search(reader, q, k=10).collect()
+    )
