@@ -774,16 +774,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             break
         seglen = int.from_bytes(data[pos : pos + 2], "big")
         body = data[pos + 2 : pos + seglen]
-        if marker == 0xDB:  # DQT
+        if marker == 0xDB:  # DQT (Pq=0 → 8-bit entries, Pq=1 → 16-bit)
             p = 0
             while p < len(body):
                 prec, tid = body[p] >> 4, body[p] & 15
                 if prec:
-                    raise NotImplementedError("16-bit quant tables")
-                qt[tid] = np.frombuffer(
-                    body[p + 1 : p + 65], dtype=np.uint8
-                ).astype(np.int64)
-                p += 65
+                    qt[tid] = np.frombuffer(
+                        body[p + 1 : p + 129], dtype=">u2"
+                    ).astype(np.int64)
+                    p += 129
+                else:
+                    qt[tid] = np.frombuffer(
+                        body[p + 1 : p + 65], dtype=np.uint8
+                    ).astype(np.int64)
+                    p += 65
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(body):
@@ -794,8 +798,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     counts, body[p + 17 : p + 17 + nval]
                 )
                 p += 17 + nval
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline / SOF1 extended sequential (identical
+            # Huffman decoding at 8-bit precision) / SOF2 progressive
             progressive = marker == 0xC2
+            if body[0] != 8:
+                raise NotImplementedError("only 8-bit sample precision")
             h_img = int.from_bytes(body[1:3], "big")
             w_img = int.from_bytes(body[3:5], "big")
             ncomp = body[5]
@@ -815,11 +823,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
                 for c in comps
             ]
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline (SOF0) and progressive (SOF2) Huffman "
-                "JPEG are supported"
+                "only baseline (SOF0), extended sequential (SOF1) and "
+                "progressive (SOF2) Huffman JPEG are supported"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[0:2], "big")
