@@ -3,7 +3,7 @@
 Image/audio/video payloads are carried as ``binary`` columns with typed
 metadata; decode / feature-extraction / frame-sample run as Arrow-batched
 ``mapInPandas`` kernels. Real decoders (pure numpy + stdlib, no codec
-libs): binary PPM, uncompressed 24-bit BMP, 8-bit PNG (zlib inflate +
+libs): binary PPM, uncompressed 24-bit BMP, PNG (zlib inflate +
 full scanline-filter reconstruction), GIF87a/89a (variable-width LZW,
 interlace, local color tables), PCM WAV, G.711 μ-law/A-law WAV, mono
 IMA ADPCM WAV, and y4m. Perceptually-coded formats (JPEG/MP3/H.264/...)
@@ -124,39 +124,15 @@ def _png_chunks(payload: bytes):
             break
 
 
-def _decode_png(payload: bytes) -> np.ndarray:
-    """PNG → HxWx3 uint8, stdlib ``zlib`` + numpy unfiltering — no codec
-    libs (VERDICT r3 item 7). Supports 8-bit depth, color types 0
-    (grayscale, replicated to RGB), 2 (RGB) and 6 (RGBA, alpha dropped),
-    interlace 0, all five scanline filters (None/Sub/Up/Average/Paeth).
-    Sub is a per-channel cumulative sum and Up a vectorized row add; only
-    Average/Paeth rows walk pixels (left-neighbor data dependence)."""
-    import zlib
-
-    ihdr = None
-    idat: list[bytes] = []
-    for typ, data in _png_chunks(bytes(payload)):
-        if typ == b"IHDR":
-            ihdr = data
-        elif typ == b"IDAT":
-            idat.append(data)
-    if ihdr is None or not idat:
-        raise NotImplementedError("malformed PNG (missing IHDR/IDAT)")
-    w = int.from_bytes(ihdr[0:4], "big")
-    h = int.from_bytes(ihdr[4:8], "big")
-    depth, ctype, comp, filt, inter = ihdr[8:13]
-    if depth != 8 or comp != 0 or filt != 0 or inter != 0:
-        raise NotImplementedError(
-            f"PNG depth={depth} interlace={inter} not supported "
-            "(8-bit non-interlaced only)"
-        )
-    nch = {0: 1, 2: 3, 6: 4}.get(ctype)
-    if nch is None:
-        raise NotImplementedError(f"PNG color type {ctype} not supported")
-    stride = w * nch
-    rows = np.frombuffer(
-        zlib.decompress(b"".join(idat)), dtype=np.uint8
-    ).reshape(h, stride + 1)
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reconstruct ``h`` scanlines of ``stride`` filtered bytes each
+    (``bpp`` = filter-unit bytes per pixel, >= 1 even for sub-byte
+    depths) → ``(h, stride)`` uint8. Sub is a per-unit cumulative sum
+    and Up a vectorized row add; only Average/Paeth rows walk bytes
+    (left-neighbor data dependence)."""
+    rows = np.frombuffer(raw, dtype=np.uint8)[: h * (stride + 1)].reshape(
+        h, stride + 1
+    )
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
@@ -164,9 +140,10 @@ def _decode_png(payload: bytes) -> np.ndarray:
         line = rows[y, 1:]
         if f == 0:
             rec = line.copy()
-        elif f == 1:  # Sub: prefix sum per channel (mod 256)
+        elif f == 1:  # Sub: prefix sum per filter unit (mod 256)
+            npx = stride // bpp
             rec = (
-                (line.reshape(w, nch).cumsum(axis=0) & 255)
+                (line.reshape(npx, bpp).cumsum(axis=0) & 255)
                 .astype(np.uint8)
                 .reshape(stride)
             )
@@ -175,14 +152,14 @@ def _decode_png(payload: bytes) -> np.ndarray:
         elif f == 3:  # Average
             rec = np.empty(stride, np.uint8)
             for x in range(stride):
-                left = int(rec[x - nch]) if x >= nch else 0
+                left = int(rec[x - bpp]) if x >= bpp else 0
                 rec[x] = (int(line[x]) + (left + int(prev[x])) // 2) & 255
         elif f == 4:  # Paeth
             rec = np.empty(stride, np.uint8)
             for x in range(stride):
-                a = int(rec[x - nch]) if x >= nch else 0
+                a = int(rec[x - bpp]) if x >= bpp else 0
                 b = int(prev[x])
-                c = int(prev[x - nch]) if x >= nch else 0
+                c = int(prev[x - bpp]) if x >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
@@ -191,11 +168,114 @@ def _decode_png(payload: bytes) -> np.ndarray:
             raise NotImplementedError(f"PNG filter type {f}")
         out[y] = rec
         prev = rec
-    img = out.reshape(h, w, nch)
-    if nch == 1:
-        img = np.repeat(img, 3, axis=2)
-    elif nch == 4:
-        img = img[:, :, :3]
+    return out
+
+
+def _png_samples(rows: np.ndarray, w: int, nch: int, depth: int) -> np.ndarray:
+    """(h, stride) unfiltered bytes → (h, w, nch) uint8 samples. 16-bit
+    samples take the high byte (the spec's sample-depth rescale for
+    8-bit output); 1/2/4-bit samples are unpacked MSB-first and scaled
+    to full 8-bit range (for palette images the raw index is wanted —
+    callers pass ``depth`` as 8 after unpacking themselves)."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows.reshape(h, w, nch)
+    if depth == 16:
+        return rows.reshape(h, w, nch, 2)[..., 0]
+    # sub-byte: ctype 0 or 3 only, nch == 1
+    bits = np.unpackbits(rows, axis=1)
+    vals = bits.reshape(h, -1, depth)
+    idx = vals @ (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return idx[:, :w].reshape(h, w, 1).astype(np.uint8)
+
+
+# Adam7 pass grid: (x0, y0, dx, dy) per pass
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """PNG → HxWx3 uint8, stdlib ``zlib`` + numpy unfiltering — no codec
+    libs (VERDICT r3 item 7). Supports bit depths 1/2/4/8/16, all five
+    color types (0 grayscale, 2 RGB, 3 palette via PLTE, 4 gray+alpha,
+    6 RGBA — alpha dropped), interlace 0 and 1 (Adam7, each pass
+    unfiltered independently and scattered into place), all five
+    scanline filters (None/Sub/Up/Average/Paeth). 16-bit samples keep
+    the high byte; sub-byte grayscale is scaled to full range."""
+    import zlib
+
+    ihdr = None
+    plte = None
+    idat: list[bytes] = []
+    for typ, data in _png_chunks(bytes(payload)):
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat.append(data)
+    if ihdr is None or not idat:
+        raise NotImplementedError("malformed PNG (missing IHDR/IDAT)")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, comp, filt, inter = ihdr[8:13]
+    if comp != 0 or filt != 0 or inter not in (0, 1):
+        raise NotImplementedError("malformed PNG header")
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if nch is None:
+        raise NotImplementedError(f"PNG color type {ctype} not supported")
+    valid = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+             4: (8, 16), 6: (8, 16)}[ctype]
+    if depth not in valid:
+        raise NotImplementedError(
+            f"PNG depth={depth} invalid for color type {ctype}"
+        )
+    if ctype == 3 and plte is None:
+        raise NotImplementedError("palette PNG missing PLTE")
+    bpp = max(1, nch * depth // 8)
+
+    def stride_for(width: int) -> int:
+        return (width * nch * depth + 7) // 8
+
+    raw = zlib.decompress(b"".join(idat))
+    if inter == 0:
+        samples = _png_samples(
+            _png_unfilter(raw, h, stride_for(w), bpp), w, nch, depth
+        )
+    else:  # Adam7
+        samples = np.zeros((h, w, nch), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue
+            st = stride_for(pw)
+            sub = _png_samples(
+                _png_unfilter(raw[pos : pos + ph * (st + 1)], ph, st, bpp),
+                pw, nch, depth,
+            )
+            samples[y0::dy, x0::dx] = sub
+            pos += ph * (st + 1)
+
+    if ctype == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        img = pal[samples[:, :, 0]]
+    else:
+        if depth < 8:  # scale sub-byte grayscale to full range
+            samples = (
+                samples.astype(np.int64) * 255 // ((1 << depth) - 1)
+            ).astype(np.uint8)
+        if nch == 1:
+            img = np.repeat(samples, 3, axis=2)
+        elif nch == 2:  # gray + alpha
+            img = np.repeat(samples[:, :, :1], 3, axis=2)
+        elif nch == 4:
+            img = samples[:, :, :3]
+        else:
+            img = samples
     return np.ascontiguousarray(img)
 
 
@@ -1219,7 +1299,7 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """payload → HxWx3 uint8 array.
 
     Real decoders (pure numpy, no external libs): binary PPM (``P6``),
-    uncompressed 24-bit BMP (``BM``), 8-bit PNG (stdlib zlib inflate +
+    uncompressed 24-bit BMP (``BM``), PNG (stdlib zlib inflate +
     full filter reconstruction), GIF87a/89a, and baseline (SOF0) +
     progressive (SOF2) JPEG (table-driven Huffman + matrix IDCT;
     arithmetic-coded/hierarchical modes raise ``NotImplementedError``).
@@ -1243,7 +1323,7 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     raise NotImplementedError(
         "image formats beyond PNG/GIF/JPEG require codec "
         "libraries not present in this container; supported real formats: "
-        "PPM (P6), 24-bit BMP, 8-bit PNG, GIF87a/89a, baseline + "
+        "PPM (P6), 24-bit BMP, PNG, GIF87a/89a, baseline + "
         "progressive JPEG"
     )
 

@@ -393,9 +393,28 @@ def test_png_roundtrip_all_filters_and_color_types():
     assert np.array_equal(decode_image(encode_png(g)), g)
 
 
-def test_png_unsupported_shapes_raise():
+def _png_payload(w, h, depth, ctype, raw, plte=None, interlace=0):
+    """Compose a valid PNG from already-filtered scanline bytes."""
+    import struct
     import zlib
 
+    from marginaliasearch_spark.operators.multimodal import _PNG_SIG
+
+    def chunk(typ, data):
+        c = typ + data
+        return struct.pack(">I", len(data)) + c + struct.pack(
+            ">I", zlib.crc32(c)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    out = _PNG_SIG + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += chunk(b"PLTE", plte)
+    out += chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    return out
+
+
+def test_png_unsupported_shapes_raise():
     import pytest as _pytest
 
     from marginaliasearch_spark.operators.multimodal import (
@@ -411,14 +430,115 @@ def test_png_unsupported_shapes_raise():
         i = len(_PNG_SIG) + 8 + off
         return payload[:i] + bytes([val]) + payload[i + 1 :]
 
-    with _pytest.raises(NotImplementedError):  # 16-bit depth
-        _decode_png(patch_ihdr(ok, 8, 16))
-    with _pytest.raises(NotImplementedError):  # palette color type
+    with _pytest.raises(NotImplementedError):  # depth 16 invalid for pal
+        _decode_png(
+            _png_payload(2, 2, 16, 3, b"\x00" * 100, plte=b"\x00" * 6)
+        )
+    with _pytest.raises(NotImplementedError):  # palette without PLTE
         _decode_png(patch_ihdr(ok, 9, 3))
-    with _pytest.raises(NotImplementedError):  # Adam7 interlace
-        _decode_png(patch_ihdr(ok, 12, 1))
+    with _pytest.raises(NotImplementedError):  # bogus color type
+        _decode_png(patch_ihdr(ok, 9, 5))
     with _pytest.raises(NotImplementedError):  # missing IDAT
         _decode_png(_PNG_SIG)
+
+
+def test_png_16bit_takes_high_byte():
+    from marginaliasearch_spark.operators.multimodal import _decode_png
+
+    rng = np.random.default_rng(31)
+    w, h = 5, 3
+    samples = rng.integers(0, 1 << 16, size=(h, w, 3), dtype=np.uint16)
+    raw = b"".join(
+        b"\x00" + samples[y].astype(">u2").tobytes() for y in range(h)
+    )
+    img = _decode_png(_png_payload(w, h, 16, 2, raw))
+    assert np.array_equal(img, (samples >> 8).astype(np.uint8))
+
+
+def test_png_palette_8bit_and_4bit():
+    from marginaliasearch_spark.operators.multimodal import _decode_png
+
+    pal = np.array(
+        [[250, 1, 2], [3, 240, 5], [6, 7, 230], [9, 9, 9]], dtype=np.uint8
+    )
+    idx = np.array([[0, 1, 2], [3, 2, 1]], dtype=np.uint8)
+    raw8 = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+    img = _decode_png(_png_payload(3, 2, 8, 3, raw8, plte=pal.tobytes()))
+    assert np.array_equal(img, pal[idx])
+    # 4-bit packed indices, MSB first: row [0,1,2] -> 0x01 0x2_ pad
+    raw4 = b"\x00\x01\x20" + b"\x00\x32\x10"
+    img4 = _decode_png(_png_payload(3, 2, 4, 3, raw4, plte=pal.tobytes()))
+    assert np.array_equal(img4, pal[idx])
+
+
+def test_png_gray_alpha_and_subbyte_gray():
+    from marginaliasearch_spark.operators.multimodal import _decode_png
+
+    # ctype 4 (gray + alpha): alpha dropped
+    ga = np.array([[[10, 200], [20, 0]]], dtype=np.uint8)  # 1x2
+    raw = b"\x00" + ga[0].tobytes()
+    img = _decode_png(_png_payload(2, 1, 8, 4, raw))
+    assert np.array_equal(img[:, :, 0], [[10, 20]])
+    assert np.array_equal(img[:, :, 0], img[:, :, 1])
+    # 1-bit grayscale scales to 0/255; 2x9 forces padded strides
+    bits = np.array(
+        [[1, 0, 1, 1, 0, 0, 1, 0, 1], [0, 1, 0, 0, 1, 1, 0, 1, 0]],
+        dtype=np.uint8,
+    )
+    packed = np.packbits(bits, axis=1)
+    raw1 = b"".join(b"\x00" + packed[y].tobytes() for y in range(2))
+    img1 = _decode_png(_png_payload(9, 2, 1, 0, raw1))
+    assert np.array_equal(img1[:, :, 0], bits * 255)
+    # 2-bit grayscale: values 0..3 -> 0,85,170,255
+    v2 = np.array([[0, 1, 2, 3, 2]], dtype=np.uint8)
+    packed2 = np.packbits(
+        np.unpackbits(v2.reshape(-1, 1), axis=1)[:, -2:].reshape(1, -1),
+        axis=1,
+    )
+    raw2 = b"\x00" + packed2.tobytes()
+    img2 = _decode_png(_png_payload(5, 1, 2, 0, raw2))
+    assert np.array_equal(img2[0, :, 0], v2[0].astype(np.int64) * 255 // 3)
+
+
+def _adam7_passes(img):
+    """Split (h, w, c) into Adam7 pass sub-images (spec pass order)."""
+    from marginaliasearch_spark.operators.multimodal import _ADAM7
+
+    h, w = img.shape[:2]
+    return [
+        img[y0::dy, x0::dx]
+        for x0, y0, dx, dy in _ADAM7
+        if img[y0::dy, x0::dx].size
+    ]
+
+
+def test_png_adam7_interlace():
+    from marginaliasearch_spark.operators.multimodal import _decode_png
+
+    rng = np.random.default_rng(37)
+    for h, w in [(16, 16), (9, 13), (1, 1), (3, 2)]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        raw = b""
+        for i, sub in enumerate(_adam7_passes(img)):
+            ph = sub.shape[0]
+            for y in range(ph):
+                line = sub[y].astype(np.int64).reshape(-1)
+                f = (i + y) % 3  # cycle None/Sub/Up within each pass
+                if f == 1:
+                    filt = line.copy()
+                    filt[3:] = (line[3:] - line[:-3]) & 255
+                elif f == 2:
+                    prev = (
+                        sub[y - 1].astype(np.int64).reshape(-1)
+                        if y
+                        else np.zeros_like(line)
+                    )
+                    filt = (line - prev) & 255
+                else:
+                    filt = line
+                raw += bytes([f]) + filt.astype(np.uint8).tobytes()
+        got = _decode_png(_png_payload(w, h, 8, 2, raw, interlace=1))
+        assert np.array_equal(got, img), (h, w)
 
 
 def test_image_features_over_real_png(spark):
