@@ -16,7 +16,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from marginaliasearch_spark.session import get_spark
 from marginaliasearch_spark.sources.transcripts import documents_as_transcripts
 from marginaliasearch_spark.operators.index_build import build_index, IndexPaths
-from marginaliasearch_spark.operators.query_exec import IndexReader, run_query
+from marginaliasearch_spark.operators.query_exec import (
+    IndexReader,
+    run_query,
+    run_search,
+)
 
 
 def fmt(df) -> str:
@@ -514,6 +518,29 @@ def main() -> None:
             "WholeStageCodegen — no float rounding to diverge across "
             "engines.",
             fmt(di),
+        )
+    )
+
+    from marginaliasearch_spark.operators.searchset import (
+        explicit_search_set,
+        write_search_set,
+    )
+
+    sample_ids = docs.select("conv_id").limit(40)
+    write_search_set(
+        explicit_search_set(sample_ids), root, "plansset"
+    )
+    q_set = run_search(reader, "customer query set:plansset", k=10)
+    sections.append(
+        (
+            "Search-set gate (`set:<name>`, RankingSearchSet analogue)",
+            "Things to check: the persisted member set enters as its own "
+            "`Scan parquet` feeding a `BroadcastExchange` → broadcast "
+            "semi-join against the candidate stream (dimension-sized set, "
+            "never shuffles the corpus side); past the gate the plan is "
+            "identical to the plain two-term query — same pushed term_id "
+            "scans, same pivot, same `TakeOrderedAndProject`.",
+            fmt(q_set),
         )
     )
 
