@@ -1736,6 +1736,17 @@ def _q_video_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.video_frame_stats(media)
 
 
+def _q_video_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-GIF decode under the oracle gate: LZW frames
+    composed with GIF89a Graphic Control semantics — transparency index
+    skips, last-opaque-write-wins canvas, delay-derived fps
+    (`multimodal._decode_gif_frames`) — exploded to per-frame luma
+    stats; the grayscale-palette fixture makes luma == palette index so
+    the DuckDB twin replays composition with a max_by join."""
+    media = multimodal.synth_gif_video_media(spark, n=64)
+    return multimodal.video_frame_stats(media)
+
+
 def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -2211,7 +2222,7 @@ _NEW_THIS_ROUND: list[str] = [
     "mm_image_gif_features", "mm_image_gif_resize",
     "fulltext_qs_wand", "fulltext_qs_gate",
     "mm_audio_compressed", "mm_image_jpeg_features",
-    "mm_image_jpeg_progressive",
+    "mm_image_jpeg_progressive", "mm_video_gif_frames",
 ]
 _NEVER_DRIVER_VERIFIED = [
     "sample_stratified", "dsir_weights", "dsir_resample", "lm_perplexity",
@@ -2447,6 +2458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Motion-JPEG AVI)
         "mm_audio_compressed": _q_audio_compressed,
         "mm_video_mjpeg_frames": _q_video_mjpeg,
+        "mm_video_gif_frames": _q_video_gif,
         # --- windowed aggregation / sessionization ---
         "events_hourly": _q_events_hourly,
         "events_sessions": _q_events_sessions,
@@ -3252,6 +3264,7 @@ WHERE NOT EXISTS (
         "mm_audio_features": sql_oracles.audio_features_sql(n=64),
         "mm_audio_compressed": sql_oracles.audio_compressed_sql(n=64),
         "mm_video_mjpeg_frames": sql_oracles.mjpeg_frames_sql(n=64),
+        "mm_video_gif_frames": sql_oracles.gif_video_frames_sql(n=64),
         "events_hourly": """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        event_type, count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value

@@ -615,6 +615,74 @@ SELECT media_id, frame_idx::INT AS frame_idx, y_sum,
 FROM fr"""
 
 
+def gif_video_frames_sql(n: int = 64) -> str:
+    """Exact oracle for ``multimodal.video_frame_stats`` over
+    ``synth_gif_video_media``: the grayscale palette makes decoded luma
+    == palette index, so per-frame composition is "last opaque write
+    wins" — frame 0 writes every pixel (transparent code 7 pixels keep
+    the background, entry 0 = luma 0), later frames write only the 8x6
+    rect at (4,3) where their code != 7. Replayed as a max_by over the
+    opaque-writes relation joined per (frame, pixel)."""
+    from ..operators.multimodal import GIFV_H, GIFV_RECT, GIFV_T, GIFV_W
+
+    left, top, rw, rh = GIFV_RECT
+    n_px = GIFV_W * GIFV_H
+    return f"""WITH
+mm AS (SELECT unnest(range({n})) AS media_id),
+seed AS (
+  SELECT media_id, {sql64.md5_u64("'gifv:' || media_id")} AS s,
+         2 + media_id % 3 AS nf
+  FROM mm
+),
+w0 AS (  -- frame 0: full screen
+  SELECT media_id, 0 AS f, p,
+         ({sql64.sm64(sql64.add64('s', 'p::UBIGINT'))}
+          & 255::UBIGINT)::BIGINT AS code
+  FROM seed CROSS JOIN (SELECT unnest(range({n_px})) AS p) pp
+),
+wf AS (  -- frames 1..nf-1: the rect, local pixel lp
+  SELECT media_id, f, lp,
+         ({sql64.sm64(sql64.add64('s', '(f * 65536 + lp)::UBIGINT'))}
+          & 255::UBIGINT)::BIGINT AS code
+  FROM seed
+  CROSS JOIN (SELECT unnest(range(1, 4)) AS f) ff
+  CROSS JOIN (SELECT unnest(range({rw * rh})) AS lp) pp
+  WHERE f < nf
+),
+writes AS (  -- opaque writes only (global pixel ids)
+  SELECT media_id, f, p, code FROM w0 WHERE code <> {GIFV_T}
+  UNION ALL
+  SELECT media_id, f,
+         ({top} + lp // {rw}) * {GIFV_W} + {left} + lp % {rw} AS p,
+         code
+  FROM wf WHERE code <> {GIFV_T}
+),
+grid AS (  -- every (media, frame, pixel) cell
+  SELECT media_id, f, p
+  FROM seed
+  CROSS JOIN (SELECT unnest(range(4)) AS f) ff
+  CROSS JOIN (SELECT unnest(range({n_px})) AS p) pp
+  WHERE f < nf
+),
+vals AS (  -- last opaque write at or before this frame, else bg (0)
+  SELECT g.media_id, g.f, g.p,
+         coalesce(max_by(w.code, w.f), 0) AS v
+  FROM grid g
+  LEFT JOIN writes w
+    ON w.media_id = g.media_id AND w.p = g.p AND w.f <= g.f
+  GROUP BY g.media_id, g.f, g.p
+),
+fr AS (
+  SELECT media_id, f AS frame_idx, sum(v)::BIGINT AS y_sum
+  FROM vals GROUP BY media_id, f
+)
+SELECT media_id, frame_idx::INT AS frame_idx, y_sum,
+       {n_px}::BIGINT AS n_px,
+       floor(y_sum::DOUBLE / {n_px} / 255.0 * 1000000 + 0.5) / 1000000
+         AS mean_y
+FROM fr"""
+
+
 def audio_compressed_sql(n: int = 64) -> str:
     """Exact oracle for ``multimodal.audio_features(fake=False)`` over
     ``synth_compressed_audio_media``: the fixture's *code streams* are

@@ -446,26 +446,51 @@ def _lzw_encode(indices: bytes, mcs: int) -> bytes:
     return bytes(out)
 
 
-def _decode_gif(payload: bytes) -> np.ndarray:
-    """GIF87a/89a → HxWx3 uint8, pure Python/numpy (real variable-width
-    LZW, global/local color tables, interlace; extensions skipped). For
-    animations the FIRST frame is returned. Frames smaller than the
-    logical screen are composed onto a background of palette entry 0."""
+def _decode_gif_frames(
+    payload: bytes, max_frames: int | None = None
+) -> tuple[np.ndarray, float]:
+    """GIF87a/89a → ``((n_frames, sh, sw, 3) uint8 RGB frames, fps)``,
+    pure Python/numpy (real variable-width LZW, global/local color
+    tables, interlace) with GIF89a animation semantics: per-frame
+    Graphic Control Extensions supply the delay, transparency index
+    (transparent pixels leave the canvas untouched) and disposal method
+    (1 keep / 2 restore-to-background / 3 restore-to-previous). The
+    canvas starts as the logical-screen background color (global palette
+    entry ``bg``, else black); each composed canvas snapshot is one
+    frame. fps = 100 / mean(nonzero delays), 10 when no delay is set
+    (the de-facto browser default cadence)."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise NotImplementedError("not a GIF payload")
     sw = int.from_bytes(payload[6:8], "little")
     sh = int.from_bytes(payload[8:10], "little")
     packed = payload[10]
+    bg_index = payload[11]
     pos = 13
     gct = None
     if packed & 0x80:
         n = 2 << (packed & 7)
         gct = np.frombuffer(payload[pos : pos + 3 * n], np.uint8).reshape(n, 3)
         pos += 3 * n
+    bg_rgb = (
+        gct[min(bg_index, len(gct) - 1)]
+        if gct is not None
+        else np.zeros(3, np.uint8)
+    )
+    canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    # pending GCE state (applies to the next image descriptor only)
+    disposal, transparent, delay = 0, None, 0
     while pos < len(payload):
         b = payload[pos]
         if b == 0x21:  # extension: label + sub-blocks
+            label = payload[pos + 1]
             pos += 2
+            if label == 0xF9 and payload[pos] >= 4:  # GCE
+                flags = payload[pos + 1]
+                disposal = (flags >> 2) & 7
+                delay = int.from_bytes(payload[pos + 2 : pos + 4], "little")
+                transparent = payload[pos + 4] if flags & 1 else None
             while payload[pos]:
                 pos += 1 + payload[pos]
             pos += 1
@@ -498,14 +523,45 @@ def _decode_gif(payload: bytes) -> np.ndarray:
                 disp = np.empty_like(idx)
                 disp[_gif_interlace_rows(h)] = idx
                 idx = disp
-            img = np.zeros((sh, sw), np.uint8)
-            img[top : top + h, left : left + w] = idx
-            return np.ascontiguousarray(pal[np.minimum(img, len(pal) - 1)])
+            region = pal[np.minimum(idx, len(pal) - 1)]
+            saved = (
+                canvas[top : top + h, left : left + w].copy()
+                if disposal == 3
+                else None
+            )
+            if transparent is not None:
+                opaque = idx != transparent
+                canvas[top : top + h, left : left + w][opaque] = region[
+                    opaque
+                ]
+            else:
+                canvas[top : top + h, left : left + w] = region
+            frames.append(canvas.copy())
+            delays.append(delay)
+            if disposal == 2:  # restore rect to background color
+                canvas[top : top + h, left : left + w] = bg_rgb
+            elif disposal == 3 and saved is not None:
+                canvas[top : top + h, left : left + w] = saved
+            disposal, transparent, delay = 0, None, 0
+            if max_frames is not None and len(frames) >= max_frames:
+                break
         elif b == 0x3B:
             break
         else:
             raise NotImplementedError(f"unknown GIF block 0x{b:02x}")
-    raise NotImplementedError("GIF contains no image block")
+    if not frames:
+        raise NotImplementedError("GIF contains no image block")
+    nz = [d for d in delays if d]
+    fps = 100.0 * len(nz) / sum(nz) if nz else 10.0
+    return np.stack(frames), fps
+
+
+def _decode_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/89a → HxWx3 uint8 (first composed frame of
+    ``_decode_gif_frames`` — still images are one-frame animations)."""
+    return np.ascontiguousarray(
+        _decode_gif_frames(payload, max_frames=1)[0][0]
+    )
 
 
 def encode_gif(
@@ -533,6 +589,52 @@ def encode_gif(
         blk = data[i : i + 255]
         out += bytes([len(blk)]) + blk
     out += b"\x00\x3b"
+    return bytes(out)
+
+
+def encode_gif_animation(
+    frames: list[tuple[int, int, np.ndarray]],
+    palette: np.ndarray,
+    screen: tuple[int, int],
+    delays: list[int] | None = None,
+    disposals: list[int] | None = None,
+    transparent: int | None = None,
+) -> bytes:
+    """Animated GIF89a fixture writer. ``frames`` is a list of
+    ``(left, top, HxW uint8 index array)`` placements onto a
+    ``screen=(sw, sh)`` logical canvas sharing one global ``palette``;
+    ``delays`` are per-frame centiseconds, ``disposals`` per-frame GCE
+    disposal methods. Each frame gets a Graphic Control Extension (so
+    the decoder's animation path — transparency, disposal,
+    delay-derived fps — is exercised for real)."""
+    sw, sh = screen
+    p = len(palette)
+    bits = max(1, (p - 1).bit_length())
+    n = 1 << bits
+    pal = np.zeros((n, 3), np.uint8)
+    pal[:p] = palette
+    mcs = max(2, bits)
+    delays = delays or [0] * len(frames)
+    disposals = disposals or [0] * len(frames)
+    out = bytearray(b"GIF89a")
+    out += sw.to_bytes(2, "little") + sh.to_bytes(2, "little")
+    out += bytes([0x80 | (bits - 1), 0, 0]) + pal.tobytes()
+    for (left, top, idx), delay, disp in zip(frames, delays, disposals):
+        h, w = idx.shape
+        flags = (disp & 7) << 2 | (1 if transparent is not None else 0)
+        out += bytes([0x21, 0xF9, 4, flags])
+        out += delay.to_bytes(2, "little")
+        out += bytes([transparent or 0, 0])
+        out += b"\x2c"
+        out += left.to_bytes(2, "little") + top.to_bytes(2, "little")
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        out += bytes([0, mcs])
+        data = _lzw_encode(idx.astype(np.uint8).tobytes(), mcs)
+        for i in range(0, len(data), 255):
+            blk = data[i : i + 255]
+            out += bytes([len(blk)]) + blk
+        out += b"\x00"
+    out += b"\x3b"
     return bytes(out)
 
 
@@ -2264,18 +2366,28 @@ def decode_video(payload: bytes) -> tuple[np.ndarray, float]:
     """payload → (Y planes ``(n_frames, h, w)`` uint8, fps).
 
     Real decoders (pure numpy, no external libs): YUV4MPEG2 (.y4m), the
-    standard uncompressed interchange format, and Motion-JPEG AVI
-    (per-frame baseline JPEG). Inter-frame-predicted codecs (MP4/H.264/
-    WebM/...) raise ``NotImplementedError`` — no codec libs here.
+    standard uncompressed interchange format, Motion-JPEG AVI
+    (per-frame baseline JPEG), and animated GIF89a (LZW frames composed
+    with GCE disposal/transparency; luma = BT.601 integer
+    ``(299r + 587g + 114b + 500) // 1000``). Inter-frame-predicted
+    codecs (MP4/H.264/WebM/...) raise ``NotImplementedError`` — no
+    codec libs here.
     """
     if payload[:9] == b"YUV4MPEG2":
         return _decode_y4m(bytes(payload))
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         return _decode_avi_mjpeg(bytes(payload))
+    if payload[:4] == b"GIF8":
+        frames, fps = _decode_gif_frames(bytes(payload))
+        rgb = frames.astype(np.int64)
+        luma = (
+            299 * rgb[..., 0] + 587 * rgb[..., 1] + 114 * rgb[..., 2] + 500
+        ) // 1000
+        return luma.astype(np.uint8), fps
     raise NotImplementedError(
         "inter-frame-predicted video requires codec libraries not present "
         "in this container; supported real formats: YUV4MPEG2 (.y4m), "
-        "Motion-JPEG AVI"
+        "Motion-JPEG AVI, animated GIF"
     )
 
 
@@ -2579,6 +2691,65 @@ def synth_jpeg_progressive_media(spark, n: int = 64) -> DataFrame:
         payload = encode_jpeg_progressive(coeffs, IMG_H, IMG_W, q)
         rows.append(
             (i, "image", bytearray(payload), "image/jpeg", IMG_W, IMG_H, 0)
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+GIFV_W, GIFV_H = 16, 12  # animated-GIF fixture logical screen
+GIFV_RECT = (4, 3, 8, 6)  # (left, top, w, h) of the partial frames
+GIFV_T = 7  # transparent palette index
+
+
+def gif_video_seed(media_id: int) -> np.uint64:
+    """Closed-form code seed for the animated-GIF fixture — first 8
+    bytes of ``md5('gifv:' || media_id)`` (the SQL twin's expression)."""
+    return np.uint64(
+        int(hashlib.md5(f"gifv:{media_id}".encode()).hexdigest()[:16], 16)
+    )
+
+
+def synth_gif_video_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic REAL animated-GIF media table exercising the full
+    GIF89a animation path: media ``i`` has ``2 + i % 3`` frames over a
+    16x12 logical screen with a 256-entry GRAYSCALE palette
+    (``pal[j] = (j,j,j)``, so decoded BT.601 luma == palette index
+    exactly). Frame 0 covers the screen with codes ``splitmix64(
+    gif_video_seed(i) + p) & 255``; every later frame ``f`` writes only
+    the 8x6 rect at (4,3) with codes ``splitmix64(seed + f*65536 + lp)
+    & 255`` under transparency index 7 — code-7 pixels leave the canvas
+    untouched, so the composed frame is "the last opaque write wins"
+    and the SQL twin replays composition with a max-by join (background
+    = palette entry 0 = luma 0). Delays are 20 cs → fps 5."""
+    pal = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+    left, top, rw, rh = GIFV_RECT
+    rows = []
+    for i in range(n):
+        nf = 2 + i % 3
+        seed = gif_video_seed(i)
+        frames = []
+        p0 = np.arange(GIFV_W * GIFV_H, dtype=np.uint64)
+        idx0 = (
+            (_splitmix64(seed + p0) & np.uint64(255))
+            .astype(np.uint8)
+            .reshape(GIFV_H, GIFV_W)
+        )
+        frames.append((0, 0, idx0))
+        for f in range(1, nf):
+            lp = np.arange(rw * rh, dtype=np.uint64)
+            idx = (
+                (_splitmix64(seed + np.uint64(f * 65536) + lp)
+                 & np.uint64(255))
+                .astype(np.uint8)
+                .reshape(rh, rw)
+            )
+            frames.append((left, top, idx))
+        payload = encode_gif_animation(
+            frames, pal, (GIFV_W, GIFV_H),
+            delays=[20] * nf, transparent=GIFV_T,
+        )
+        rows.append(
+            (i, "video", bytearray(payload), "image/gif",
+             GIFV_W, GIFV_H, nf * 200)
         )
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 

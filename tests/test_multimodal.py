@@ -500,6 +500,70 @@ def test_png_gray_alpha_and_subbyte_gray():
     assert np.array_equal(img2[0, :, 0], v2[0].astype(np.int64) * 255 // 3)
 
 
+def test_gif_animation_composition():
+    """GIF89a animation semantics: transparency leaves the canvas,
+    disposal 2 restores the rect to background, delays set fps."""
+    from marginaliasearch_spark.operators.multimodal import (
+        _decode_gif_frames,
+        decode_video,
+        encode_gif_animation,
+    )
+
+    pal = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+    f0 = np.full((4, 6), 100, np.uint8)
+    f1 = np.array([[7, 7, 50], [60, 7, 70]], np.uint8)  # 7 = transparent
+    f2 = np.full((2, 3), 200, np.uint8)
+    f3 = np.full((2, 2), 30, np.uint8)
+    payload = encode_gif_animation(
+        [(0, 0, f0), (1, 1, f1), (1, 1, f2), (0, 0, f3)],
+        pal, (6, 4),
+        delays=[10, 20, 20, 50],
+        disposals=[0, 0, 2, 3],
+        transparent=7,
+    )
+    frames, fps = _decode_gif_frames(payload)
+    assert frames.shape == (4, 4, 6, 3)
+    assert fps == 4.0  # mean delay 25 cs
+    exp0 = np.full((4, 6), 100, np.int64)
+    exp1 = exp0.copy()
+    mask = f1 != 7
+    exp1[1:3, 1:4][mask] = f1[mask]
+    exp2 = exp1.copy()
+    exp2[1:3, 1:4] = 200
+    exp3 = exp1.copy()
+    exp3[1:3, 1:4] = 0  # disposal 2 on frame 2: rect back to bg (pal 0)
+    exp3[0:2, 0:2] = 30
+    for i, exp in enumerate([exp0, exp1, exp2, exp3]):
+        assert np.array_equal(frames[i, :, :, 0].astype(np.int64), exp), i
+    # grayscale palette -> BT.601 luma is the identity
+    lumas, fps2 = decode_video(payload)
+    assert fps2 == 4.0
+    assert np.array_equal(lumas[1].astype(np.int64), exp1)
+
+
+def test_gif_video_fixture_matches_duckdb_oracle(spark):
+    import duckdb
+
+    from marginaliasearch_spark.functions.sql_oracles import (
+        gif_video_frames_sql,
+    )
+    from marginaliasearch_spark.operators.multimodal import (
+        synth_gif_video_media,
+        video_frame_stats,
+    )
+
+    media = synth_gif_video_media(spark, n=6)
+    got = {
+        (r.media_id, r.frame_idx): (r.y_sum, r.n_px, r.mean_y)
+        for r in video_frame_stats(media).collect()
+    }
+    exp = {
+        (r[0], r[1]): (r[2], r[3], r[4])
+        for r in duckdb.sql(gif_video_frames_sql(6)).fetchall()
+    }
+    assert got == exp
+
+
 def _adam7_passes(img):
     """Split (h, w, c) into Adam7 pass sub-images (spec pass order)."""
     from marginaliasearch_spark.operators.multimodal import _ADAM7
