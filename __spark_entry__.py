@@ -1700,6 +1700,34 @@ def _q_image_gif_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_image_tiff_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-TIFF decode (IFD walk → strip reassembly → PackBits /
+    TIFF-LZW-with-EarlyChange inflate → predictor-2 cumsum, both byte
+    orders — `multimodal._decode_tiff`) through the distributed feature
+    kernel: the fixture's payloads are genuine TIFF 6.0 streams over the
+    same splitmix64 closed-form pixels as the PNG fixture (seed prefix
+    `tif:`), so the oracle recomputes features without a decoder."""
+    media = multimodal.synth_tiff_media(spark, n=64)
+    feats = multimodal.image_features(media, fake=False)
+    return feats.select(
+        "media_id",
+        *[F.round(F.col(c), 6).alias(c) for c in multimodal.FEATURE_COLS],
+    )
+
+
+def _q_image_tiff_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF decode + nearest resize (32→8) + scalar audit, same
+    fixture/oracle scheme as mm_image_tiff_features."""
+    media = multimodal.synth_tiff_media(spark, n=64)
+    resized = multimodal.resize_images(media, out_h=8, out_w=8, fake=False)
+    s = multimodal.resize_summary(resized)
+    return s.select(
+        "media_id",
+        *[F.round(F.col(c), 6).alias(c) for c in ("mean_r", "mean_g", "mean_b")],
+        "px_sum",
+    )
+
+
 def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.synth_media(spark, n=64)
     out = multimodal.frame_sample(media.filter(F.col("kind") == "video"))
@@ -2216,6 +2244,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # core) trails. New entries added after round 3 are prepended in tier 0 —
 # see _NEW_THIS_ROUND.
 _NEW_THIS_ROUND: list[str] = [
+    "mm_image_tiff_features", "mm_image_tiff_resize",
     "index_subject_keywords", "streaming_dedup", "streaming_windows",
     "mm_image_png_features", "mm_image_png_resize",
     "fulltext_searchset", "index_search_set",
@@ -2452,6 +2481,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_jpeg_progressive": _q_image_jpeg_progressive,
         "mm_image_gif_features": _q_image_gif_features,
         "mm_image_gif_resize": _q_image_gif_resize,
+        # REAL TIFF 6.0 payloads (strips, PackBits/LZW, predictor 2)
+        "mm_image_tiff_features": _q_image_tiff_features,
+        "mm_image_tiff_resize": _q_image_tiff_resize,
         "mm_frame_sample": _q_frame_sample,
         "mm_audio_features": _q_audio_features,
         # REAL compressed payloads (G.711 mu/A-law + IMA ADPCM + FLAC;
@@ -3260,6 +3292,12 @@ WHERE NOT EXISTS (
         ),
         "mm_image_gif_features": sql_oracles.gif_features_sql(n=64),
         "mm_image_gif_resize": sql_oracles.gif_resize_sql(n=64),
+        "mm_image_tiff_features": sql_oracles.image_features_sql(
+            n=64, prefix="tif:"
+        ),
+        "mm_image_tiff_resize": sql_oracles.image_resize_sql(
+            n=64, prefix="tif:"
+        ),
         "mm_frame_sample": sql_oracles.frame_sample_sql(n=64),
         "mm_audio_features": sql_oracles.audio_features_sql(n=64),
         "mm_audio_compressed": sql_oracles.audio_compressed_sql(n=64),

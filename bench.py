@@ -134,6 +134,9 @@ BENCH_QUERIES = [
     "mm_audio_compressed",
     "mm_image_jpeg_features",
     "mm_video_mjpeg_frames",
+    "mm_image_jpeg_progressive",
+    "mm_video_gif_frames",
+    "mm_image_tiff_features",
 ]
 
 

@@ -247,19 +247,19 @@ m2 AS (
 )"""
 
 
-def _image_seed_ctes(n: int, png: bool) -> str:
-    """``... , seed(media_id, s)``: the pixel-seed relation. ``png=False``
-    is the fake decoder (seed = md5 of the synthetic payload hex);
-    ``png=True`` is ``synth_png_media``'s closed form (seed =
-    md5('png:' || media_id)) — the PNG entries decode REAL png payloads
-    on the Spark side, but the pixels they reconstruct are this closed
-    form, so the oracle never needs a decoder."""
-    if png:
+def _image_seed_ctes(n: int, prefix: str | None) -> str:
+    """``... , seed(media_id, s)``: the pixel-seed relation. ``prefix=None``
+    is the fake decoder (seed = md5 of the synthetic payload hex); a
+    prefix like ``'png:'`` / ``'tif:'`` is the real-codec fixture's
+    closed form (seed = md5(prefix || media_id)) — those entries decode
+    REAL payloads on the Spark side, but the pixels they reconstruct are
+    this closed form, so the oracle never needs a decoder."""
+    if prefix:
         return f"""
 mm AS (SELECT unnest(range({n})) AS media_id),
 seed AS (
   SELECT media_id,
-         ('0x' || substr(md5('png:' || media_id), 1, 16))::UBIGINT AS s
+         ('0x' || substr(md5('{prefix}' || media_id), 1, 16))::UBIGINT AS s
   FROM mm
 )"""
     return f"""{media_ctes(n)},
@@ -269,10 +269,15 @@ seed AS (
 )"""
 
 
-def image_features_sql(n: int = 64, png: bool = False) -> str:
+def image_features_sql(
+    n: int = 64, png: bool = False, prefix: str | None = None
+) -> str:
     """Exact oracle for ``multimodal.image_features`` over the synthetic
     media table (fake decoder: splitmix64 pixels seeded by md5(payload);
-    ``png=True``: the real-PNG fixture's media_id-seeded pixels)."""
+    ``png=True`` / ``prefix='tif:'``: a real-codec fixture's
+    media_id-seeded pixels)."""
+    if png:
+        prefix = "png:"
     from ..operators.multimodal import _BIN_DIV, _N_PIX, HIST_BINS
 
     n_vals = _N_PIX * 3
@@ -286,7 +291,7 @@ def image_features_sql(n: int = 64, png: bool = False) -> str:
         f" / {_N_PIX}.0, 6) AS h{b}"
         for b in range(HIST_BINS)
     )
-    return f"""WITH {_image_seed_ctes(n, png)},
+    return f"""WITH {_image_seed_ctes(n, prefix)},
 pix0 AS (
   SELECT media_id, p, {sql64.add64('s', 'p::UBIGINT')} AS x
   FROM seed CROSS JOIN (SELECT unnest(range({n_vals})) AS p) pp
@@ -431,13 +436,19 @@ FROM fr"""
 
 
 def image_resize_sql(
-    n: int = 64, out_h: int = 8, out_w: int = 8, png: bool = False
+    n: int = 64,
+    out_h: int = 8,
+    out_w: int = 8,
+    png: bool = False,
+    prefix: str | None = None,
 ) -> str:
     """Exact oracle for ``multimodal.resize_images(method='nearest')`` +
     ``resize_summary`` over the synthetic media table: the nearest-resized
     pixel (i, j, c) is the fake-decoded value at flat index
     ``((i*H//oh)*W + (j*W//ow))*3 + c`` — pure integer index math, so the
     per-channel means and the integer checksum replay bit-exactly."""
+    if png:
+        prefix = "png:"
     from ..operators.multimodal import IMG_H, IMG_W
 
     n_out = out_h * out_w
@@ -446,7 +457,7 @@ def image_resize_sql(
         f" AS mean_{name}"
         for c, name in enumerate("rgb")
     )
-    return f"""WITH {_image_seed_ctes(n, png)},
+    return f"""WITH {_image_seed_ctes(n, prefix)},
 grid AS (
   SELECT i, j, ch,
          (((i * {IMG_H}) // {out_h}) * {IMG_W}

@@ -592,6 +592,349 @@ def encode_gif(
     return bytes(out)
 
 
+# --- TIFF 6.0 (baseline; strips, PackBits / LZW, predictor 2) ---------------
+
+
+def _packbits_decode(data: bytes, n: int) -> bytes:
+    """Apple PackBits RLE (TIFF 6.0 §9)."""
+    out = bytearray()
+    pos = 0
+    while pos < len(data) and len(out) < n:
+        b = data[pos]
+        pos += 1
+        if b < 128:  # literal run of b+1 bytes
+            out += data[pos : pos + b + 1]
+            pos += b + 1
+        elif b > 128:  # repeat next byte 257-b times
+            out += bytes([data[pos]]) * (257 - b)
+            pos += 1
+        # 128: no-op
+    return bytes(out[:n])
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """PackBits writer (repeat runs >= 3 coded, else literals)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        j = i
+        while j + 1 < n and data[j + 1] == data[j] and j - i < 127:
+            j += 1
+        if j - i >= 2:  # repeat run (length 3..128)
+            out += bytes([257 - (j - i + 1), data[i]])
+            i = j + 1
+            continue
+        # literal run until the next >=3 repeat (max 128)
+        j = i
+        while (
+            j < n
+            and j - i < 128
+            and not (
+                j + 2 < n and data[j + 1] == data[j] and data[j + 2] == data[j]
+            )
+        ):
+            j += 1
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    return bytes(out)
+
+
+def _tiff_lzw_decode(data: bytes, n_bytes: int) -> bytes:
+    """TIFF 6.0 §13 LZW: MSB-first codes, 9→12 bit widths with the
+    spec's EarlyChange transition (width bumps when the next free code
+    reaches ``2^width - 1``), ClearCode 256 / EOI 257."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = nbits = pos = 0
+    width = 9
+    table: list[bytes] = [bytes([j]) for j in range(256)] + [b"", b""]
+    old: bytes | None = None
+
+    def next_code() -> int | None:
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            if pos >= len(data):
+                return None
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        return (acc >> nbits) & ((1 << width) - 1)
+
+    while len(out) < n_bytes:
+        code = next_code()
+        if code is None or code == EOI:
+            break
+        if code == CLEAR:
+            table = table[:258]
+            width = 9
+            old = None
+            continue
+        if old is None:  # first code after (implicit) clear
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(old + entry[:1])
+        elif code == len(table):
+            entry = old + old[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt TIFF LZW stream")
+        out += entry
+        old = entry
+        if len(table) == (1 << width) - 1 and width < 12:  # EarlyChange
+            width += 1
+    return bytes(out[:n_bytes])
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF 6.0 §13 LZW writer (inverse of the decoder's EarlyChange
+    width schedule; emits a Clear when the table nears 4094)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, w: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << w) | code
+        nbits += w
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 255)
+
+    width = 9
+    table = {bytes([j]): j for j in range(256)}
+    next_free = 258
+    emit(CLEAR, width)
+    w = b""
+    for i in range(len(data)):
+        ch = data[i : i + 1]
+        wc = w + ch
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_free
+        next_free += 1
+        # EarlyChange: one code earlier than GIF (libtiff: free_ent >
+        # maxcode with encoder maxcode = 2^width - 1) — the decoder,
+        # one table entry behind, mirrors this at 2^width - 1 entries
+        if next_free == (1 << width) and width < 12:
+            width += 1
+        if next_free == 4094:
+            emit(CLEAR, width)
+            table = {bytes([j]): j for j in range(256)}
+            next_free = 258
+            width = 9
+        w = ch
+    if w:
+        emit(table[w], width)
+    emit(EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 255)
+    return bytes(out)
+
+
+def _decode_tiff(payload: bytes) -> np.ndarray:
+    """Baseline TIFF 6.0 → HxWx3 uint8, pure numpy + the codecs above.
+    Both byte orders (``II``/``MM``); strips (any RowsPerStrip);
+    compression 1 (none), 5 (LZW, with EarlyChange) and 32773
+    (PackBits); horizontal-differencing predictor 2; 8/16-bit samples
+    (16-bit keeps the high byte); photometric 0 (WhiteIsZero, inverted),
+    1 (BlackIsZero, replicated to RGB), 2 (RGB, extra samples dropped)
+    and 3 (palette via ColorMap, 16-bit entries downscaled). Tiled
+    TIFFs and other compressions raise ``NotImplementedError``."""
+    if payload[:4] == b"II*\x00":
+        bo = "<"
+    elif payload[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+
+    def u(off: int, size: int) -> int:
+        return int.from_bytes(
+            payload[off : off + size], "little" if bo == "<" else "big"
+        )
+
+    ifd = u(4, 4)
+    nent = u(ifd, 2)
+    tags: dict[int, list[int]] = {}
+    TYPE_SIZE = {1: 1, 3: 2, 4: 4}
+    for e in range(nent):
+        base = ifd + 2 + 12 * e
+        tag, typ = u(base, 2), u(base + 2, 2)
+        count = u(base + 4, 4)
+        if typ not in TYPE_SIZE:
+            continue  # RATIONAL/ASCII metadata — irrelevant here
+        sz = TYPE_SIZE[typ]
+        voff = base + 8 if count * sz <= 4 else u(base + 8, 4)
+        tags[tag] = [u(voff + k * sz, sz) for k in range(count)]
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled TIFF not supported")
+    try:
+        w, h = tags[256][0], tags[257][0]
+        offsets, counts = tags[273], tags[279]
+    except KeyError as e:
+        raise ValueError("TIFF missing required tag") from e
+    bps_list = tags.get(258, [1])
+    spp = tags.get(277, [1])[0]
+    if len(set(bps_list)) != 1 or bps_list[0] not in (8, 16):
+        raise NotImplementedError(f"TIFF bits-per-sample {bps_list}")
+    bps = bps_list[0]
+    comp = tags.get(259, [1])[0]
+    photo = tags.get(262, [1])[0]
+    pred = tags.get(317, [1])[0]
+    rps = tags.get(278, [h])[0] or h
+    row_bytes = w * spp * bps // 8
+
+    raw = bytearray()
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        rows_here = min(rps, h - si * rps)
+        want = rows_here * row_bytes
+        strip = payload[off : off + cnt]
+        if comp == 1:
+            raw += strip[:want]
+        elif comp == 5:
+            raw += _tiff_lzw_decode(strip, want)
+        elif comp == 32773:
+            raw += _packbits_decode(strip, want)
+        else:
+            raise NotImplementedError(f"TIFF compression {comp}")
+    if bps == 8:
+        arr = np.frombuffer(bytes(raw), np.uint8).reshape(h, w, spp)
+        arr = arr.astype(np.int64)
+        mod = 256
+    else:
+        arr = (
+            np.frombuffer(bytes(raw), f"{bo}u2")
+            .reshape(h, w, spp)
+            .astype(np.int64)
+        )
+        mod = 65536
+    if pred == 2:  # horizontal differencing: cumsum along the row
+        arr = np.cumsum(arr, axis=1) % mod
+    elif pred != 1:
+        raise NotImplementedError(f"TIFF predictor {pred}")
+    if photo == 3:
+        cmap = tags.get(320)
+        if cmap is None:
+            raise NotImplementedError("palette TIFF missing ColorMap")
+        ncol = len(cmap) // 3
+        pal = (
+            np.array(cmap, np.int64).reshape(3, ncol).T >> 8
+        ).astype(np.uint8)
+        return np.ascontiguousarray(pal[np.minimum(arr[:, :, 0], ncol - 1)])
+    if bps == 16:
+        arr = arr >> 8
+    if photo == 0:  # WhiteIsZero
+        arr = 255 - arr
+    a8 = arr.astype(np.uint8)
+    if spp == 1:
+        return np.ascontiguousarray(np.repeat(a8, 3, axis=2))
+    return np.ascontiguousarray(a8[:, :, :3])
+
+
+def encode_tiff(
+    img: np.ndarray,
+    compression: str = "none",
+    predictor: int = 1,
+    byte_order: str = "<",
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """HxWx3 uint8 → TIFF fixture writer (8-bit RGB, strip layout,
+    compression ``none`` / ``packbits`` / ``lzw``, optional horizontal
+    predictor, either byte order). The decoder above is the general
+    artifact."""
+    h, w = img.shape[:2]
+    rps = rows_per_strip or h
+    comp_id = {"none": 1, "packbits": 32773, "lzw": 5}[compression]
+    strips = []
+    for y0 in range(0, h, rps):
+        rows = img[y0 : y0 + rps].astype(np.int64)
+        if predictor == 2:
+            rows = np.concatenate(
+                [rows[:, :1], (rows[:, 1:] - rows[:, :-1]) % 256], axis=1
+            )
+        data = rows.astype(np.uint8).tobytes()
+        if compression == "packbits":
+            data = _packbits_encode(data)
+        elif compression == "lzw":
+            data = _tiff_lzw_encode(data)
+        strips.append(data)
+
+    end = "little" if byte_order == "<" else "big"
+
+    def b(v: int, size: int) -> bytes:
+        return v.to_bytes(size, end)
+
+    entries: list[tuple[int, int, list[int]]] = []  # (tag, typ, values)
+    nstrips = len(strips)
+    # data area starts after header(8) + ifd(2 + n*12 + 4)
+    NTAGS = 10
+    data_start = 8 + 2 + NTAGS * 12 + 4
+    strip_offsets: list[int] = []
+
+    def entry(tag: int, typ: int, values: list[int]) -> None:
+        entries.append((tag, typ, values))
+
+    entry(256, 4, [w])
+    entry(257, 4, [h])
+    entry(258, 3, [8, 8, 8])
+    entry(259, 3, [comp_id])
+    entry(262, 3, [2])
+    entry(273, 4, [0] * nstrips)  # patched below
+    entry(277, 3, [3])
+    entry(278, 4, [rps])
+    entry(279, 4, [len(s) for s in strips])
+    entry(317, 3, [predictor])
+
+    # lay out out-of-line arrays, then strips
+    out_arrays = bytearray()
+    positions: dict[int, int] = {}
+    for tag, typ, values in entries:
+        sz = 2 if typ == 3 else 4
+        if len(values) * sz > 4:
+            positions[tag] = data_start + len(out_arrays)
+            for v in values:
+                out_arrays.extend(b(v, sz))
+    strip_base = data_start + len(out_arrays)
+    pos = strip_base
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+    # patch StripOffsets values
+    entries = [
+        (tag, typ, strip_offsets if tag == 273 else values)
+        for tag, typ, values in entries
+    ]
+    # rebuild out-of-line arrays with patched offsets (same layout)
+    out_arrays = bytearray()
+    for tag, typ, values in entries:
+        sz = 2 if typ == 3 else 4
+        if len(values) * sz > 4:
+            assert positions[tag] == data_start + len(out_arrays)
+            for v in values:
+                out_arrays.extend(b(v, sz))
+
+    out = bytearray()
+    out += (b"II*\x00" if byte_order == "<" else b"MM\x00*") + b(8, 4)
+    out += b(len(entries), 2)
+    for tag, typ, values in entries:
+        sz = 2 if typ == 3 else 4
+        out += b(tag, 2) + b(typ, 2) + b(len(values), 4)
+        if len(values) * sz <= 4:
+            field = b"".join(b(v, sz) for v in values)
+            out += field + b"\x00" * (4 - len(field))
+        else:
+            out += b(positions[tag], 4)
+    out += b(0, 4)  # no next IFD
+    assert len(out) == data_start, (len(out), data_start)
+    out += out_arrays
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
 def encode_gif_animation(
     frames: list[tuple[int, int, np.ndarray]],
     palette: np.ndarray,
@@ -1422,11 +1765,13 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         return _decode_gif(bytes(payload))
     if bytes(payload[:2]) == b"\xff\xd8":
         return decode_jpeg(bytes(payload))
+    if bytes(payload[:4]) in (b"II*\x00", b"MM\x00*"):
+        return _decode_tiff(bytes(payload))
     raise NotImplementedError(
-        "image formats beyond PNG/GIF/JPEG require codec "
+        "image formats beyond PNG/GIF/JPEG/TIFF require codec "
         "libraries not present in this container; supported real formats: "
         "PPM (P6), 24-bit BMP, PNG, GIF87a/89a, baseline + "
-        "progressive JPEG"
+        "progressive JPEG, baseline TIFF"
     )
 
 
@@ -2565,6 +2910,45 @@ def synth_png_media(spark, n: int = 64) -> DataFrame:
         payload = encode_png(vals.reshape(IMG_H, IMG_W, 3), filters="cycle")
         rows.append(
             (i, "image", bytearray(payload), "image/png", IMG_W, IMG_H, 0)
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def tiff_pixel_seed(media_id: int) -> np.uint64:
+    """Closed-form pixel seed for the TIFF fixture table — first 8 bytes
+    of ``md5('tif:' || media_id)``, the same expression the SQL twin uses
+    (``('0x' || substr(md5('tif:' || media_id), 1, 16))::UBIGINT``)."""
+    return np.uint64(
+        int(hashlib.md5(f"tif:{media_id}".encode()).hexdigest()[:16], 16)
+    )
+
+
+def synth_tiff_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic REAL-TIFF media table: pixel ``p`` of image ``i`` is
+    ``splitmix64(tiff_pixel_seed(i) + p) & 255`` (the same closed form as
+    the PNG fixture under a ``tif:`` seed), and the payload is that image
+    TIFF-encoded with a rotating variant schedule — compression cycles
+    none / PackBits / LZW (``i % 3``), horizontal-differencing predictor
+    2 on odd images, big-endian ``MM`` byte order on ``(i // 3) % 2``,
+    and a 5-row strip layout on ``i % 4 == 0`` — so ``fake=False``
+    entries exercise every strip/codec/predictor/byte-order decode path
+    while staying hash-exact against DuckDB."""
+    rows = []
+    idx = np.arange(_N_PIX * 3, dtype=np.uint64)
+    comps = ("none", "packbits", "lzw")
+    for i in range(n):
+        vals = (
+            _splitmix64(tiff_pixel_seed(i) + idx) & np.uint64(255)
+        ).astype(np.uint8)
+        payload = encode_tiff(
+            vals.reshape(IMG_H, IMG_W, 3),
+            compression=comps[i % 3],
+            predictor=2 if i % 2 else 1,
+            byte_order=">" if (i // 3) % 2 else "<",
+            rows_per_strip=5 if i % 4 == 0 else None,
+        )
+        rows.append(
+            (i, "image", bytearray(payload), "image/tiff", IMG_W, IMG_H, 0)
         )
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
