@@ -735,15 +735,28 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _tiff_inflate(chunk: bytes, want: int, comp: int) -> bytes:
+    """One strip/tile → ``want`` raw bytes under TIFF compression id."""
+    if comp == 1:
+        return chunk[:want]
+    if comp == 5:
+        return _tiff_lzw_decode(chunk, want)
+    if comp == 32773:
+        return _packbits_decode(chunk, want)
+    raise NotImplementedError(f"TIFF compression {comp}")
+
+
 def _decode_tiff(payload: bytes) -> np.ndarray:
     """Baseline TIFF 6.0 → HxWx3 uint8, pure numpy + the codecs above.
-    Both byte orders (``II``/``MM``); strips (any RowsPerStrip);
+    Both byte orders (``II``/``MM``); strip (any RowsPerStrip) and tiled
+    (TileWidth/TileLength, edge tiles padded per spec §15) layouts;
     compression 1 (none), 5 (LZW, with EarlyChange) and 32773
-    (PackBits); horizontal-differencing predictor 2; 8/16-bit samples
-    (16-bit keeps the high byte); photometric 0 (WhiteIsZero, inverted),
-    1 (BlackIsZero, replicated to RGB), 2 (RGB, extra samples dropped)
-    and 3 (palette via ColorMap, 16-bit entries downscaled). Tiled
-    TIFFs and other compressions raise ``NotImplementedError``."""
+    (PackBits); horizontal-differencing predictor 2 (per strip row /
+    per tile row); 8/16-bit samples (16-bit keeps the high byte);
+    photometric 0 (WhiteIsZero, inverted), 1 (BlackIsZero, replicated
+    to RGB), 2 (RGB, extra samples dropped) and 3 (palette via
+    ColorMap, 16-bit entries downscaled). Other compressions raise
+    ``NotImplementedError``."""
     if payload[:4] == b"II*\x00":
         bo = "<"
     elif payload[:4] == b"MM\x00*":
@@ -769,11 +782,8 @@ def _decode_tiff(payload: bytes) -> np.ndarray:
         sz = TYPE_SIZE[typ]
         voff = base + 8 if count * sz <= 4 else u(base + 8, 4)
         tags[tag] = [u(voff + k * sz, sz) for k in range(count)]
-    if 322 in tags or 323 in tags:
-        raise NotImplementedError("tiled TIFF not supported")
     try:
         w, h = tags[256][0], tags[257][0]
-        offsets, counts = tags[273], tags[279]
     except KeyError as e:
         raise ValueError("TIFF missing required tag") from e
     bps_list = tags.get(258, [1])
@@ -784,37 +794,45 @@ def _decode_tiff(payload: bytes) -> np.ndarray:
     comp = tags.get(259, [1])[0]
     photo = tags.get(262, [1])[0]
     pred = tags.get(317, [1])[0]
-    rps = tags.get(278, [h])[0] or h
-    row_bytes = w * spp * bps // 8
-
-    raw = bytearray()
-    for si, (off, cnt) in enumerate(zip(offsets, counts)):
-        rows_here = min(rps, h - si * rps)
-        want = rows_here * row_bytes
-        strip = payload[off : off + cnt]
-        if comp == 1:
-            raw += strip[:want]
-        elif comp == 5:
-            raw += _tiff_lzw_decode(strip, want)
-        elif comp == 32773:
-            raw += _packbits_decode(strip, want)
-        else:
-            raise NotImplementedError(f"TIFF compression {comp}")
-    if bps == 8:
-        arr = np.frombuffer(bytes(raw), np.uint8).reshape(h, w, spp)
-        arr = arr.astype(np.int64)
-        mod = 256
-    else:
-        arr = (
-            np.frombuffer(bytes(raw), f"{bo}u2")
-            .reshape(h, w, spp)
-            .astype(np.int64)
-        )
-        mod = 65536
-    if pred == 2:  # horizontal differencing: cumsum along the row
-        arr = np.cumsum(arr, axis=1) % mod
-    elif pred != 1:
+    if pred not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {pred}")
+    mod = 256 if bps == 8 else 65536
+    dt = np.uint8 if bps == 8 else np.dtype(f"{bo}u2")
+
+    def as_rows(raw: bytes, rows: int, cols: int) -> np.ndarray:
+        a = np.frombuffer(raw, dt).reshape(rows, cols, spp).astype(np.int64)
+        if pred == 2:  # horizontal differencing: cumsum along the row
+            a = np.cumsum(a, axis=1) % mod
+        return a
+
+    if 322 in tags:  # tiled layout (§15): edge tiles are padded full
+        tw, tl = tags[322][0], tags[323][0]
+        try:
+            offsets, counts = tags[324], tags[325]
+        except KeyError as e:
+            raise ValueError("tiled TIFF missing offsets") from e
+        across = -(-w // tw)
+        want = tl * tw * spp * bps // 8
+        canvas = np.zeros((-(-h // tl) * tl, across * tw, spp), np.int64)
+        for ti, (off, cnt) in enumerate(zip(offsets, counts)):
+            tile = as_rows(
+                _tiff_inflate(payload[off : off + cnt], want, comp), tl, tw
+            )
+            ty, tx = divmod(ti, across)
+            canvas[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw] = tile
+        arr = canvas[:h, :w]
+    else:
+        try:
+            offsets, counts = tags[273], tags[279]
+        except KeyError as e:
+            raise ValueError("TIFF missing required tag") from e
+        rps = tags.get(278, [h])[0] or h
+        row_bytes = w * spp * bps // 8
+        raw = bytearray()
+        for si, (off, cnt) in enumerate(zip(offsets, counts)):
+            want = min(rps, h - si * rps) * row_bytes
+            raw += _tiff_inflate(payload[off : off + cnt], want, comp)
+        arr = as_rows(bytes(raw), h, w)
     if photo == 3:
         cmap = tags.get(320)
         if cmap is None:
@@ -840,27 +858,41 @@ def encode_tiff(
     predictor: int = 1,
     byte_order: str = "<",
     rows_per_strip: int | None = None,
+    tile: tuple[int, int] | None = None,
 ) -> bytes:
-    """HxWx3 uint8 → TIFF fixture writer (8-bit RGB, strip layout,
-    compression ``none`` / ``packbits`` / ``lzw``, optional horizontal
-    predictor, either byte order). The decoder above is the general
-    artifact."""
+    """HxWx3 uint8 → TIFF fixture writer (8-bit RGB, strip layout or —
+    with ``tile=(tw, tl)`` — the tiled layout with zero-padded edge
+    tiles, compression ``none`` / ``packbits`` / ``lzw``, optional
+    horizontal predictor, either byte order). The decoder above is the
+    general artifact."""
     h, w = img.shape[:2]
-    rps = rows_per_strip or h
     comp_id = {"none": 1, "packbits": 32773, "lzw": 5}[compression]
-    strips = []
-    for y0 in range(0, h, rps):
-        rows = img[y0 : y0 + rps].astype(np.int64)
+
+    def pack(rows: np.ndarray) -> bytes:
+        rows = rows.astype(np.int64)
         if predictor == 2:
             rows = np.concatenate(
                 [rows[:, :1], (rows[:, 1:] - rows[:, :-1]) % 256], axis=1
             )
         data = rows.astype(np.uint8).tobytes()
         if compression == "packbits":
-            data = _packbits_encode(data)
-        elif compression == "lzw":
-            data = _tiff_lzw_encode(data)
-        strips.append(data)
+            return _packbits_encode(data)
+        if compression == "lzw":
+            return _tiff_lzw_encode(data)
+        return data
+
+    chunks = []
+    if tile is not None:
+        tw, tl = tile
+        padded = np.zeros((-(-h // tl) * tl, -(-w // tw) * tw, 3), np.uint8)
+        padded[:h, :w] = img
+        for y0 in range(0, padded.shape[0], tl):
+            for x0 in range(0, padded.shape[1], tw):
+                chunks.append(pack(padded[y0 : y0 + tl, x0 : x0 + tw]))
+    else:
+        rps = rows_per_strip or h
+        for y0 in range(0, h, rps):
+            chunks.append(pack(img[y0 : y0 + rps]))
 
     end = "little" if byte_order == "<" else "big"
 
@@ -868,11 +900,7 @@ def encode_tiff(
         return v.to_bytes(size, end)
 
     entries: list[tuple[int, int, list[int]]] = []  # (tag, typ, values)
-    nstrips = len(strips)
-    # data area starts after header(8) + ifd(2 + n*12 + 4)
-    NTAGS = 10
-    data_start = 8 + 2 + NTAGS * 12 + 4
-    strip_offsets: list[int] = []
+    chunk_offsets: list[int] = []
 
     def entry(tag: int, typ: int, values: list[int]) -> None:
         entries.append((tag, typ, values))
@@ -882,13 +910,24 @@ def encode_tiff(
     entry(258, 3, [8, 8, 8])
     entry(259, 3, [comp_id])
     entry(262, 3, [2])
-    entry(273, 4, [0] * nstrips)  # patched below
     entry(277, 3, [3])
-    entry(278, 4, [rps])
-    entry(279, 4, [len(s) for s in strips])
     entry(317, 3, [predictor])
+    if tile is not None:
+        entry(322, 4, [tile[0]])
+        entry(323, 4, [tile[1]])
+        entry(324, 4, [0] * len(chunks))  # patched below
+        entry(325, 4, [len(s) for s in chunks])
+    else:
+        entry(273, 4, [0] * len(chunks))  # patched below
+        entry(278, 4, [rps])
+        entry(279, 4, [len(s) for s in chunks])
+    entries.sort()  # IFD tags must be ascending
+    offsets_tag = 324 if tile is not None else 273
 
-    # lay out out-of-line arrays, then strips
+    # data area starts after header(8) + ifd(2 + n*12 + 4)
+    data_start = 8 + 2 + len(entries) * 12 + 4
+
+    # lay out out-of-line arrays, then strips/tiles
     out_arrays = bytearray()
     positions: dict[int, int] = {}
     for tag, typ, values in entries:
@@ -897,14 +936,13 @@ def encode_tiff(
             positions[tag] = data_start + len(out_arrays)
             for v in values:
                 out_arrays.extend(b(v, sz))
-    strip_base = data_start + len(out_arrays)
-    pos = strip_base
-    for s in strips:
-        strip_offsets.append(pos)
+    pos = data_start + len(out_arrays)
+    for s in chunks:
+        chunk_offsets.append(pos)
         pos += len(s)
-    # patch StripOffsets values
+    # patch StripOffsets / TileOffsets values
     entries = [
-        (tag, typ, strip_offsets if tag == 273 else values)
+        (tag, typ, chunk_offsets if tag == offsets_tag else values)
         for tag, typ, values in entries
     ]
     # rebuild out-of-line arrays with patched offsets (same layout)
@@ -930,7 +968,7 @@ def encode_tiff(
     out += b(0, 4)  # no next IFD
     assert len(out) == data_start, (len(out), data_start)
     out += out_arrays
-    for s in strips:
+    for s in chunks:
         out += s
     return bytes(out)
 
@@ -2930,9 +2968,10 @@ def synth_tiff_media(spark, n: int = 64) -> DataFrame:
     TIFF-encoded with a rotating variant schedule — compression cycles
     none / PackBits / LZW (``i % 3``), horizontal-differencing predictor
     2 on odd images, big-endian ``MM`` byte order on ``(i // 3) % 2``,
-    and a 5-row strip layout on ``i % 4 == 0`` — so ``fake=False``
-    entries exercise every strip/codec/predictor/byte-order decode path
-    while staying hash-exact against DuckDB."""
+    a 5-row strip layout on ``i % 4 == 0``, and the tiled layout
+    (non-divisor 24x16 tiles, zero-padded edges) on ``i % 4 == 2`` — so
+    ``fake=False`` entries exercise every strip/tile/codec/predictor/
+    byte-order decode path while staying hash-exact against DuckDB."""
     rows = []
     idx = np.arange(_N_PIX * 3, dtype=np.uint64)
     comps = ("none", "packbits", "lzw")
@@ -2946,6 +2985,7 @@ def synth_tiff_media(spark, n: int = 64) -> DataFrame:
             predictor=2 if i % 2 else 1,
             byte_order=">" if (i // 3) % 2 else "<",
             rows_per_strip=5 if i % 4 == 0 else None,
+            tile=(24, 16) if i % 4 == 2 else None,
         )
         rows.append(
             (i, "image", bytearray(payload), "image/tiff", IMG_W, IMG_H, 0)

@@ -170,9 +170,26 @@ def test_rgb_extra_samples_dropped():
     assert np.array_equal(out, px[..., :3])
 
 
-def test_tiled_and_unknown_compression_raise():
-    img = np.zeros((4, 4, 3), np.uint8)
-    enc = bytearray(mm.encode_tiff(img))
+@pytest.mark.parametrize("compression", ["none", "packbits", "lzw"])
+@pytest.mark.parametrize("predictor", [1, 2])
+@pytest.mark.parametrize("tile", [(8, 8), (24, 16), (7, 5)])
+def test_tiled_roundtrip(compression, predictor, tile):
+    """Tiled layout incl. non-divisor tile sizes (zero-padded edges are
+    written full and cropped on decode)."""
+    rng = np.random.default_rng(hash((compression, predictor, tile)) & 0xFFFF)
+    img = rng.integers(0, 256, (19, 29, 3), dtype=np.uint8)
+    for bo in ("<", ">"):
+        enc = mm.encode_tiff(
+            img,
+            compression=compression,
+            predictor=predictor,
+            byte_order=bo,
+            tile=tile,
+        )
+        assert np.array_equal(mm._decode_tiff(enc), img)
+
+
+def test_unknown_compression_raises():
     with pytest.raises(ValueError):
         mm._decode_tiff(b"not a tiff")
     # unknown compression id: patch tag 259's value in-place
