@@ -701,9 +701,11 @@ def audio_compressed_sql(n: int = 64) -> str:
     replays decode-of-known-codes without any binary parsing —
     G.711 μ-law/A-law as g711.c integer bit math, IMA ADPCM as a
     recursive CTE stepping the quantizer state one 4-bit code at a time
-    (89-entry step table inlined as a list literal), and FLAC directly
-    from the closed-form samples (the codec is lossless, so the
-    bitstream decode must reproduce them bit-exactly). Feature
+    (89-entry step table inlined as a list literal), mono AND
+    decorrelated-stereo FLAC directly from the closed-form (left)
+    samples (the codec is lossless, so the bitstream decode must
+    reproduce them bit-exactly), and 24/32-bit + float32 PCM from the
+    closed-form samples (each depth's narrowing is exact). Feature
     aggregation tail is identical to ``audio_features_sql``."""
     from ..operators.multimodal import _IMA_STEP, AUDIO_RATE
 
@@ -720,12 +722,13 @@ mm AS (SELECT unnest(range({n})) AS media_id),
 seeds AS (
   SELECT media_id,
          {sql64.md5_u64("'aud:' || media_id")} AS s,
-         media_id % 4 AS codec,
+         media_id % 6 AS codec,
          (600 + (media_id * 37) % 300)::BIGINT AS nb,
          (2 * (300 + (media_id * 29) % 150))::BIGINT AS nnib,
          ((media_id * 9973) % 65536 - 32768)::BIGINT AS pred0,
          ((media_id * 31) % 89)::BIGINT AS idx0,
-         (500 + (media_id * 13) % 200)::BIGINT AS nfs
+         (500 + (media_id * 13) % 200)::BIGINT AS nfs,
+         (400 + (media_id * 17) % 300)::BIGINT AS npc
   FROM mm
 ),
 steps AS (
@@ -790,12 +793,22 @@ dec(media_id, j, pred, idx) AS (
 f0 AS (
   SELECT media_id, j, {sql64.add64('s', 'j::UBIGINT')} AS x
   FROM seeds CROSS JOIN (SELECT unnest(range(700)) AS j) fj
-  WHERE codec = 3 AND j < nfs
+  WHERE codec IN (3, 4) AND j < nfs
 ),
 fs AS (
   SELECT media_id, j AS ord,
          ({sql64.sm64('x')} & 2047::UBIGINT)::BIGINT - 1024 AS v
   FROM f0
+),
+p0 AS (
+  SELECT media_id, j, {sql64.add64('s', 'j::UBIGINT')} AS x
+  FROM seeds CROSS JOIN (SELECT unnest(range(700)) AS j) pj
+  WHERE codec = 5 AND j < npc
+),
+ps AS (
+  SELECT media_id, j AS ord,
+         ({sql64.sm64('x')} & 32767::UBIGINT)::BIGINT - 16384 AS v
+  FROM p0
 ),
 samp AS (
   SELECT media_id, ord, v FROM gsamp
@@ -803,6 +816,8 @@ samp AS (
   SELECT media_id, j AS ord, pred AS v FROM dec
   UNION ALL
   SELECT media_id, ord, v FROM fs
+  UNION ALL
+  SELECT media_id, ord, v FROM ps
 ),
 lagged AS (
   SELECT media_id, v,

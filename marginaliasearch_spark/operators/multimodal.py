@@ -73,9 +73,14 @@ def _decode_ppm(payload: bytes) -> np.ndarray:
         vals.append(int(payload[start:pos]))
     pos += 1  # single whitespace after maxval
     w, h, maxval = vals
-    if maxval > 255:
-        raise NotImplementedError("16-bit PPM not supported")
     n = w * h * 3
+    if maxval > 255:  # two-byte big-endian samples, floor-scaled to 0..255
+        wide = np.frombuffer(payload, dtype=">u2", count=n, offset=pos)
+        return (
+            (wide.astype(np.int64) * 255 // maxval)
+            .astype(np.uint8)
+            .reshape(h, w, 3)
+        )
     arr = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
     return arr.reshape(h, w, 3).copy()
 
@@ -2109,14 +2114,40 @@ def encode_wav_ima_adpcm(
     return payload + (b"\x00" if len(data) & 1 else b"")
 
 
+def encode_wav_pcm(
+    samples: np.ndarray, bits: int = 16, sample_rate: int = AUDIO_RATE
+) -> bytes:
+    """int16-range mono samples → PCM WAV at 16/24/32-bit integer or
+    ``bits='f32'`` IEEE-float depth. Widening shifts left so the
+    decoder's narrowing (``>> 8`` / ``>> 16``) round-trips exactly;
+    float samples are ``v / 32767`` so round-to-nearest round-trips too."""
+    s = np.asarray(samples, dtype=np.int64)
+    if bits == "f32":
+        data = (s.astype(np.float64) / 32767.0).astype("<f4").tobytes()
+        return _wav_header(3, 32, 4, len(data), sample_rate) + data
+    if bits == 16:
+        data = s.astype("<i2").tobytes()
+    elif bits == 24:
+        v = (s << 8) & 0xFFFFFF
+        b3 = np.stack([v & 255, (v >> 8) & 255, (v >> 16) & 255], axis=1)
+        data = b3.astype(np.uint8).tobytes()
+    elif bits == 32:
+        data = (s << 16).astype("<i4").tobytes()
+    else:
+        raise ValueError(f"unsupported PCM depth {bits}")
+    payload = _wav_header(1, int(bits), int(bits) // 8, len(data), sample_rate)
+    return payload + data + (b"\x00" if len(data) & 1 else b"")
+
+
 def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """RIFF/WAVE → (int16-range mono samples as int64, sample_rate).
 
     Walks the chunk list (``fmt ``/``fact``/``data``; other chunks
     skipped). Supported format tags — all pure numpy/stdlib:
 
-    * 1 (PCM), 8- or 16-bit, any channel count (channel 0 is taken —
-      deterministic, no resample/mix)
+    * 1 (PCM), 8/16/24/32-bit, any channel count (channel 0 is taken —
+      deterministic, no resample/mix; 24/32-bit keep the top 16 bits)
+    * 3 (IEEE float32) — scaled to int16 range, rounded to nearest
     * 6 (G.711 A-law) and 7 (G.711 μ-law), mono — table decode with the
       Sun ``g711.c`` reference semantics (public domain)
     * 0x11 (IMA/DVI ADPCM), mono, 4-bit — block-structured decode per the
@@ -2158,17 +2189,30 @@ def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         if fact is not None:
             samples = samples[:fact]
         return samples, sample_rate
-    if audio_format != 1:
+    if audio_format not in (1, 3):
         raise NotImplementedError(
             f"WAV format tag {audio_format} not supported; perceptual "
             "codecs require codec libraries not present in this container"
         )
-    if bits == 16:
+    if audio_format == 3:  # IEEE float32, rounded to nearest
+        if bits != 32:
+            raise NotImplementedError(f"{bits}-bit float WAV not supported")
+        f = np.frombuffer(data, dtype="<f4", count=len(data) // 4)
+        samples = np.clip(f.astype(np.float64) * 32767.0, -32768, 32767)
+        samples = np.rint(samples).astype(np.int64)
+    elif bits == 16:
         samples = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
     elif bits == 8:  # 8-bit WAV is unsigned, midpoint 128
         samples = (
             np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128
         ) * 256
+    elif bits == 24:  # 3-byte little-endian signed → 16-bit scale
+        b3 = np.frombuffer(data, dtype=np.uint8, count=len(data) // 3 * 3)
+        b3 = b3.reshape(-1, 3).astype(np.int64)
+        v = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
+        samples = (v - ((v >> 23) & 1) * (1 << 24)) >> 8
+    elif bits == 32:  # 32-bit int → 16-bit scale
+        samples = np.frombuffer(data, dtype="<i4").astype(np.int64) >> 16
     else:
         raise NotImplementedError(f"{bits}-bit PCM WAV not supported")
     if channels > 1:
@@ -2447,9 +2491,11 @@ _FLAC_BPS_CODES = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6}
 def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
     """FLAC stream → (int64 mono samples, sample_rate).
 
-    Verifies frame-header CRC-8 and frame CRC-16. Channel 0 is taken
-    from independent-channel streams (mono/stereo); mid/side stereo
-    raises ``NotImplementedError``.
+    Verifies frame-header CRC-8 and frame CRC-16. Returns the LEFT
+    channel: channel 0 of independent-channel streams, and the
+    reconstructed left of the left/side, right/side and mid/side
+    decorrelated stereo assignments (RFC 9639 §9.1.3; the side
+    subframe carries one extra bit).
     """
     if payload[:4] != b"fLaC":
         raise ValueError("not a FLAC payload")
@@ -2483,9 +2529,9 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
         chan = br.read(4)
         bps_code = br.read(3)
         br.read(1)  # reserved
-        if chan >= 8:
-            raise NotImplementedError("FLAC mid/side stereo not supported")
-        nchan = chan + 1
+        if chan >= 11:
+            raise ValueError(f"reserved FLAC channel assignment {chan}")
+        nchan = 2 if chan >= 8 else chan + 1
         # UTF-8 coded frame/sample number
         lead = br.read(8)
         nfollow = 0
@@ -2516,14 +2562,27 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
         hdr_crc = br.read(8)
         if _crc8(payload[frame_start : br.pos - 1]) != hdr_crc:
             raise ValueError("FLAC frame header CRC mismatch")
+        # stereo decorrelation (RFC 9639 §9.1.3): the side channel
+        # carries one extra bit — left/side (8) ch1, right/side (9) ch0,
+        # mid/side (10) ch1
+        side_ch = {8: 1, 9: 0, 10: 1}.get(chan)
         chans = [
-            _flac_subframe(br, blocksize, frame_bps) for _ in range(nchan)
+            _flac_subframe(
+                br, blocksize, frame_bps + (1 if c == side_ch else 0)
+            )
+            for c in range(nchan)
         ]
         br.align()
         frame_crc = br.read(16)
         if _crc16(payload[frame_start : br.pos - 2]) != frame_crc:
             raise ValueError("FLAC frame CRC mismatch")
-        out.append(chans[0])
+        if chan == 9:  # right/side: left = right + side
+            out.append(chans[1] + chans[0])
+        elif chan == 10:  # mid/side: mid stored as (l+r)>>1, side = l-r
+            mid2 = (chans[0] << 1) | (chans[1] & 1)
+            out.append((mid2 + chans[1]) >> 1)
+        else:  # independent or left/side: channel 0 IS left
+            out.append(chans[0])
         got += blocksize
         pos = br.pos
     samples = np.concatenate(out) if out else np.zeros(0, dtype=np.int64)
@@ -2625,6 +2684,67 @@ def encode_flac(
             fw.write_unary(z >> param)
             if param:
                 fw.write(z & ((1 << param) - 1), param)
+    fw.align()
+    frame = bytes(fw.buf)
+    return head + frame + _crc16(frame).to_bytes(2, "big")
+
+
+def encode_flac_stereo(
+    left: np.ndarray,
+    right: np.ndarray,
+    mode: str = "mid_side",
+    sample_rate: int = AUDIO_RATE,
+) -> bytes:
+    """int16 L/R samples → single-frame stereo FLAC using a decorrelated
+    channel assignment (``left_side`` / ``right_side`` / ``mid_side``,
+    RFC 9639 §9.1.3) with VERBATIM subframes — the fixture writer for
+    ``decode_flac``'s stereo-reconstruction path. Lossless:
+    ``decode_flac(...)[0]`` equals ``left`` exactly."""
+    l = [int(v) for v in left]
+    r = [int(v) for v in right]
+    n = len(l)
+    assert len(r) == n
+    chan_code = {"left_side": 8, "right_side": 9, "mid_side": 10}[mode]
+    if mode == "left_side":
+        chans = [(l, 16), ([a - b for a, b in zip(l, r)], 17)]
+    elif mode == "right_side":
+        chans = [([a - b for a, b in zip(l, r)], 17), (r, 16)]
+    else:
+        chans = [
+            ([(a + b) >> 1 for a, b in zip(l, r)], 16),
+            ([a - b for a, b in zip(l, r)], 17),
+        ]
+
+    si = _FlacBitWriter()  # STREAMINFO body
+    si.write(n, 16)
+    si.write(n, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(sample_rate, 20)
+    si.write(1, 3)  # channels - 1
+    si.write(15, 5)  # bps - 1 = 16-bit
+    si.write(n, 36)
+    info = si.bytes() + b"\x00" * 16
+    head = b"fLaC" + bytes([0x80, 0, 0, len(info)]) + info
+
+    fw = _FlacBitWriter()
+    fw.write(0b11111111111110, 14)
+    fw.write(0, 1)
+    fw.write(0, 1)
+    fw.write(0b0111, 4)  # blocksize: 16 bit at end of header
+    fw.write(0b0000, 4)  # sample rate: from STREAMINFO
+    fw.write(chan_code, 4)
+    fw.write(_FLAC_BPS_CODES[16], 3)
+    fw.write(0, 1)
+    fw.write(0, 8)  # frame number 0
+    fw.write(n - 1, 16)
+    fw.write(_crc8(bytes(fw.buf)), 8)
+    for samples, bps in chans:
+        fw.write(0, 1)
+        fw.write(1, 6)  # VERBATIM
+        fw.write(0, 1)
+        for v in samples:
+            fw.write(v & ((1 << bps) - 1), bps)
     fw.align()
     frame = bytes(fw.buf)
     return head + frame + _crc16(frame).to_bytes(2, "big")
@@ -3188,9 +3308,10 @@ def audio_codec_seed(media_id: int) -> np.uint64:
 
 
 def synth_compressed_audio_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic REAL compressed-audio media table cycling the four
-    supported compressed codecs by ``media_id % 4`` (0 μ-law, 1 A-law,
-    2 IMA ADPCM, 3 FLAC). For the lossy WAV codecs the *code stream* —
+    """Deterministic REAL compressed-audio media table cycling the six
+    supported non-trivial codec paths by ``media_id % 6`` (0 μ-law,
+    1 A-law, 2 IMA ADPCM, 3 mono FLAC, 4 decorrelated-stereo FLAC,
+    5 deep-PCM WAV). For the lossy WAV codecs the *code stream* —
     not the linear signal — is the closed form, so no encoder pass is
     needed; for lossless FLAC the samples themselves are closed-form and
     the encoder derives the fixed-predictor residuals (decode must
@@ -3209,6 +3330,14 @@ def synth_compressed_audio_media(spark, n: int = 64) -> DataFrame:
       ``(i // 4) % 5`` (rice residuals for orders 0-1, escape/raw for
       2-4) — the decoder runs the real rice/escape + predictor path and
       losslessness makes the closed-form samples the oracle.
+    * Stereo FLAC: LEFT sample ``j`` = the mono-FLAC closed form; right
+      = same form at ``seed + 2^32 + j`` (only left reaches the output);
+      decorrelation mode cycles left/right/mid-side by ``(i // 6) % 3``,
+      so the decoder runs the real side-channel (bps+1) reconstruction.
+    * Deep PCM: sample ``j`` = ``(splitmix64(seed + j) & 32767) - 16384``
+      over ``400 + (i * 17) % 300`` samples at depth 24 / 32 / float32
+      by ``(i // 6) % 3`` — each depth's narrowing back to the 16-bit
+      scale is exact, so the closed-form samples are the oracle.
 
     Entries running ``fake=False`` over this table exercise the genuine
     chunk-walk + table/recurrence/bitstream decode paths while staying
@@ -3217,7 +3346,7 @@ def synth_compressed_audio_media(spark, n: int = 64) -> DataFrame:
     rows = []
     for i in range(n):
         seed = audio_codec_seed(i)
-        codec = i % 4
+        codec = i % 6
         if codec in (0, 1):
             nb = 600 + (i * 37) % 300
             idx = np.arange(nb, dtype=np.uint64)
@@ -3238,7 +3367,7 @@ def synth_compressed_audio_media(spark, n: int = 64) -> DataFrame:
                 nibbles, (i * 9973) % 65536 - 32768, (i * 31) % 89
             )
             mime = "audio/x-adpcm"
-        else:
+        elif codec == 3:
             nfs = 500 + (i * 13) % 200
             idx = np.arange(nfs, dtype=np.uint64)
             samples = (
@@ -3247,6 +3376,31 @@ def synth_compressed_audio_media(spark, n: int = 64) -> DataFrame:
             )
             payload = encode_flac(samples, (i // 4) % 5)
             mime = "audio/flac"
+        elif codec == 4:
+            nfs = 500 + (i * 13) % 200
+            idx = np.arange(nfs, dtype=np.uint64)
+            left = (
+                (_splitmix64(seed + idx) & np.uint64(2047)).astype(np.int64)
+                - 1024
+            )
+            right = (
+                (_splitmix64(seed + np.uint64(1 << 32) + idx)
+                 & np.uint64(2047)).astype(np.int64)
+                - 1024
+            )
+            mode = ("left_side", "right_side", "mid_side")[(i // 6) % 3]
+            payload = encode_flac_stereo(left, right, mode)
+            mime = "audio/flac"
+        else:
+            npc = 400 + (i * 17) % 300
+            idx = np.arange(npc, dtype=np.uint64)
+            samples = (
+                (_splitmix64(seed + idx) & np.uint64(32767)).astype(np.int64)
+                - 16384
+            )
+            bits = (24, 32, "f32")[(i // 6) % 3]
+            payload = encode_wav_pcm(samples, bits)
+            mime = "audio/wav"
         rows.append((i, "audio", bytearray(payload), mime, 0, 0, 0))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 

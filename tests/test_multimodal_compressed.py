@@ -128,15 +128,16 @@ def test_flac_crc_rejects_corruption():
 
 
 def test_synth_fixture_codecs_cycle(spark):
-    media = mm.synth_compressed_audio_media(spark, n=8).collect()
+    media = mm.synth_compressed_audio_media(spark, n=12).collect()
     mimes = [r.mime for r in sorted(media, key=lambda r: r.media_id)]
     assert mimes == [
         "audio/basic", "audio/x-alaw", "audio/x-adpcm", "audio/flac",
+        "audio/flac", "audio/wav",
     ] * 2
     # every payload is a decodable compressed stream
     for r in media:
         s, rate = mm.decode_audio(bytes(r.payload))
-        assert rate == mm.AUDIO_RATE and len(s) >= 500
+        assert rate == mm.AUDIO_RATE and len(s) >= 400
 
 
 def test_audio_compressed_matches_duckdb_oracle(spark):
@@ -153,3 +154,51 @@ def test_audio_compressed_matches_duckdb_oracle(spark):
         for row in duckdb.sql(audio_compressed_sql(9)).fetchall()
     }
     assert got == exp
+
+
+# --- stereo decorrelation (RFC 9639 §9.1.3) --------------------------------
+
+
+@pytest.mark.parametrize("mode", ["left_side", "right_side", "mid_side"])
+def test_flac_stereo_decorrelation_reconstructs_left(mode):
+    rng = np.random.default_rng(hash(mode) & 0xFFFF)
+    left = rng.integers(-32768, 32768, 400).astype(np.int64)
+    right = rng.integers(-32768, 32768, 400).astype(np.int64)
+    got, sr = mm.decode_flac(mm.encode_flac_stereo(left, right, mode))
+    assert np.array_equal(got, left)
+
+
+def test_flac_stereo_extremes():
+    """Side channel needs its 17th bit: L/R at opposite int16 extremes."""
+    left = np.array([32767, -32768, 32767, 0], np.int64)
+    right = np.array([-32768, 32767, 32767, 0], np.int64)
+    for mode in ("left_side", "right_side", "mid_side"):
+        got, _ = mm.decode_flac(mm.encode_flac_stereo(left, right, mode))
+        assert np.array_equal(got, left), mode
+
+
+# --- PCM WAV depths ----------------------------------------------------------
+
+
+@pytest.mark.parametrize("bits", [16, 24, 32, "f32"])
+def test_wav_pcm_depths_roundtrip(bits):
+    rng = np.random.default_rng(42 if bits == "f32" else bits)
+    s = rng.integers(-32768, 32768, 777).astype(np.int64)
+    got, sr = mm._decode_wav(mm.encode_wav_pcm(s, bits))
+    assert sr == mm.AUDIO_RATE
+    assert np.array_equal(got, s)
+
+
+def test_wav_pcm_24bit_negative_values():
+    s = np.array([-1, -32768, 32767, 0, -12345], np.int64)
+    got, _ = mm._decode_wav(mm.encode_wav_pcm(s, 24))
+    assert np.array_equal(got, s)
+
+
+def test_ppm_16bit_floor_scaled():
+    img = np.array(
+        [[[0, 1, 257], [65535, 32768, 999]]], np.uint64
+    )  # 1x2 RGB
+    payload = b"P6 2 1 65535\n" + img.astype(">u2").tobytes()
+    want = (img.astype(np.int64) * 255 // 65535).astype(np.uint8)
+    assert np.array_equal(mm.decode_image(payload), want)
