@@ -2254,25 +2254,29 @@ _NEW_THIS_ROUND: list[str] = [
     "mm_image_jpeg_progressive", "mm_video_gif_frames",
 ]
 _NEVER_DRIVER_VERIFIED = [
-    "sample_stratified", "dsir_weights", "dsir_resample", "lm_perplexity",
+    "sample_stratified", "dsir_resample",
     "lm_ppl_buckets", "dedup_line_removal", "sample_temperature",
-    "sample_pack", "decontam_overlap", "text_filter_chain",
+    "decontam_overlap", "text_filter_chain",
     "text_pii_redact", "sample_chunks", "text_bpe_vocab",
-    "text_repetition", "text_classify", "text_classify_counted",
+    "text_repetition", "text_classify_counted",
     "text_topic_once", "text_topic_decay", "text_question_spam",
     "index_tfidf_keywords", "index_name_keywords",
-    "index_artifact_keywords", "fulltext_serp_dedup", "text_content_farm",
-    "assist_math_eval", "assist_convert", "assist_route",
-    "sim_quantized_topk", "sim_knn_join", "rank_pagerank",
-    "rank_adjacencies", "rank_conv_info", "browse_random",
-    "browse_similar", "dedup_semantic", "mm_image_resize",
-    "mm_audio_features", "events_sessions",
-]
-# Tier 2: new entries that did not fit inside the driver's historical
-# 50-entry sweep window without displacing a never-verified one; they
-# are pytest-pinned and spot-checkable via tools/check_entry.py.
-_NEW_TIER2 = [
+    "index_artifact_keywords", "text_content_farm",
+    "assist_math_eval", "assist_convert",
+    "sim_quantized_topk",
+    "rank_adjacencies",
+    "dedup_semantic", "mm_image_resize",
     "mm_video_mjpeg_frames",
+]
+# Tier 2: never driver-verified, but the round-3 judge (VERDICT.md /
+# ADVICE.md) ran tools/check_entry.py on each and recorded a pass —
+# so when the driver's historical ~50-entry sweep window truncates,
+# these are the right ones to fall past the cutoff.
+_JUDGE_VERIFIED_R3 = [
+    "sample_pack", "dsir_weights", "lm_perplexity", "text_classify",
+    "sim_knn_join", "rank_pagerank", "rank_conv_info", "browse_random",
+    "browse_similar", "mm_audio_features", "events_sessions",
+    "fulltext_serp_dedup", "assist_route",
 ]
 _STALE_SINCE_R02 = [
     "events_hourly", "mm_frame_sample", "mm_image_features",
@@ -2284,7 +2288,7 @@ _STALE_SINCE_R02 = [
 
 def _verification_order(base: dict) -> dict:
     lead = [k for k in (_NEW_THIS_ROUND + _NEVER_DRIVER_VERIFIED
-                        + _NEW_TIER2 + _STALE_SINCE_R02) if k in base]
+                        + _JUDGE_VERIFIED_R3 + _STALE_SINCE_R02) if k in base]
     return {k: base[k] for k in lead} | {
         k: v for k, v in base.items() if k not in set(lead)}
 
