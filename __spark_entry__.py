@@ -1754,6 +1754,18 @@ def _q_audio_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.audio_features(media, fake=False)
 
 
+def _q_audio_containers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-container demux under the oracle gate: Ogg page framing
+    (RFC 3533 CRC-32 + lacing reassembly incl. continued packets) around
+    FLAC (RFC 9639 §10.2 mapping), AIFF / AIFF-C ``sowt`` IFF chunk walk
+    with 80-bit extended sample rates, and Sun AU headers. Every
+    container wraps the same closed-form signal, so the DuckDB twin
+    (`sql_oracles.audio_containers_sql`) is branch-free — the hash
+    equality certifies the framing decode itself."""
+    media = multimodal.synth_container_audio_media(spark, n=64)
+    return multimodal.audio_features(media, fake=False)
+
+
 def _q_video_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL compressed-video decode under the oracle gate: Motion-JPEG
     AVI container walk + per-frame baseline-JPEG decode
@@ -2250,6 +2262,7 @@ _NEW_THIS_ROUND: list[str] = [
     "fulltext_searchset", "index_search_set",
     "mm_image_gif_features", "mm_image_gif_resize",
     "fulltext_qs_wand", "fulltext_qs_gate",
+    "mm_audio_containers",
     "mm_audio_compressed", "mm_image_jpeg_features",
     "mm_image_jpeg_progressive", "mm_video_gif_frames",
 ]
@@ -2493,6 +2506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # REAL compressed payloads (G.711 mu/A-law + IMA ADPCM + FLAC;
         # Motion-JPEG AVI)
         "mm_audio_compressed": _q_audio_compressed,
+        "mm_audio_containers": _q_audio_containers,
         "mm_video_mjpeg_frames": _q_video_mjpeg,
         "mm_video_gif_frames": _q_video_gif,
         # --- windowed aggregation / sessionization ---
@@ -3305,6 +3319,7 @@ WHERE NOT EXISTS (
         "mm_frame_sample": sql_oracles.frame_sample_sql(n=64),
         "mm_audio_features": sql_oracles.audio_features_sql(n=64),
         "mm_audio_compressed": sql_oracles.audio_compressed_sql(n=64),
+        "mm_audio_containers": sql_oracles.audio_containers_sql(n=64),
         "mm_video_mjpeg_frames": sql_oracles.mjpeg_frames_sql(n=64),
         "mm_video_gif_frames": sql_oracles.gif_video_frames_sql(n=64),
         "events_hourly": """

@@ -2073,3 +2073,49 @@ chain AS (
 )
 SELECT doc_id AS rank, superficial, data_hash, grp, retained
 FROM chain WHERE rn >= 1"""
+
+
+def audio_containers_sql(n: int = 64) -> str:
+    """Exact oracle for ``multimodal.audio_features(fake=False)`` over
+    ``synth_container_audio_media`` — Ogg-FLAC / AIFF / AIFF-C sowt /
+    Sun AU rows. Containers only wrap sample streams and every row
+    carries the SAME closed-form signal (sample ``j`` =
+    ``(splitmix64(md5('cont:'||id) + j) & 8191) - 4096``), so this twin
+    is branch-free: the Spark side must demux real Ogg pages (CRC +
+    lacing, continued packets), IFF chunks (80-bit extended rates) and
+    AU headers to reach values this SQL states directly. Feature
+    aggregation tail is identical to ``audio_features_sql``."""
+    from ..operators.multimodal import AUDIO_RATE
+
+    return f"""WITH
+mm AS (SELECT unnest(range({n})) AS media_id),
+seeds AS (
+  SELECT media_id,
+         {sql64.md5_u64("'cont:' || media_id")} AS s,
+         (450 + (media_id * 23) % 350)::BIGINT AS nc
+  FROM mm
+),
+s0 AS (
+  SELECT media_id, j, {sql64.add64('s', 'j::UBIGINT')} AS x, nc
+  FROM seeds CROSS JOIN (SELECT unnest(range(800)) AS j) jj
+  WHERE j < nc
+),
+samp AS (
+  SELECT media_id, j AS ord,
+         ({sql64.sm64('x')} & 8191::UBIGINT)::BIGINT - 4096 AS v
+  FROM s0
+),
+lagged AS (
+  SELECT media_id, v,
+         lag(v) OVER (PARTITION BY media_id ORDER BY ord) AS pv
+  FROM samp
+)
+SELECT media_id,
+       count(*)::BIGINT AS n_samples,
+       {AUDIO_RATE}::INT AS sample_rate,
+       max(abs(v))::BIGINT AS peak,
+       sum(CASE WHEN pv IS NOT NULL AND (pv >= 0) <> (v >= 0)
+                THEN 1 ELSE 0 END)::BIGINT AS zero_crossings,
+       round(sqrt(sum(v * v)::DOUBLE / count(*)), 6) AS rms,
+       round(sum(abs(v))::DOUBLE / count(*), 6) AS mean_amp
+FROM lagged GROUP BY media_id"""

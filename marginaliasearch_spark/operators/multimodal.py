@@ -2244,10 +2244,17 @@ def decode_audio(
         return _decode_wav(bytes(payload))
     if payload[:4] == b"fLaC":
         return decode_flac(bytes(payload))
+    if payload[:4] == b"OggS":
+        return _decode_ogg(bytes(payload))
+    if payload[:4] == b"FORM":
+        return _decode_aiff(bytes(payload))
+    if payload[:4] == b".snd":
+        return _decode_au(bytes(payload))
     raise NotImplementedError(
         "perceptually-coded audio requires codec libraries not present in "
-        "this container; supported real formats: RIFF/WAVE PCM (8/16-bit), "
-        "G.711 mu-law/A-law, mono IMA ADPCM, FLAC"
+        "this container; supported real formats: RIFF/WAVE PCM "
+        "(8/16/24/32-bit int + float32), G.711 mu-law/A-law, mono IMA "
+        "ADPCM, FLAC (native or Ogg-encapsulated), AIFF/AIFF-C, Sun AU"
     )
 
 
@@ -3428,4 +3435,396 @@ def synth_media(spark, n: int = 64) -> DataFrame:
                 500 + (i * 3589) % 4500,
             )
         )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+# --- audio container formats (Ogg-FLAC, AIFF / AIFF-C, Sun AU) --------------
+#
+# Pure-stdlib/numpy container demux around the existing sample decoders:
+# Ogg page framing (RFC 3533: capture pattern, lacing values, CRC-32,
+# continued-packet reassembly) with the FLAC-in-Ogg mapping (RFC 9639
+# §10.2), EA-IFF-85 chunk walking for AIFF and AIFF-C (80-bit extended
+# sample rate per Apple's AIFF-C 1.3 spec; ``sowt``/``twos`` byte-order
+# compression types), and the Sun/NeXT ``.au`` header (encodings 1 μ-law,
+# 2 linear-8, 3 linear-16 BE). Containers only *wrap* sample streams, so
+# the fixture's closed-form sample law is container-independent and the
+# decode path under test is the framing itself. Reference treats media as
+# opaque binary (SURVEY §2 multimodal brief); no codec libs required.
+
+
+def _build_ogg_crc_table() -> list[int]:
+    """CRC-32 table, poly 0x04C11DB7, MSB-first, init 0, xorout 0 —
+    the Ogg page checksum variant (NOT zlib's reflected CRC-32)."""
+    table = []
+    for i in range(256):
+        r = i << 24
+        for _ in range(8):
+            r = ((r << 1) ^ 0x04C11DB7 if r & 0x80000000 else r << 1) & 0xFFFFFFFF
+        table.append(r)
+    return table
+
+
+_OGG_CRC_TABLE = _build_ogg_crc_table()
+
+
+def _ogg_crc(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _OGG_CRC_TABLE[((crc >> 24) & 0xFF) ^ b]
+    return crc
+
+
+def _ogg_packets(payload: bytes) -> list[bytes]:
+    """Ogg stream → packets of the first logical bitstream, with
+    continued-packet reassembly across pages and per-page CRC verify."""
+    packets: list[bytes] = []
+    partial = bytearray()
+    open_packet = False
+    serial = None
+    pos = 0
+    while pos < len(payload):
+        if payload[pos : pos + 4] != b"OggS":
+            raise ValueError("bad Ogg capture pattern")
+        if payload[pos + 4] != 0:
+            raise NotImplementedError("Ogg stream structure version != 0")
+        htype = payload[pos + 5]
+        page_serial = int.from_bytes(payload[pos + 14 : pos + 18], "little")
+        n_segs = payload[pos + 26]
+        laces = payload[pos + 27 : pos + 27 + n_segs]
+        body_len = sum(laces)
+        page_end = pos + 27 + n_segs + body_len
+        page = bytearray(payload[pos:page_end])
+        want = int.from_bytes(page[22:26], "little")
+        page[22:26] = b"\x00\x00\x00\x00"
+        if _ogg_crc(bytes(page)) != want:
+            raise ValueError("Ogg page CRC mismatch")
+        if serial is None:
+            serial = page_serial
+        if page_serial != serial:  # multiplexed stream: keep the first only
+            pos = page_end
+            continue
+        if bool(htype & 0x01) != open_packet:
+            raise ValueError("Ogg continuation flag inconsistent")
+        body_pos = pos + 27 + n_segs
+        for lace in laces:
+            partial += payload[body_pos : body_pos + lace]
+            body_pos += lace
+            if lace < 255:
+                packets.append(bytes(partial))
+                partial.clear()
+                open_packet = False
+            else:
+                open_packet = True
+        pos = page_end
+    if open_packet:
+        raise ValueError("Ogg stream truncated mid-packet")
+    return packets
+
+
+def _ogg_write_pages(
+    packets: list[tuple[bytes, int]],
+    serial: int = 0x464C4143,
+    max_segs: int = 255,
+) -> bytes:
+    """[(packet, granule_after_packet)] → Ogg pages. ``max_segs`` < 255
+    forces page splits (continued packets) for framing tests. Granule of
+    a page = granule of the last packet that *completes* on it, else -1."""
+    laced: list[tuple[int, bytes, int | None]] = []  # (lace, chunk, granule)
+    for packet, granule in packets:
+        chunks = [packet[i : i + 255] for i in range(0, len(packet), 255)]
+        if not chunks or len(chunks[-1]) == 255:
+            chunks.append(b"")  # terminating lace for empty/255-multiple
+        for j, c in enumerate(chunks):
+            laced.append((len(c), c, granule if j == len(chunks) - 1 else None))
+    pages = []
+    seq = 0
+    i = 0
+    continued = False
+    while i < len(laced):
+        group = laced[i : i + max_segs]
+        i += len(group)
+        granule = -1
+        for _, _, g in group:
+            if g is not None:
+                granule = g
+        htype = (0x01 if continued else 0) | (0x02 if seq == 0 else 0)
+        if i >= len(laced):
+            htype |= 0x04  # EOS
+        continued = group[-1][0] == 255
+        header = (
+            b"OggS\x00"
+            + bytes([htype])
+            + (granule & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little")
+            + serial.to_bytes(4, "little")
+            + seq.to_bytes(4, "little")
+            + b"\x00\x00\x00\x00"  # CRC placeholder
+            + bytes([len(group)])
+            + bytes(lace for lace, _, _ in group)
+        )
+        body = b"".join(c for _, c, _ in group)
+        crc = _ogg_crc(header + body)
+        pages.append(header[:22] + crc.to_bytes(4, "little") + header[26:] + body)
+        seq += 1
+    return b"".join(pages)
+
+
+def _decode_ogg(payload: bytes) -> tuple[np.ndarray, int]:
+    """Ogg container → (int64 mono samples, rate). Only the FLAC mapping
+    (RFC 9639 §10.2) is decodable without codec libs: packet 0 is
+    ``0x7F 'FLAC' maj min nheader`` + the native ``fLaC`` signature and
+    STREAMINFO block; ``nheader`` metadata packets follow; every later
+    packet is one native FLAC frame. Reassembles a native stream (forcing
+    the STREAMINFO last-metadata-block flag) and reuses ``decode_flac``."""
+    packets = _ogg_packets(payload)
+    if not packets or packets[0][:5] != b"\x7fFLAC":
+        raise NotImplementedError(
+            "Ogg stream is not FLAC-mapped; Vorbis/Opus require codec "
+            "libraries not present in this container"
+        )
+    first = packets[0]
+    nheader = int.from_bytes(first[7:9], "big")
+    embedded = first[9:]
+    if embedded[:4] != b"fLaC":
+        raise ValueError("Ogg-FLAC first packet lacks fLaC signature")
+    block = embedded[4:]
+    native = (
+        b"fLaC"
+        + bytes([block[0] | 0x80])  # force last-metadata-block
+        + block[1:]
+        + b"".join(packets[1 + nheader :])
+    )
+    return decode_flac(native)
+
+
+def encode_ogg_flac(
+    samples: np.ndarray,
+    order: int = 0,
+    sample_rate: int = AUDIO_RATE,
+    max_segs: int = 255,
+) -> bytes:
+    """int16 mono samples → Ogg-encapsulated FLAC (RFC 9639 §10.2 mapping
+    over the single-frame ``encode_flac`` stream). ``max_segs`` < 255
+    forces multi-page/continued-packet framing for tests. Lossless."""
+    native = encode_flac(samples, order, sample_rate)
+    block = native[4:42]  # STREAMINFO incl. 4-byte block header
+    frames = native[42:]
+    first = (
+        b"\x7fFLAC\x01\x00"
+        + (0).to_bytes(2, "big")  # no extra header packets
+        + b"fLaC"
+        + bytes([block[0] & 0x7F])
+        + block[1:]
+    )
+    n = len(samples)
+    return _ogg_write_pages([(first, 0), (frames, n)], max_segs=max_segs)
+
+
+def _read_ext80(b: bytes) -> int:
+    """80-bit IEEE 754 extended float (AIFF sample rate) → int Hz."""
+    exp = ((b[0] & 0x7F) << 8 | b[1]) - 16383
+    mant = int.from_bytes(b[2:10], "big")
+    if exp == -16383 and mant == 0:
+        return 0
+    val = mant * 2.0 ** (exp - 63)
+    return int(round(-val if b[0] & 0x80 else val))
+
+
+def _write_ext80(rate: int) -> bytes:
+    if rate == 0:
+        return b"\x00" * 10
+    k = rate.bit_length() - 1
+    exp = 16383 + k
+    mant = rate << (63 - k)
+    return bytes([(exp >> 8) & 0x7F, exp & 0xFF]) + mant.to_bytes(8, "big")
+
+
+def _decode_aiff(payload: bytes) -> tuple[np.ndarray, int]:
+    """AIFF / AIFF-C → (int64 mono samples at 16-bit scale, rate).
+
+    EA-IFF-85 chunk walk: COMM (channels, frame count, bits, 80-bit
+    extended rate, AIFF-C compression type) + SSND (offset/blockSize then
+    interleaved frames). Supported: uncompressed big-endian (plain AIFF
+    or AIFF-C ``NONE``/``twos``) and little-endian ``sowt``, 8- or 16-bit
+    (AIFF 8-bit is signed, unlike WAV). Channel 0 taken, frame count
+    trims trailing pad."""
+    if payload[:4] != b"FORM" or payload[8:12] not in (b"AIFF", b"AIFC"):
+        raise ValueError("not an AIFF payload")
+    is_aifc = payload[8:12] == b"AIFC"
+    pos = 12
+    comm = ssnd = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        clen = int.from_bytes(payload[pos + 4 : pos + 8], "big")
+        data = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"COMM":
+            comm = data
+        elif cid == b"SSND":
+            ssnd = data
+        pos += 8 + clen + (clen & 1)
+    if comm is None or ssnd is None:
+        raise ValueError("AIFF missing COMM or SSND chunk")
+    channels = int.from_bytes(comm[0:2], "big", signed=True)
+    n_frames = int.from_bytes(comm[2:6], "big")
+    bits = int.from_bytes(comm[6:8], "big", signed=True)
+    rate = _read_ext80(comm[8:18])
+    comp = comm[18:22] if is_aifc else b"NONE"
+    if comp not in (b"NONE", b"twos", b"sowt"):
+        raise NotImplementedError(
+            f"AIFF-C compression {comp!r} requires codec libraries not "
+            "present in this container"
+        )
+    offset = int.from_bytes(ssnd[0:4], "big")
+    frames = ssnd[8 + offset :]
+    if bits == 16:
+        dt = "<i2" if comp == b"sowt" else ">i2"
+        samples = np.frombuffer(
+            frames, dtype=dt, count=len(frames) // 2
+        ).astype(np.int64)
+    elif bits == 8:  # AIFF 8-bit PCM is SIGNED (WAV's is unsigned)
+        samples = np.frombuffer(frames, dtype=np.int8).astype(np.int64) * 256
+    else:
+        raise NotImplementedError(f"{bits}-bit AIFF not supported")
+    if channels > 1:
+        samples = samples[::channels]
+    return samples[:n_frames], rate
+
+
+def encode_aiff(
+    samples: np.ndarray,
+    compression: bytes | None = None,
+    sample_rate: int = AUDIO_RATE,
+) -> bytes:
+    """int16 samples (1-D mono, or 2-D ``(n_frames, channels)``) → AIFF
+    (``compression=None``) or AIFF-C (``b"NONE"`` / ``b"twos"`` big-endian,
+    ``b"sowt"`` little-endian) payload."""
+    s = np.asarray(samples, dtype=np.int64)
+    if s.ndim == 1:
+        s = s[:, None]
+    n_frames, channels = s.shape
+    inter = s.reshape(-1)
+    data = inter.astype("<i2" if compression == b"sowt" else ">i2").tobytes()
+    comm = (
+        channels.to_bytes(2, "big")
+        + n_frames.to_bytes(4, "big")
+        + (16).to_bytes(2, "big")
+        + _write_ext80(sample_rate)
+    )
+    if compression is not None:
+        comm += compression + b"\x00\x00"  # empty pstring, padded even
+    chunks = b"COMM" + len(comm).to_bytes(4, "big") + comm
+    ssnd = (0).to_bytes(4, "big") + (0).to_bytes(4, "big") + data
+    chunks += b"SSND" + len(ssnd).to_bytes(4, "big") + ssnd
+    if len(ssnd) & 1:
+        chunks += b"\x00"
+    form = (b"AIFC" if compression is not None else b"AIFF") + chunks
+    return b"FORM" + len(form).to_bytes(4, "big") + form
+
+
+def _decode_au(payload: bytes) -> tuple[np.ndarray, int]:
+    """Sun/NeXT ``.au`` → (int64 mono samples at 16-bit scale, rate).
+    Encodings: 1 G.711 μ-law (shared ``_ULAW_TABLE``), 2 linear PCM-8
+    (signed), 3 linear PCM-16 big-endian. Channel 0 taken."""
+    if payload[:4] != b".snd":
+        raise ValueError("not a Sun AU payload")
+    offset = int.from_bytes(payload[4:8], "big")
+    size = int.from_bytes(payload[8:12], "big")
+    enc = int.from_bytes(payload[12:16], "big")
+    rate = int.from_bytes(payload[16:20], "big")
+    channels = int.from_bytes(payload[20:24], "big")
+    end = len(payload) if size == 0xFFFFFFFF else offset + size
+    data = payload[offset:end]
+    if enc == 1:
+        samples = _ULAW_TABLE[np.frombuffer(data, dtype=np.uint8)].astype(
+            np.int64
+        )
+    elif enc == 2:  # 8-bit linear AU is signed
+        samples = np.frombuffer(data, dtype=np.int8).astype(np.int64) * 256
+    elif enc == 3:
+        samples = np.frombuffer(
+            data, dtype=">i2", count=len(data) // 2
+        ).astype(np.int64)
+    else:
+        raise NotImplementedError(
+            f"AU encoding {enc} requires codec libraries not present in "
+            "this container"
+        )
+    if channels > 1:
+        samples = samples[::channels]
+    return samples, rate
+
+
+def encode_au(
+    data: np.ndarray | bytes,
+    encoding: int = 3,
+    sample_rate: int = AUDIO_RATE,
+    channels: int = 1,
+) -> bytes:
+    """Sun AU writer. ``encoding`` 3 takes int16 samples; 1 takes μ-law
+    code bytes verbatim (AU μ-law *is* the code stream); 2 takes int8."""
+    if encoding == 3:
+        body = np.asarray(data, dtype=np.int64).astype(">i2").tobytes()
+    elif encoding == 2:
+        body = np.asarray(data, dtype=np.int8).tobytes()
+    elif encoding == 1:
+        body = bytes(data) if isinstance(data, (bytes, bytearray)) else bytes(
+            np.asarray(data, dtype=np.uint8).tobytes()
+        )
+    else:
+        raise ValueError(f"unsupported AU encoding {encoding}")
+    header = (
+        b".snd"
+        + (28).to_bytes(4, "big")  # header + 4-byte annotation pad
+        + len(body).to_bytes(4, "big")
+        + encoding.to_bytes(4, "big")
+        + sample_rate.to_bytes(4, "big")
+        + channels.to_bytes(4, "big")
+        + b"\x00\x00\x00\x00"
+    )
+    return header + body
+
+
+def container_seed(media_id: int) -> np.uint64:
+    """Closed-form sample seed for the container fixture — first 8 bytes
+    of ``md5('cont:' || media_id)`` (SQL twin:
+    ``('0x' || substr(md5('cont:' || media_id), 1, 16))::UBIGINT``)."""
+    return np.uint64(
+        int(hashlib.md5(f"cont:{media_id}".encode()).hexdigest()[:16], 16)
+    )
+
+
+def synth_container_audio_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic REAL container-format audio table cycling the four
+    supported containers by ``media_id % 4`` (0 Ogg-FLAC, 1 AIFF
+    big-endian, 2 AIFF-C ``sowt`` little-endian, 3 Sun AU PCM-16 BE).
+
+    Every container wraps the SAME closed-form signal — sample ``j`` =
+    ``(splitmix64(container_seed(i) + j) & 8191) - 4096`` over
+    ``450 + (i * 23) % 350`` samples — so the SQL twin
+    (``sql_oracles.audio_containers_sql``) has ONE branch-free closed
+    form and the decode path under test is purely the container framing:
+    Ogg page CRC + lacing reassembly (FLAC predictor order cycles 0-2 by
+    ``(i // 4) % 3``; every third Ogg row uses ``max_segs=3`` to force
+    continued packets across pages), IFF chunk walk + 80-bit extended
+    rate, and the AU header."""
+    rows = []
+    for i in range(n):
+        seed = container_seed(i)
+        nc = 450 + (i * 23) % 350
+        idx = np.arange(nc, dtype=np.uint64)
+        v = (_splitmix64(seed + idx) & np.uint64(8191)).astype(np.int64) - 4096
+        kind = i % 4
+        if kind == 0:
+            segs = 3 if (i // 4) % 3 == 2 else 255
+            payload = encode_ogg_flac(v, order=(i // 4) % 3, max_segs=segs)
+            mime = "audio/ogg"
+        elif kind == 1:
+            payload = encode_aiff(v)
+            mime = "audio/aiff"
+        elif kind == 2:
+            payload = encode_aiff(v, compression=b"sowt")
+            mime = "audio/aiff"
+        else:
+            payload = encode_au(v)
+            mime = "audio/basic"
+        rows.append((i, "audio", bytearray(payload), mime, 0, 0, 0))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
