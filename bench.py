@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "mm_image_jpeg_progressive",
     "mm_video_gif_frames",
     "mm_image_tiff_features",
+    "mm_audio_containers",
 ]
 
 
