@@ -1776,6 +1776,18 @@ def _q_video_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.video_frame_stats(media)
 
 
+def _q_video_mkv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Matroska/WebM decode under the oracle gate: EBML vint walk
+    (header DocType, Info TimestampScale, TrackEntry, Clusters) +
+    SimpleBlock lacing reassembly in all four modes (none / Xiph /
+    fixed / EBML signed-delta), V_UNCOMPRESSED Y800 planes and V_MJPEG
+    per-frame JPEG decode, exploded to per-frame luma stats; the DuckDB
+    twin (`sql_oracles.mkv_frames_sql`) replays both codecs' closed
+    forms and branches only on codec parity — lacing must be invisible."""
+    media = multimodal.synth_mkv_media(spark, n=64)
+    return multimodal.video_frame_stats(media)
+
+
 def _q_video_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL animated-GIF decode under the oracle gate: LZW frames
     composed with GIF89a Graphic Control semantics — transparency index
@@ -2262,7 +2274,7 @@ _NEW_THIS_ROUND: list[str] = [
     "fulltext_searchset", "index_search_set",
     "mm_image_gif_features", "mm_image_gif_resize",
     "fulltext_qs_wand", "fulltext_qs_gate",
-    "mm_audio_containers",
+    "mm_audio_containers", "mm_video_mkv_frames",
     "mm_audio_compressed", "mm_image_jpeg_features",
     "mm_image_jpeg_progressive", "mm_video_gif_frames",
 ]
@@ -2507,6 +2519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Motion-JPEG AVI)
         "mm_audio_compressed": _q_audio_compressed,
         "mm_audio_containers": _q_audio_containers,
+        "mm_video_mkv_frames": _q_video_mkv,
         "mm_video_mjpeg_frames": _q_video_mjpeg,
         "mm_video_gif_frames": _q_video_gif,
         # --- windowed aggregation / sessionization ---
@@ -3320,6 +3333,7 @@ WHERE NOT EXISTS (
         "mm_audio_features": sql_oracles.audio_features_sql(n=64),
         "mm_audio_compressed": sql_oracles.audio_compressed_sql(n=64),
         "mm_audio_containers": sql_oracles.audio_containers_sql(n=64),
+        "mm_video_mkv_frames": sql_oracles.mkv_frames_sql(n=64),
         "mm_video_mjpeg_frames": sql_oracles.mjpeg_frames_sql(n=64),
         "mm_video_gif_frames": sql_oracles.gif_video_frames_sql(n=64),
         "events_hourly": """

@@ -2119,3 +2119,54 @@ SELECT media_id,
        round(sqrt(sum(v * v)::DOUBLE / count(*)), 6) AS rms,
        round(sum(abs(v))::DOUBLE / count(*), 6) AS mean_amp
 FROM lagged GROUP BY media_id"""
+
+
+def mkv_frames_sql(n: int = 64) -> str:
+    """Exact oracle for ``multimodal.video_frame_stats`` over
+    ``synth_mkv_media`` — Matroska/EBML container rows. Even media carry
+    V_UNCOMPRESSED Y800 planes whose pixel ``p`` of frame ``f`` is
+    ``splitmix64(md5('mkv:'||id) + f*256 + p) & 255``; odd media carry
+    DC-only V_MJPEG frames where every decoded pixel is ``2k + 128``
+    (the AVI fixture's closed form). Lacing modes (none / Xiph / fixed /
+    EBML) never change decoded values, so this twin branches only on the
+    codec parity — hash equality certifies the EBML walk + lacing
+    reassembly."""
+    from ..operators.multimodal import MKV_H, MKV_W
+
+    n_px = MKV_H * MKV_W
+    return f"""WITH
+mm AS (SELECT unnest(range({n})) AS media_id),
+seed AS (
+  SELECT media_id, {sql64.md5_u64("'mkv:' || media_id")} AS s,
+         2 + media_id % 3 AS nf
+  FROM mm
+),
+upx AS (
+  SELECT media_id, p // {n_px} AS frame_idx,
+         {sql64.add64('s', 'p::UBIGINT')} AS x
+  FROM seed CROSS JOIN (SELECT unnest(range({4 * n_px})) AS p) pp
+  WHERE media_id % 2 = 0 AND p < nf * {n_px}
+),
+ufr AS (
+  SELECT media_id, frame_idx,
+         sum(({sql64.sm64('x')} & 255::UBIGINT)::BIGINT)::BIGINT AS y_sum
+  FROM upx GROUP BY media_id, frame_idx
+),
+jkb AS (
+  SELECT media_id, p // 4 AS frame_idx,
+         {sql64.add64('s', 'p::UBIGINT')} AS x
+  FROM seed CROSS JOIN (SELECT unnest(range(16)) AS p) pp
+  WHERE media_id % 2 = 1 AND p < nf * 4
+),
+jfr AS (
+  SELECT media_id, frame_idx,
+         sum(64 * (2 * (({sql64.sm64('x')} & 127::UBIGINT)::BIGINT - 64)
+                   + 128))::BIGINT AS y_sum
+  FROM jkb GROUP BY media_id, frame_idx
+),
+fr AS (SELECT * FROM ufr UNION ALL SELECT * FROM jfr)
+SELECT media_id, frame_idx::INT AS frame_idx, y_sum,
+       {n_px}::BIGINT AS n_px,
+       floor(y_sum::DOUBLE / {n_px} / 255.0 * 1000000 + 0.5) / 1000000
+         AS mean_y
+FROM fr"""

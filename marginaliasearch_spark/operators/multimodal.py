@@ -2894,10 +2894,13 @@ def decode_video(payload: bytes) -> tuple[np.ndarray, float]:
             299 * rgb[..., 0] + 587 * rgb[..., 1] + 114 * rgb[..., 2] + 500
         ) // 1000
         return luma.astype(np.uint8), fps
+    if payload[:4] == _MKV_MAGIC:
+        return _decode_mkv(bytes(payload))
     raise NotImplementedError(
         "inter-frame-predicted video requires codec libraries not present "
         "in this container; supported real formats: YUV4MPEG2 (.y4m), "
-        "Motion-JPEG AVI, animated GIF"
+        "Motion-JPEG AVI, animated GIF, Matroska/WebM (V_UNCOMPRESSED "
+        "Y800 / V_MJPEG tracks)"
     )
 
 
@@ -3827,4 +3830,389 @@ def synth_container_audio_media(spark, n: int = 64) -> DataFrame:
             payload = encode_au(v)
             mime = "audio/basic"
         rows.append((i, "audio", bytearray(payload), mime, 0, 0, 0))
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+# --- Matroska / WebM (EBML) video container ----------------------------------
+#
+# Pure-stdlib EBML parse: variable-length integers (IDs keep the marker
+# bit, sizes strip it), Segment → Info (TimestampScale) / Tracks
+# (TrackEntry: number, type, CodecID, Video dims, ColourSpace,
+# DefaultDuration) / Cluster (Timestamp, SimpleBlock) walk, and all four
+# SimpleBlock lacing modes (none / Xiph / fixed / EBML signed-delta).
+# Decodable codecs without external libs: V_UNCOMPRESSED with Y800
+# (grayscale 8-bit planes — a real Matroska codec id) and V_MJPEG
+# (reusing ``decode_jpeg``). Inter-frame codecs (V_VP8/V_VP9/V_MPEGH*)
+# raise — no codec libs in this container. Spec: RFC 8794 (EBML) +
+# the Matroska element registry.
+
+_MKV_MAGIC = b"\x1aE\xdf\xa3"
+
+
+def _ebml_vint(data: bytes, pos: int, strip: bool = True) -> tuple[int, int]:
+    """One EBML variable-length integer at ``pos`` → (value, new_pos).
+    ``strip`` removes the length-marker bit (sizes, lacing); element IDs
+    conventionally keep it (``strip=False``)."""
+    first = data[pos]
+    if first == 0:
+        raise ValueError("invalid EBML vint (>8 byte width)")
+    w = 9 - first.bit_length()
+    val = int.from_bytes(data[pos : pos + w], "big")
+    if strip:
+        val &= (1 << (7 * w)) - 1
+    return val, pos + w
+
+
+def _ebml_svint(data: bytes, pos: int) -> tuple[int, int]:
+    """Signed EBML vint (EBML-lacing size deltas): unsigned value minus
+    ``2^(7w-1) - 1``."""
+    start = pos
+    val, pos = _ebml_vint(data, pos, strip=True)
+    return val - ((1 << (7 * (pos - start) - 1)) - 1), pos
+
+
+def _eb_id(eid: int) -> bytes:
+    return eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+
+
+def _eb_size(n: int) -> bytes:
+    for w in range(1, 9):
+        if n < (1 << (7 * w)) - 1:  # all-ones is reserved (unknown size)
+            return ((1 << (7 * w)) | n).to_bytes(w, "big")
+    raise ValueError("EBML size too large")
+
+
+def _eb(eid: int, body: bytes) -> bytes:
+    return _eb_id(eid) + _eb_size(len(body)) + body
+
+
+def _eb_uint(eid: int, v: int) -> bytes:
+    return _eb(eid, v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big"))
+
+
+def _ebml_children(data: bytes, pos: int, end: int):
+    """Yield (element_id, body_start, body_end) over one EBML level.
+    An unknown-size element (all-ones size vint) extends to ``end``."""
+    while pos < end:
+        eid, pos = _ebml_vint(data, pos, strip=False)
+        size_start = pos
+        size, pos = _ebml_vint(data, pos, strip=True)
+        w = pos - size_start
+        if size == (1 << (7 * w)) - 1:  # unknown size
+            yield eid, pos, end
+            return
+        yield eid, pos, pos + size
+        pos += size
+
+
+def _mkv_lace_sizes(
+    data: bytes, pos: int, flags: int, body_end: int
+) -> tuple[list[int], int]:
+    """SimpleBlock lacing → per-frame byte sizes (RFC 8794 §...; Matroska
+    'Block Structure'). Returns (sizes, data_start)."""
+    mode = flags & 0x06
+    if mode == 0x00:  # no lacing: one frame
+        return [body_end - pos], pos
+    n_frames = data[pos] + 1
+    pos += 1
+    if mode == 0x02:  # Xiph: 255-run sizes for all but the last frame
+        sizes = []
+        for _ in range(n_frames - 1):
+            s = 0
+            while data[pos] == 255:
+                s += 255
+                pos += 1
+            s += data[pos]
+            pos += 1
+            sizes.append(s)
+    elif mode == 0x04:  # fixed: equal split of the remainder
+        each = (body_end - pos) // n_frames
+        return [each] * n_frames, pos
+    else:  # 0x06 EBML: first size unsigned vint, then signed deltas
+        s, pos = _ebml_vint(data, pos, strip=True)
+        sizes = [s]
+        for _ in range(n_frames - 2):
+            d, pos = _ebml_svint(data, pos)
+            s += d
+            sizes.append(s)
+    sizes.append(body_end - pos - sum(sizes))  # last frame: remainder
+    return sizes, pos
+
+
+def _decode_mkv(payload: bytes) -> tuple[np.ndarray, float]:
+    """Matroska / WebM → (luma planes ``(n_frames, h, w)`` uint8, fps).
+
+    Walks the EBML header (DocType must be matroska/webm), the first
+    video TrackEntry, and every Cluster's SimpleBlocks (all four lacing
+    modes), collecting frames of the selected track in timestamp order.
+    fps comes from the track DefaultDuration when present, else from the
+    first inter-frame timestamp delta. Codecs: V_UNCOMPRESSED (Y800
+    planes) and V_MJPEG (per-frame ``decode_jpeg``); others raise."""
+    if payload[:4] != _MKV_MAGIC:
+        raise ValueError("not an EBML/Matroska payload")
+    track_no = None
+    codec = ""
+    w = h = 0
+    colour = b""
+    default_dur_ns = 0
+    ts_scale = 1_000_000  # ns per timestamp tick (Matroska default)
+    frames: list[tuple[int, bytes]] = []  # (abs ts ticks, frame bytes)
+
+    def walk_cluster(pos: int, end: int) -> None:
+        cluster_ts = 0
+        for eid, s, e in _ebml_children(payload, pos, end):
+            if eid == 0xE7:  # Timestamp
+                cluster_ts = int.from_bytes(payload[s:e], "big")
+            elif eid in (0xA3, 0xA1):  # SimpleBlock / Block (in group)
+                tno, p = _ebml_vint(payload, s, strip=True)
+                if track_no is not None and tno != track_no:
+                    continue
+                rel = int.from_bytes(payload[p : p + 2], "big", signed=True)
+                flags = payload[p + 2]
+                sizes, data_start = _mkv_lace_sizes(payload, p + 3, flags, e)
+                fpos = data_start
+                lace_dur = (
+                    default_dur_ns // ts_scale if default_dur_ns else 0
+                )
+                for j, sz in enumerate(sizes):
+                    frames.append(
+                        (
+                            cluster_ts + rel + j * lace_dur,
+                            payload[fpos : fpos + sz],
+                        )
+                    )
+                    fpos += sz
+            elif eid == 0xA0:  # BlockGroup: recurse for its Block
+                walk_cluster(s, e)
+
+    for eid, s, e in _ebml_children(payload, 0, len(payload)):
+        if eid == 0x1A45DFA3:  # EBML header
+            for cid, cs, ce in _ebml_children(payload, s, e):
+                if cid == 0x4282 and payload[cs:ce].decode() not in (
+                    "matroska",
+                    "webm",
+                ):
+                    raise ValueError(
+                        f"unsupported EBML DocType {payload[cs:ce]!r}"
+                    )
+        elif eid == 0x18538067:  # Segment
+            for sid, ss, se in _ebml_children(payload, s, e):
+                if sid == 0x1549A966:  # Info
+                    for iid, is_, ie in _ebml_children(payload, ss, se):
+                        if iid == 0x2AD7B1:
+                            ts_scale = int.from_bytes(payload[is_:ie], "big")
+                elif sid == 0x1654AE6B:  # Tracks
+                    for tid, ts_, te in _ebml_children(payload, ss, se):
+                        if tid != 0xAE or track_no is not None:
+                            continue
+                        t_no = t_type = 0
+                        t_codec = ""
+                        t_dur = 0
+                        for aid, as_, ae in _ebml_children(
+                            payload, ts_, te
+                        ):
+                            if aid == 0xD7:
+                                t_no = int.from_bytes(payload[as_:ae], "big")
+                            elif aid == 0x83:
+                                t_type = int.from_bytes(
+                                    payload[as_:ae], "big"
+                                )
+                            elif aid == 0x86:
+                                t_codec = payload[as_:ae].decode()
+                            elif aid == 0x23E383:
+                                t_dur = int.from_bytes(payload[as_:ae], "big")
+                            elif aid == 0xE0:  # Video
+                                for vid, vs, ve in _ebml_children(
+                                    payload, as_, ae
+                                ):
+                                    if vid == 0xB0:
+                                        w = int.from_bytes(
+                                            payload[vs:ve], "big"
+                                        )
+                                    elif vid == 0xBA:
+                                        h = int.from_bytes(
+                                            payload[vs:ve], "big"
+                                        )
+                                    elif vid == 0x2EB524:
+                                        colour = payload[vs:ve]
+                        if t_type == 1:  # video track
+                            track_no = t_no
+                            codec = t_codec
+                            default_dur_ns = t_dur
+                elif sid == 0x1F43B675:  # Cluster
+                    walk_cluster(ss, se)
+    if track_no is None or not frames:
+        raise ValueError("Matroska stream has no video frames")
+    frames.sort(key=lambda t: t[0])
+    if codec == "V_UNCOMPRESSED":
+        if colour != b"Y800":
+            raise NotImplementedError(
+                f"V_UNCOMPRESSED colour space {colour!r} not supported "
+                "(Y800 grayscale only)"
+            )
+        lumas = np.stack(
+            [
+                np.frombuffer(fb, dtype=np.uint8, count=w * h).reshape(h, w)
+                for _, fb in frames
+            ]
+        )
+    elif codec == "V_MJPEG":
+        lumas = np.stack([decode_jpeg(fb)[:, :, 0] for _, fb in frames])
+    else:
+        raise NotImplementedError(
+            f"Matroska codec {codec} requires codec libraries not present "
+            "in this container (supported: V_UNCOMPRESSED Y800, V_MJPEG)"
+        )
+    if default_dur_ns:
+        fps = 1e9 / default_dur_ns
+    elif len(frames) > 1 and frames[1][0] != frames[0][0]:
+        fps = 1000.0 / ((frames[1][0] - frames[0][0]) * ts_scale / 1e6)
+    else:
+        fps = 25.0
+    return lumas, fps
+
+
+def encode_mkv(
+    frames: list[bytes],
+    codec_id: str,
+    w: int,
+    h: int,
+    frame_ms: int = 40,
+    lacing: str = "none",
+    colour_space: bytes | None = None,
+    doctype: str = "matroska",
+) -> bytes:
+    """Already-encoded frame payloads → minimal Matroska container.
+
+    ``lacing='none'`` emits one Cluster per frame (exercises the
+    multi-cluster walk); the laced modes pack ALL frames into one
+    SimpleBlock using Xiph / fixed / EBML size coding. The TrackEntry
+    carries DefaultDuration = ``frame_ms`` so laced frames keep their
+    timing."""
+    header = _eb(
+        0x1A45DFA3,
+        _eb_uint(0x4286, 1)  # EBMLVersion
+        + _eb_uint(0x42F7, 1)  # EBMLReadVersion
+        + _eb_uint(0x42F2, 4)  # EBMLMaxIDLength
+        + _eb_uint(0x42F3, 8)  # EBMLMaxSizeLength
+        + _eb(0x4282, doctype.encode())
+        + _eb_uint(0x4287, 4)  # DocTypeVersion
+        + _eb_uint(0x4285, 2),  # DocTypeReadVersion
+    )
+    video = _eb_uint(0xB0, w) + _eb_uint(0xBA, h)
+    if colour_space is not None:
+        video += _eb(0x2EB524, colour_space)
+    track = _eb(
+        0xAE,
+        _eb_uint(0xD7, 1)
+        + _eb_uint(0x73C5, 1)
+        + _eb_uint(0x83, 1)  # TrackType video
+        + _eb_uint(0x23E383, frame_ms * 1_000_000)  # DefaultDuration ns
+        + _eb(0x86, codec_id.encode())
+        + _eb(0xE0, video),
+    )
+    info = _eb(0x1549A966, _eb_uint(0x2AD7B1, 1_000_000))
+    tracks = _eb(0x1654AE6B, track)
+    clusters = b""
+    if lacing == "none":
+        for f, fb in enumerate(frames):
+            block = b"\x81" + (0).to_bytes(2, "big", signed=True) + b"\x80" + fb
+            clusters += _eb(
+                0x1F43B675,
+                _eb_uint(0xE7, f * frame_ms) + _eb(0xA3, block),
+            )
+    else:
+        n = len(frames)
+        if lacing == "xiph":
+            flags, lace = 0x82, b""
+            for fb in frames[:-1]:
+                sz = len(fb)
+                lace += b"\xff" * (sz // 255) + bytes([sz % 255])
+        elif lacing == "fixed":
+            flags, lace = 0x84, b""
+            assert len({len(fb) for fb in frames}) == 1, "fixed lacing"
+        elif lacing == "ebml":
+            flags = 0x86
+            first = len(frames[0])
+            lace = _eb_size(first)  # unsigned vint (same coding as sizes)
+            prev = first
+            for fb in frames[1:-1]:
+                d = len(fb) - prev
+                prev = len(fb)
+                # signed vint, 2-byte width is ample for fixture deltas
+                lace += ((1 << 14) | (d + (1 << 13) - 1)).to_bytes(2, "big")
+        else:
+            raise ValueError(f"unknown lacing {lacing}")
+        block = (
+            b"\x81"
+            + (0).to_bytes(2, "big", signed=True)
+            + bytes([0x80 | flags])
+            + bytes([n - 1])
+            + lace
+            + b"".join(frames)
+        )
+        clusters = _eb(0x1F43B675, _eb_uint(0xE7, 0) + _eb(0xA3, block))
+    segment = _eb(0x18538067, info + tracks + clusters)
+    return header + segment
+
+
+def mkv_seed(media_id: int) -> np.uint64:
+    """Closed-form seed for the Matroska fixture — first 8 bytes of
+    ``md5('mkv:' || media_id)`` (SQL twin expression)."""
+    return np.uint64(
+        int(hashlib.md5(f"mkv:{media_id}".encode()).hexdigest()[:16], 16)
+    )
+
+
+MKV_W = MKV_H = 16
+
+
+def synth_mkv_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic REAL Matroska media table. Even ``media_id``:
+    V_UNCOMPRESSED Y800 frames — pixel ``p`` of frame ``f`` =
+    ``splitmix64(mkv_seed(i) + f*256 + p) & 255`` — with lacing cycling
+    none / fixed / EBML by ``(i // 2) % 3``. Odd: V_MJPEG DC-only
+    grayscale frames (same closed form as the AVI fixture: quantized DC
+    of frame ``f`` block ``b`` = ``(splitmix64(seed + f*4 + b) & 127) -
+    64``, every decoded pixel ``2k + 128``) with lacing cycling none /
+    Xiph by ``(i // 2) % 2``. Lacing never changes decoded values, so
+    the SQL twin branches only on the codec parity while the decoder
+    must parse every lacing mode for real. ``2 + i % 3`` frames each."""
+    q = np.full(64, JPEG_QDC, dtype=np.int64)
+    rows = []
+    for i in range(n):
+        nf = 2 + i % 3
+        seed = mkv_seed(i)
+        if i % 2 == 0:
+            frames = []
+            for f in range(nf):
+                idx = np.arange(256, dtype=np.uint64) + np.uint64(f * 256)
+                px = (_splitmix64(seed + idx) & np.uint64(255)).astype(
+                    np.uint8
+                )
+                frames.append(px.tobytes())
+            lacing = ("none", "fixed", "ebml")[(i // 2) % 3]
+            payload = encode_mkv(
+                frames, "V_UNCOMPRESSED", MKV_W, MKV_H,
+                lacing=lacing, colour_space=b"Y800",
+            )
+        else:
+            frames = []
+            for f in range(nf):
+                idx = np.arange(4, dtype=np.uint64) + np.uint64(f * 4)
+                ks = (
+                    (_splitmix64(seed + idx) & np.uint64(127)).astype(
+                        np.int64
+                    )
+                    - 64
+                )
+                coeffs = np.zeros((2, 2, 3, 64), dtype=np.int64)
+                coeffs[..., 0, 0] = ks.reshape(2, 2)
+                frames.append(encode_jpeg(coeffs, MKV_H, MKV_W, q))
+            lacing = ("none", "xiph")[(i // 2) % 2]
+            payload = encode_mkv(frames, "V_MJPEG", MKV_W, MKV_H, lacing=lacing)
+        rows.append(
+            (i, "video", bytearray(payload), "video/x-matroska", MKV_W,
+             MKV_H, nf * 40)
+        )
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
