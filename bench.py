@@ -146,6 +146,59 @@ def _sf_of(sf_dir: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+# The driver records only the LAST 2000 chars of bench stdout and parses
+# the JSON line out of that window — BENCH_r03.json came back with
+# "parsed": null because the full per-query line had grown past 2000 chars
+# and lost its opening brace. Budget the printed line: full detail always
+# goes to BENCH_DETAIL.json next to this script; the stdout line keeps
+# every top-level aggregate and as many per-query timings as fit.
+_LINE_BUDGET = 1880
+_DETAIL_FILE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+)
+
+
+def _print_budgeted(payload: dict) -> None:
+    with open(_DETAIL_FILE, "w") as f:
+        json.dump(payload, f, indent=1)
+    line = json.dumps(payload)
+    if len(line) <= _LINE_BUDGET:
+        print(line)
+        return
+    compact = dict(payload)
+    # host probe: keep the medians, drop the per-size samples
+    host = payload.get("host")
+    if isinstance(host, dict):
+        compact["host"] = {
+            k: (v.get("alloc_stream_gbps") if isinstance(v, dict) else v)
+            for k, v in host.items()
+        }
+    pct = payload.get("percentiles")
+    if isinstance(pct, dict) and "latency" in pct and len(json.dumps(compact)) > _LINE_BUDGET:
+        compact["percentiles"] = {
+            k: v for k, v in pct.items() if k != "latency"
+        }
+        compact["detail"] = os.path.basename(_DETAIL_FILE)
+    queries = payload.get("queries")
+    if isinstance(queries, dict) and queries:
+        compact["n_queries"] = len(queries)
+        compact["queries_total_sec"] = round(sum(queries.values()), 3)
+        compact["detail"] = os.path.basename(_DETAIL_FILE)
+        kept: dict[str, float] = {}
+        compact["queries"] = kept
+        compact["queries_omitted"] = len(queries)
+        for name, sec in queries.items():  # BENCH_QUERIES order = stable core first
+            kept[name] = round(sec, 2)
+            compact["queries_omitted"] = len(queries) - len(kept)
+            if len(json.dumps(compact)) > _LINE_BUDGET:
+                del kept[name]
+                compact["queries_omitted"] = len(queries) - len(kept)
+                break
+    line = json.dumps(compact)
+    assert len(line) <= 2000, len(line)
+    print(line)
+
+
 def _host_probe() -> dict:
     """Measure the host's fresh-allocation memory bandwidth (GB/s).
 
@@ -359,8 +412,7 @@ def main() -> None:
         eff = (tp_4n / tp_n) / 4.0
         med_n = statistics.median(all_runs[args.n])
         med_4n = statistics.median(all_runs[4 * args.n])
-        print(
-            json.dumps(
+        _print_budgeted(
                 {
                     "metric": "index-build scaling N vs 4N (local threads)",
                     "n_cores": args.n,
@@ -374,7 +426,6 @@ def main() -> None:
                     "runs": all_runs,
                     "host": {"before": probe, "after": _host_probe()},
                 }
-            )
         )
         return
 
@@ -390,8 +441,7 @@ def main() -> None:
             out = run_percentiles(spark, args.sf_dir, args.percentiles)
         finally:
             spark.stop()
-        print(
-            json.dumps(
+        _print_budgeted(
                 {
                     "metric": "fulltext query latency percentiles",
                     "value": out["results_per_sec"],
@@ -401,7 +451,6 @@ def main() -> None:
                     "percentiles": out,
                     "host": {"before": probe_before, "after": _host_probe()},
                 }
-            )
         )
         return
     spark = get_spark("bench", cores=args.cores)
@@ -415,8 +464,7 @@ def main() -> None:
             build = run_build(spark, workdir)
         queries = {} if args.build_only else run_queries(spark, args.sf_dir)
         total = build["sec"] + sum(queries.values())
-        print(
-            json.dumps(
+        _print_budgeted(
                 {
                     "metric": "index-build (200k Zipf turns) + headline queries wall time",
                     "value": round(total, 3),
@@ -427,7 +475,6 @@ def main() -> None:
                     "cores": args.cores,
                     "host": {"before": probe_before, "after": _host_probe()},
                 }
-            )
         )
     finally:
         shutil.rmtree(workdir, ignore_errors=True)

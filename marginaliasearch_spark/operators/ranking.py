@@ -105,12 +105,14 @@ def pagerank(
 
     scores = vs.select("id", F.lit(int(scale)).cast("long").alias("s"))
     for it in range(iterations):
-        d_row = (
-            scores.join(dangling, "id")
-            .agg(F.sum(F.expr("(85 * s) div 100")).alias("d"))
-            .first()
+        # dangling mass: a 1-row relation broadcast into the update instead
+        # of a driver-side .first() — one Spark job per iteration, not two
+        # (the scalar share is identical: d >= 0, so `div` == Python //)
+        dmass = scores.join(dangling, "id").agg(
+            F.coalesce(F.sum(F.expr("(85 * s) div 100")), F.lit(0))
+            .cast("long")
+            .alias("dm")
         )
-        d_share = int(d_row["d"] or 0) // t_size
         contrib = (
             links.join(scores.withColumnRenamed("id", "src"), "src")
             .select(
@@ -120,14 +122,21 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("c"))
         )
-        scores = vs.join(contrib, "id", "left").select(
-            "id",
-            (
-                F.when(is_teleport, F.lit(base + d_share)).otherwise(F.lit(0))
-                + F.coalesce(F.col("c"), F.lit(0))
+        scores = (
+            vs.join(contrib, "id", "left")
+            .crossJoin(F.broadcast(dmass))
+            .select(
+                "id",
+                (
+                    F.when(
+                        is_teleport,
+                        F.lit(base) + F.expr(f"dm div {t_size}"),
+                    ).otherwise(F.lit(0))
+                    + F.coalesce(F.col("c"), F.lit(0))
+                )
+                .cast("long")
+                .alias("s"),
             )
-            .cast("long")
-            .alias("s"),
         )
         if it + 1 < iterations:
             # truncate lineage between rounds; the LAST round stays lazy so
