@@ -1766,6 +1766,21 @@ def _q_audio_containers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.audio_features(media, fake=False)
 
 
+def _q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-audio CONTAINER metadata under the oracle gate: MPEG-1
+    Layer III frame-header walk (ISO 11172-3 frame-length arithmetic,
+    ID3v2 syncsafe skip + TIT2, ID3v1 trailer) and RFC 7845 Ogg-Opus
+    (OpusHead/OpusTags pages, granule-clock duration minus pre-skip).
+    Sample decode for these codecs is an honest NotImplementedError (the
+    normative Huffman/window tables aren't re-derivable); the metadata
+    layer is what a media-ingest pipeline gates and partitions on. Every
+    column is a closed form of media_id, so the DuckDB twin
+    (`sql_oracles.audio_meta_sql`) is pure arithmetic — hash equality
+    certifies the container walk itself."""
+    media = multimodal.synth_perceptual_media(spark, n=64)
+    return multimodal.audio_container_meta(media)
+
+
 def _q_video_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL compressed-video decode under the oracle gate: Motion-JPEG
     AVI container walk + per-frame baseline-JPEG decode
@@ -2268,6 +2283,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # core) trails. New entries added after round 3 are prepended in tier 0 —
 # see _NEW_THIS_ROUND.
 _NEW_THIS_ROUND: list[str] = [
+    "mm_audio_meta",
     "mm_image_tiff_features", "mm_image_tiff_resize",
     "index_subject_keywords", "streaming_dedup", "streaming_windows",
     "mm_image_png_features", "mm_image_png_resize",
@@ -2519,6 +2535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Motion-JPEG AVI)
         "mm_audio_compressed": _q_audio_compressed,
         "mm_audio_containers": _q_audio_containers,
+        "mm_audio_meta": _q_audio_meta,
         "mm_video_mkv_frames": _q_video_mkv,
         "mm_video_mjpeg_frames": _q_video_mjpeg,
         "mm_video_gif_frames": _q_video_gif,
@@ -3333,6 +3350,7 @@ WHERE NOT EXISTS (
         "mm_audio_features": sql_oracles.audio_features_sql(n=64),
         "mm_audio_compressed": sql_oracles.audio_compressed_sql(n=64),
         "mm_audio_containers": sql_oracles.audio_containers_sql(n=64),
+        "mm_audio_meta": sql_oracles.audio_meta_sql(n=64),
         "mm_video_mkv_frames": sql_oracles.mkv_frames_sql(n=64),
         "mm_video_mjpeg_frames": sql_oracles.mjpeg_frames_sql(n=64),
         "mm_video_gif_frames": sql_oracles.gif_video_frames_sql(n=64),

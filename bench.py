@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "mm_video_gif_frames",
     "mm_image_tiff_features",
     "mm_audio_containers",
+    "mm_audio_meta",
 ]
 
 

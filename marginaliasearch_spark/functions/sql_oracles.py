@@ -2170,3 +2170,43 @@ SELECT media_id, frame_idx::INT AS frame_idx, y_sum,
        floor(y_sum::DOUBLE / {n_px} / 255.0 * 1000000 + 0.5) / 1000000
          AS mean_y
 FROM fr"""
+
+
+def audio_meta_sql(n: int = 64) -> str:
+    """Exact oracle for ``multimodal.audio_container_meta`` over
+    ``synth_perceptual_media`` — MPEG-1 Layer III and Ogg-Opus container
+    rows. Every metadata column of the fixture is a closed form of
+    ``media_id`` (frame counts, bitrate schedule, packet sizes), so this
+    twin is pure arithmetic: the Spark side must walk real MPEG frame
+    headers (length = 144000*kbps // rate), skip ID3v2/ID3v1 tags and
+    reassemble CRC-checked Ogg pages (granule - pre_skip duration) to
+    reach values this SQL states directly."""
+    return f"""WITH mm AS (SELECT unnest(range({n})) AS i),
+base AS (
+  SELECT i,
+         40 + (i * 7) % 25 AS nf_mp3,
+         50 + (i * 11) % 40 AS nf_opus,
+         CASE (i // 2) % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+              ELSE 32000 END AS rate_mp3
+  FROM mm
+)
+SELECT i::BIGINT AS media_id,
+       CASE WHEN i % 2 = 0 THEN 'mp3' ELSE 'opus' END AS codec,
+       (CASE WHEN i % 2 = 0 THEN nf_mp3 ELSE nf_opus END)::BIGINT AS n_frames,
+       (CASE WHEN i % 2 = 0 THEN rate_mp3 ELSE 48000 END)::INT AS sample_rate,
+       (CASE WHEN i % 2 = 0
+             THEN CASE WHEN (i // 2) % 2 = 1 THEN 1 ELSE 2 END
+             ELSE 1 + (i // 2) % 2 END)::INT AS channels,
+       (CASE WHEN i % 2 = 0 THEN nf_mp3 * 1152 * 1000 // rate_mp3
+             ELSE nf_opus * 20 END)::BIGINT AS duration_ms,
+       (CASE WHEN i % 2 = 0
+             THEN CASE WHEN (i // 2) % 4 < 2 THEN 128
+                  ELSE (128 * ((nf_mp3 + 1) // 2) + 192 * (nf_mp3 // 2))
+                       // nf_mp3 END
+             ELSE list_sum([60 + (i * 31 + k * 13) % 100
+                            FOR k IN range(0, nf_opus)]) * 8 * 48000
+                  // (nf_opus * 960 * 1000)
+        END)::BIGINT AS avg_bitrate_kbps,
+       (CASE WHEN i % 2 = 0 THEN (i // 2) % 4 >= 2 ELSE true END) AS vbr,
+       'track ' || i AS title
+FROM base"""

@@ -3528,26 +3528,43 @@ def _ogg_write_pages(
     packets: list[tuple[bytes, int]],
     serial: int = 0x464C4143,
     max_segs: int = 255,
+    break_after: set[int] | None = None,
 ) -> bytes:
     """[(packet, granule_after_packet)] → Ogg pages. ``max_segs`` < 255
     forces page splits (continued packets) for framing tests. Granule of
-    a page = granule of the last packet that *completes* on it, else -1."""
-    laced: list[tuple[int, bytes, int | None]] = []  # (lace, chunk, granule)
-    for packet, granule in packets:
+    a page = granule of the last packet that *completes* on it, else -1.
+    ``break_after``: packet indices whose final lace must flush the page
+    (RFC 7845 requires OpusHead / OpusTags to end their own pages)."""
+    # (lace, chunk, granule, flush-page-after)
+    laced: list[tuple[int, bytes, int | None, bool]] = []
+    for p_idx, (packet, granule) in enumerate(packets):
         chunks = [packet[i : i + 255] for i in range(0, len(packet), 255)]
         if not chunks or len(chunks[-1]) == 255:
             chunks.append(b"")  # terminating lace for empty/255-multiple
         for j, c in enumerate(chunks):
-            laced.append((len(c), c, granule if j == len(chunks) - 1 else None))
+            last = j == len(chunks) - 1
+            laced.append(
+                (
+                    len(c),
+                    c,
+                    granule if last else None,
+                    last and break_after is not None and p_idx in break_after,
+                )
+            )
     pages = []
     seq = 0
     i = 0
     continued = False
     while i < len(laced):
-        group = laced[i : i + max_segs]
-        i += len(group)
+        group = []
+        while i < len(laced) and len(group) < max_segs:
+            item = laced[i]
+            group.append(item)
+            i += 1
+            if item[3]:
+                break
         granule = -1
-        for _, _, g in group:
+        for _, _, g, _ in group:
             if g is not None:
                 granule = g
         htype = (0x01 if continued else 0) | (0x02 if seq == 0 else 0)
@@ -3562,9 +3579,9 @@ def _ogg_write_pages(
             + seq.to_bytes(4, "little")
             + b"\x00\x00\x00\x00"  # CRC placeholder
             + bytes([len(group)])
-            + bytes(lace for lace, _, _ in group)
+            + bytes(lace for lace, _, _, _ in group)
         )
-        body = b"".join(c for _, c, _ in group)
+        body = b"".join(c for _, c, _, _ in group)
         crc = _ogg_crc(header + body)
         pages.append(header[:22] + crc.to_bytes(4, "little") + header[26:] + body)
         seq += 1
@@ -4215,4 +4232,316 @@ def synth_mkv_media(spark, n: int = 64) -> DataFrame:
             (i, "video", bytearray(payload), "video/x-matroska", MKV_W,
              MKV_H, nf * 40)
         )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+# --- MPEG audio (MP3) / Ogg-Opus container metadata ---------------------------
+#
+# This container ships no perceptual-audio codec libraries, so MP3 / Opus
+# SAMPLE decode stays behind decode_audio's NotImplementedError: MPEG-1
+# Layer III sample reconstruction needs the normative Huffman code tables
+# (ISO 11172-3 Annex B Table B.7) and the 512-tap synthesis window (Table
+# B.3) — spec constants that cannot be re-derived from first principles,
+# and pairing our own encoder with our own decoder would only certify
+# itself. The CONTAINER layer, by contrast, is fully specified by
+# structure alone — frame-sync arithmetic, ID3 tags, Ogg granule
+# positions — and is what a 100-TB media-ingest pipeline needs first:
+# duration / bitrate / channel / tag metadata for partition pruning,
+# dedup keys and quality gates before any sample-level work is scheduled.
+#
+# MPEG frame walk: ISO 11172-3 §2.4.1.3 header fields; Layer III frame
+# length = 144000·kbps // rate + padding; 1152 samples per MPEG-1 frame.
+# Tags: ID3v2.3 (10-byte header, syncsafe size, TIT2/TPE1 text frames)
+# and the 128-byte ID3v1 'TAG' trailer. Ogg-Opus: RFC 7845 (OpusHead /
+# OpusTags on their own pages, 48 kHz granule clock, pre-skip
+# subtraction). Reference analogue: content-type sniffing before heavy
+# processing (`code/processes/converting-process/.../DocumentProcessor`
+# decides per-document work from cheap type probes the same way).
+
+_MPEG1_L3_KBPS = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_MPEG1_RATES = (44100, 48000, 32000)
+
+
+def _id3v2(title: str, artist: str) -> bytes:
+    """Minimal ID3v2.3 tag: TIT2 + TPE1 latin-1 text frames."""
+
+    def frame(fid: bytes, text: str) -> bytes:
+        body = b"\x00" + text.encode("latin-1")  # encoding 0 = latin-1
+        return fid + len(body).to_bytes(4, "big") + b"\x00\x00" + body
+
+    body = frame(b"TIT2", title) + frame(b"TPE1", artist)
+    sz = len(body)
+    syncsafe = bytes(
+        [(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F]
+    )
+    return b"ID3\x03\x00\x00" + syncsafe + body
+
+
+def _id3v1(title: str, artist: str) -> bytes:
+    def pad30(s: str) -> bytes:
+        return s.encode("latin-1")[:30].ljust(30, b"\x00")
+
+    return (
+        b"TAG" + pad30(title) + pad30(artist) + pad30("")
+        + b"2026" + b"\x00" * 30 + b"\xff"
+    )
+
+
+def encode_mpeg_stream(
+    media_id: int,
+    n_frames: int,
+    rate_idx: int,
+    kbps_indices: list[int],
+    mono: bool,
+    title: str,
+) -> bytes:
+    """Valid MPEG-1 Layer III frame sequence with an ID3v2.3 front tag
+    and an ID3v1 trailer. Frame k cycles ``kbps_indices`` (len > 1 = a
+    VBR stream). Frame BODIES are deterministic splitmix64 filler: the
+    metadata walk computes every frame length from its 4-byte header and
+    never reads the body (sample decode stays NotImplementedError)."""
+    rate = _MPEG1_RATES[rate_idx]
+    out = bytearray(_id3v2(title, "synthcorp"))
+    h1 = 0xE0 | (0b11 << 3) | (0b01 << 1) | 1  # sync low, MPEG-1, Layer III
+    for k in range(n_frames):
+        bidx = kbps_indices[k % len(kbps_indices)]
+        kbps = _MPEG1_L3_KBPS[bidx]
+        flen = 144000 * kbps // rate  # padding bit 0
+        h2 = (bidx << 4) | (rate_idx << 2)
+        h3 = (0b11 if mono else 0b00) << 6
+        seed = np.uint64(
+            int(hashlib.md5(f"mp3:{media_id}:{k}".encode()).hexdigest()[:16], 16)
+        )
+        idx = np.arange(flen - 4, dtype=np.uint64)
+        body = (_splitmix64(seed + idx) & np.uint64(255)).astype(np.uint8)
+        out += bytes([0xFF, h1, h2, h3]) + body.tobytes()
+    out += _id3v1(title, "synthcorp")
+    return bytes(out)
+
+
+def mpeg_audio_meta(payload: bytes) -> dict:
+    """MPEG-1 Layer III elementary stream → container metadata (no sample
+    decode): frame count, rate, channels, floor-integer duration/bitrate,
+    VBR flag, title (ID3v2 TIT2, else ID3v1)."""
+    pos = 0
+    title = None
+    if payload[:3] == b"ID3":
+        sz = (
+            ((payload[6] & 0x7F) << 21) | ((payload[7] & 0x7F) << 14)
+            | ((payload[8] & 0x7F) << 7) | (payload[9] & 0x7F)
+        )
+        fpos, fend = 10, 10 + sz
+        while fpos + 10 <= fend:
+            fid = payload[fpos : fpos + 4]
+            fsz = int.from_bytes(payload[fpos + 4 : fpos + 8], "big")
+            if fid == b"\x00\x00\x00\x00" or fsz <= 0:
+                break
+            if fid == b"TIT2":
+                enc = payload[fpos + 10]
+                raw = payload[fpos + 11 : fpos + 10 + fsz]
+                title = raw.decode("latin-1" if enc == 0 else "utf-8").rstrip("\x00")
+            fpos += 10 + fsz
+        pos = 10 + sz
+    end = len(payload)
+    if end >= 128 and payload[end - 128 : end - 125] == b"TAG":
+        if title is None:
+            title = payload[end - 125 : end - 95].rstrip(b"\x00").decode("latin-1")
+        end -= 128
+    n = kbps_sum = 0
+    kset: set[int] = set()
+    rate = channels = None
+    while pos + 4 <= end:
+        h = payload[pos : pos + 4]
+        if h[0] != 0xFF or (h[1] & 0xE0) != 0xE0:
+            raise ValueError(f"lost MPEG frame sync at offset {pos}")
+        if (h[1] >> 3) & 0x3 != 0b11 or (h[1] >> 1) & 0x3 != 0b01:
+            raise NotImplementedError("only MPEG-1 Layer III framing supported")
+        bidx, ridx, padb = h[2] >> 4, (h[2] >> 2) & 0x3, (h[2] >> 1) & 1
+        if bidx in (0, 15) or ridx == 3:
+            raise ValueError("free-format or invalid MPEG header")
+        kbps, r = _MPEG1_L3_KBPS[bidx], _MPEG1_RATES[ridx]
+        if rate is None:
+            rate = r
+        elif r != rate:
+            raise ValueError("sample-rate change mid-stream")
+        ch = 1 if (h[3] >> 6) & 0x3 == 0b11 else 2
+        channels = ch if channels is None else channels
+        n += 1
+        kbps_sum += kbps
+        kset.add(kbps)
+        pos += 144000 * kbps // r + padb
+    if n == 0 or pos != end:
+        raise ValueError("no MPEG frames / trailing garbage")
+    return {
+        "codec": "mp3",
+        "n_frames": n,
+        "sample_rate": rate,
+        "channels": channels,
+        "duration_ms": n * 1152 * 1000 // rate,
+        "avg_bitrate_kbps": kbps_sum // n,
+        "vbr": len(kset) > 1,
+        "title": title or "",
+    }
+
+
+def encode_ogg_opus(
+    media_id: int,
+    n_packets: int,
+    channels: int,
+    pre_skip: int,
+    title: str,
+    sizes: list[int],
+) -> bytes:
+    """RFC 7845 Ogg-Opus stream: OpusHead / OpusTags each ending their
+    own page (``break_after``), then ``n_packets`` audio packets of the
+    given sizes at 960 samples (20 ms) per packet on the 48 kHz granule
+    clock. Packet bodies after the TOC byte are deterministic splitmix64
+    filler — CELT bit decode is out of scope (see section comment)."""
+    head = (
+        b"OpusHead" + bytes([1, channels]) + pre_skip.to_bytes(2, "little")
+        + (48000).to_bytes(4, "little") + b"\x00\x00" + b"\x00"
+    )
+    vendor = b"marginaliasearch_spark"
+    comment = f"TITLE={title}".encode()
+    tags = (
+        b"OpusTags" + len(vendor).to_bytes(4, "little") + vendor
+        + (1).to_bytes(4, "little")
+        + len(comment).to_bytes(4, "little") + comment
+    )
+    toc = (31 << 3) | ((1 if channels == 2 else 0) << 2)  # CELT FB 20ms, code 0
+    packets = [(head, 0), (tags, 0)]
+    gran = pre_skip
+    for k in range(n_packets):
+        seed = np.uint64(
+            int(hashlib.md5(f"opus:{media_id}:{k}".encode()).hexdigest()[:16], 16)
+        )
+        idx = np.arange(max(0, sizes[k] - 1), dtype=np.uint64)
+        body = (_splitmix64(seed + idx) & np.uint64(255)).astype(np.uint8)
+        gran += 960
+        packets.append((bytes([toc]) + body.tobytes(), gran))
+    return _ogg_write_pages(packets, serial=0x4F505553, break_after={0, 1})
+
+
+def _ogg_last_granule(payload: bytes) -> int:
+    """Last non-negative page granule position (cheap header-only walk;
+    packet-level CRC verification happens in ``_ogg_packets``)."""
+    pos, last = 0, 0
+    while pos < len(payload):
+        if payload[pos : pos + 4] != b"OggS":
+            raise ValueError("bad Ogg capture pattern")
+        g = int.from_bytes(payload[pos + 6 : pos + 14], "little", signed=True)
+        if g >= 0:
+            last = g
+        n_segs = payload[pos + 26]
+        pos += 27 + n_segs + sum(payload[pos + 27 : pos + 27 + n_segs])
+    return last
+
+
+def opus_meta(payload: bytes) -> dict:
+    """Ogg-Opus stream → container metadata: channel count and pre-skip
+    from OpusHead, TITLE from OpusTags, duration from the final granule
+    position minus pre-skip on the 48 kHz clock (RFC 7845 §4/§5), and
+    the floor-integer average bitrate over the audio packet bytes."""
+    packets = _ogg_packets(payload)  # CRC-verified, continuation-checked
+    if not packets or packets[0][:8] != b"OpusHead":
+        raise ValueError("not an Ogg-Opus stream")
+    head = packets[0]
+    if head[8] != 1:
+        raise NotImplementedError(f"OpusHead version {head[8]}")
+    channels = head[9]
+    pre_skip = int.from_bytes(head[10:12], "little")
+    title = ""
+    if len(packets) > 1 and packets[1][:8] == b"OpusTags":
+        t, p = packets[1], 8
+        vlen = int.from_bytes(t[p : p + 4], "little")
+        p += 4 + vlen
+        ncom = int.from_bytes(t[p : p + 4], "little")
+        p += 4
+        for _ in range(ncom):
+            clen = int.from_bytes(t[p : p + 4], "little")
+            p += 4
+            c = t[p : p + clen].decode()
+            p += clen
+            if c.upper().startswith("TITLE="):
+                title = c[6:]
+    audio = packets[2:]
+    dur_samples = max(0, _ogg_last_granule(payload) - pre_skip)
+    abytes = sum(len(pk) for pk in audio)
+    return {
+        "codec": "opus",
+        "n_frames": len(audio),
+        "sample_rate": 48000,
+        "channels": channels,
+        "duration_ms": dur_samples * 1000 // 48000,
+        "avg_bitrate_kbps": (
+            (abytes * 8 * 48000) // (dur_samples * 1000) if dur_samples else 0
+        ),
+        "vbr": len({len(pk) for pk in audio}) > 1,
+        "title": title,
+    }
+
+
+AUDIO_META_SCHEMA = (
+    "media_id long, codec string, n_frames long, sample_rate int, "
+    "channels int, duration_ms long, avg_bitrate_kbps long, vbr boolean, "
+    "title string"
+)
+
+
+def audio_container_meta(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """media_id → perceptual-audio container metadata, Arrow-batched
+    ``mapInPandas`` (MPEG/Layer III frame walk or Ogg-Opus page walk by
+    magic bytes). All outputs are exact integers/strings, so the DuckDB
+    twin (``sql_oracles.audio_meta_sql``) states them in closed form and
+    the hash equality certifies the container parse itself."""
+    cols = [c.split(" ")[0] for c in AUDIO_META_SCHEMA.split(", ")]
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                b = bytes(payload)
+                if b[:4] == b"OggS":
+                    m = opus_meta(b)
+                elif b[:3] == b"ID3" or (
+                    len(b) > 1 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0
+                ):
+                    m = mpeg_audio_meta(b)
+                else:
+                    raise NotImplementedError("unknown perceptual-audio container")
+                rows.append({"media_id": int(mid), **m})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select("media_id", payload_col).mapInPandas(
+        batch, schema=AUDIO_META_SCHEMA
+    )
+
+
+def synth_perceptual_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic MP3 / Ogg-Opus container table by ``media_id % 2``
+    (0: MPEG-1 Layer III with ID3v2 + ID3v1, CBR-128 or VBR-128/192 by
+    ``(i//2) % 4``; 1: RFC 7845 Ogg-Opus, 20 ms packets, size
+    ``60 + (i*31 + k*13) % 100``). Every metadata column is a closed
+    form of ``media_id`` — see ``sql_oracles.audio_meta_sql``."""
+    rows = []
+    for i in range(n):
+        j = i // 2
+        title = f"track {i}"
+        if i % 2 == 0:
+            rate_idx = j % 3
+            nf = 40 + (i * 7) % 25
+            payload = encode_mpeg_stream(
+                i, nf, rate_idx,
+                [9] if j % 4 < 2 else [9, 11],  # 128 CBR / 128-192 VBR
+                mono=j % 2 == 1, title=title,
+            )
+            mime = "audio/mpeg"
+            dur = nf * 1152 * 1000 // _MPEG1_RATES[rate_idx]
+        else:
+            npk = 50 + (i * 11) % 40
+            sizes = [60 + ((i * 31 + k * 13) % 100) for k in range(npk)]
+            payload = encode_ogg_opus(i, npk, 1 + j % 2, 312, title, sizes)
+            mime = "audio/opus"
+            dur = npk * 20
+        rows.append((i, "audio", bytearray(payload), mime, 0, 0, int(dur)))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
