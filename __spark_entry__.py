@@ -1766,6 +1766,30 @@ def _q_audio_containers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.audio_features(media, fake=False)
 
 
+def _q_subtitles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRT / WebVTT caption parsing under the oracle gate, pure JVM
+    expressions (split / posexplode / regexp_extract / higher-order
+    array ops — no UDF): block split, timing-line location, both clock
+    syntaxes (comma/dot, optional hours), NOTE-block and cue-settings
+    dropping, multi-line body reassembly. Fixture timings/bodies are
+    closed forms of (media_id, cue_idx) — `sql_oracles.subtitles_sql`."""
+    from marginaliasearch_spark.operators import subtitles
+
+    tracks = subtitles.synth_subtitle_tracks(spark, n=64)
+    return subtitles.parse_subtitles(tracks)
+
+
+def _q_subtitle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption quality-gate stats over the parsed cue stream: per-track
+    cue count, captioned millis, char count, overlap count (lag window
+    + groupBy, partitioned per track). Oracle:
+    `sql_oracles.subtitle_stats_sql` over the same closed forms."""
+    from marginaliasearch_spark.operators import subtitles
+
+    tracks = subtitles.synth_subtitle_tracks(spark, n=64)
+    return subtitles.cue_stats(subtitles.parse_subtitles(tracks))
+
+
 def _q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-audio CONTAINER metadata under the oracle gate: MPEG-1
     Layer III frame-header walk (ISO 11172-3 frame-length arithmetic,
@@ -2283,7 +2307,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # core) trails. New entries added after round 3 are prepended in tier 0 —
 # see _NEW_THIS_ROUND.
 _NEW_THIS_ROUND: list[str] = [
-    "mm_audio_meta",
+    "mm_audio_meta", "mm_subtitles", "mm_subtitle_stats",
     "mm_image_tiff_features", "mm_image_tiff_resize",
     "index_subject_keywords", "streaming_dedup", "streaming_windows",
     "mm_image_png_features", "mm_image_png_resize",
@@ -2536,6 +2560,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_compressed": _q_audio_compressed,
         "mm_audio_containers": _q_audio_containers,
         "mm_audio_meta": _q_audio_meta,
+        "mm_subtitles": _q_subtitles,
+        "mm_subtitle_stats": _q_subtitle_stats,
         "mm_video_mkv_frames": _q_video_mkv,
         "mm_video_mjpeg_frames": _q_video_mjpeg,
         "mm_video_gif_frames": _q_video_gif,
@@ -3351,6 +3377,8 @@ WHERE NOT EXISTS (
         "mm_audio_compressed": sql_oracles.audio_compressed_sql(n=64),
         "mm_audio_containers": sql_oracles.audio_containers_sql(n=64),
         "mm_audio_meta": sql_oracles.audio_meta_sql(n=64),
+        "mm_subtitles": sql_oracles.subtitles_sql(n=64),
+        "mm_subtitle_stats": sql_oracles.subtitle_stats_sql(n=64),
         "mm_video_mkv_frames": sql_oracles.mkv_frames_sql(n=64),
         "mm_video_mjpeg_frames": sql_oracles.mjpeg_frames_sql(n=64),
         "mm_video_gif_frames": sql_oracles.gif_video_frames_sql(n=64),

@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "mm_image_tiff_features",
     "mm_audio_containers",
     "mm_audio_meta",
+    "mm_subtitles",
 ]
 
 

@@ -2210,3 +2210,52 @@ SELECT i::BIGINT AS media_id,
        (CASE WHEN i % 2 = 0 THEN (i // 2) % 4 >= 2 ELSE true END) AS vbr,
        'track ' || i AS title
 FROM base"""
+
+
+def _subtitle_cues_cte(n: int) -> str:
+    """Shared closed-form cue relation for the subtitle oracles — the
+    generator formulas of ``subtitles.synth_subtitle_tracks`` restated."""
+    return f"""mm AS (SELECT unnest(range({n})) AS i),
+cue AS (
+  SELECT i, k,
+         k * 2000 + (i * 37) % 500 AS start_ms,
+         k * 2000 + (i * 37) % 500 + 800 + (i * 977 + k * 641) % 2400 AS end_ms,
+         'cue ' || i || ' ' || k ||
+           CASE WHEN k % 3 = 0 THEN chr(10) || 'line2 ' || k ELSE '' END
+           AS text
+  FROM mm CROSS JOIN (SELECT unnest(range(17)) AS k) kk
+  WHERE k < 5 + (i * 3) % 12
+)"""
+
+
+def subtitles_sql(n: int = 64) -> str:
+    """Exact oracle for ``subtitles.parse_subtitles`` over
+    ``synth_subtitle_tracks`` — SRT (comma clocks, index lines) and
+    WebVTT (dot clocks, optional hours, NOTE blocks, cue identifiers,
+    cue settings) rows. The fixture's cue timings/bodies are closed
+    forms of (media_id, cue_idx), so this twin is pure arithmetic: the
+    Spark side must actually split blocks, locate timing lines and
+    decode both clock syntaxes to reach these values."""
+    return f"""WITH {_subtitle_cues_cte(n)}
+SELECT i::BIGINT AS media_id, k::INT AS cue_idx,
+       start_ms::BIGINT AS start_ms, end_ms::BIGINT AS end_ms, text
+FROM cue"""
+
+
+def subtitle_stats_sql(n: int = 64) -> str:
+    """Oracle for ``subtitles.cue_stats`` over the parsed fixture: cue
+    counts, captioned millis, char counts, overlap counts (cue starting
+    before its predecessor ended) — same closed-form cue relation."""
+    return f"""WITH {_subtitle_cues_cte(n)},
+lagged AS (
+  SELECT i, start_ms, end_ms, text,
+         lag(end_ms) OVER (PARTITION BY i ORDER BY k) AS prev_end
+  FROM cue
+)
+SELECT i::BIGINT AS media_id,
+       count(*)::BIGINT AS n_cues,
+       sum(end_ms - start_ms)::BIGINT AS captioned_ms,
+       sum(length(text))::BIGINT AS n_chars,
+       sum(CASE WHEN prev_end IS NOT NULL AND start_ms < prev_end
+                THEN 1 ELSE 0 END)::BIGINT AS overlaps
+FROM lagged GROUP BY i"""
