@@ -1766,6 +1766,19 @@ def _q_audio_containers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.audio_features(media, fake=False)
 
 
+def _q_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus data-card report (Datasheets-for-Datasets shape) over the
+    documents table: per-(lang, source) doc counts, exact-dup counts
+    (count − distinct md5), char/whitespace-token totals, exact
+    interpolated p50/p90 lengths. One map-side-combinable groupBy; the
+    exact `percentile` agg state scales with distinct lengths, not rows.
+    Oracle: `sql_oracles.datacard_sql` (quantile_cont interpolates
+    identically — verified bit-for-bit)."""
+    from marginaliasearch_spark.operators.datacard import data_card
+
+    return data_card(_docs(spark, sf_dir))
+
+
 def _q_subtitles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRT / WebVTT caption parsing under the oracle gate, pure JVM
     expressions (split / posexplode / regexp_extract / higher-order
@@ -2307,7 +2320,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # core) trails. New entries added after round 3 are prepended in tier 0 —
 # see _NEW_THIS_ROUND.
 _NEW_THIS_ROUND: list[str] = [
-    "mm_audio_meta", "mm_subtitles", "mm_subtitle_stats",
+    "mm_audio_meta", "mm_subtitles", "mm_subtitle_stats", "report_datacard",
     "mm_image_tiff_features", "mm_image_tiff_resize",
     "index_subject_keywords", "streaming_dedup", "streaming_windows",
     "mm_image_png_features", "mm_image_png_resize",
@@ -2561,6 +2574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_containers": _q_audio_containers,
         "mm_audio_meta": _q_audio_meta,
         "mm_subtitles": _q_subtitles,
+        "report_datacard": _q_datacard,
         "mm_subtitle_stats": _q_subtitle_stats,
         "mm_video_mkv_frames": _q_video_mkv,
         "mm_video_mjpeg_frames": _q_video_mjpeg,
@@ -3378,6 +3392,7 @@ WHERE NOT EXISTS (
         "mm_audio_containers": sql_oracles.audio_containers_sql(n=64),
         "mm_audio_meta": sql_oracles.audio_meta_sql(n=64),
         "mm_subtitles": sql_oracles.subtitles_sql(n=64),
+        "report_datacard": sql_oracles.datacard_sql(),
         "mm_subtitle_stats": sql_oracles.subtitle_stats_sql(n=64),
         "mm_video_mkv_frames": sql_oracles.mkv_frames_sql(n=64),
         "mm_video_mjpeg_frames": sql_oracles.mjpeg_frames_sql(n=64),

@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "mm_audio_containers",
     "mm_audio_meta",
     "mm_subtitles",
+    "report_datacard",
 ]
 
 

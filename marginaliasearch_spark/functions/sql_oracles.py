@@ -2259,3 +2259,20 @@ SELECT i::BIGINT AS media_id,
        sum(CASE WHEN prev_end IS NOT NULL AND start_ms < prev_end
                 THEN 1 ELSE 0 END)::BIGINT AS overlaps
 FROM lagged GROUP BY i"""
+
+
+def datacard_sql() -> str:
+    """Exact oracle for ``datacard.data_card`` over the driver's
+    ``documents`` table: counts, exact-dup counts (count minus distinct
+    md5), char/token totals, and interpolated p50/p90 lengths
+    (``quantile_cont`` interpolates identically to Spark's exact
+    ``percentile`` — verified bit-for-bit on the driver tables)."""
+    return """SELECT lang, source,
+       count(*)::BIGINT AS n_docs,
+       (count(*) - count(DISTINCT md5(text)))::BIGINT AS n_exact_dups,
+       sum(n_chars)::BIGINT AS total_chars,
+       sum(len(list_filter(string_split_regex(text, '\\s+'),
+                           x -> x <> '')))::BIGINT AS total_tokens,
+       round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+       round(quantile_cont(n_chars, 0.9), 6) AS p90_chars
+FROM documents GROUP BY lang, source"""
