@@ -544,6 +544,45 @@ def main() -> None:
         )
     )
 
+    from marginaliasearch_spark.operators.subtitles import (
+        parse_subtitles,
+        synth_subtitle_tracks,
+    )
+    from marginaliasearch_spark.operators.datacard import data_card
+
+    cues = parse_subtitles(synth_subtitle_tracks(spark, n=8))
+    sections.append(
+        (
+            "Subtitle parse (SRT/WebVTT → cue rows, JVM-only)",
+            "Things to check: NO `BatchEvalPython`/`ArrowEvalPython`/"
+            "`MapInPandas` anywhere — the whole parse (block split, "
+            "posexplode, regex clock decode, higher-order array body "
+            "reassembly) sits in `WholeStageCodegen` spans; the only "
+            "exchange is the per-track `Window` renumber partitioned by "
+            "media_id.",
+            fmt(cues),
+        )
+    )
+    card = data_card(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    )
+    sections.append(
+        (
+            "Corpus data card (per-slice counts/dups/percentiles)",
+            "Things to check: the corpus is read ONCE with `ReadSchema` "
+            "carrying just text/lang/source/n_chars, and the exact "
+            "countDistinct produces the standard two-phase plan: phase 1 "
+            "partial-aggregates keyed by (lang, source, md5(text)) — "
+            "map-side dedup, so the first `Exchange` moves one "
+            "constant-size state row per DISTINCT (slice, text-hash), "
+            "never raw text — phase 2 merges per slice. For "
+            "trillion-row corpora where a ±2% dup rate suffices, swap "
+            "countDistinct for approx_count_distinct (HLL) and the "
+            "distinct shuffle collapses to sketch-sized.",
+            fmt(card),
+        )
+    )
+
     out = ["# EXPLAIN — formatted physical plans of the hot paths",
            "",
            "Generated by `python tools/dump_plans.py` over the sf0.001 driver",
