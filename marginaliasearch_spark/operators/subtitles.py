@@ -135,9 +135,11 @@ def synth_subtitle_tracks(spark, n: int = 64) -> DataFrame:
         m, rem = divmod(rem, 60000)
         s, milli = divmod(rem, 1000)
         sep = "," if comma else "."
-        if with_hours:
+        # WebVTT's hour-less form caps minutes at two digits (00-59):
+        # past an hour the spec requires the hours component
+        if with_hours or h > 0:
             return f"{h:02d}:{m:02d}:{s:02d}{sep}{milli:03d}"
-        return f"{m + h * 60:02d}:{s:02d}{sep}{milli:03d}"
+        return f"{m:02d}:{s:02d}{sep}{milli:03d}"
 
     rows = []
     for i in range(n):
