@@ -4330,10 +4330,18 @@ def mpeg_audio_meta(payload: bytes) -> dict:
             ((payload[6] & 0x7F) << 21) | ((payload[7] & 0x7F) << 14)
             | ((payload[8] & 0x7F) << 7) | (payload[9] & 0x7F)
         )
+        v24 = payload[3] == 4  # ID3v2.4 frame sizes are syncsafe too
         fpos, fend = 10, 10 + sz
         while fpos + 10 <= fend:
             fid = payload[fpos : fpos + 4]
-            fsz = int.from_bytes(payload[fpos + 4 : fpos + 8], "big")
+            raw_sz = payload[fpos + 4 : fpos + 8]
+            if v24:
+                fsz = (
+                    ((raw_sz[0] & 0x7F) << 21) | ((raw_sz[1] & 0x7F) << 14)
+                    | ((raw_sz[2] & 0x7F) << 7) | (raw_sz[3] & 0x7F)
+                )
+            else:
+                fsz = int.from_bytes(raw_sz, "big")
             if fid == b"\x00\x00\x00\x00" or fsz <= 0:
                 break
             if fid == b"TIT2":
@@ -4423,14 +4431,19 @@ def encode_ogg_opus(
 
 
 def _ogg_last_granule(payload: bytes) -> int:
-    """Last non-negative page granule position (cheap header-only walk;
-    packet-level CRC verification happens in ``_ogg_packets``)."""
-    pos, last = 0, 0
+    """Last non-negative page granule position of the FIRST logical
+    bitstream (same serial-filter rule as ``_ogg_packets``, so a
+    multiplexed stream can't leak another track's clock; CRC
+    verification happens in ``_ogg_packets``)."""
+    pos, last, serial = 0, 0, None
     while pos < len(payload):
         if payload[pos : pos + 4] != b"OggS":
             raise ValueError("bad Ogg capture pattern")
+        page_serial = int.from_bytes(payload[pos + 14 : pos + 18], "little")
+        if serial is None:
+            serial = page_serial
         g = int.from_bytes(payload[pos + 6 : pos + 14], "little", signed=True)
-        if g >= 0:
+        if g >= 0 and page_serial == serial:
             last = g
         n_segs = payload[pos + 26]
         pos += 27 + n_segs + sum(payload[pos + 27 : pos + 27 + n_segs])

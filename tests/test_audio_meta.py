@@ -150,3 +150,38 @@ def test_fixture_matches_oracle_closed_forms():
             m["duration_ms"], m["avg_bitrate_kbps"], m["vbr"], m["title"],
         )
         assert got == want[i], i
+
+
+def test_id3v24_syncsafe_frame_sizes():
+    """An ID3v2.4 tag whose TIT2 body is > 127 bytes: plain big-endian
+    frame-size reads would walk off the frame; syncsafe must be used."""
+    long_title = "t" * 130
+    body = b"\x00" + long_title.encode("latin-1")
+    sz = len(body)
+    frame = (
+        b"TIT2"
+        + bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F])
+        + b"\x00\x00" + body
+    )
+    tag_sz = len(frame)
+    tag = b"ID3\x04\x00\x00" + bytes(
+        [(tag_sz >> 21) & 0x7F, (tag_sz >> 14) & 0x7F,
+         (tag_sz >> 7) & 0x7F, tag_sz & 0x7F]
+    ) + frame
+    frames = mm.encode_mpeg_stream(9, 3, 0, [9], True, "ignored")
+    bare = frames[frames.index(b"\xff\xfb"): -128]
+    m = mm.mpeg_audio_meta(tag + bare)
+    assert m["title"] == long_title and m["n_frames"] == 3
+
+
+def test_opus_multiplexed_stream_keeps_first_serial():
+    """Interleave a second logical bitstream with a LARGER granule: both
+    the packet filter and the duration clock must stick to stream 1."""
+    p = mm.encode_ogg_opus(4, 5, 1, 312, "t", [64] * 5)
+    # craft one foreign page: different serial, absurd granule
+    foreign = mm._ogg_write_pages([(b"\x00" * 10, 10**9)], serial=0x0BADF00D)
+    # splice the foreign page between stream-1 pages (after the first)
+    first_end = 27 + p[26] + sum(p[27:27 + p[26]])
+    spliced = p[:first_end] + foreign + p[first_end:]
+    m = mm.opus_meta(spliced)
+    assert m["n_frames"] == 5 and m["duration_ms"] == 100
