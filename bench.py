@@ -198,7 +198,15 @@ def _print_budgeted(payload: dict) -> None:
                 compact["queries_omitted"] = len(queries) - len(kept)
                 break
     line = json.dumps(compact)
-    assert len(line) <= 2000, len(line)
+    if len(line) > _LINE_BUDGET:
+        # last-resort floor: aggregates only, everything else in the file
+        compact = {
+            k: compact[k]
+            for k in ("metric", "value", "unit", "sf", "cores")
+            if k in compact
+        }
+        compact["detail"] = os.path.basename(_DETAIL_FILE)
+        line = json.dumps(compact)
     print(line)
 
 

@@ -37,11 +37,9 @@ def data_card(
     (``sql_oracles.datacard_sql``) restates it with
     ``string_split_regex`` + ``list_filter``.
     """
-    toks = F.size(
-        F.filter(
-            F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
-        )
-    )
+    from .textstats import ws_token_count
+
+    toks = ws_token_count(F.col(text_col))
     return docs.groupBy(*[F.col(c) for c in group_cols]).agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.count(F.lit(1)) - F.countDistinct(F.md5(F.col(text_col)))).alias(

@@ -4331,7 +4331,23 @@ def mpeg_audio_meta(payload: bytes) -> dict:
             | ((payload[8] & 0x7F) << 7) | (payload[9] & 0x7F)
         )
         v24 = payload[3] == 4  # ID3v2.4 frame sizes are syncsafe too
+        flags = payload[5]
         fpos, fend = 10, 10 + sz
+        if flags & 0x40 and fpos + 4 <= fend:  # extended header: skip it
+            ext_raw = payload[fpos : fpos + 4]
+            if v24:  # v2.4: syncsafe, INCLUDES its own size field
+                ext = (
+                    ((ext_raw[0] & 0x7F) << 21) | ((ext_raw[1] & 0x7F) << 14)
+                    | ((ext_raw[2] & 0x7F) << 7) | (ext_raw[3] & 0x7F)
+                )
+            else:  # v2.3: plain, EXCLUDES the 4 size bytes
+                ext = int.from_bytes(ext_raw, "big") + 4
+            fpos += ext
+        if flags & 0x80:
+            # whole-tag unsynchronisation: frame offsets shift under the
+            # 0xFF00 stuffing; skip title extraction (ID3v1 fallback
+            # below) rather than return a garbled string
+            fpos = fend
         while fpos + 10 <= fend:
             fid = payload[fpos : fpos + 4]
             raw_sz = payload[fpos + 4 : fpos + 8]
@@ -4347,9 +4363,17 @@ def mpeg_audio_meta(payload: bytes) -> dict:
             if fid == b"TIT2":
                 enc = payload[fpos + 10]
                 raw = payload[fpos + 11 : fpos + 10 + fsz]
-                title = raw.decode("latin-1" if enc == 0 else "utf-8").rstrip("\x00")
+                codec = {
+                    0: "latin-1",
+                    1: "utf-16",  # BOM-led
+                    2: "utf-16-be",
+                    3: "utf-8",
+                }.get(enc, "latin-1")
+                title = raw.decode(codec, errors="replace").rstrip("\x00")
             fpos += 10 + fsz
         pos = 10 + sz
+        if flags & 0x10:  # v2.4 footer: 10 bytes not counted in sz
+            pos += 10
     end = len(payload)
     if end >= 128 and payload[end - 128 : end - 125] == b"TAG":
         if title is None:
@@ -4464,7 +4488,8 @@ def opus_meta(payload: bytes) -> dict:
     channels = head[9]
     pre_skip = int.from_bytes(head[10:12], "little")
     title = ""
-    if len(packets) > 1 and packets[1][:8] == b"OpusTags":
+    has_tags = len(packets) > 1 and packets[1][:8] == b"OpusTags"
+    if has_tags:
         t, p = packets[1], 8
         vlen = int.from_bytes(t[p : p + 4], "little")
         p += 4 + vlen
@@ -4477,7 +4502,10 @@ def opus_meta(payload: bytes) -> dict:
             p += clen
             if c.upper().startswith("TITLE="):
                 title = c[6:]
-    audio = packets[2:]
+    # tags are mandatory per RFC 7845 §5, but a tagless (spec-violating
+    # yet parseable) stream must not have its first audio packet silently
+    # dropped from the frame/bitrate stats
+    audio = packets[2:] if has_tags else packets[1:]
     dur_samples = max(0, _ogg_last_granule(payload) - pre_skip)
     abytes = sum(len(pk) for pk in audio)
     return {

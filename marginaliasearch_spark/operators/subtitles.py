@@ -30,14 +30,17 @@ SUBTITLE_SCHEMA = (
 )
 
 
-def _clock_ms(line: F.Column, base: int) -> F.Column:
-    """Timing-line groups ``base``..``base+3`` (h?, m, s, ms) → millis."""
+def _clock_ms(clock: F.Column) -> F.Column:
+    """One clock substring ("[HH:]MM:SS[.,]mmm") → millis. The caller
+    pre-extracts each side of the arrow once, so the 4-group ``_TS``
+    pattern runs on a ~12-char string instead of re-running the 8-group
+    full-line pattern for every group."""
 
     def g(i: int) -> F.Column:
-        raw = F.regexp_extract(line, _TIMING, base + i)
+        raw = F.regexp_extract(clock, _TS, i)
         return F.when(raw == "", F.lit(0)).otherwise(raw.cast("long"))
 
-    return g(0) * 3600000 + g(1) * 60000 + g(2) * 1000 + g(3)
+    return g(1) * 3600000 + g(2) * 60000 + g(3) * 1000 + g(4)
 
 
 def parse_subtitles(
@@ -73,14 +76,23 @@ def parse_subtitles(
                 F.lit(True),
             ).cast("int"),
         )
+        # the block-level rlike can match ACROSS lines (\s* spans \n in a
+        # malformed cue like "00:00:01,000\n--> 00:00:02,000"); if no
+        # single line carries the timing, array_position is 0 and
+        # element_at(…, 0) would throw — drop the cue instead
+        .where(F.col(timing_pos) >= 1)
     )
     timing_line = F.element_at(F.col(lines_col), F.col(timing_pos))
+    # split the timing line at the arrow ONCE; clock decode then runs the
+    # small _TS pattern on each ~12-char half (cue settings trail the end
+    # clock in half 2 and are ignored by regexp_extract)
+    halves = F.split(timing_line, "-->", 2)
     w = Window.partitionBy("media_id").orderBy("__pos")
     return cues.select(
         "media_id",
         (F.row_number().over(w) - 1).cast("int").alias("cue_idx"),
-        _clock_ms(timing_line, 1).alias("start_ms"),
-        _clock_ms(timing_line, 5).alias("end_ms"),
+        _clock_ms(F.element_at(halves, 1)).alias("start_ms"),
+        _clock_ms(F.element_at(halves, 2)).alias("end_ms"),
         F.array_join(
             # drop empty lines: a blank line terminates a cue per spec, so
             # empties only arise from a file's trailing newline

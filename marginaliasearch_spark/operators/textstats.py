@@ -22,6 +22,15 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 _WORD_SPLIT = "\\s+"
+
+
+def ws_token_count(col: F.Column) -> F.Column:
+    """Whitespace token count — THE token floor, shared by
+    ``token_counts``, the quality text stats, and
+    ``datacard.data_card`` so the rule can never silently diverge
+    between the indexed counts and the release report (empty splits
+    filtered: leading/trailing/repeated whitespace never counts)."""
+    return F.size(F.filter(F.split(col, _WORD_SPLIT), lambda t: t != ""))
 # BPE-ish sub-word segmentation: letter runs, digit runs, single punctuation
 BPE_ISH_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
@@ -29,7 +38,7 @@ BPE_ISH_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """doc_id → whitespace token count + BPE-ish sub-token count."""
     lower = F.lower(F.col(text_col))
-    ws = F.size(F.filter(F.split(F.trim(lower), _WORD_SPLIT), lambda t: t != ""))
+    ws = ws_token_count(F.trim(lower))
     bpe = F.size(F.regexp_extract_all(lower, F.lit(BPE_ISH_RE), F.lit(0)))
     return docs.select(
         "doc_id",

@@ -185,3 +185,50 @@ def test_opus_multiplexed_stream_keeps_first_serial():
     spliced = p[:first_end] + foreign + p[first_end:]
     m = mm.opus_meta(spliced)
     assert m["n_frames"] == 5 and m["duration_ms"] == 100
+
+
+def test_id3_utf16_title_and_footer_flag():
+    """UTF-16 (enc 1, BOM) titles decode; the v2.4 footer's 10 bytes are
+    skipped so the frame walk starts on sync."""
+    title = "nappali füst"
+    body = b"\x01" + title.encode("utf-16")  # BOM-led
+    sz = len(body)
+    frame = b"TIT2" + bytes(
+        [(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F]
+    ) + b"\x00\x00" + body
+    tsz = len(frame)
+    tag = b"ID3\x04\x00\x10" + bytes(  # flags: footer present
+        [(tsz >> 21) & 0x7F, (tsz >> 14) & 0x7F, (tsz >> 7) & 0x7F, tsz & 0x7F]
+    ) + frame + b"3DI\x04\x00\x10" + bytes(
+        [(tsz >> 21) & 0x7F, (tsz >> 14) & 0x7F, (tsz >> 7) & 0x7F, tsz & 0x7F]
+    )
+    frames = mm.encode_mpeg_stream(9, 4, 0, [9], True, "ignored")
+    bare = frames[frames.index(b"\xff\xfb"): -128]
+    m = mm.mpeg_audio_meta(tag + bare)
+    assert m["title"] == title and m["n_frames"] == 4
+
+
+def test_id3_unsync_flag_falls_back_to_id3v1():
+    p = mm.encode_mpeg_stream(6, 3, 0, [9], False, "realtitle")
+    tag_end = 10 + (
+        ((p[6] & 0x7F) << 21) | ((p[7] & 0x7F) << 14)
+        | ((p[8] & 0x7F) << 7) | (p[9] & 0x7F)
+    )
+    mutated = bytearray(p)
+    mutated[5] |= 0x80  # unsynchronisation flag
+    m = mm.mpeg_audio_meta(bytes(mutated))
+    assert m["title"] == "realtitle"  # via the ID3v1 trailer, not v2
+    assert m["n_frames"] == 3
+    _ = tag_end
+
+
+def test_opus_tagless_stream_counts_all_audio_packets():
+    p = mm.encode_ogg_opus(7, 4, 1, 312, "t", [64] * 4)
+    packets = mm._ogg_packets(p)
+    rebuilt = mm._ogg_write_pages(
+        [(packets[0], 0)] + [(pk, 312 + 960 * (k + 1)) for k, pk in enumerate(packets[2:])],
+        serial=0x4F505553,
+        break_after={0},
+    )
+    m = mm.opus_meta(rebuilt)
+    assert m["n_frames"] == 4 and m["duration_ms"] == 80 and m["title"] == ""

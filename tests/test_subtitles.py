@@ -81,3 +81,15 @@ def test_stats_overlaps_exercised(spark):
         ) == want[mid][1:], mid
     # the fixture must actually exercise the overlap branch
     assert sum(r["overlaps"] for r in stats.values()) > 0
+
+
+def test_cross_line_timing_match_is_dropped_not_crashed(spark):
+    """A malformed cue whose '-->' spans lines matches the block-level
+    regex but no single line: it must be dropped, not raise
+    element_at(..., 0)."""
+    payload = (
+        "1\n00:00:01,000\n--> 00:00:02,000\nbroken\n\n"
+        "2\n00:00:05,000 --> 00:00:06,000\ngood\n"
+    )
+    got = _parse_one(spark, payload)
+    assert [(r["start_ms"], r["text"]) for r in got] == [(5000, "good")]
