@@ -4529,12 +4529,25 @@ AUDIO_META_SCHEMA = (
 )
 
 
-def audio_container_meta(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+def audio_container_meta(
+    media: DataFrame,
+    payload_col: str = "payload",
+    on_error: str = "raise",
+) -> DataFrame:
     """media_id → perceptual-audio container metadata, Arrow-batched
     ``mapInPandas`` (MPEG/Layer III frame walk or Ogg-Opus page walk by
     magic bytes). All outputs are exact integers/strings, so the DuckDB
     twin (``sql_oracles.audio_meta_sql``) states them in closed form and
-    the hash equality certifies the container parse itself."""
+    the hash equality certifies the container parse itself.
+
+    ``on_error``: ``"raise"`` (default — the oracle-gate contract: a
+    deterministic fixture must never fail), ``"skip"`` (drop unparseable
+    rows), or ``"null"`` (emit the row with codec='error' and zeroed
+    metrics). A web-scale sweep runs ``"skip"``/``"null"`` so one corrupt
+    file out of 10^9 can't kill a task after its retries.
+    """
+    if on_error not in ("raise", "skip", "null"):
+        raise ValueError(f"on_error={on_error!r}")
     cols = [c.split(" ")[0] for c in AUDIO_META_SCHEMA.split(", ")]
 
     def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -4542,14 +4555,27 @@ def audio_container_meta(media: DataFrame, payload_col: str = "payload") -> Data
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
                 b = bytes(payload)
-                if b[:4] == b"OggS":
-                    m = opus_meta(b)
-                elif b[:3] == b"ID3" or (
-                    len(b) > 1 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0
-                ):
-                    m = mpeg_audio_meta(b)
-                else:
-                    raise NotImplementedError("unknown perceptual-audio container")
+                try:
+                    if b[:4] == b"OggS":
+                        m = opus_meta(b)
+                    elif b[:3] == b"ID3" or (
+                        len(b) > 1 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0
+                    ):
+                        m = mpeg_audio_meta(b)
+                    else:
+                        raise NotImplementedError(
+                            "unknown perceptual-audio container"
+                        )
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    if on_error == "skip":
+                        continue
+                    m = {
+                        "codec": "error", "n_frames": 0, "sample_rate": 0,
+                        "channels": 0, "duration_ms": 0,
+                        "avg_bitrate_kbps": 0, "vbr": False, "title": "",
+                    }
                 rows.append({"media_id": int(mid), **m})
             yield pd.DataFrame(rows, columns=cols)
 

@@ -82,7 +82,12 @@ def parse_subtitles(
         # element_at(…, 0) would throw — drop the cue instead
         .where(F.col(timing_pos) >= 1)
     )
-    timing_line = F.element_at(F.col(lines_col), F.col(timing_pos))
+    # F.get (0-based, NULL out of bounds) everywhere, never element_at:
+    # Catalyst may push a caller's predicate on these computed columns
+    # BELOW the timing_pos >= 1 guard (adjacent filters reorder), so the
+    # expressions must be total functions — a throwing index would make
+    # downstream filters crash on rows the guard was about to drop
+    timing_line = F.get(F.col(lines_col), F.col(timing_pos) - 1)
     # split the timing line at the arrow ONCE; clock decode then runs the
     # small _TS pattern on each ~12-char half (cue settings trail the end
     # clock in half 2 and are ignored by regexp_extract)
@@ -91,8 +96,8 @@ def parse_subtitles(
     return cues.select(
         "media_id",
         (F.row_number().over(w) - 1).cast("int").alias("cue_idx"),
-        _clock_ms(F.element_at(halves, 1)).alias("start_ms"),
-        _clock_ms(F.element_at(halves, 2)).alias("end_ms"),
+        _clock_ms(F.get(halves, 0)).alias("start_ms"),
+        _clock_ms(F.get(halves, 1)).alias("end_ms"),
         F.array_join(
             # drop empty lines: a blank line terminates a cue per spec, so
             # empties only arise from a file's trailing newline

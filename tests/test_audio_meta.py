@@ -232,3 +232,25 @@ def test_opus_tagless_stream_counts_all_audio_packets():
     )
     m = mm.opus_meta(rebuilt)
     assert m["n_frames"] == 4 and m["duration_ms"] == 80 and m["title"] == ""
+
+
+def test_on_error_policies(spark):
+    """One corrupt payload among good ones: raise kills, skip drops,
+    null emits a codec='error' row - the web-scale sweep contract."""
+    good = mm.encode_mpeg_stream(0, 3, 0, [9], True, "ok")
+    rows = [
+        (0, "audio", bytearray(good), "audio/mpeg", 0, 0, 0),
+        (1, "audio", bytearray(b"\xff\xfbgarbage-no-frames"), "audio/mpeg", 0, 0, 0),
+        (2, "audio", bytearray(b"not a container at all"), "audio/mpeg", 0, 0, 0),
+    ]
+    media = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+    with pytest.raises(Exception):
+        mm.audio_container_meta(media).collect()
+    skipped = mm.audio_container_meta(media, on_error="skip").collect()
+    assert [r["media_id"] for r in skipped] == [0]
+    nulled = {
+        r["media_id"]: r
+        for r in mm.audio_container_meta(media, on_error="null").collect()
+    }
+    assert nulled[0]["codec"] == "mp3" and nulled[0]["n_frames"] == 3
+    assert nulled[1]["codec"] == "error" and nulled[2]["codec"] == "error"

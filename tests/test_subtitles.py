@@ -93,3 +93,31 @@ def test_cross_line_timing_match_is_dropped_not_crashed(spark):
     )
     got = _parse_one(spark, payload)
     assert [(r["start_ms"], r["text"]) for r in got] == [(5000, "good")]
+
+
+def test_fuzz_never_crashes(spark):
+    """200 adversarial caption payloads (junk, truncated clocks, stray
+    arrows, non-ascii noise, giant blocks) - the parser must classify
+    or drop every cue, never raise: one bad sidecar in a 100-TB sweep
+    must not kill the batch."""
+    import random
+
+    rng = random.Random(20260819)
+    frag = [
+        "00:00:01,000 --> 00:00:02,000", "00:01.000 -->", "--> 00:00:02,000",
+        "99:59:59.999 --> 00:00:00.000", "WEBVTT", "NOTE x", "\u00ff\u2028",
+        "a --> b", "1", ":::,", "00:00:01,00 --> 00:00:02,0000", "text",
+        "00:00:01.000\n--> 00:00:02.000", "x" * 500, "",
+    ]
+    payloads = []
+    for i in range(200):
+        n = rng.randint(0, 8)
+        payloads.append(
+            (i, "\n\n".join("\n".join(rng.choices(frag, k=rng.randint(1, 4)))
+                            for _ in range(n)))
+        )
+    df = spark.createDataFrame(payloads, "media_id long, payload string")
+    out = subtitles.parse_subtitles(df)
+    assert out.count() >= 0  # completes without raising
+    bad = out.where((out.start_ms < 0) | (out.end_ms < 0)).count()
+    assert bad == 0
