@@ -580,6 +580,38 @@ def _search_decorated(
     return fn
 
 
+# F5 conv:/-conv: doc-range retain/reject — an explicit conversation-id
+# set (literal on BOTH sides so the oracle is sf-agnostic: ids absent at a
+# smaller sf simply match nothing on either side)
+_CONV_RETAIN = tuple(range(3, 61, 3))
+_CONV_REJECT = (12, 27)
+
+
+def _search_conv(base: str, k: int = _K) -> Callable[[SparkSession, str], DataFrame]:
+    """Doc-range retain/reject (F5): ``conv:`` tokens seed the candidate
+    decode with an explicit conversation-id set resolved through doc_stats
+    (query_exec conv_doc_ids), ``-conv:`` subtracts ids post-hoc
+    (convs_exclude) — df/N statistics stay whole-corpus, mirroring
+    QueryParser.java:220 conv tokens feeding SearchQuery's doc-range
+    retain/reject filters (reference: SearchIndex retain/reject by range)."""
+    toks = " ".join(f"conv:{i}" for i in _CONV_RETAIN)
+    negs = " ".join(f"-conv:{i}" for i in _CONV_REJECT)
+    query = f"{base} {toks} {negs}"
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        reader = _get_reader(spark, sf_dir)
+        res = run_query(
+            reader,
+            query,
+            k=k,
+            round_score_to=6,
+            tie_break=F.col("conv_id").cast("long"),
+        )
+        return res.select(F.col("conv_id").cast("long").alias("doc_id"), "score")
+
+    return fn
+
+
 def _search_wand(query: str, k: int = _K) -> Callable[[SparkSession, str], DataFrame]:
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         reader = _get_reader(spark, sf_dir)
@@ -653,6 +685,7 @@ def _bm25_sql(
     mask_doc_mod: tuple[int, int] | None = None,
     mask_mods: list[tuple[int, int]] | None = None,
     set_mods: list[tuple[int, int]] | None = None,
+    doc_in: list[int] | None = None,
     stats_doc_mod: tuple[int, int] | None = None,
     year_bias: str | None = None,
     group_cap: tuple[int, int] | None = None,
@@ -745,6 +778,10 @@ def _bm25_sql(
     # restricted to members while df/N stay whole-corpus
     for s_m, s_r in set_mods or []:
         wheres.append(f"d.doc_id % {s_m} = {s_r}")
+    # doc_in: explicit doc-id retain list (the conv: doc-range filter) —
+    # candidates restricted to the literal set, df/N stay whole-corpus
+    if doc_in is not None:
+        wheres.append(f"d.doc_id IN ({', '.join(str(i) for i in doc_in)})")
     if stats_doc_mod is not None:
         s_m, s_r = stats_doc_mod
         wheres.append(f"d.doc_id % {s_m} <> {s_r}")
@@ -2330,6 +2367,7 @@ _NEW_THIS_ROUND: list[str] = [
     "mm_audio_containers", "mm_video_mkv_frames",
     "mm_audio_compressed", "mm_image_jpeg_features",
     "mm_image_jpeg_progressive", "mm_video_gif_frames",
+    "fulltext_conv",
 ]
 _NEVER_DRIVER_VERIFIED = [
     "sample_stratified", "dsir_resample",
@@ -2404,6 +2442,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # shares fulltext_gate_pass's oracle
         "fulltext_qs_wand": _search_qs("spark join -dup qs=topic"),
         "fulltext_qs_gate": _search_qs("spark join qs=rf_user"),
+        # conv:/-conv: doc-range retain/reject (F5)
+        "fulltext_conv": _search_conv("scan"),
         # flag-BM25 (score_bFlags) + document penalties (normalize's
         # penalty argument) — reference ranking features over role flags
         # and the quality-derived rank bucket
@@ -2643,6 +2683,10 @@ GROUP BY tk.doc_id, t.term, f.tf""",
         ),
         "fulltext_qs_wand": _bm25_sql([["spark", "join"]], exclude=["dup"]),
         "fulltext_qs_gate": _bm25_sql([["spark", "join"]], role_mod=2),
+        "fulltext_conv": _bm25_sql(
+            [["scan"]],
+            doc_in=[i for i in _CONV_RETAIN if i not in _CONV_REJECT],
+        ),
         "fulltext_gate_pass": _bm25_sql([["spark", "join"]], role_mod=2),
         "fulltext_gate_empty": f"""{_COMMON}
 SELECT doc_id, 0.0 AS score FROM doclen WHERE 1 = 0""",
