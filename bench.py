@@ -141,6 +141,9 @@ BENCH_QUERIES = [
     "mm_audio_meta",
     "mm_subtitles",
     "report_datacard",
+    "fulltext_conv",
+    "fulltext_searchset",
+    "mm_video_mkv_frames",
 ]
 
 
