@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "fulltext_conv",
     "fulltext_searchset",
     "mm_video_mkv_frames",
+    "sim_kmeans",
 ]
 
 

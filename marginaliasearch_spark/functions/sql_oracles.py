@@ -2276,3 +2276,61 @@ def datacard_sql() -> str:
        round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
        round(quantile_cont(n_chars, 0.9), 6) AS p90_chars
 FROM documents GROUP BY lang, source"""
+
+
+def kmeans_sql(k: int = 8, iters: int = 2, quant: int = 1 << 20) -> str:
+    """Exact oracle for ``similarity.kmeans_assign`` over the
+    ``embeddings`` view: Lloyd k-means on the same integer lattice.
+
+    Every step is either exact int64 arithmetic (lattice snap, squared
+    distances, per-dim sums — all order-free) or a single pinned IEEE
+    double op (``floor(sum/count)`` re-quantizing each new centroid), so
+    the SQL reproduces the engine byte-for-byte. Iterations are unrolled
+    as chained CTEs; empty clusters keep the previous centroid via the
+    LEFT JOIN + COALESCE."""
+    d2 = (
+        "list_sum(list_transform(list_zip(p.vq, c.cq),"
+        " z -> (z[1] - z[2]) * (z[1] - z[2])))"
+    )
+
+    def assign(ci: str) -> str:
+        return f"""(
+  SELECT vec_id, cid AS cluster, d2 FROM (
+    SELECT p.vec_id, c.cid, {d2} AS d2,
+           row_number() OVER (
+             PARTITION BY p.vec_id
+             ORDER BY {d2}, c.cid) AS rn
+    FROM pts p CROSS JOIN {ci} c) WHERE rn = 1)"""
+
+    ctes = [
+        f"""pts AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {quant}) AS BIGINT)) AS vq
+  FROM embeddings)""",
+        f"""c0 AS (
+  SELECT row_number() OVER (ORDER BY hv, vec_id) - 1 AS cid, vq AS cq
+  FROM (SELECT vec_id, vq,
+               ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::UBIGINT AS hv
+        FROM pts ORDER BY hv, vec_id LIMIT {k}))""",
+    ]
+    for it in range(iters):
+        ctes.append(f"a{it} AS {assign(f'c{it}')}")
+        ctes.append(f"""u{it} AS (
+  SELECT cluster,
+         list(CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)
+              ORDER BY i) AS cq_new
+  FROM (SELECT t.cluster, t.i, SUM(t.v) AS s, COUNT(*) AS n
+        FROM (SELECT a.cluster, generate_subscripts(p.vq, 1) AS i,
+                     unnest(p.vq) AS v
+              FROM a{it} a JOIN pts p USING (vec_id)) t
+        GROUP BY t.cluster, t.i)
+  GROUP BY cluster)""")
+        ctes.append(f"""c{it + 1} AS (
+  SELECT i.cid, COALESCE(u.cq_new, i.cq) AS cq
+  FROM c{it} i LEFT JOIN u{it} u ON u.cluster = i.cid)""")
+    body = ",\n".join(ctes)
+    return (
+        f"WITH {body}\n"
+        f"SELECT vec_id, cluster, d2 FROM {assign(f'c{iters}')} t"
+    )

@@ -15,7 +15,11 @@
                            + one row_number window;
 - ``quantize_embeddings`` / ``quantized_cosine_topk`` — symmetric int8
                            scalar quantization (4× scan-byte reduction)
-                           and exact-integer-arithmetic cosine over it.
+                           and exact-integer-arithmetic cosine over it;
+- ``kmeans_assign``      — distributed Lloyd k-means on an integer lattice
+                           (order-free int64 arithmetic → byte-identical at
+                           any parallelism); the SemDeDup cluster step and
+                           the proper IVF list trainer.
 """
 
 from __future__ import annotations
@@ -494,3 +498,107 @@ def quantized_cosine_topk(
         .orderBy(F.col("qcosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    quant: int = 1 << 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd k-means on an integer lattice → (id, cluster, d2).
+
+    Upgrades ``ivf_topk``'s seeded "k-means-lite" sample to real Lloyd
+    iterations — the clustering step SemDeDup (Abbas et al. 2023) runs
+    before intra-cluster dedup, and the proper trainer for IVF lists.
+
+    Determinism (the property every oracle entry in this repo needs, and
+    float k-means lacks: a groupBy mean over doubles is partial-agg-order
+    dependent): every vector is snapped onto an integer lattice
+    (``floor(x·quant)`` per component), distances are exact int64 sums of
+    squares, and each iteration's new centroid is *re-quantized* onto the
+    same lattice (``floor(sum/count)`` — one IEEE double division + floor,
+    bit-identical everywhere). Integer sums are order-free, so the result
+    is byte-identical at any partition layout / parallelism, and int64
+    headroom is layout-independent: per-dim diffs ≤ 2·quant·|x|max keep
+    d² ≪ 2⁶³ for any dim ≤ 2¹⁴ at the default quant, and centroid sums
+    fit for clusters up to ~2⁶³/quant ≈ 10¹³ rows.
+
+    Scale shape (100 TB): the only data-sized shuffles per iteration are
+    one argmin groupBy(id) and one posexplode→groupBy(cluster, dim) sum —
+    both map-side combinable; centroids (k·dim longs) ride a broadcast
+    cross join, never a shuffle. Iteration count is fixed (no driver-side
+    convergence collect). Empty clusters keep their previous centroid.
+
+    Reference anchor: the reference has no clusterer (its ranking is
+    link-graph PageRank, ``ranking/PageRankDomainRanker.java``); this is a
+    beyond-reference LLM-pipeline operator (SURVEY §6 similarity family).
+    """
+    pts = emb.select(
+        id_col,
+        F.transform(
+            vec_col, lambda x: F.floor(x.cast("double") * quant).cast("long")
+        ).alias("vq"),
+    )
+    # init: the k lattice points with smallest (md5, id) keys, cid = rank
+    # in that order (mirrors the oracle's row_number() OVER (ORDER BY h, id))
+    init_w = Window.orderBy("_h", id_col)
+    cents = (
+        pts.withColumn("_h", md5_order_col(id_col))
+        .orderBy("_h", id_col)
+        .limit(k)
+        .withColumn("cid", F.row_number().over(init_w) - 1)
+        .select("cid", F.col("vq").alias("cq"))
+    )
+
+    def _assign(cents_df: DataFrame, with_vq: bool = False) -> DataFrame:
+        d2 = F.aggregate(
+            F.zip_with("vq", "cq", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+        # vq rides the argmin aggregate (functionally dependent on the
+        # group key, so first() is deterministic) — saves the in-loop
+        # update a second data-sized shuffle join back to pts
+        aggs = [
+            F.min_by(
+                F.struct(F.col("cid"), F.col("_d2")),
+                F.struct(F.col("_d2"), F.col("cid")),
+            ).alias("_m")
+        ] + ([F.first("vq").alias("vq")] if with_vq else [])
+        return (
+            pts.crossJoin(F.broadcast(cents_df))
+            .withColumn("_d2", d2)
+            .groupBy(id_col)
+            .agg(*aggs)
+            .select(
+                id_col,
+                F.col("_m.cid").alias("cluster"),
+                F.col("_m._d2").alias("d2"),
+                *(["vq"] if with_vq else []),
+            )
+        )
+
+    for _ in range(iters):
+        upd = (
+            _assign(cents, with_vq=True)
+            .select("cluster", F.posexplode("vq").alias("i", "v"))
+            .groupBy("cluster", "i")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "s", "n"))),
+                    lambda t: F.floor(
+                        t["s"].cast("double") / t["n"].cast("double")
+                    ).cast("long"),
+                ).alias("cq_new")
+            )
+        )
+        cents = (
+            cents.join(upd, cents.cid == upd.cluster, "left")
+            .select("cid", F.coalesce("cq_new", "cq").alias("cq"))
+        )
+    return _assign(cents)

@@ -262,3 +262,95 @@ def test_semantic_dedup_drops_planted_duplicate(spark, emb):
         ).collect()
     }
     assert 250 in kept and 251 not in kept
+
+
+class TestKMeans:
+    """Lattice k-means: exact oracle parity, layout determinism, the
+    empty-cluster carry rule, and the Lloyd improvement property."""
+
+    def _duck(self, vecs):
+        import duckdb
+        import pandas as pd
+
+        con = duckdb.connect()
+        con.register(
+            "embeddings_src",
+            pd.DataFrame(
+                {"vec_id": range(len(vecs)), "embedding": [v.tolist() for v in vecs]}
+            ),
+        )
+        con.execute("CREATE VIEW embeddings AS SELECT * FROM embeddings_src")
+        return con
+
+    def test_matches_duckdb_oracle(self, spark, emb):
+        from marginaliasearch_spark.functions.sql_oracles import kmeans_sql
+
+        df, vecs = emb
+        got = sorted(
+            (r["vec_id"], r["cluster"], r["d2"])
+            for r in similarity.kmeans_assign(df, k=5, iters=2).collect()
+        )
+        want = sorted(
+            (int(a), int(b), int(c))
+            for a, b, c in self._duck(vecs).execute(
+                kmeans_sql(k=5, iters=2)
+            ).fetchall()
+        )
+        assert got == want
+
+    def test_partition_layout_invariant(self, spark, emb):
+        df, _ = emb
+        a = sorted(map(tuple, similarity.kmeans_assign(df, k=5).collect()))
+        b = sorted(
+            map(tuple, similarity.kmeans_assign(df.repartition(13), k=5).collect())
+        )
+        assert a == b
+
+    def test_iterations_do_not_worsen_cost(self, spark, emb):
+        # Lloyd on the lattice: total within-cluster d2 after 2 iterations
+        # must not exceed the cost right after init assignment (floor
+        # re-quantization perturbs by <1 lattice step per dim, so use the
+        # documented slack of dim * quant-step ~ negligible vs d2 scale)
+        df, _ = emb
+        c0 = similarity.kmeans_assign(df, k=5, iters=0)
+        c2 = similarity.kmeans_assign(df, k=5, iters=2)
+        s0 = c0.agg(F.sum("d2")).first()[0]
+        s2 = c2.agg(F.sum("d2")).first()[0]
+        assert s2 <= s0
+
+    def test_empty_cluster_keeps_previous_centroid(self, spark):
+        # 1 far outlier + a tight blob, k=3: at least one init centroid
+        # ends up empty after reassignment; the run must still produce k
+        # valid cluster ids and every point must get exactly one row
+        rows = [(0, [100.0, 100.0])] + [
+            (i, [0.001 * i, -0.001 * i]) for i in range(1, 40)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = similarity.kmeans_assign(df, k=3, iters=3).collect()
+        assert len(out) == 40
+        assert {r["cluster"] for r in out} <= {0, 1, 2}
+        # the outlier sits alone in its own cluster
+        solo = [r["cluster"] for r in out if r["vec_id"] == 0][0]
+        assert sum(1 for r in out if r["cluster"] == solo) == 1
+
+    def test_oracle_parity_on_blob_corpus(self, spark):
+        from marginaliasearch_spark.functions.sql_oracles import kmeans_sql
+
+        rng = np.random.default_rng(7)
+        vecs = np.concatenate(
+            [rng.standard_normal((30, 8)) + c * 5 for c in range(3)]
+        ).astype(np.float32)
+        df = spark.createDataFrame(
+            [(i, v.tolist()) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>",
+        )
+        got = sorted(
+            map(tuple, similarity.kmeans_assign(df, k=3, iters=3).collect())
+        )
+        want = sorted(
+            (int(a), int(b), int(c))
+            for a, b, c in self._duck(vecs).execute(
+                kmeans_sql(k=3, iters=3)
+            ).fetchall()
+        )
+        assert got == want
