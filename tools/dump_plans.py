@@ -583,6 +583,31 @@ def main() -> None:
         )
     )
 
+    from marginaliasearch_spark.operators.similarity import kmeans_assign
+
+    km = kmeans_assign(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
+        k=8,
+        iters=1,
+    )
+    sections.append(
+        (
+            "Lattice k-means — one Lloyd iteration + final assignment",
+            "Things to check: centroids enter each assignment through a "
+            "`BroadcastExchange`/`BroadcastNestedLoopJoin` (k rows — never "
+            "a data-sized shuffle side); each assignment is ONE "
+            "`HashAggregate`/`Exchange hashpartitioning(vec_id)` argmin "
+            "(vq rides the aggregate, so no re-join to the points "
+            "relation); the centroid update is a `Generate posexplode` "
+            "feeding a partial-aggregated `Exchange "
+            "hashpartitioning(cluster, i)` — 2 map-combinable shuffles "
+            "per iteration, the same budget as the PageRank iteration. "
+            "All arithmetic is int64 inside WholeStageCodegen (no Python "
+            "anywhere in the loop).",
+            fmt(km),
+        )
+    )
+
     out = ["# EXPLAIN — formatted physical plans of the hot paths",
            "",
            "Generated by `python tools/dump_plans.py` over the sf0.001 driver",
