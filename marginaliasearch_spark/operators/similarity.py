@@ -597,8 +597,13 @@ def kmeans_assign(
                 ).alias("cq_new")
             )
         )
+        # eager k-row localCheckpoint: cents is referenced twice per
+        # iteration (update input + empty-cluster carry join), so without
+        # truncation the lazy plan re-executes the whole prior iteration
+        # 2× per level — the same lineage blowup pagerank truncates
         cents = (
             cents.join(upd, cents.cid == upd.cluster, "left")
             .select("cid", F.coalesce("cq_new", "cq").alias("cq"))
+            .localCheckpoint(eager=True)
         )
     return _assign(cents)
