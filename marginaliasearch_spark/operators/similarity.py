@@ -232,6 +232,7 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> DataFrame:
     """IVF: assign vectors to deterministically-sampled centroids, probe the
     ``nprobe`` nearest inverted lists, exact cosine on the survivors.
@@ -241,8 +242,17 @@ def ivf_topk(
     float-order-pinned (``_seq_dots``) so the DuckDB oracle reproduces the
     identical candidate lists. Assumes no all-zero vectors (no norm guard —
     the oracle has none either).
+
+    ``centroids`` overrides the md5 sample with a pre-trained
+    (ids, float64 vectors) pair — e.g. ``kmeans_centroids(...)`` for
+    Lloyd-trained inverted lists (higher recall at the same ``nprobe``).
     """
-    cids, cents = ivf_centroids(emb, n_centroids, id_col, vec_col)
+    if centroids is not None:
+        cids, cents = centroids
+        cids = np.asarray(cids, dtype=np.int64)
+        cents = np.asarray(cents, dtype=np.float64)
+    else:
+        cids, cents = ivf_centroids(emb, n_centroids, id_col, vec_col)
     ones = np.ones(cents.shape[1])
     # sqrt of the left-assoc chain of squares (x*1.0 is exact, so feeding
     # the squares through _seq_dots pins the same summation order as the
@@ -536,12 +546,60 @@ def kmeans_assign(
     link-graph PageRank, ``ranking/PageRankDomainRanker.java``); this is a
     beyond-reference LLM-pipeline operator (SURVEY §6 similarity family).
     """
-    pts = emb.select(
+    pts = _kmeans_pts(emb, quant, id_col, vec_col)
+    cents = _kmeans_train(pts, k, iters, id_col)
+    return _kmeans_assign_to(pts, cents, id_col)
+
+
+def _kmeans_pts(
+    emb: DataFrame, quant: int, id_col: str, vec_col: str
+) -> DataFrame:
+    return emb.select(
         id_col,
         F.transform(
             vec_col, lambda x: F.floor(x.cast("double") * quant).cast("long")
         ).alias("vq"),
     )
+
+
+def _kmeans_assign_to(
+    pts: DataFrame,
+    cents_df: DataFrame,
+    id_col: str,
+    with_vq: bool = False,
+) -> DataFrame:
+    d2 = F.aggregate(
+        F.zip_with("vq", "cq", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    # vq rides the argmin aggregate (functionally dependent on the
+    # group key, so first() is deterministic) — saves the in-loop
+    # update a second data-sized shuffle join back to pts
+    aggs = [
+        F.min_by(
+            F.struct(F.col("cid"), F.col("_d2")),
+            F.struct(F.col("_d2"), F.col("cid")),
+        ).alias("_m")
+    ] + ([F.first("vq").alias("vq")] if with_vq else [])
+    return (
+        pts.crossJoin(F.broadcast(cents_df))
+        .withColumn("_d2", d2)
+        .groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            id_col,
+            F.col("_m.cid").alias("cluster"),
+            F.col("_m._d2").alias("d2"),
+            *(["vq"] if with_vq else []),
+        )
+    )
+
+
+def _kmeans_train(
+    pts: DataFrame, k: int, iters: int, id_col: str
+) -> DataFrame:
+    """The Lloyd loop: (cid, cq) lattice centroids after ``iters`` rounds."""
     # init: the k lattice points with smallest (md5, id) keys, cid = rank
     # in that order (mirrors the oracle's row_number() OVER (ORDER BY h, id))
     init_w = Window.orderBy("_h", id_col)
@@ -552,38 +610,9 @@ def kmeans_assign(
         .withColumn("cid", F.row_number().over(init_w) - 1)
         .select("cid", F.col("vq").alias("cq"))
     )
-
-    def _assign(cents_df: DataFrame, with_vq: bool = False) -> DataFrame:
-        d2 = F.aggregate(
-            F.zip_with("vq", "cq", lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, t: acc + t,
-        )
-        # vq rides the argmin aggregate (functionally dependent on the
-        # group key, so first() is deterministic) — saves the in-loop
-        # update a second data-sized shuffle join back to pts
-        aggs = [
-            F.min_by(
-                F.struct(F.col("cid"), F.col("_d2")),
-                F.struct(F.col("_d2"), F.col("cid")),
-            ).alias("_m")
-        ] + ([F.first("vq").alias("vq")] if with_vq else [])
-        return (
-            pts.crossJoin(F.broadcast(cents_df))
-            .withColumn("_d2", d2)
-            .groupBy(id_col)
-            .agg(*aggs)
-            .select(
-                id_col,
-                F.col("_m.cid").alias("cluster"),
-                F.col("_m._d2").alias("d2"),
-                *(["vq"] if with_vq else []),
-            )
-        )
-
     for _ in range(iters):
         upd = (
-            _assign(cents, with_vq=True)
+            _kmeans_assign_to(pts, cents, id_col, with_vq=True)
             .select("cluster", F.posexplode("vq").alias("i", "v"))
             .groupBy("cluster", "i")
             .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
@@ -606,4 +635,28 @@ def kmeans_assign(
             .select("cid", F.coalesce("cq_new", "cq").alias("cq"))
             .localCheckpoint(eager=True)
         )
-    return _assign(cents)
+    return cents
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int = 16,
+    iters: int = 2,
+    quant: int = 1 << 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Lloyd-trained IVF centroids: (ids ``0..k-1``, float64 vectors).
+
+    Drop-in replacement for ``ivf_centroids``' md5 sample — pass the
+    result as ``ivf_topk(..., centroids=...)`` to serve against trained
+    lists (tighter clusters → higher recall at the same ``nprobe``).
+    Lattice centroids are de-quantized by ``/quant`` (exact: a power-of-
+    two division), so the float vectors are deterministic too."""
+    pts = _kmeans_pts(emb, quant, id_col, vec_col)
+    rows = sorted(
+        _kmeans_train(pts, k, iters, id_col).collect(), key=lambda r: r["cid"]
+    )
+    cids = np.array([r["cid"] for r in rows], dtype=np.int64)
+    cents = np.array([r["cq"] for r in rows], dtype=np.float64) / float(quant)
+    return cids, cents

@@ -354,3 +354,27 @@ class TestKMeans:
             ).fetchall()
         )
         assert got == want
+
+    def test_trained_ivf_matches_exact_on_blob_corpus(self, spark):
+        # 3 well-separated blobs: Lloyd-trained centroids recover the blob
+        # structure, so nprobe=1 over trained lists already contains the
+        # exact cosine top-k (the md5-sampled init has no such guarantee)
+        rng = np.random.default_rng(3)
+        offs = np.eye(3, 8) * 6.0
+        vecs = np.concatenate(
+            [rng.standard_normal((40, 8)) * 0.3 + o for o in offs]
+        ).astype(np.float32)
+        df = spark.createDataFrame(
+            [(i, v.tolist()) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>",
+        )
+        q = (vecs[5] + 0.01).tolist()
+        exact = [r["vec_id"] for r in similarity.cosine_topk(df, q, k=5).collect()]
+        trained = similarity.kmeans_centroids(df, k=3, iters=3)
+        got = [
+            r["vec_id"]
+            for r in similarity.ivf_topk(
+                df, q, k=5, nprobe=1, centroids=trained
+            ).collect()
+        ]
+        assert got == exact
