@@ -3945,13 +3945,17 @@ def _mkv_lace_sizes(
     elif mode == 0x04:  # fixed: equal split of the remainder
         each = (body_end - pos) // n_frames
         return [each] * n_frames, pos
-    else:  # 0x06 EBML: first size unsigned vint, then signed deltas
-        s, pos = _ebml_vint(data, pos, strip=True)
-        sizes = [s]
-        for _ in range(n_frames - 2):
-            d, pos = _ebml_svint(data, pos)
-            s += d
+    else:  # 0x06 EBML: first size unsigned vint, then signed deltas —
+        # sizes are coded for all frames EXCEPT the last (RFC 9559 §10.4),
+        # so a single-frame lace carries no size field at all
+        sizes = []
+        if n_frames >= 2:
+            s, pos = _ebml_vint(data, pos, strip=True)
             sizes.append(s)
+            for _ in range(n_frames - 2):
+                d, pos = _ebml_svint(data, pos)
+                s += d
+                sizes.append(s)
     sizes.append(body_end - pos - sum(sizes))  # last frame: remainder
     return sizes, pos
 
@@ -4150,14 +4154,18 @@ def encode_mkv(
             assert len({len(fb) for fb in frames}) == 1, "fixed lacing"
         elif lacing == "ebml":
             flags = 0x86
-            first = len(frames[0])
-            lace = _eb_size(first)  # unsigned vint (same coding as sizes)
-            prev = first
-            for fb in frames[1:-1]:
-                d = len(fb) - prev
-                prev = len(fb)
-                # signed vint, 2-byte width is ample for fixture deltas
-                lace += ((1 << 14) | (d + (1 << 13) - 1)).to_bytes(2, "big")
+            # sizes for all frames except the last (RFC 9559 §10.4):
+            # a single-frame lace codes no size field
+            lace = b""
+            if len(frames) >= 2:
+                first = len(frames[0])
+                lace = _eb_size(first)  # unsigned vint (same size coding)
+                prev = first
+                for fb in frames[1:-1]:
+                    d = len(fb) - prev
+                    prev = len(fb)
+                    # signed vint, 2-byte width is ample for fixture deltas
+                    lace += ((1 << 14) | (d + (1 << 13) - 1)).to_bytes(2, "big")
         else:
             raise ValueError(f"unknown lacing {lacing}")
         block = (

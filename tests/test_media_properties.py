@@ -86,3 +86,120 @@ def test_subtitle_clock_strings_decode_exactly(ms, comma, hours):
     got = hh * 3600000 + int(g.group(2)) * 60000 + int(g.group(3)) * 1000 + int(g.group(4))
     # hour-less form folds hours into minutes; both must equal ms
     assert got == ms, (clock, got)
+
+
+# --- FLAC: any sample sequence the encoder accepts must survive the
+# decoder bit-exactly (RFC 9639 losslessness), across subframe types ---
+
+SAMPLES16 = st.lists(st.integers(-32768, 32767), min_size=5, max_size=120)
+
+
+@settings(max_examples=40, deadline=None)
+@given(samples=SAMPLES16, order=st.integers(0, 4))
+def test_flac_fixed_escape_roundtrip_property(samples, order):
+    import numpy as np
+
+    s = np.array(samples, dtype=np.int16)
+    out, rate = mm.decode_flac(mm.encode_flac(s, order, escape_raw=True))
+    assert (out == s).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    samples=st.lists(st.integers(-2000, 2000), min_size=5, max_size=120),
+    order=st.integers(0, 1),
+)
+def test_flac_rice_roundtrip_property(samples, order):
+    # rice-coded partitions (param capped at 14): bounded amplitude keeps
+    # low-order residual quotients sane; escape handling covered above
+    import numpy as np
+
+    s = np.array(samples, dtype=np.int16)
+    out, _ = mm.decode_flac(mm.encode_flac(s, order, escape_raw=False))
+    assert (out == s).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    samples=SAMPLES16,
+    coefs=st.lists(st.integers(-16, 16), min_size=1, max_size=4),
+    shift=st.integers(0, 4),
+)
+def test_flac_lpc_roundtrip_property(samples, coefs, shift):
+    import numpy as np
+
+    s = np.array(samples, dtype=np.int16)
+    payload = mm.encode_flac(s, 0, escape_raw=True, lpc=(coefs, shift))
+    out, _ = mm.decode_flac(payload)
+    assert (out == s).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    left=SAMPLES16,
+    right=SAMPLES16,
+    mode=st.sampled_from(["left_side", "right_side", "mid_side"]),
+)
+def test_flac_stereo_roundtrip_property(left, right, mode):
+    import numpy as np
+
+    n = min(len(left), len(right))
+    l = np.array(left[:n], dtype=np.int16)
+    r = np.array(right[:n], dtype=np.int16)
+    out, _ = mm.decode_flac(mm.encode_flac_stereo(l, r, mode))
+    assert (out == l).all()
+
+
+# --- EBML (RFC 8794): size-vint coding and SimpleBlock lacing ---
+
+
+@settings(max_examples=80, deadline=None)
+@given(n=st.integers(0, (1 << 56) - 2))
+def test_ebml_size_vint_roundtrip_property(n):
+    enc = mm._eb_size(n)
+    val, pos = mm._ebml_vint(enc, 0, strip=True)
+    assert (val, pos) == (n, len(enc))
+    # minimal width: the encoder must not emit a wider form
+    assert n >= (1 << (7 * (len(enc) - 1))) - 1 or len(enc) == 1
+
+
+def _simpleblock_of(payload):
+    (_, hdr_end, _), (eid, seg_start, seg_end) = list(
+        mm._ebml_children(payload, 0, len(payload))
+    )
+    assert eid == 0x18538067
+    for eid, s, e in mm._ebml_children(payload, seg_start, seg_end):
+        if eid == 0x1F43B675:  # first Cluster
+            for eid2, s2, e2 in mm._ebml_children(payload, s, e):
+                if eid2 == 0xA3:
+                    return s2, e2
+    raise AssertionError("no SimpleBlock")
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    sizes=st.lists(st.integers(0, 4000), min_size=1, max_size=8),
+    mode=st.sampled_from(["none", "xiph", "ebml"]),
+    fixed_size=st.integers(0, 800),
+    n_fixed=st.integers(1, 8),
+)
+def test_mkv_lacing_roundtrip_property(sizes, mode, fixed_size, n_fixed):
+    if mode == "none":
+        sizes = sizes[:1]
+    frames = [bytes([i % 251]) * sz for i, sz in enumerate(sizes)]
+    if mode == "fixed" or not frames:
+        pass
+    payload = mm.encode_mkv(frames, "V_TEST", 4, 4, lacing=mode)
+    s, e = _simpleblock_of(payload)
+    flags = payload[s + 3]
+    got, data_start = mm._mkv_lace_sizes(payload, s + 4, flags, e)
+    assert got == [len(f) for f in frames]
+    # the laced data region re-concatenates to the original frames
+    assert payload[data_start:e] == b"".join(frames)
+    # fixed lacing separately (needs equal sizes)
+    eq_frames = [bytes([7]) * fixed_size] * n_fixed
+    p2 = mm.encode_mkv(eq_frames, "V_TEST", 4, 4, lacing="fixed")
+    s2, e2 = _simpleblock_of(p2)
+    got2, d2 = mm._mkv_lace_sizes(p2, s2 + 4, p2[s2 + 3], e2)
+    assert got2 == [fixed_size] * n_fixed
+    assert p2[d2:e2] == b"".join(eq_frames)
