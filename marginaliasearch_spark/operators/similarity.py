@@ -602,7 +602,10 @@ def _kmeans_train(
     """The Lloyd loop: (cid, cq) lattice centroids after ``iters`` rounds."""
     # init: the k lattice points with smallest (md5, id) keys, cid = rank
     # in that order (mirrors the oracle's row_number() OVER (ORDER BY h, id))
-    init_w = Window.orderBy("_h", id_col)
+    # constant partition key: the frame is k rows (post-limit), so a
+    # single-partition window is the point — this just keeps WindowExec
+    # from warning about it
+    init_w = Window.partitionBy(F.lit(0)).orderBy("_h", id_col)
     cents = (
         pts.withColumn("_h", md5_order_col(id_col))
         .orderBy("_h", id_col)
