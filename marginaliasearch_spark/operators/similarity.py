@@ -663,3 +663,52 @@ def kmeans_centroids(
     cids = np.array([r["cid"] for r in rows], dtype=np.int64)
     cents = np.array([r["cq"] for r in rows], dtype=np.float64) / float(quant)
     return cids, cents
+
+
+def kmeans_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    k: int = 8,
+    iters: int = 2,
+    quant: int = 1 << 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup's actual two-step shape (Abbas et al. 2023 §3): Lloyd
+    k-means partitions the corpus, then exact cosine ≥ τ pairs are found
+    ONLY within each cluster — the cluster count is the knob that bounds
+    the pairwise cost (n²/k per cluster in expectation), where
+    ``embedding_neardup_pairs`` uses LSH buckets for the same bound.
+
+    Scale shape: the pair join is keyed on the cluster id (co-partitioned
+    self-join, no cartesian product); the cosine is the same order-pinned
+    JVM fold the LSH variant uses, so the oracle reproduces it exactly.
+    Like the paper, duplicates spanning two clusters are missed by
+    construction — that approximation is part of the operator's contract
+    (and of the oracle)."""
+    assigned = kmeans_assign(emb, k, iters, quant, id_col, vec_col).select(
+        id_col, "cluster"
+    )
+    b = emb.select(id_col, vec_col).join(assigned, id_col)
+    a_df = b.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "cluster"
+    )
+    b_df = b.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "cluster"
+    )
+    pairs = a_df.join(b_df, "cluster").filter(F.col("id_a") < F.col("id_b"))
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("vec_a"),
+            F.col("vec_b"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (_norm_expr(F.col("vec_a")) * _norm_expr(F.col("vec_b")))
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -378,3 +378,33 @@ class TestKMeans:
             ).collect()
         ]
         assert got == exact
+
+    def test_semantic_kmeans_dedup_drops_planted_duplicate(self, spark, emb):
+        """SemDeDup, paper shape: k-means clusters bound the pair join;
+        the planted 250/251 near-identical pair shares a cluster (argmin
+        of near-equal lattice points), so canonicalize keeps only 250."""
+        from marginaliasearch_spark.operators import dedup
+
+        df, _ = emb
+        pairs = similarity.kmeans_neardup_pairs(
+            df, threshold=0.95, k=4, iters=2
+        ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+        kept = {
+            r["vec_id"]
+            for r in dedup.canonicalize(
+                df.select("vec_id"), pairs, id_col="vec_id"
+            ).collect()
+        }
+        assert 250 in kept and 251 not in kept
+
+    def test_kmeans_pairs_subset_of_brute_force(self, spark, emb):
+        """Every emitted pair really has cosine >= τ (the cluster bound
+        may MISS cross-cluster pairs — the paper's approximation — but
+        must never emit a false positive)."""
+        df, vecs = emb
+        got = similarity.kmeans_neardup_pairs(df, threshold=0.9, k=4).collect()
+        v = vecs.astype(np.float64)
+        for r in got:
+            a, b = v[r["id_a"]], v[r["id_b"]]
+            cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+            assert cos >= 0.9 - 1e-9
