@@ -686,8 +686,14 @@ def kmeans_neardup_pairs(
     Like the paper, duplicates spanning two clusters are missed by
     construction — that approximation is part of the operator's contract
     (and of the oracle)."""
-    assigned = kmeans_assign(emb, k, iters, quant, id_col, vec_col).select(
-        id_col, "cluster"
+    # the (id, cluster) relation feeds BOTH sides of the self-join and
+    # Spark does not canonicalize the two subtrees into a ReusedExchange,
+    # so materialize it once (two longs per row) instead of running the
+    # whole k-means assignment twice
+    assigned = (
+        kmeans_assign(emb, k, iters, quant, id_col, vec_col)
+        .select(id_col, "cluster")
+        .localCheckpoint(eager=True)
     )
     b = emb.select(id_col, vec_col).join(assigned, id_col)
     a_df = b.select(
