@@ -608,6 +608,30 @@ def main() -> None:
         )
     )
 
+    from marginaliasearch_spark.operators.similarity import (
+        kmeans_neardup_pairs,
+    )
+
+    kp = kmeans_neardup_pairs(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
+        threshold=0.3,
+        k=8,
+        iters=1,
+    )
+    sections.append(
+        (
+            "SemDeDup pair join (k-means clusters bound the candidates)",
+            "Things to check: the pairwise join is a `SortMergeJoin` keyed "
+            "on the CLUSTER id (co-partitioned self-join — the paper's "
+            "n²/k bound; no CartesianProduct anywhere), both sides read "
+            "the assignment from ONE `Scan ExistingRDD` (the eager "
+            "localCheckpoint — without it Spark planned the whole Lloyd "
+            "assignment twice, no ReusedExchange), and the exact cosine "
+            "filter is a JVM fold inside the join condition (no Python).",
+            fmt(kp),
+        )
+    )
+
     out = ["# EXPLAIN — formatted physical plans of the hot paths",
            "",
            "Generated by `python tools/dump_plans.py` over the sf0.001 driver",
