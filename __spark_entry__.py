@@ -1640,6 +1640,18 @@ def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.kmeans_assign(_emb(spark, sf_dir), k=8, iters=2)
 
 
+def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou et al. 2011): per-subspace lattice
+    k-means codebooks (`similarity.pq_train`), m-byte codes
+    (`pq_encode`), ADC top-k via the codebook-sized LUT (`pq_topk`) —
+    the serving tier below int8 (64-dim float32 → 8 bytes/vector). All
+    integer arithmetic, so distances hash-match the unrolled-CTE twin."""
+    emb = _emb(spark, sf_dir)
+    cents = similarity.pq_train(emb, m=8, ksub=8, iters=2)
+    codes = similarity.pq_encode(emb, cents, m=8)
+    return similarity.pq_topk(codes, cents, _QVEC, k=10)
+
+
 def _q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 scalar quantization (4× scan-byte reduction) + exact-integer
     cosine top-k over the quantized vectors (`similarity.quantize_embeddings`
@@ -2388,6 +2400,7 @@ _NEW_THIS_ROUND: list[str] = [
     "mm_audio_compressed", "mm_image_jpeg_features",
     "mm_image_jpeg_progressive", "mm_video_gif_frames",
     "fulltext_conv", "sim_kmeans", "dedup_semantic_kmeans",
+    "sim_pq_topk",
 ]
 _NEVER_DRIVER_VERIFIED = [
     "sample_stratified", "dsir_resample",
@@ -2610,6 +2623,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_quantized_topk": _q_quantized_topk,
         # Lloyd k-means on the integer lattice (SemDeDup cluster step)
         "sim_kmeans": _q_kmeans,
+        # PQ/ADC quantized serving tier (codebook train + encode + LUT scan)
+        "sim_pq_topk": _q_pq_topk,
         "sim_neardup": _q_neardup,
         "sim_knn_join": _q_knn_join,
         # PageRank domain ranking over the kNN graph (integer fixed-point)
@@ -3392,6 +3407,7 @@ FROM s ORDER BY cosine DESC, vec_id LIMIT 10""",
         "sim_ivf_topk": sql_oracles.ivf_topk_sql(_QVEC, k=10),
         "sim_quantized_topk": sql_oracles.quantized_topk_sql(_QVEC, k=10, dim=64),
         "sim_kmeans": sql_oracles.kmeans_sql(k=8, iters=2),
+        "sim_pq_topk": sql_oracles.pq_topk_sql(_QVEC, k=10, m=8, ksub=8, iters=2, dim=64),
         "sim_neardup": sql_oracles.embedding_neardup_sql(
             threshold=0.3, dim=64, n_planes=4
         ),

@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "mm_video_mkv_frames",
     "sim_kmeans",
     "dedup_semantic_kmeans",
+    "sim_pq_topk",
 ]
 
 

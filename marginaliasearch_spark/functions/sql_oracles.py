@@ -2359,3 +2359,92 @@ def kmeans_semantic_pairs_sql(
   JOIN embeddings ea ON ea.vec_id = a.vec_id
   JOIN embeddings eb ON eb.vec_id = b.vec_id) p
 WHERE cosine >= {threshold!r}"""
+
+
+def pq_topk_sql(
+    qvec: list[float],
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 8,
+    iters: int = 2,
+    quant: int = 1 << 20,
+    dim: int = 64,
+) -> str:
+    """Exact oracle for ``similarity.pq_train → pq_encode → pq_topk``:
+    product-quantization ADC top-k over the ``embeddings`` view.
+
+    The per-subspace Lloyd loop is ``kmeans_sql`` with the subspace id
+    riding every key (one extra column — DuckDB trains all m codebooks in
+    the same unrolled CTE chain, exactly like the engine's single-relation
+    shuffles). The query's lattice subvectors are inlined as literal
+    BIGINT lists, the LUT is the (m·ksub)-row distance table off the final
+    codebook, and the ADC sum/ordering is all-integer, so the comparison
+    is hash-exact."""
+    subdim = dim // m
+    q = [math.floor(float(x) * quant) for x in qvec]
+    qrows = ", ".join(
+        "({}, [{}]::BIGINT[])".format(
+            s, ", ".join(str(v) for v in q[s * subdim : (s + 1) * subdim])
+        )
+        for s in range(m)
+    )
+    d2 = (
+        "list_sum(list_transform(list_zip(p.vq, c.cq),"
+        " z -> (z[1] - z[2]) * (z[1] - z[2])))"
+    )
+
+    def assign(ci: str) -> str:
+        return f"""(
+  SELECT vec_id, sub, cid, d2 FROM (
+    SELECT p.vec_id, p.sub, c.cid, {d2} AS d2,
+           row_number() OVER (
+             PARTITION BY p.vec_id, p.sub
+             ORDER BY {d2}, c.cid) AS rn
+    FROM pts p JOIN {ci} c USING (sub)) WHERE rn = 1)"""
+
+    ctes = [
+        f"""pts AS (
+  SELECT vec_id, s.range::INT AS sub,
+         list_transform(
+           list_slice(embedding, s.range * {subdim} + 1,
+                      (s.range + 1) * {subdim}),
+           x -> CAST(floor(CAST(x AS DOUBLE) * {quant}) AS BIGINT)) AS vq
+  FROM embeddings CROSS JOIN range({m}) s)""",
+        f"""c0 AS (
+  SELECT sub, rn - 1 AS cid, vq AS cq FROM (
+    SELECT sub, vq,
+           row_number() OVER (
+             PARTITION BY sub
+             ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::UBIGINT,
+                      vec_id) AS rn
+    FROM pts) WHERE rn <= {ksub})""",
+    ]
+    for it in range(iters):
+        ctes.append(f"a{it} AS {assign(f'c{it}')}")
+        ctes.append(f"""u{it} AS (
+  SELECT sub, cid,
+         list(CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)
+              ORDER BY i) AS cq_new
+  FROM (SELECT t.sub, t.cid, t.i, SUM(t.v) AS s, COUNT(*) AS n
+        FROM (SELECT a.sub, a.cid, generate_subscripts(p.vq, 1) AS i,
+                     unnest(p.vq) AS v
+              FROM a{it} a JOIN pts p USING (vec_id, sub)) t
+        GROUP BY t.sub, t.cid, t.i)
+  GROUP BY sub, cid)""")
+        ctes.append(f"""c{it + 1} AS (
+  SELECT i.sub, i.cid, COALESCE(u.cq_new, i.cq) AS cq
+  FROM c{it} i LEFT JOIN u{it} u ON u.sub = i.sub AND u.cid = i.cid)""")
+    ctes.append(f"enc AS {assign(f'c{iters}')}")
+    ctes.append(f"q(sub, qq) AS (VALUES {qrows})")
+    ctes.append(f"""lut AS (
+  SELECT c.sub, c.cid,
+         list_sum(list_transform(list_zip(q.qq, c.cq),
+           z -> (z[1] - z[2]) * (z[1] - z[2]))) AS pd
+  FROM c{iters} c JOIN q USING (sub))""")
+    body = ",\n".join(ctes)
+    return f"""WITH {body}
+SELECT e.vec_id, CAST(SUM(l.pd) AS BIGINT) AS adc_d2
+FROM enc e JOIN lut l ON l.sub = e.sub AND l.cid = e.cid
+GROUP BY e.vec_id
+ORDER BY adc_d2, e.vec_id
+LIMIT {k}"""

@@ -20,6 +20,12 @@
                            (order-free int64 arithmetic → byte-identical at
                            any parallelism); the SemDeDup cluster step and
                            the proper IVF list trainer.
+- ``pq_train`` / ``pq_encode`` / ``pq_topk`` — product quantization
+                           (Jégou et al. 2011): per-subspace lattice
+                           k-means codebooks, m-byte codes per vector,
+                           asymmetric-distance (ADC) top-k via a
+                           codebook-sized lookup table — the 100 TB
+                           serving tier where even int8 vectors don't fit.
 """
 
 from __future__ import annotations
@@ -717,4 +723,199 @@ def kmeans_neardup_pairs(
         pairs.withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+# --- product quantization (IVF-PQ's PQ half) ---------------------------------
+
+
+def _pq_pts(
+    emb: DataFrame, m: int, quant: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, sub, vq): each vector lattice-snapped then split into ``m``
+    contiguous subvectors. One explode — the whole codebook trains from a
+    single relation, so every Lloyd shuffle below covers all ``m``
+    subspaces at once instead of looping m driver-side jobs."""
+    vq = F.transform(
+        vec_col, lambda x: F.floor(x.cast("double") * quant).cast("long")
+    )
+    subdim = (F.size(vq) / m).cast("int")
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.struct(
+            s.cast("int").alias("sub"),
+            F.slice(vq, s * subdim + 1, subdim).alias("vq"),
+        ),
+    )
+    return emb.select(id_col, F.explode(subs).alias("_s")).select(
+        id_col, F.col("_s.sub").alias("sub"), F.col("_s.vq").alias("vq")
+    )
+
+
+def _pq_assign_to(
+    pts: DataFrame, cents: DataFrame, id_col: str, with_vq: bool = False
+) -> DataFrame:
+    """Per-(id, sub) nearest codeword: broadcast the (m·ksub)-row codebook,
+    join on the subspace key, argmin by exact int64 d² (ties → lowest cid
+    — same pin as ``_kmeans_assign_to``)."""
+    d2 = F.aggregate(
+        F.zip_with("vq", "cq", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    aggs = [
+        F.min_by(
+            F.struct(F.col("cid"), F.col("_d2")),
+            F.struct(F.col("_d2"), F.col("cid")),
+        ).alias("_m")
+    ] + ([F.first("vq").alias("vq")] if with_vq else [])
+    return (
+        pts.join(F.broadcast(cents), "sub")
+        .withColumn("_d2", d2)
+        .groupBy(id_col, "sub")
+        .agg(*aggs)
+        .select(
+            id_col,
+            "sub",
+            F.col("_m.cid").alias("cid"),
+            F.col("_m._d2").alias("d2"),
+            *(["vq"] if with_vq else []),
+        )
+    )
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 8,
+    ksub: int = 8,
+    iters: int = 2,
+    quant: int = 1 << 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ codebook: (sub, cid, cq) — ``ksub`` lattice codewords per
+    subspace, trained by the same order-free integer Lloyd loop as
+    ``kmeans_assign`` but with the subspace id riding every key, so one
+    set of shuffles trains all ``m`` codebooks concurrently.
+
+    Init mirrors the oracle: per subspace, the ``ksub`` subvectors with
+    the smallest ``(md5(id), id)`` keys, cid = rank in that order. Each
+    iteration's new codeword is re-quantized onto the lattice
+    (``floor(sum/count)``), empty codewords carry over — byte-identical
+    at any parallelism, same argument as the k-means docstring.
+
+    Scale shape: per iteration one broadcast join (codebook is m·ksub
+    rows — KiBs) + one groupBy(id, sub) argmin + one posexplode→
+    groupBy(sub, cid, dim) sum, all map-side combinable; nothing
+    vocabulary- or corpus-sized ever lands on the driver."""
+    pts = _pq_pts(emb, m, quant, id_col, vec_col)
+    init_w = Window.partitionBy("sub").orderBy("_h", id_col)
+    cents = (
+        pts.withColumn("_h", md5_order_col(id_col))
+        .withColumn("_rn", F.row_number().over(init_w))
+        .filter(F.col("_rn") <= ksub)
+        .select("sub", (F.col("_rn") - 1).alias("cid"), F.col("vq").alias("cq"))
+    )
+    for _ in range(iters):
+        upd = (
+            _pq_assign_to(pts, cents, id_col, with_vq=True)
+            .select("sub", "cid", F.posexplode("vq").alias("i", "v"))
+            .groupBy("sub", "cid", "i")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .groupBy("sub", "cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "s", "n"))),
+                    lambda t: F.floor(
+                        t["s"].cast("double") / t["n"].cast("double")
+                    ).cast("long"),
+                ).alias("cq_new")
+            )
+            .withColumnsRenamed({"sub": "u_sub", "cid": "u_cid"})
+        )
+        # same 2-consumer lineage blowup as _kmeans_train: truncate the
+        # (m·ksub)-row codebook eagerly each round
+        cents = (
+            cents.join(
+                upd,
+                (cents.sub == upd.u_sub) & (cents.cid == upd.u_cid),
+                "left",
+            )
+            .select("sub", "cid", F.coalesce("cq_new", "cq").alias("cq"))
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
+def pq_encode(
+    emb: DataFrame,
+    cents: DataFrame,
+    m: int = 8,
+    quant: int = 1 << 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes): each vector as ``m`` codebook indices, ordered by
+    subspace — the m-byte serving representation (64-dim float32 → 8
+    bytes: 32× smaller scans than the float corpus, 4× under int8)."""
+    pts = _pq_pts(emb, m, quant, id_col, vec_col)
+    return (
+        _pq_assign_to(pts, cents, id_col)
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "cid"))),
+                lambda t: t["cid"].cast("int"),
+            ).alias("codes")
+        )
+    )
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    cents: DataFrame,
+    qvec: list[float],
+    k: int = 10,
+    quant: int = 1 << 20,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k: asymmetric distance from a float query to every encoded
+    vector, ``d²(q, x) ≈ Σ_sub lut[sub][codes[sub]]`` where ``lut`` is the
+    (m·ksub)-entry table of exact int64 d²(q_sub, codeword) values.
+
+    The codebook is collected — it is m·ksub rows by construction (KiBs,
+    same boundedness as ``ivf_topk``'s centroid table), never data-sized
+    — and the LUT rides the scan as a nested array literal, so the plan
+    is a zero-shuffle narrow scan of (id, m codes) + TakeOrdered: the
+    whole corpus read is m bytes/row. All-integer arithmetic → the DuckDB
+    twin reproduces distances bit-for-bit."""
+    rows = cents.collect()
+    m = 1 + max(r["sub"] for r in rows)
+    ksub = 1 + max(r["cid"] for r in rows)
+    q = np.floor(np.asarray(qvec, dtype=np.float64) * quant).astype(np.int64)
+    subdim = q.size // m
+    lut = np.zeros((m, ksub), dtype=np.int64)
+    for r in rows:
+        dq = q[r["sub"] * subdim : (r["sub"] + 1) * subdim] - np.asarray(
+            r["cq"], dtype=np.int64
+        )
+        lut[r["sub"], r["cid"]] = int((dq * dq).sum())
+    lut_col = F.array(
+        *[F.array(*[F.lit(int(v)) for v in row]) for row in lut]
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.element_at(
+            F.element_at(lut_col, (i + 1).cast("int")),
+            (F.element_at(F.col("codes"), (i + 1).cast("int")) + 1).cast(
+                "int"
+            ),
+        ),
+    )
+    return (
+        codes_df.select(F.col(id_col), adc.alias("adc_d2"))
+        .orderBy(F.col("adc_d2").asc(), F.col(id_col))
+        .limit(k)
     )

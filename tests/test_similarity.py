@@ -408,3 +408,74 @@ class TestKMeans:
             a, b = v[r["id_a"]], v[r["id_b"]]
             cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
             assert cos >= 0.9 - 1e-9
+
+
+class TestProductQuantization:
+    """PQ codebooks/codes/ADC: exact oracle parity, layout determinism,
+    code-shape invariants, and recall of a planted duplicate."""
+
+    def _duck(self, vecs):
+        import duckdb
+        import pandas as pd
+
+        con = duckdb.connect()
+        con.register(
+            "embeddings_src",
+            pd.DataFrame(
+                {"vec_id": range(len(vecs)), "embedding": [v.tolist() for v in vecs]}
+            ),
+        )
+        con.execute("CREATE VIEW embeddings AS SELECT * FROM embeddings_src")
+        return con
+
+    def _pipeline(self, df, q, m=4, ksub=4, iters=2, k=10):
+        cents = similarity.pq_train(df, m=m, ksub=ksub, iters=iters)
+        codes = similarity.pq_encode(df, cents, m=m)
+        return similarity.pq_topk(codes, cents, q, k=k)
+
+    def test_matches_duckdb_oracle(self, spark, emb):
+        from marginaliasearch_spark.functions.sql_oracles import pq_topk_sql
+
+        df, vecs = emb
+        q = vecs[42].astype(np.float64).tolist()
+        got = [tuple(r) for r in self._pipeline(df, q).collect()]
+        want = [
+            (int(a), int(b))
+            for a, b in self._duck(vecs)
+            .execute(pq_topk_sql(q, k=10, m=4, ksub=4, iters=2, dim=DIM))
+            .fetchall()
+        ]
+        assert got == want
+
+    def test_partition_layout_invariant(self, spark, emb):
+        df, vecs = emb
+        q = vecs[7].astype(np.float64).tolist()
+        a = [tuple(r) for r in self._pipeline(df, q).collect()]
+        b = [tuple(r) for r in self._pipeline(df.repartition(13), q).collect()]
+        assert a == b
+
+    def test_code_shape(self, spark, emb):
+        df, _ = emb
+        cents = similarity.pq_train(df, m=4, ksub=4, iters=1)
+        codes = similarity.pq_encode(df, cents, m=4)
+        rows = codes.collect()
+        assert len(rows) == 300
+        for r in rows:
+            assert len(r["codes"]) == 4
+            assert all(0 <= c < 4 for c in r["codes"])
+
+    def test_planted_duplicate_shares_codes_and_ranks(self, spark, emb):
+        # 250/251 differ by ~1% noise: under any reasonable codebook they
+        # quantize to the same cell per subspace, so querying with 250's
+        # own vector must surface both in the ADC top-10
+        df, vecs = emb
+        q = vecs[250].astype(np.float64).tolist()
+        cents = similarity.pq_train(df, m=4, ksub=4, iters=2)
+        codes = {r["vec_id"]: list(r["codes"])
+                 for r in similarity.pq_encode(df, cents, m=4).collect()}
+        assert codes[250] == codes[251]
+        top = {r["vec_id"]
+               for r in similarity.pq_topk(
+                   similarity.pq_encode(df, cents, m=4), cents, q, k=10
+               ).collect()}
+        assert {250, 251} <= top
