@@ -632,6 +632,29 @@ def main() -> None:
         )
     )
 
+    from marginaliasearch_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    pq_emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pq_cents = pq_train(pq_emb, m=8, ksub=8, iters=1)
+    pq_codes = pq_encode(pq_emb, pq_cents, m=8).localCheckpoint(eager=True)
+    qvec = [float((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+    sections.append(
+        (
+            "PQ/ADC serving scan (codes materialized, LUT as literal)",
+            "Things to check: the serving-time plan is ONE `Scan "
+            "ExistingRDD` of (vec_id, codes) — the m-byte representation — "
+            "feeding `TakeOrderedAndProject`; NO Exchange anywhere (the "
+            "ADC sum is an int64 `aggregate` over the literal (m·ksub) "
+            "LUT inside WholeStageCodegen, so a 100 TB scan is pure "
+            "map-side work + the top-k heap); no Python operators.",
+            fmt(pq_topk(pq_codes, pq_cents, qvec, k=10)),
+        )
+    )
+
     out = ["# EXPLAIN — formatted physical plans of the hot paths",
            "",
            "Generated by `python tools/dump_plans.py` over the sf0.001 driver",
