@@ -1652,6 +1652,19 @@ def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk(codes, cents, _QVEC, k=10)
 
 
+def _q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (Jégou et al. 2011 §IV, `similarity.ivfpq_topk`): coarse
+    lattice k-means cells + PQ codebooks on the exact integer residuals,
+    probing the 2 cells nearest the query — FAISS's default architecture
+    re-expressed as lattice Lloyd loops + a partition-prunable cell filter
+    + an ADC literal-LUT scan. Hash-exact against the double-Lloyd-chain
+    DuckDB twin."""
+    return similarity.ivfpq_topk(
+        _emb(spark, sf_dir), _QVEC, k=10, coarse_k=8, nprobe=2,
+        m=8, ksub=8, iters=2,
+    )
+
+
 def _q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 scalar quantization (4× scan-byte reduction) + exact-integer
     cosine top-k over the quantized vectors (`similarity.quantize_embeddings`
@@ -2400,7 +2413,7 @@ _NEW_THIS_ROUND: list[str] = [
     "mm_audio_compressed", "mm_image_jpeg_features",
     "mm_image_jpeg_progressive", "mm_video_gif_frames",
     "fulltext_conv", "sim_kmeans", "dedup_semantic_kmeans",
-    "sim_pq_topk",
+    "sim_pq_topk", "sim_ivfpq_topk",
 ]
 _NEVER_DRIVER_VERIFIED = [
     "sample_stratified", "dsir_resample",
@@ -2625,6 +2638,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_kmeans": _q_kmeans,
         # PQ/ADC quantized serving tier (codebook train + encode + LUT scan)
         "sim_pq_topk": _q_pq_topk,
+        # IVFADC: coarse cells + residual PQ + nprobe ADC scan
+        "sim_ivfpq_topk": _q_ivfpq_topk,
         "sim_neardup": _q_neardup,
         "sim_knn_join": _q_knn_join,
         # PageRank domain ranking over the kNN graph (integer fixed-point)
@@ -3408,6 +3423,9 @@ FROM s ORDER BY cosine DESC, vec_id LIMIT 10""",
         "sim_quantized_topk": sql_oracles.quantized_topk_sql(_QVEC, k=10, dim=64),
         "sim_kmeans": sql_oracles.kmeans_sql(k=8, iters=2),
         "sim_pq_topk": sql_oracles.pq_topk_sql(_QVEC, k=10, m=8, ksub=8, iters=2, dim=64),
+        "sim_ivfpq_topk": sql_oracles.ivfpq_topk_sql(
+            _QVEC, k=10, coarse_k=8, nprobe=2, m=8, ksub=8, iters=2, dim=64
+        ),
         "sim_neardup": sql_oracles.embedding_neardup_sql(
             threshold=0.3, dim=64, n_planes=4
         ),

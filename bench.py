@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "sim_kmeans",
     "dedup_semantic_kmeans",
     "sim_pq_topk",
+    "sim_ivfpq_topk",
 ]
 
 

@@ -2448,3 +2448,118 @@ FROM enc e JOIN lut l ON l.sub = e.sub AND l.cid = e.cid
 GROUP BY e.vec_id
 ORDER BY adc_d2, e.vec_id
 LIMIT {k}"""
+
+
+def ivfpq_topk_sql(
+    qvec: list[float],
+    k: int = 10,
+    coarse_k: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    ksub: int = 8,
+    iters: int = 2,
+    quant: int = 1 << 20,
+    dim: int = 64,
+) -> str:
+    """Exact oracle for ``similarity.ivfpq_topk``: IVFADC over the
+    ``embeddings`` view — coarse lattice k-means cells, PQ codebooks
+    trained on the exact integer residuals, nprobe cell selection, and
+    the per-cell residual ADC sum. Two unrolled Lloyd chains (the coarse
+    one keyless, the PQ one keyed by subspace) share one emitter; every
+    step is int64-exact or the single pinned ``floor(sum/count)`` double
+    op, so the comparison is hash-exact."""
+    subdim = dim // m
+    q = [math.floor(float(x) * quant) for x in qvec]
+    qlit = "[{}]::BIGINT[]".format(", ".join(str(v) for v in q))
+    d2z = "list_sum(list_transform(list_zip({a}, {b}), z -> (z[1] - z[2]) * (z[1] - z[2])))"
+
+    def lloyd(prefix: str, src: str, kk: int, key: str) -> tuple[list[str], str]:
+        """CTE chain for one unrolled Lloyd loop over ``src`` (columns:
+        vec_id[, key], vq). Returns (ctes, final_centroid_cte_name); the
+        per-point assignment against any centroid CTE is emitted by the
+        closure below (same (d2, cid) tie pin as the engine)."""
+        kcols = f"{key}, " if key else ""
+        kpart = f", p.{key}" if key else ""
+        kjoin = f" USING ({key})" if key else ""
+        join = f"JOIN {{ci}} c{kjoin}" if key else "CROSS JOIN {ci} c"
+        d2 = d2z.format(a="p.vq", b="c.cq")
+
+        def assign(ci: str) -> str:
+            return f"""(
+  SELECT vec_id, {kcols}cid, d2 FROM (
+    SELECT p.vec_id, {('p.' + key + ', ') if key else ''}c.cid, {d2} AS d2,
+           row_number() OVER (
+             PARTITION BY p.vec_id{kpart}
+             ORDER BY {d2}, c.cid) AS rn
+    FROM {src} p {join.format(ci=ci)}) WHERE rn = 1)"""
+
+        part = f"PARTITION BY {key} " if key else "PARTITION BY 1 "
+        ctes = [f"""{prefix}0 AS (
+  SELECT {kcols}rn - 1 AS cid, vq AS cq FROM (
+    SELECT {kcols}vq,
+           row_number() OVER (
+             {part}
+             ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::UBIGINT,
+                      vec_id) AS rn
+    FROM {src}) WHERE rn <= {kk})"""]
+        ujoin = f"u.{key} = i.{key} AND " if key else ""
+        for it in range(iters):
+            ctes.append(f"{prefix}a{it} AS {assign(f'{prefix}{it}')}")
+            ctes.append(f"""{prefix}u{it} AS (
+  SELECT {kcols}cid,
+         list(CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)
+              ORDER BY i) AS cq_new
+  FROM (SELECT {('t.' + key + ', ') if key else ''}t.cid, t.i, SUM(t.v) AS s, COUNT(*) AS n
+        FROM (SELECT {('a.' + key + ', ') if key else ''}a.cid, generate_subscripts(p.vq, 1) AS i,
+                     unnest(p.vq) AS v
+              FROM {prefix}a{it} a JOIN {src} p USING (vec_id{', ' + key if key else ''})) t
+        GROUP BY {('t.' + key + ', ') if key else ''}t.cid, t.i)
+  GROUP BY {kcols}cid)""")
+            ctes.append(f"""{prefix}{it + 1} AS (
+  SELECT {('i.' + key + ', ') if key else ''}i.cid, COALESCE(u.cq_new, i.cq) AS cq
+  FROM {prefix}{it} i LEFT JOIN {prefix}u{it} u ON {ujoin}u.cid = i.cid)""")
+        return ctes, assign
+
+    ctes = [f"""pts AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {quant}) AS BIGINT)) AS vq
+  FROM embeddings)"""]
+    g_ctes, g_assign = lloyd("g", "pts", coarse_k, "")
+    ctes += g_ctes
+    ctes.append(f"ca AS {g_assign(f'g{iters}')}")
+    ctes.append(f"""res AS (
+  SELECT p.vec_id, a.cid AS cell,
+         list_transform(list_zip(p.vq, c.cq), z -> z[1] - z[2]) AS rq
+  FROM pts p JOIN ca a USING (vec_id) JOIN g{iters} c ON c.cid = a.cid)""")
+    ctes.append(f"""rpts AS (
+  SELECT vec_id, s.range::INT AS sub,
+         list_slice(rq, s.range * {subdim} + 1, (s.range + 1) * {subdim}) AS vq
+  FROM res CROSS JOIN range({m}) s)""")
+    p_ctes, p_assign = lloyd("p", "rpts", ksub, "sub")
+    ctes += p_ctes
+    ctes.append(f"enc AS {p_assign(f'p{iters}')}")
+    ctes.append(f"qv(q) AS (VALUES ({qlit}))")
+    ctes.append(f"""probes AS (
+  SELECT cid AS cell, cq,
+         {d2z.format(a='qv.q', b='g.cq')} AS qd2
+  FROM g{iters} g CROSS JOIN qv
+  ORDER BY qd2, cid LIMIT {nprobe})""")
+    ctes.append(f"""qres AS (
+  SELECT cell, s.range::INT AS sub,
+         list_slice(list_transform(list_zip(qv.q, cq), z -> z[1] - z[2]),
+                    s.range * {subdim} + 1, (s.range + 1) * {subdim}) AS qq
+  FROM probes CROSS JOIN qv CROSS JOIN range({m}) s)""")
+    ctes.append(f"""lut AS (
+  SELECT r.cell, r.sub, c.cid,
+         {d2z.format(a='r.qq', b='c.cq')} AS pd
+  FROM qres r JOIN p{iters} c USING (sub))""")
+    body = ",\n".join(ctes)
+    return f"""WITH {body}
+SELECT e.vec_id, CAST(SUM(l.pd) AS BIGINT) AS adc_d2
+FROM enc e
+JOIN ca a USING (vec_id)
+JOIN lut l ON l.cell = a.cid AND l.sub = e.sub AND l.cid = e.cid
+GROUP BY e.vec_id
+ORDER BY adc_d2, e.vec_id
+LIMIT {k}"""

@@ -26,6 +26,10 @@
                            asymmetric-distance (ADC) top-k via a
                            codebook-sized lookup table — the 100 TB
                            serving tier where even int8 vectors don't fit.
+- ``ivfpq_topk``         — IVFADC: coarse lattice cells + PQ on the cell
+                           residuals, probing only the nprobe nearest
+                           cells (FAISS's default architecture), all on
+                           the integer lattice so residuals are exact.
 """
 
 from __future__ import annotations
@@ -739,6 +743,15 @@ def _pq_pts(
     vq = F.transform(
         vec_col, lambda x: F.floor(x.cast("double") * quant).cast("long")
     )
+    return _pq_split(emb, vq, m, id_col)
+
+
+def _pq_split(
+    df: DataFrame, vq: F.Column, m: int, id_col: str
+) -> DataFrame:
+    """Split an already-latticed ``array<long>`` expression into the
+    (id, sub, vq) subvector relation (shared by the raw-vector and the
+    IVF-residual paths)."""
     subdim = (F.size(vq) / m).cast("int")
     subs = F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
@@ -747,7 +760,7 @@ def _pq_pts(
             F.slice(vq, s * subdim + 1, subdim).alias("vq"),
         ),
     )
-    return emb.select(id_col, F.explode(subs).alias("_s")).select(
+    return df.select(id_col, F.explode(subs).alias("_s")).select(
         id_col, F.col("_s.sub").alias("sub"), F.col("_s.vq").alias("vq")
     )
 
@@ -808,7 +821,17 @@ def pq_train(
     rows — KiBs) + one groupBy(id, sub) argmin + one posexplode→
     groupBy(sub, cid, dim) sum, all map-side combinable; nothing
     vocabulary- or corpus-sized ever lands on the driver."""
-    pts = _pq_pts(emb, m, quant, id_col, vec_col)
+    return _pq_train_pts(
+        _pq_pts(emb, m, quant, id_col, vec_col), ksub, iters, id_col
+    )
+
+
+def _pq_train_pts(
+    pts: DataFrame, ksub: int, iters: int, id_col: str
+) -> DataFrame:
+    """The per-subspace Lloyd loop over an (id, sub, vq) relation —
+    shared by ``pq_train`` (raw lattice vectors) and ``ivfpq_topk``
+    (coarse-cell residuals)."""
     init_w = Window.partitionBy("sub").orderBy("_h", id_col)
     cents = (
         pts.withColumn("_h", md5_order_col(id_col))
@@ -858,7 +881,14 @@ def pq_encode(
     """(id, codes): each vector as ``m`` codebook indices, ordered by
     subspace — the m-byte serving representation (64-dim float32 → 8
     bytes: 32× smaller scans than the float corpus, 4× under int8)."""
-    pts = _pq_pts(emb, m, quant, id_col, vec_col)
+    return _pq_encode_pts(
+        _pq_pts(emb, m, quant, id_col, vec_col), cents, id_col
+    )
+
+
+def _pq_encode_pts(
+    pts: DataFrame, cents: DataFrame, id_col: str
+) -> DataFrame:
     return (
         _pq_assign_to(pts, cents, id_col)
         .groupBy(id_col)
@@ -916,6 +946,121 @@ def pq_topk(
     )
     return (
         codes_df.select(F.col(id_col), adc.alias("adc_d2"))
+        .orderBy(F.col("adc_d2").asc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _adc_lut(q_lat: np.ndarray, cent_rows) -> np.ndarray:
+    """(m × ksub) int64 table of d²(query subvector, codeword) — the ADC
+    lookup table, built driver-side from a codebook that is m·ksub rows
+    by construction."""
+    m = 1 + max(r["sub"] for r in cent_rows)
+    ksub = 1 + max(r["cid"] for r in cent_rows)
+    subdim = q_lat.size // m
+    lut = np.zeros((m, ksub), dtype=np.int64)
+    for r in cent_rows:
+        dq = q_lat[r["sub"] * subdim : (r["sub"] + 1) * subdim] - np.asarray(
+            r["cq"], dtype=np.int64
+        )
+        lut[r["sub"], r["cid"]] = int((dq * dq).sum())
+    return lut
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    qvec: list[float],
+    k: int = 10,
+    coarse_k: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    ksub: int = 8,
+    iters: int = 2,
+    quant: int = 1 << 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC (Jégou et al. 2011 §IV): coarse k-means cells + PQ over the
+    RESIDUAL (vector − its cell centroid), probing only the ``nprobe``
+    cells nearest the query — FAISS's default 100 TB architecture, here
+    entirely on the integer lattice so the DuckDB twin is hash-exact
+    (both the point and its centroid are lattice int64s, so the residual
+    is exact — no float subtraction anywhere).
+
+    Scale shape: train = one Lloyd loop for the coarse cells + one for
+    the m sub-codebooks (each the same map-combinable shuffles as
+    ``kmeans_assign``/``pq_train``); serve = the codes relation filtered
+    to probed cells (partition-prunable when written partitioned by
+    cell), ADC-summed against an (nprobe·m·ksub)-literal LUT, TakeOrdered
+    — no joins, no shuffle. Probed cells and LUTs come from the two
+    bounded codebooks (coarse_k and m·ksub rows), never from data-sized
+    state. Approximate distance = Σ_sub d²(q_residual_sub, codeword) for
+    the row's own cell's residual query — the paper's ADC estimator.
+    """
+    pts = _kmeans_pts(emb, quant, id_col, vec_col)
+    coarse = _kmeans_train(pts, coarse_k, iters, id_col)
+    assigned = _kmeans_assign_to(pts, coarse, id_col, with_vq=True)
+    res = assigned.join(
+        F.broadcast(coarse), assigned.cluster == coarse.cid
+    ).select(
+        id_col,
+        "cluster",
+        F.zip_with("vq", "cq", lambda a, b: a - b).alias("rq"),
+    )
+    rpts = _pq_split(res, F.col("rq"), m, id_col)
+    pq_cents = _pq_train_pts(rpts, ksub, iters, id_col)
+    codes = _pq_encode_pts(rpts, pq_cents, id_col).join(
+        res.select(id_col, "cluster"), id_col
+    )
+
+    # probe selection + per-cell residual LUTs: both driver-side off the
+    # two bounded codebooks (coarse_k rows / m·ksub rows)
+    q_lat = np.floor(np.asarray(qvec, dtype=np.float64) * quant).astype(
+        np.int64
+    )
+    coarse_rows = coarse.collect()
+    cd = sorted(
+        (
+            int(((q_lat - np.asarray(r["cq"], dtype=np.int64)) ** 2).sum()),
+            int(r["cid"]),
+        )
+        for r in coarse_rows
+    )
+    probes = [cid for _, cid in cd[:nprobe]]
+    pq_rows = pq_cents.collect()
+    by_cid = {r["cid"]: np.asarray(r["cq"], dtype=np.int64) for r in coarse_rows}
+    luts = {
+        int(c): _adc_lut(q_lat - by_cid[c], pq_rows) for c in probes
+    }
+
+    # cell → LUT dispatch as a chained CASE over nprobe literal tables
+    def _cell_adc(lut: np.ndarray) -> F.Column:
+        lut_col = F.array(
+            *[F.array(*[F.lit(int(v)) for v in row]) for row in lut]
+        )
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(int(lut.shape[0]) - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + F.element_at(
+                F.element_at(lut_col, (i + 1).cast("int")),
+                (F.element_at(F.col("codes"), (i + 1).cast("int")) + 1).cast(
+                    "int"
+                ),
+            ),
+        )
+
+    adc = None
+    for c, lut in luts.items():
+        cell_adc = _cell_adc(lut)
+        adc = (
+            F.when(F.col("cluster") == c, cell_adc)
+            if adc is None
+            else adc.when(F.col("cluster") == c, cell_adc)
+        )
+    return (
+        codes.filter(F.col("cluster").isin([int(c) for c in probes]))
+        .select(F.col(id_col), adc.alias("adc_d2"))
         .orderBy(F.col("adc_d2").asc(), F.col(id_col))
         .limit(k)
     )

@@ -479,3 +479,78 @@ class TestProductQuantization:
                    similarity.pq_encode(df, cents, m=4), cents, q, k=10
                ).collect()}
         assert {250, 251} <= top
+
+
+class TestIVFPQ:
+    """IVFADC: oracle parity, layout determinism, and the probe-restriction
+    contract (results come only from probed cells)."""
+
+    def _duck(self, vecs):
+        import duckdb
+        import pandas as pd
+
+        con = duckdb.connect()
+        con.register(
+            "embeddings_src",
+            pd.DataFrame(
+                {"vec_id": range(len(vecs)), "embedding": [v.tolist() for v in vecs]}
+            ),
+        )
+        con.execute("CREATE VIEW embeddings AS SELECT * FROM embeddings_src")
+        return con
+
+    def test_matches_duckdb_oracle(self, spark, emb):
+        from marginaliasearch_spark.functions.sql_oracles import ivfpq_topk_sql
+
+        df, vecs = emb
+        q = vecs[42].astype(np.float64).tolist()
+        got = [
+            tuple(r)
+            for r in similarity.ivfpq_topk(
+                df, q, k=10, coarse_k=4, nprobe=2, m=4, ksub=4, iters=2
+            ).collect()
+        ]
+        want = [
+            (int(a), int(b))
+            for a, b in self._duck(vecs)
+            .execute(
+                ivfpq_topk_sql(
+                    q, k=10, coarse_k=4, nprobe=2, m=4, ksub=4, iters=2, dim=DIM
+                )
+            )
+            .fetchall()
+        ]
+        assert got == want
+
+    def test_partition_layout_invariant(self, spark, emb):
+        df, vecs = emb
+        q = vecs[7].astype(np.float64).tolist()
+        kw = dict(k=10, coarse_k=4, nprobe=2, m=4, ksub=4, iters=1)
+        a = [tuple(r) for r in similarity.ivfpq_topk(df, q, **kw).collect()]
+        b = [
+            tuple(r)
+            for r in similarity.ivfpq_topk(df.repartition(13), q, **kw).collect()
+        ]
+        assert a == b
+
+    def test_results_come_from_probed_cells_only(self, spark, emb):
+        # nprobe = coarse_k degenerates to scanning every cell: the top-k
+        # ids from a restricted probe must be a subset of the full-probe
+        # candidate ORDER at equal-or-worse rank positions
+        df, vecs = emb
+        q = vecs[100].astype(np.float64).tolist()
+        full = [
+            r["vec_id"]
+            for r in similarity.ivfpq_topk(
+                df, q, k=300, coarse_k=4, nprobe=4, m=4, ksub=4, iters=1
+            ).collect()
+        ]
+        narrow = {
+            r["vec_id"]
+            for r in similarity.ivfpq_topk(
+                df, q, k=300, coarse_k=4, nprobe=1, m=4, ksub=4, iters=1
+            ).collect()
+        }
+        assert narrow < set(full)
+        # with every cell probed the scan covers the whole corpus
+        assert len(full) == 300
