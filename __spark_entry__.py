@@ -1275,6 +1275,31 @@ def _q_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.canonicalize(emb.select("vec_id"), pairs, id_col="vec_id")
 
 
+def _q_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed feature-hashing BoW embedding (Weinberger et al. 2009,
+    `similarity.hash_embed_documents`): the model-free bridge from the
+    documents table to the embedding operators. Integer bucket sums +
+    one pinned sqrt/division per component -> bitwise hash-exact. The
+    entry explodes the vector to (doc_id, i, val) scalar rows so the
+    driver's value hash sees plain doubles, not array cells."""
+    emb = similarity.hash_embed_documents(_docs(spark, sf_dir), dim=64)
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("i", "val")
+    )
+
+
+def _q_semantic_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over raw TEXT with no external model: hash-embed the
+    documents, then the paper's two-step (k-means clusters bound the
+    within-cluster cosine pairs) -> components -> keep each cluster's
+    smallest doc_id. Composes three verified operators end-to-end."""
+    emb = similarity.hash_embed_documents(_docs(spark, sf_dir), dim=64)
+    pairs = similarity.kmeans_neardup_pairs(
+        emb, threshold=0.9, k=8, iters=2, id_col="doc_id"
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    return dedup.canonicalize(emb.select("doc_id"), pairs, id_col="doc_id")
+
+
 def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.8)
     return out.select(
@@ -2413,7 +2438,7 @@ _NEW_THIS_ROUND: list[str] = [
     "mm_audio_compressed", "mm_image_jpeg_features",
     "mm_image_jpeg_progressive", "mm_video_gif_frames",
     "fulltext_conv", "sim_kmeans", "dedup_semantic_kmeans",
-    "sim_pq_topk", "sim_ivfpq_topk",
+    "sim_pq_topk", "sim_ivfpq_topk", "text_hash_embed", "dedup_semantic_text",
 ]
 _NEVER_DRIVER_VERIFIED = [
     "sample_stratified", "dsir_resample",
@@ -2640,6 +2665,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pq_topk": _q_pq_topk,
         # IVFADC: coarse cells + residual PQ + nprobe ADC scan
         "sim_ivfpq_topk": _q_ivfpq_topk,
+        # feature-hashing BoW embedding of the documents table
+        "text_hash_embed": _q_hash_embed,
+        # SemDeDup over raw text via the hashed embedding (model-free)
+        "dedup_semantic_text": _q_semantic_text,
         "sim_neardup": _q_neardup,
         "sim_knn_join": _q_knn_join,
         # PageRank domain ranking over the kNN graph (integer fixed-point)
@@ -3426,6 +3455,24 @@ FROM s ORDER BY cosine DESC, vec_id LIMIT 10""",
         "sim_ivfpq_topk": sql_oracles.ivfpq_topk_sql(
             _QVEC, k=10, coarse_k=8, nprobe=2, m=8, ksub=8, iters=2, dim=64
         ),
+        "text_hash_embed": f"""SELECT doc_id,
+  generate_subscripts(embedding, 1) - 1 AS i,
+  unnest(embedding) AS val
+FROM ({sql_oracles.hash_embed_sql(dim=64)}) he""",
+        "dedup_semantic_text": f"""WITH embeddings AS (
+  SELECT doc_id AS vec_id, embedding
+  FROM ({sql_oracles.hash_embed_sql(dim=64)}) he),
+comp AS (
+{sql_oracles.components_sql(
+    "SELECT id_a AS doc_a, id_b AS doc_b FROM ("
+    + sql_oracles.kmeans_semantic_pairs_sql(threshold=0.9, k=8, iters=2)
+    + ") skp"
+)}
+)
+SELECT e.vec_id AS doc_id FROM embeddings e
+WHERE NOT EXISTS (
+  SELECT 1 FROM comp c
+  WHERE c.doc_id = e.vec_id AND c.component <> c.doc_id)""",
         "sim_neardup": sql_oracles.embedding_neardup_sql(
             threshold=0.3, dim=64, n_planes=4
         ),

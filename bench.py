@@ -148,6 +148,8 @@ BENCH_QUERIES = [
     "dedup_semantic_kmeans",
     "sim_pq_topk",
     "sim_ivfpq_topk",
+    "text_hash_embed",
+    "dedup_semantic_text",
 ]
 
 

@@ -2563,3 +2563,40 @@ JOIN lut l ON l.cell = a.cid AND l.sub = e.sub AND l.cid = e.cid
 GROUP BY e.vec_id
 ORDER BY adc_d2, e.vec_id
 LIMIT {k}"""
+
+
+def hash_embed_sql(dim: int = 64) -> str:
+    """Exact oracle for ``similarity.hash_embed_documents``: signed
+    feature-hashing bag-of-words over the ``documents`` view. Bucket
+    values are exact integer sums and the squared norm is an exact
+    int64, so the only float ops are the final sqrt + division — pinned
+    IEEE doubles, hash-exact against the engine."""
+    idx = "[" + ", ".join(str(i) for i in range(dim)) + "]"
+    return f"""WITH hb AS (
+  SELECT doc_id,
+    list_filter(
+      list_transform(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     t -> regexp_replace(regexp_replace(t,
+                            '^[^a-z0-9]+', ''), '[^a-z0-9]+$', '')),
+      t -> t <> '') AS toks
+  FROM documents),
+ht AS (SELECT doc_id, unnest(toks) AS tok FROM hb),
+hh AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::UBIGINT AS hv
+       FROM ht),
+hc AS (SELECT doc_id, ((hv >> 1) % {dim})::BIGINT AS bucket,
+              SUM(CASE WHEN hv % 2 = 1 THEN -1 ELSE 1 END)::BIGINT AS v
+       FROM hh GROUP BY doc_id, bucket),
+hm AS (SELECT doc_id, map(list(bucket), list(v)) AS m
+       FROM hc GROUP BY doc_id),
+hvec AS (SELECT d.doc_id,
+               list_transform({idx}::BIGINT[],
+                              i -> COALESCE(map_extract(m, i)[1], 0)) AS iv
+        FROM documents d LEFT JOIN hm USING (doc_id)),
+hsum AS (SELECT doc_id, iv,
+               list_sum(list_transform(iv, v -> v * v))::BIGINT AS ss
+        FROM hvec)
+SELECT doc_id,
+       list_transform(iv, v -> CASE WHEN ss = 0 THEN 0.0
+                                    ELSE v::DOUBLE / sqrt(ss::DOUBLE) END)
+         AS embedding
+FROM hsum"""

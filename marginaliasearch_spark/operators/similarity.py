@@ -1064,3 +1064,83 @@ def ivfpq_topk(
         .orderBy(F.col("adc_d2").asc(), F.col(id_col))
         .limit(k)
     )
+
+
+# --- hashed n-gram document embeddings ----------------------------------------
+
+
+def hash_embed_documents(
+    docs: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, embedding): signed feature-hashing bag-of-words embedding
+    (Weinberger et al. 2009) — the model-free bridge from the documents
+    table to every embedding operator in this module (kNN, k-means,
+    SemDeDup, PQ). Token → md5 → bit 0 picks the sign, the next bits pick
+    the bucket; per-bucket signed counts are L2-normalized.
+
+    Determinism: bucket values are exact integer sums (order-free), the
+    squared norm is an exact integer, and the only float ops are one
+    ``sqrt`` + one division per component — pinned IEEE doubles the
+    DuckDB twin reproduces bit-for-bit. Docs with no tokens embed as the
+    zero vector.
+
+    Scale shape: one explode + one groupBy(doc, bucket) + one
+    groupBy(doc) — both map-side combinable; ``dim`` bounds the row
+    width, nothing vocabulary-sized anywhere (the hashing trick's whole
+    point). Tokenization is the keyword extractors' shared cleaner, so
+    embeddings agree with the index's view of the text."""
+    from .keywords import _clean_tokens
+
+    t = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_clean_tokens(text_col)).alias("tok"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    sgn = F.when(h % 2 == 1, F.lit(-1)).otherwise(F.lit(1))
+    per_bucket = (
+        t.select("doc_id", F.pmod(F.shiftright(h, 1), dim).alias("bucket"), sgn.alias("sgn"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sgn").cast("long").alias("v"))
+    )
+    vec = (
+        per_bucket.groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("bucket", "v"))
+            ).alias("_m")
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("_m"), i.cast("long")), F.lit(0)
+                ).cast("long"),
+            ).alias("_iv"),
+        )
+    )
+    # left join keeps token-free docs (zero vector); the squared norm is
+    # an exact int64, materialized once (CollapseProject split — same
+    # reasoning as quantize_embeddings)
+    base = docs.select(F.col(id_col).alias("doc_id")).join(vec, "doc_id", "left")
+    zero = F.array_repeat(F.lit(0).cast("long"), dim)
+    withv = base.select(
+        "doc_id", F.coalesce(F.col("_iv"), zero).alias("_iv")
+    )
+    sumsq = F.aggregate(
+        F.col("_iv"), F.lit(0).cast("long"), lambda acc, v: acc + v * v
+    )
+    s = withv.select("doc_id", "_iv", sumsq.alias("_ss"))
+    nrm = F.sqrt(F.col("_ss").cast("double"))
+    return s.select(
+        "doc_id",
+        F.transform(
+            F.col("_iv"),
+            lambda v: F.when(F.col("_ss") == 0, F.lit(0.0)).otherwise(
+                v.cast("double") / nrm
+            ),
+        ).alias("embedding"),
+    )

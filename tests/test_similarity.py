@@ -554,3 +554,62 @@ class TestIVFPQ:
         assert narrow < set(full)
         # with every cell probed the scan covers the whole corpus
         assert len(full) == 300
+
+
+class TestHashEmbed:
+    """Feature-hashing BoW embeddings: oracle parity (bitwise), the
+    zero-vector contract for token-free docs, unit norm, and duplicate
+    texts mapping to identical vectors."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_matches_duckdb_oracle_bitwise(self, spark):
+        import duckdb
+        import pandas as pd
+        from marginaliasearch_spark.functions.sql_oracles import hash_embed_sql
+
+        rows = [
+            (0, "alpha beta beta gamma"),
+            (1, "Alpha, beta! beta gamma"),   # same tokens after cleaning
+            (2, "delta epsilon zeta eta theta iota"),
+            (3, "   "),                        # token-free
+            (4, "kappa"),
+        ]
+        df = self._docs(spark, rows)
+        got = {r["doc_id"]: list(r["embedding"])
+               for r in similarity.hash_embed_documents(df, dim=16).collect()}
+        con = duckdb.connect()
+        con.register("documents_src", pd.DataFrame(rows, columns=["doc_id", "text"]))
+        con.execute("CREATE VIEW documents AS SELECT * FROM documents_src")
+        want = {r[0]: list(r[1]) for r in con.execute(hash_embed_sql(16)).fetchall()}
+        assert got == want  # bitwise: both sides are ints / pinned IEEE ops
+
+    def test_contracts(self, spark):
+        rows = [
+            (0, "alpha beta beta gamma"),
+            (1, "Alpha, beta! beta gamma"),
+            (3, ""),
+        ]
+        df = self._docs(spark, rows)
+        got = {r["doc_id"]: list(r["embedding"])
+               for r in similarity.hash_embed_documents(df, dim=32).collect()}
+        assert got[0] == got[1]                       # cleaner-equal texts
+        assert got[3] == [0.0] * 32                    # token-free -> zero
+        assert abs(sum(v * v for v in got[0]) - 1.0) < 1e-12  # unit norm
+
+    def test_feeds_kmeans_pipeline(self, spark):
+        # the bridge property: hashed embeddings drive the k-means
+        # operators directly (dedup_semantic_text composition)
+        rows = [(i, f"common base words plus w{i % 3}") for i in range(30)]
+        df = self._docs(spark, rows)
+        emb = similarity.hash_embed_documents(df, dim=16)
+        out = similarity.kmeans_assign(
+            emb, k=3, iters=2, id_col="doc_id"
+        ).collect()
+        assert len(out) == 30
+        # identical texts land in identical clusters
+        by_text = {}
+        for r in out:
+            by_text.setdefault(r["doc_id"] % 3, set()).add(r["cluster"])
+        assert all(len(v) == 1 for v in by_text.values())

@@ -42,6 +42,8 @@ def _cv(v):
         return int(v)
     if isinstance(v, (np.floating,)):
         return float(v)
+    if isinstance(v, (np.ndarray, list, tuple)):
+        return tuple(_cv(x) for x in v)
     return v
 
 
