@@ -1300,6 +1300,16 @@ def _q_semantic_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.canonicalize(emb.select("doc_id"), pairs, id_col="doc_id")
 
 
+def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a PRETRAINED BPE tokenizer (`bpe.pretrained_merges`, the
+    deterministic constant both sides share) to the corpus: per-doc
+    subword token count + md5 of the token stream. The DuckDB twin
+    re-derives the encoding with a recursive leftmost-merge CTE, so the
+    mapInPandas application pass is checked hash-exact by an
+    independent implementation."""
+    return bpe.bpe_encode(_docs(spark, sf_dir), bpe.pretrained_merges())
+
+
 def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.8)
     return out.select(
@@ -2439,6 +2449,7 @@ _NEW_THIS_ROUND: list[str] = [
     "mm_image_jpeg_progressive", "mm_video_gif_frames",
     "fulltext_conv", "sim_kmeans", "dedup_semantic_kmeans",
     "sim_pq_topk", "sim_ivfpq_topk", "text_hash_embed", "dedup_semantic_text",
+    "text_bpe_encode",
 ]
 _NEVER_DRIVER_VERIFIED = [
     "sample_stratified", "dsir_resample",
@@ -2669,6 +2680,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_hash_embed": _q_hash_embed,
         # SemDeDup over raw text via the hashed embedding (model-free)
         "dedup_semantic_text": _q_semantic_text,
+        # pretrained-BPE application pass (subword token counting)
+        "text_bpe_encode": _q_bpe_encode,
         "sim_neardup": _q_neardup,
         "sim_knn_join": _q_knn_join,
         # PageRank domain ranking over the kNN graph (integer fixed-point)
@@ -3455,6 +3468,7 @@ FROM s ORDER BY cosine DESC, vec_id LIMIT 10""",
         "sim_ivfpq_topk": sql_oracles.ivfpq_topk_sql(
             _QVEC, k=10, coarse_k=8, nprobe=2, m=8, ksub=8, iters=2, dim=64
         ),
+        "text_bpe_encode": sql_oracles.bpe_encode_sql(bpe.pretrained_merges()),
         "text_hash_embed": f"""SELECT doc_id,
   generate_subscripts(embedding, 1) - 1 AS i,
   unnest(embedding) AS val

@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "sim_ivfpq_topk",
     "text_hash_embed",
     "dedup_semantic_text",
+    "text_bpe_encode",
 ]
 
 

@@ -2600,3 +2600,57 @@ SELECT doc_id,
                                     ELSE v::DOUBLE / sqrt(ss::DOUBLE) END)
          AS embedding
 FROM hsum"""
+
+
+def bpe_encode_sql(merges: list[tuple[str, str]]) -> str:
+    """Exact oracle for ``bpe.bpe_encode`` under a FIXED merge table
+    (the pretrained-tokenizer scenario, ``bpe.pretrained_merges``):
+    per distinct word, a recursive CTE repeatedly merges the LEFTMOST
+    occurrence of the current rank's pair, advancing rank when none
+    remains — provably equal to the reference's one left-to-right pass
+    per rank, because a merged token ``l||r`` can never equal ``l`` or
+    ``r``, so a merge never creates a new occurrence of its own pair.
+    Streams reassemble in word order; md5 + token counts compare
+    hash-exact against the engine's mapInPandas encoder."""
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    n = len(merges)
+    mt = ", ".join(
+        f"({i}, {q(l)}, {q(r)})" for i, (l, r) in enumerate(merges)
+    )
+    return f"""WITH RECURSIVE mt(rank, l, r) AS (VALUES {mt}),
+bwords AS (
+  SELECT doc_id, generate_subscripts(toks, 1) AS wi, unnest(toks) AS w
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                           t -> t <> '') AS toks
+        FROM documents) s),
+dw AS (SELECT DISTINCT w FROM bwords),
+enc(w, rank, syms) AS (
+  SELECT w, 0, [(w)[i] for i in range(1, 1 + length(w))] || ['</w>']
+  FROM dw
+  UNION ALL
+  SELECT w,
+         CASE WHEN j IS NULL THEN rank + 1 ELSE rank END,
+         CASE WHEN j IS NULL THEN syms
+              ELSE list_slice(syms, 1, j - 1) || [l || r]
+                   || list_slice(syms, j + 2, len(syms)) END
+  FROM (
+    SELECT e.w, e.rank, e.syms, m.l, m.r,
+           list_min([i for i in range(1, len(e.syms))
+                     if e.syms[i] = m.l AND e.syms[i + 1] = m.r]) AS j
+    FROM enc e JOIN mt m ON m.rank = e.rank) st),
+encf AS (SELECT w, syms FROM enc WHERE rank = {n}),
+perdoc AS (
+  SELECT doc_id,
+         SUM(len(syms))::BIGINT AS bpe_tokens,
+         md5(string_agg(array_to_string(syms, ' '), ' ' ORDER BY wi))
+           AS stream_md5
+  FROM bwords JOIN encf USING (w)
+  GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(p.bpe_tokens, 0) AS bpe_tokens,
+       COALESCE(p.stream_md5, md5('')) AS stream_md5
+FROM documents d LEFT JOIN perdoc p USING (doc_id)"""

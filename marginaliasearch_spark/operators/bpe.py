@@ -186,3 +186,62 @@ def bpe_encode(
     return docs.select("doc_id", text_col).mapInPandas(
         fn, schema="doc_id long, bpe_tokens long, stream_md5 string"
     )
+
+
+# Seed word-frequency table for the PRETRAINED tokenizer constant below:
+# drawn from the synthetic corpus domain so the learned merges actually
+# fire on the driver tables, sized so ~20 merges clear the freq>=2 stop.
+_SEED_WORD_COUNTS: dict[str, int] = {
+    "spark": 8, "join": 8, "table": 6, "scan": 6, "batch": 6,
+    "window": 5, "query": 7, "value": 6, "data": 7, "part": 5,
+    "hash": 5, "agg": 4, "row": 4, "column": 4, "customer": 4,
+    "slow": 4, "fast": 4, "small": 4, "line": 3, "order": 3,
+    "filter": 3, "stream": 3, "vector": 3, "key": 3, "the": 9,
+    "low": 5, "lower": 4, "lowest": 2,
+}
+
+
+def _learn_local(word_counts: dict[str, int], n_merges: int) -> list[tuple[str, str]]:
+    """Pure-Python BPE learner over a word-frequency dict — the same
+    greedy rule as ``learn_bpe`` (freq DESC, (l, r) ASC, stop at freq<2),
+    used to derive the deterministic pretrained merge table that both the
+    engine entry and its DuckDB oracle share as a constant."""
+    vocab: dict[tuple[str, ...], int] = {}
+    for w, c in word_counts.items():
+        key = tuple(list(w) + [END])
+        vocab[key] = vocab.get(key, 0) + c
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pc: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + c
+        if not pc:
+            break
+        (left, right), freq = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if freq < 2:
+            break
+        merges.append((left, right))
+        nv: dict[tuple[str, ...], int] = {}
+        for syms, c in vocab.items():
+            j, res = 0, []
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == left and syms[j + 1] == right:
+                    res.append(left + right)
+                    j += 2
+                else:
+                    res.append(syms[j])
+                    j += 1
+            key = tuple(res)
+            nv[key] = nv.get(key, 0) + c
+        vocab = nv
+    return merges
+
+
+def pretrained_merges(n_merges: int = 24) -> list[tuple[str, str]]:
+    """The fixed pretrained merge table (apply-a-trained-tokenizer
+    scenario): deterministic, derived from the literal seed counts above,
+    shared verbatim by ``bpe_encode`` entries and the DuckDB oracle."""
+    return _learn_local(_SEED_WORD_COUNTS, n_merges)

@@ -107,3 +107,47 @@ def test_learn_bpe_partitioning_invariant(spark):
     a = bpe.learn_bpe(docs, n_merges=6).collect()
     b = bpe.learn_bpe(docs.repartition(7), n_merges=6).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pretrained_merges_deterministic_and_nonempty():
+    a = bpe.pretrained_merges()
+    b = bpe.pretrained_merges()
+    assert a == b and len(a) == 24
+    # every merge must have been derivable from the seed (freq >= 2 rule)
+    assert all(isinstance(l, str) and isinstance(r, str) for l, r in a)
+
+
+def test_pretrained_encode_matches_pure_python(spark):
+    merges = bpe.pretrained_merges()
+    texts = TEXTS + ["spark join query window", ""]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (r["bpe_tokens"], r["stream_md5"])
+           for r in bpe.bpe_encode(df, merges).collect()}
+    import hashlib
+    for i, t in enumerate(texts):
+        toks = _ref_encode(t, merges)
+        assert got[i] == (
+            len(toks), hashlib.md5(" ".join(toks).encode()).hexdigest()
+        )
+
+
+def test_recursive_cte_oracle_matches_engine(spark):
+    import duckdb
+    import pandas as pd
+    from marginaliasearch_spark.functions.sql_oracles import bpe_encode_sql
+
+    merges = bpe.pretrained_merges()
+    texts = TEXTS + ["spark join query window the lowest"]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["bpe_tokens"], r["stream_md5"])
+        for r in bpe.bpe_encode(df, merges).collect()
+    )
+    con = duckdb.connect()
+    con.register("documents_src", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    con.execute("CREATE VIEW documents AS SELECT * FROM documents_src")
+    want = sorted(map(tuple, con.execute(bpe_encode_sql(merges)).fetchall()))
+    assert got == want
