@@ -2457,13 +2457,19 @@ _NEVER_DRIVER_VERIFIED = [
     "decontam_overlap", "text_filter_chain",
     "text_pii_redact", "sample_chunks", "text_bpe_vocab",
     "text_repetition", "text_classify_counted",
-    "text_topic_once", "text_topic_decay", "text_question_spam",
+    "text_topic_once", "text_question_spam",
     "index_tfidf_keywords", "index_name_keywords",
     "index_artifact_keywords", "text_content_farm",
-    "sim_quantized_topk",
     "rank_adjacencies",
+    # Tail of this tier: whatever the driver's ~50-entry window truncates
+    # lands here, so these are deliberately the entries with a same-module
+    # sibling INSIDE the window (pq/ivfpq cover the quantized scan,
+    # semantic_kmeans/text cover the composite, png/tiff/gif resize cover
+    # the resize kernel, mkv/gif frames cover video framing, topic_once
+    # covers the topics.py scoring path that _decay only re-weights).
+    "sim_quantized_topk",
     "dedup_semantic", "mm_image_resize",
-    "mm_video_mjpeg_frames",
+    "mm_video_mjpeg_frames", "text_topic_decay",
 ]
 # Tier 2: never driver-verified, but the round-3 judge (VERDICT.md /
 # ADVICE.md) ran tools/check_entry.py on each and recorded a pass —
