@@ -1310,6 +1310,27 @@ def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_encode(_docs(spark, sf_dir), bpe.pretrained_merges())
 
 
+def _q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual difference hash over REAL PNG payloads: the fixture's
+    planted-near-dup images decode through the genuine zlib-inflate path
+    in mapInPandas, the equal-block wraparound dHash reduces each to one
+    signed 64-bit value, and the oracle recomputes the hash from the
+    fixture's closed-form pixels without decoding."""
+    media = multimodal.synth_phash_media(spark, n=64)
+    return multimodal.dhash_features(media, fake=False)
+
+
+def _q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGE dedup: dHash + banded-hamming LSH self-join
+    (8 bands of 8 bits, max_hamming=7 — exact by the simhash pigeonhole
+    bound). The fixture plants 32 perturbed-copy pairs 0-4 bits apart
+    with unrelated images >=19 bits apart; the oracle emits the all-pairs
+    form while the engine keeps the bucketed join (the 100-TB path)."""
+    media = multimodal.synth_phash_media(spark, n=64)
+    hashes = multimodal.dhash_features(media, fake=False)
+    return multimodal.phash_dedup(hashes, max_hamming=7)
+
+
 def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.8)
     return out.select(
@@ -2449,14 +2470,14 @@ _NEW_THIS_ROUND: list[str] = [
     "mm_image_jpeg_progressive", "mm_video_gif_frames",
     "fulltext_conv", "sim_kmeans", "dedup_semantic_kmeans",
     "sim_pq_topk", "sim_ivfpq_topk", "text_hash_embed", "dedup_semantic_text",
-    "text_bpe_encode",
+    "text_bpe_encode", "mm_image_dhash", "mm_image_phash_dedup",
 ]
 _NEVER_DRIVER_VERIFIED = [
     "sample_stratified", "dsir_resample",
-    "lm_ppl_buckets", "dedup_line_removal", "sample_temperature",
+    "dedup_line_removal", "sample_temperature",
     "decontam_overlap", "text_filter_chain",
     "text_pii_redact", "sample_chunks", "text_bpe_vocab",
-    "text_repetition", "text_classify_counted",
+    "text_repetition",
     "text_topic_once", "text_question_spam",
     "index_tfidf_keywords", "index_name_keywords",
     "index_artifact_keywords", "text_content_farm",
@@ -2466,10 +2487,13 @@ _NEVER_DRIVER_VERIFIED = [
     # sibling INSIDE the window (pq/ivfpq cover the quantized scan,
     # semantic_kmeans/text cover the composite, png/tiff/gif resize cover
     # the resize kernel, mkv/gif frames cover video framing, topic_once
-    # covers the topics.py scoring path that _decay only re-weights).
+    # covers the topics.py scoring path that _decay only re-weights,
+    # judge-verified lm_perplexity / text_classify cover the modules whose
+    # ppl_buckets / counted-mode variants sit here).
     "sim_quantized_topk",
     "dedup_semantic", "mm_image_resize",
     "mm_video_mjpeg_frames", "text_topic_decay",
+    "lm_ppl_buckets", "text_classify_counted",
 ]
 # Tier 2: never driver-verified, but the round-3 judge (VERDICT.md /
 # ADVICE.md) ran tools/check_entry.py on each and recorded a pass —
@@ -2688,6 +2712,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic_text": _q_semantic_text,
         # pretrained-BPE application pass (subword token counting)
         "text_bpe_encode": _q_bpe_encode,
+        # perceptual image hashing + near-duplicate image dedup
+        "mm_image_dhash": _q_image_dhash,
+        "mm_image_phash_dedup": _q_phash_dedup,
         "sim_neardup": _q_neardup,
         "sim_knn_join": _q_knn_join,
         # PageRank domain ranking over the kNN graph (integer fixed-point)
@@ -3475,6 +3502,10 @@ FROM s ORDER BY cosine DESC, vec_id LIMIT 10""",
             _QVEC, k=10, coarse_k=8, nprobe=2, m=8, ksub=8, iters=2, dim=64
         ),
         "text_bpe_encode": sql_oracles.bpe_encode_sql(bpe.pretrained_merges()),
+        "mm_image_dhash": sql_oracles.image_dhash_sql(n=64),
+        "mm_image_phash_dedup": sql_oracles.phash_dedup_sql(
+            n=64, max_hamming=7
+        ),
         "text_hash_embed": f"""SELECT doc_id,
   generate_subscripts(embedding, 1) - 1 AS i,
   unnest(embedding) AS val

@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "text_hash_embed",
     "dedup_semantic_text",
     "text_bpe_encode",
+    "mm_image_phash_dedup",
 ]
 
 

@@ -2654,3 +2654,77 @@ SELECT d.doc_id,
        COALESCE(p.bpe_tokens, 0) AS bpe_tokens,
        COALESCE(p.stream_md5, md5('')) AS stream_md5
 FROM documents d LEFT JOIN perdoc p USING (doc_id)"""
+
+
+def _phash_ctes(n: int) -> str:
+    """CTE chain ``... , phash(media_id, dhash)``: the perceptual-dedup
+    fixture's closed-form pixels (synth_phash_media: base half seeded by
+    md5('phd:'||id), dup half a perturbed copy of ``id - n/2`` at value
+    indices ``p % 101 == id % 101`` reseeded by md5('php:'||id)) reduced
+    to the equal-block wraparound dHash of ``multimodal.dhash_image``."""
+    from ..operators.multimodal import _N_PIX, DHASH_GRID, IMG_W
+
+    n2 = n // 2
+    n_vals = _N_PIX * 3
+    bw = IMG_W // DHASH_GRID
+    int64_min = "(-9223372036854775807 - 1)"
+    return f"""
+pmm AS (SELECT unnest(range({n})) AS media_id),
+pseed AS (
+  SELECT media_id,
+         {sql64.md5_u64(f"'phd:' || (CASE WHEN media_id < {n2} THEN media_id ELSE media_id - {n2} END)")} AS sb,
+         {sql64.md5_u64("'php:' || media_id")} AS sp
+  FROM pmm
+),
+px0 AS (
+  SELECT media_id, p,
+         CASE WHEN media_id >= {n2} AND p % 101 = media_id % 101
+              THEN {sql64.add64('sp', 'p::UBIGINT')}
+              ELSE {sql64.add64('sb', 'p::UBIGINT')} END AS x
+  FROM pseed CROSS JOIN (SELECT unnest(range({n_vals})) AS p) pp
+),
+px AS (
+  SELECT media_id, p // 3 AS pxl,
+         ({sql64.sm64('x')} & 255::UBIGINT)::BIGINT AS v
+  FROM px0
+),
+pgray AS (SELECT media_id, pxl, sum(v) AS gv FROM px GROUP BY 1, 2),
+pblk AS (
+  SELECT media_id, (pxl // {IMG_W}) // {bw} AS br, (pxl % {IMG_W}) // {bw} AS bc,
+         sum(gv) AS bs
+  FROM pgray GROUP BY 1, 2, 3
+),
+pbits AS (
+  SELECT b1.media_id, b1.br * {DHASH_GRID} + b1.bc AS k,
+         (b1.bs > b2.bs) AS bit
+  FROM pblk b1
+  JOIN pblk b2 ON b2.media_id = b1.media_id AND b2.br = b1.br
+              AND b2.bc = (b1.bc + 1) % {DHASH_GRID}
+),
+phash AS (
+  SELECT media_id,
+         SUM(CASE WHEN bit THEN
+               CASE WHEN k = 63 THEN {int64_min}
+                    ELSE (1::BIGINT << k) END
+             ELSE 0 END)::BIGINT AS dhash
+  FROM pbits GROUP BY media_id
+)"""
+
+
+def image_dhash_sql(n: int = 64) -> str:
+    """Exact oracle for ``multimodal.dhash_features`` over the
+    perceptual-dedup PNG fixture."""
+    return f"WITH {_phash_ctes(n)} SELECT media_id, dhash FROM phash"
+
+
+def phash_dedup_sql(n: int = 64, max_hamming: int = 7) -> str:
+    """Exact oracle for ``multimodal.phash_dedup`` — the all-pairs form;
+    the engine's banded join is exact by the simhash pigeonhole bound
+    (max_hamming+1 bands of 64/(max_hamming+1) bits: a pair within the
+    budget cannot differ in every band)."""
+    assert 64 % (max_hamming + 1) == 0
+    return f"""WITH {_phash_ctes(n)}
+SELECT a.media_id AS media_a, b.media_id AS media_b,
+       bit_count(xor(a.dhash, b.dhash))::INT AS hamming
+FROM phash a JOIN phash b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= {max_hamming}"""

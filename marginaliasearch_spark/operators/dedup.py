@@ -599,6 +599,54 @@ def simhash_bits(
     )
 
 
+def hamming_band_pairs(
+    hashed: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int,
+    out_prefix: str,
+) -> DataFrame:
+    """Generic banded-hamming self-join over any (id, 64-bit hash)
+    relation: pairs with ``hamming(hash) ≤ max_hamming``, never all-pairs.
+
+    Pigeonhole: split 64 bits into max_hamming+1 bands; any pair within
+    the hamming budget must agree exactly on ≥1 band, so candidates meet
+    in band-value buckets. Exact hamming verified with bit_count on the
+    survivors. Shared kernel of ``simhash_pairs`` (text) and
+    ``multimodal.phash_dedup`` (image perceptual hashes)."""
+    nbands = max_hamming + 1
+    width = 64 // nbands
+    ka, kb = f"{out_prefix}_a", f"{out_prefix}_b"
+    banded = hashed.select(
+        id_col,
+        hash_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col(hash_col), i * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for i in range(nbands)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    a = banded.select(
+        F.col(id_col).alias(ka), F.col(hash_col).alias("sh_a"), "band", "band_val"
+    )
+    b = banded.select(
+        F.col(id_col).alias(kb), F.col(hash_col).alias("sh_b"), "band", "band_val"
+    )
+    return (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col(ka) < F.col(kb))
+        .dropDuplicates([ka, kb])
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(ka, kb, "hamming")
+    )
+
+
 def simhash_pairs(
     docs: DataFrame, max_hamming: int = 3, text_col: str = "text"
 ) -> DataFrame:
@@ -609,37 +657,8 @@ def simhash_pairs(
     exactly on ≥1 band, so candidates meet in band-value buckets (never
     all-pairs). Exact hamming verified with bit_count on the survivors.
     """
-    nbands = max_hamming + 1
-    width = 64 // nbands
     sh = simhash_bits(docs, text_col)
-    banded = sh.select(
-        "doc_id",
-        "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(
-                        F.lit((1 << width) - 1)
-                    )
-                    for i in range(nbands)
-                ]
-            )
-        ).alias("band", "band_val"),
-    )
-    a = banded.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "band_val"
-    )
-    b = banded.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "band_val"
-    )
-    return (
-        a.join(b, ["band", "band_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
-        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
-    )
+    return hamming_band_pairs(sh, "doc_id", "simhash", max_hamming, "doc")
 
 
 def duplicate_spans(

@@ -4620,3 +4620,114 @@ def synth_perceptual_media(spark, n: int = 64) -> DataFrame:
             dur = npk * 20
         rows.append((i, "audio", bytearray(payload), mime, 0, 0, int(dur)))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+# --- perceptual image hashing / near-duplicate image dedup ----------------
+#
+# The image-side analogue of text near-dup dedup (dedup.simhash_pairs):
+# a 64-bit difference hash per image, then the same banded-hamming LSH
+# self-join. At 100 TB the expensive part is the decode (embarrassingly
+# parallel mapInPandas); the pair join is bucketed by band value and never
+# all-pairs, with the identical pigeonhole exactness bound as simhash.
+
+DHASH_GRID = 8  # 8x8 blocks -> 64 comparison bits
+
+
+def dhash_image(img: np.ndarray) -> int:
+    """HxWx3 uint8 → 64-bit perceptual difference hash (signed int64).
+
+    Equal-block wraparound dHash: sum the three channels to an integer
+    gray plane, box-reduce to an 8×8 grid of exact integer block sums
+    (H and W must be multiples of 8 — true for every fixture and for any
+    pipeline that runs resize_images first), then bit ``k = r*8+c`` is 1
+    iff ``block(r,c) > block(r,(c+1) % 8)``. The wraparound variant keeps
+    every block the same exact integer size (classic 9×8 dHash needs
+    unequal column blocks at these dims), so the whole hash is
+    integer-exact and replayable in SQL. Concept: Krawetz's dHash
+    (hackerfactor 2013); adaptation documented in COVERAGE.md.
+    """
+    h, w = img.shape[:2]
+    g = DHASH_GRID
+    if h % g or w % g:
+        raise ValueError("dhash requires dims divisible by 8")
+    gray = img.astype(np.int64).sum(axis=2)
+    blocks = gray.reshape(g, h // g, g, w // g).sum(axis=(1, 3))
+    bits = blocks > np.roll(blocks, -1, axis=1)
+    k = np.arange(63, dtype=np.uint64)
+    flat = bits.reshape(-1)
+    val = int((flat[:63].astype(np.uint64) << k).sum(dtype=np.uint64))
+    return val - (1 << 63) if flat[63] else val
+
+
+def dhash_features(
+    media: DataFrame, fake: bool = True, payload_col: str = "payload"
+) -> DataFrame:
+    """media_id → 64-bit perceptual dHash (one Arrow batch at a time)."""
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = [
+                dhash_image(decode_image(bytes(p), fake=fake))
+                for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame({"media_id": pdf["media_id"], "dhash": out})
+
+    return media.select("media_id", payload_col).mapInPandas(
+        batch, schema="media_id long, dhash long"
+    )
+
+
+def phash_dedup(hashes: DataFrame, max_hamming: int = 7) -> DataFrame:
+    """(media_id, dhash) → near-duplicate image pairs
+    (media_a, media_b, hamming ≤ max_hamming).
+
+    Banded-hamming LSH self-join (dedup.hamming_band_pairs): with
+    max_hamming+1 = 8 bands of 8 bits, any pair within the budget agrees
+    on ≥1 full band, so the banded join finds exactly the same pairs as
+    all-pairs — the oracle emits the all-pairs form, the engine keeps the
+    bucketed one (the 100-TB path)."""
+    from .dedup import hamming_band_pairs
+
+    return hamming_band_pairs(hashes, "media_id", "dhash", max_hamming, "media")
+
+
+def phash_pixel_seed(media_id: int, tag: str = "phd") -> np.uint64:
+    """Closed-form pixel seed for the perceptual-dedup fixture — first 8
+    bytes of ``md5(tag || ':' || media_id)``, the expression the SQL twin
+    uses verbatim."""
+    return np.uint64(
+        int(hashlib.md5(f"{tag}:{media_id}".encode()).hexdigest()[:16], 16)
+    )
+
+
+def synth_phash_media(spark, n: int = 64) -> DataFrame:
+    """REAL-PNG fixture with PLANTED near-duplicate pairs: image ``i`` of
+    the base half (``i < n/2``) has pixel values
+    ``splitmix64(md5('phd:'||i) + p) & 255``; image ``i`` of the dup half
+    is a perturbed copy of base ``i - n/2`` — value index ``p`` is
+    replaced by ``splitmix64(md5('php:'||i) + p) & 255`` where
+    ``p % 101 == i % 101`` (≈30 of 3072 values), so each planted pair
+    lands a few hamming bits apart while unrelated images stay ~32 apart.
+    Payloads are genuine PNGs (cycling scanline filters): entries decode
+    through the real zlib-inflate path while the oracle recomputes pixels
+    from the closed form."""
+    assert n % 2 == 0
+    n2 = n // 2
+    rows = []
+    idx = np.arange(_N_PIX * 3, dtype=np.uint64)
+    for i in range(n):
+        base = i if i < n2 else i - n2
+        vals = (
+            _splitmix64(phash_pixel_seed(base) + idx) & np.uint64(255)
+        ).astype(np.uint8)
+        if i >= n2:
+            mask = (np.arange(_N_PIX * 3) % 101) == (i % 101)
+            pert = (
+                _splitmix64(phash_pixel_seed(i, "php") + idx) & np.uint64(255)
+            ).astype(np.uint8)
+            vals = np.where(mask, pert, vals)
+        payload = encode_png(vals.reshape(IMG_H, IMG_W, 3), filters="cycle")
+        rows.append(
+            (i, "image", bytearray(payload), "image/png", IMG_W, IMG_H, 0)
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

@@ -1,0 +1,106 @@
+"""Perceptual image hashing + near-duplicate image dedup.
+
+dhash_image is pinned against an independent naive Python mirror; the
+banded-hamming join is pinned against brute-force all-pairs (the
+pigeonhole-exactness claim both the operator docstring and the DuckDB
+oracle rely on); the planted-pair fixture is checked end-to-end through
+the REAL PNG decode path.
+"""
+
+import numpy as np
+import pytest
+
+from marginaliasearch_spark.operators import multimodal as mm
+from marginaliasearch_spark.operators.dedup import hamming_band_pairs
+
+
+def _naive_dhash(img: np.ndarray) -> int:
+    """Independent mirror: explicit loops, no numpy reductions."""
+    h, w = img.shape[:2]
+    bh, bw = h // 8, w // 8
+    sums = [[0] * 8 for _ in range(8)]
+    for y in range(h):
+        for x in range(w):
+            sums[y // bh][x // bw] += int(img[y, x, 0]) + int(img[y, x, 1]) + int(
+                img[y, x, 2]
+            )
+    val = 0
+    for r in range(8):
+        for c in range(8):
+            if sums[r][c] > sums[r][(c + 1) % 8]:
+                val |= 1 << (r * 8 + c)
+    return val - (1 << 64) if val >= 1 << 63 else val
+
+
+def _ham(a: int, b: int) -> int:
+    return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+def test_dhash_matches_naive_mirror():
+    rng = np.random.RandomState(7)
+    for _ in range(20):
+        img = rng.randint(0, 256, size=(32, 32, 3), dtype=np.uint8)
+        assert mm.dhash_image(img) == _naive_dhash(img)
+    # 16x16 (different block size) and a constant image (all bits 0)
+    img = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    assert mm.dhash_image(img) == _naive_dhash(img)
+    assert mm.dhash_image(np.full((32, 32, 3), 100, np.uint8)) == 0
+
+
+def test_dhash_rejects_nondivisible_dims():
+    with pytest.raises(ValueError):
+        mm.dhash_image(np.zeros((30, 32, 3), np.uint8))
+
+
+def test_dhash_shift_invariance_properties():
+    """A uniform brightness shift must not change the hash (comparisons
+    are relative); a heavy localized edit must change it."""
+    rng = np.random.RandomState(11)
+    img = rng.randint(60, 196, size=(32, 32, 3), dtype=np.uint8)
+    h0 = mm.dhash_image(img)
+    assert mm.dhash_image(img + 20) == h0
+    assert mm.dhash_image(img - 20) == h0
+    edited = img.copy()
+    edited[0:16, 0:16] = 255
+    assert mm.dhash_image(edited) != h0
+
+
+def test_banded_equals_allpairs(spark):
+    rng = np.random.RandomState(3)
+    base = rng.randint(-(2**62), 2**62, size=40).tolist()
+    # plant close pairs at controlled hamming distances
+    rows = [(i, int(h)) for i, h in enumerate(base)]
+    for k, d in enumerate([0, 1, 7, 8, 12]):
+        h = base[k]
+        flipped = h ^ sum(1 << (5 * j + 2) for j in range(d))
+        flipped = flipped - (1 << 64) if flipped >= 1 << 63 else flipped
+        rows.append((100 + k, int(flipped)))
+    df = spark.createDataFrame(rows, "media_id long, dhash long")
+    got = {
+        (r.media_a, r.media_b, r.hamming)
+        for r in hamming_band_pairs(df, "media_id", "dhash", 7, "media").collect()
+    }
+    want = {
+        (a, ha, b, hb)
+        for a, ha in rows
+        for b, hb in rows
+        if a < b and _ham(ha, hb) <= 7
+    }
+    want = {(a, b, _ham(ha, hb)) for a, ha, b, hb in want}
+    assert got == want
+    # the d=8 and d=12 plants must NOT appear (hamming > budget)
+    assert all(p[2] <= 7 for p in got)
+    assert (2, 102, 7) in got and not any(b == 103 for _, b, _ in got)
+
+
+def test_planted_pairs_end_to_end(spark):
+    """Real-PNG fixture through decode → dhash → banded dedup: exactly
+    the 32 planted (i, i+32) pairs, regardless of input partitioning."""
+    media = mm.synth_phash_media(spark, n=64)
+    hashes = mm.dhash_features(media.repartition(7), fake=False)
+    pairs = {
+        (r.media_a, r.media_b): r.hamming
+        for r in mm.phash_dedup(hashes, max_hamming=7).collect()
+    }
+    assert set(pairs) == {(i, i + 32) for i in range(32)}
+    assert all(h <= 7 for h in pairs.values())
