@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "dedup_semantic_text",
     "text_bpe_encode",
     "mm_image_phash_dedup",
+    "mm_audio_afp_dedup",
 ]
 
 

@@ -2728,3 +2728,77 @@ SELECT a.media_id AS media_a, b.media_id AS media_b,
        bit_count(xor(a.dhash, b.dhash))::INT AS hamming
 FROM phash a JOIN phash b ON a.media_id < b.media_id
 WHERE bit_count(xor(a.dhash, b.dhash)) <= {max_hamming}"""
+
+
+def _afp_ctes(n: int) -> str:
+    """CTE chain ``... , afp(media_id, afp)``: the audio-dedup fixture's
+    closed-form samples (synth_afp_media / afp_clip_samples: base half
+    seeded by md5('afd:'||id) over ns = 4000 + (id*37 % 1000) samples,
+    dup half a copy of ``id - n/2`` re-randomized at ``t % 331 == id %
+    331`` from md5('afp:'||id)) reduced to the 64-frame energy-envelope
+    fingerprint of ``multimodal.afp_fingerprint`` (frame of sample t is
+    ``(64t + 63) // ns``; mean comparison by exact HUGEINT
+    cross-multiplication)."""
+    from ..operators.multimodal import AFP_FRAMES
+
+    n2 = n // 2
+    g = AFP_FRAMES
+    int64_min = "(-9223372036854775807 - 1)"
+    return f"""
+amm AS (SELECT unnest(range({n})) AS media_id),
+aseed AS (
+  SELECT media_id,
+         4000 + ((CASE WHEN media_id < {n2} THEN media_id ELSE media_id - {n2} END) * 37) % 1000 AS ns,
+         {sql64.md5_u64(f"'afd:' || (CASE WHEN media_id < {n2} THEN media_id ELSE media_id - {n2} END)")} AS sb,
+         {sql64.md5_u64("'afp:' || media_id")} AS sp
+  FROM amm
+),
+as0 AS (
+  SELECT media_id, ns, t,
+         CASE WHEN media_id >= {n2} AND t % 331 = media_id % 331
+              THEN {sql64.add64('sp', 't::UBIGINT')}
+              ELSE {sql64.add64('sb', 't::UBIGINT')} END AS x
+  FROM aseed CROSS JOIN (SELECT unnest(range(5000)) AS t) tt
+  WHERE t < ns
+),
+asam AS (
+  SELECT media_id, ns, t,
+         abs(({sql64.sm64('x')} & 65535::UBIGINT)::BIGINT - 32768) AS a
+  FROM as0
+),
+afrm AS (
+  SELECT media_id, ({g} * t + {g - 1}) // ns AS k,
+         sum(a) AS e, count(*) AS c
+  FROM asam GROUP BY 1, 2
+),
+abits AS (
+  SELECT f1.media_id, f1.k,
+         (f1.e::HUGEINT * f2.c::HUGEINT > f2.e::HUGEINT * f1.c::HUGEINT) AS bit
+  FROM afrm f1
+  JOIN afrm f2 ON f2.media_id = f1.media_id AND f2.k = (f1.k + 1) % {g}
+),
+afp AS (
+  SELECT media_id,
+         SUM(CASE WHEN bit THEN
+               CASE WHEN k = 63 THEN {int64_min}
+                    ELSE (1::BIGINT << k) END
+             ELSE 0 END)::BIGINT AS afp
+  FROM abits GROUP BY media_id
+)"""
+
+
+def audio_afp_sql(n: int = 64) -> str:
+    """Exact oracle for ``multimodal.afp_features`` over the audio-dedup
+    PCM-WAV fixture."""
+    return f"WITH {_afp_ctes(n)} SELECT media_id, afp FROM afp"
+
+
+def afp_dedup_sql(n: int = 64, max_hamming: int = 7) -> str:
+    """Exact oracle for ``multimodal.afp_dedup`` — all-pairs form; the
+    engine's banded join is exact by the pigeonhole bound."""
+    assert 64 % (max_hamming + 1) == 0
+    return f"""WITH {_afp_ctes(n)}
+SELECT a.media_id AS media_a, b.media_id AS media_b,
+       bit_count(xor(a.afp, b.afp))::INT AS hamming
+FROM afp a JOIN afp b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.afp, b.afp)) <= {max_hamming}"""

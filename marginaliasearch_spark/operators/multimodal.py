@@ -4731,3 +4731,120 @@ def synth_phash_media(spark, n: int = 64) -> DataFrame:
             (i, "image", bytearray(payload), "image/png", IMG_W, IMG_H, 0)
         )
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+# --- audio fingerprinting / near-duplicate audio dedup ---------------------
+
+AFP_FRAMES = 64  # 64 energy frames -> 64 comparison bits
+
+
+def afp_fingerprint(samples: np.ndarray) -> int:
+    """int64 mono samples → 64-bit energy-envelope fingerprint (signed).
+
+    The audio twin of ``dhash_image``: split the clip into 64 frames at
+    integer boundaries ``k*n//64``, sum ``|sample|`` per frame, and set
+    bit ``k`` iff frame ``k``'s MEAN energy exceeds frame ``(k+1)%64``'s.
+    Frames are unequal by at most one sample, so the mean comparison is
+    done by exact integer cross-multiplication
+    (``e_k*c_{k+1} > e_{k+1}*c_k`` in Python ints — no overflow, no
+    floats), keeping the whole fingerprint SQL-replayable. Invariant to
+    uniform gain (any positive integer scale) by construction.
+    """
+    n = len(samples)
+    g = AFP_FRAMES
+    bounds = [(k * n) // g for k in range(g + 1)]
+    absam = np.abs(np.asarray(samples, dtype=np.int64))
+    e = [int(absam[bounds[k] : bounds[k + 1]].sum()) for k in range(g)]
+    c = [bounds[k + 1] - bounds[k] for k in range(g)]
+    val = 0
+    for k in range(g):
+        j = (k + 1) % g
+        if e[k] * c[j] > e[j] * c[k]:
+            val |= 1 << k
+    return val - (1 << 64) if val >= 1 << 63 else val
+
+
+def afp_features(
+    media: DataFrame, fake: bool = True, payload_col: str = "payload"
+) -> DataFrame:
+    """media_id → 64-bit audio fingerprint (one Arrow batch at a time).
+    Fake mode derives ``n_samples`` from duration_ms like audio_features."""
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for payload, dur in zip(pdf[payload_col], pdf["duration_ms"]):
+                if fake:
+                    n = int(dur or 0) * AUDIO_RATE // 1000
+                    s, _ = decode_audio(bytes(payload), fake=True, n_samples=n)
+                else:
+                    s, _ = decode_audio(bytes(payload))
+                out.append(afp_fingerprint(s))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "afp": out})
+
+    return media.select("media_id", payload_col, "duration_ms").mapInPandas(
+        batch, schema="media_id long, afp long"
+    )
+
+
+def afp_dedup(hashes: DataFrame, max_hamming: int = 7) -> DataFrame:
+    """(media_id, afp) → near-duplicate audio pairs
+    (media_a, media_b, hamming ≤ max_hamming) via the same
+    pigeonhole-exact banded-hamming join as phash_dedup / simhash."""
+    from .dedup import hamming_band_pairs
+
+    return hamming_band_pairs(hashes, "media_id", "afp", max_hamming, "media")
+
+
+def afp_sample_seed(media_id: int, tag: str = "afd") -> np.uint64:
+    """Closed-form sample seed for the audio-dedup fixture — first 8
+    bytes of ``md5(tag || ':' || media_id)`` (SQL twin verbatim)."""
+    return np.uint64(
+        int(hashlib.md5(f"{tag}:{media_id}".encode()).hexdigest()[:16], 16)
+    )
+
+
+def afp_clip_samples(media_id: int, n: int) -> np.ndarray:
+    """Closed-form samples of fixture clip ``media_id`` (n images total):
+    base half ``i < n/2`` is ``(splitmix64(md5('afd:'||i) + t) & 0xFFFF)
+    - 32768`` over ``t < 4000 + (i*37 % 1000)``; dup half is a copy of
+    base ``i - n/2`` re-randomized (seed md5('afp:'||i)) at sample
+    indices ``t % 331 == i % 331``."""
+    n2 = n // 2
+    base = media_id if media_id < n2 else media_id - n2
+    ns = 4000 + (base * 37) % 1000
+    idx = np.arange(ns, dtype=np.uint64)
+    s = (_splitmix64(afp_sample_seed(base) + idx) & np.uint64(0xFFFF)).astype(
+        np.int64
+    ) - 32768
+    if media_id >= n2:
+        mask = (np.arange(ns) % 331) == (media_id % 331)
+        p = (
+            _splitmix64(afp_sample_seed(media_id, "afp") + idx)
+            & np.uint64(0xFFFF)
+        ).astype(np.int64) - 32768
+        s = np.where(mask, p, s)
+    return s
+
+
+def synth_afp_media(spark, n: int = 64) -> DataFrame:
+    """REAL 16-bit PCM WAV fixture with PLANTED near-duplicate clip pairs
+    (see afp_clip_samples): entries decode through the genuine RIFF/WAVE
+    path while the oracle recomputes samples from the closed form."""
+    assert n % 2 == 0
+    rows = []
+    for i in range(n):
+        s = afp_clip_samples(i, n)
+        payload = encode_wav_pcm(s, bits=16)
+        rows.append(
+            (
+                i,
+                "audio",
+                bytearray(payload),
+                "audio/wav",
+                0,
+                0,
+                len(s) * 1000 // AUDIO_RATE,
+            )
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

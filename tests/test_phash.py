@@ -104,3 +104,54 @@ def test_planted_pairs_end_to_end(spark):
     }
     assert set(pairs) == {(i, i + 32) for i in range(32)}
     assert all(h <= 7 for h in pairs.values())
+
+
+# --- audio fingerprint twin -------------------------------------------------
+
+
+def _naive_afp(samples) -> int:
+    """Independent mirror of afp_fingerprint: explicit loops/ints."""
+    n = len(samples)
+    e = [0] * 64
+    c = [0] * 64
+    for t in range(n):
+        k = (64 * t + 63) // n
+        e[k] += abs(int(samples[t]))
+        c[k] += 1
+    val = 0
+    for k in range(64):
+        j = (k + 1) % 64
+        if e[k] * c[j] > e[j] * c[k]:
+            val |= 1 << k
+    return val - (1 << 64) if val >= 1 << 63 else val
+
+
+def test_afp_matches_naive_mirror():
+    rng = np.random.RandomState(13)
+    for n in (64, 100, 4321, 5000):
+        s = rng.randint(-32768, 32768, size=n).astype(np.int64)
+        assert mm.afp_fingerprint(s) == _naive_afp(s)
+    assert mm.afp_fingerprint(np.full(1000, 5, np.int64)) == 0
+
+
+def test_afp_gain_invariance():
+    """Scaling every sample by the same positive factor must not change
+    the fingerprint (comparisons are relative means)."""
+    rng = np.random.RandomState(17)
+    s = rng.randint(-8000, 8000, size=4444).astype(np.int64)
+    h = mm.afp_fingerprint(s)
+    assert mm.afp_fingerprint(s * 3) == h
+    assert mm.afp_fingerprint(s * 4) == h
+
+
+def test_afp_planted_pairs_end_to_end(spark):
+    """Real-WAV fixture through decode → fingerprint → banded dedup:
+    exactly the 32 planted (i, i+32) clip pairs."""
+    media = mm.synth_afp_media(spark, n=64)
+    hashes = mm.afp_features(media.repartition(5), fake=False)
+    pairs = {
+        (r.media_a, r.media_b): r.hamming
+        for r in mm.afp_dedup(hashes, max_hamming=7).collect()
+    }
+    assert set(pairs) == {(i, i + 32) for i in range(32)}
+    assert all(h <= 7 for h in pairs.values())
