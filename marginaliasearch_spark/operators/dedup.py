@@ -613,9 +613,18 @@ def hamming_band_pairs(
     the hamming budget must agree exactly on ≥1 band, so candidates meet
     in band-value buckets. Exact hamming verified with bit_count on the
     survivors. Shared kernel of ``simhash_pairs`` (text) and
-    ``multimodal.phash_dedup`` (image perceptual hashes)."""
+    ``multimodal.phash_dedup`` / ``afp_dedup`` (image / audio hashes).
+
+    The (id, hash) relation is eagerly materialized (localCheckpoint)
+    before the self-join: Spark plans a self-join's lineage twice and
+    exchange reuse does not fire across the a/b rename, so without the
+    barrier the upstream hash computation — a full corpus DECODE for the
+    multimodal callers — runs once per side (measured 5.2s → 1.4s on 256
+    real PNGs, decode-only floor 0.56s). The materialized relation is 16
+    bytes per row, the cheapest thing in the pipeline by far."""
     nbands = max_hamming + 1
     width = 64 // nbands
+    hashed = hashed.select(id_col, hash_col).localCheckpoint(eager=True)
     ka, kb = f"{out_prefix}_a", f"{out_prefix}_b"
     banded = hashed.select(
         id_col,
