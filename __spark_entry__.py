@@ -1350,6 +1350,24 @@ def _q_afp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.afp_dedup(hashes, max_hamming=7)
 
 
+def _q_video_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame video fingerprints over REAL YUV4MPEG2 payloads:
+    genuine y4m decode in mapInPandas, per-luma-plane wraparound dHash,
+    oracle recomputed from the fixture's closed-form lumas."""
+    media = multimodal.synth_vfp_media(spark, n=32)
+    return multimodal.video_fingerprints(media)
+
+
+def _q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate VIDEO dedup: per-frame dHash + banded-hamming join
+    with frame_idx riding the join key (temporal alignment), then a
+    matched-frame count cut. The fixture plants 16 re-randomized-copy
+    clip pairs matching on all 8 frames; unrelated clips match 0."""
+    media = multimodal.synth_vfp_media(spark, n=32)
+    fps = multimodal.video_fingerprints(media)
+    return multimodal.video_neardup_pairs(fps, max_hamming=7, min_frames=6)
+
+
 def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.8)
     return out.select(
@@ -2491,13 +2509,14 @@ _NEW_THIS_ROUND: list[str] = [
     "sim_pq_topk", "sim_ivfpq_topk", "text_hash_embed", "dedup_semantic_text",
     "text_bpe_encode", "mm_image_dhash", "mm_image_phash_dedup",
     "mm_audio_afp", "mm_audio_afp_dedup",
+    "mm_video_vfp", "mm_video_neardup",
 ]
 _NEVER_DRIVER_VERIFIED = [
     "sample_stratified",
     "dedup_line_removal", "sample_temperature",
     "decontam_overlap", "text_filter_chain",
-    "text_pii_redact", "sample_chunks", "text_bpe_vocab",
-    "text_topic_once", "text_question_spam",
+    "text_pii_redact", "sample_chunks",
+    "text_topic_once",
     "index_tfidf_keywords", "index_name_keywords",
     "index_artifact_keywords", "text_content_farm",
     "rank_adjacencies",
@@ -2516,6 +2535,11 @@ _NEVER_DRIVER_VERIFIED = [
     "mm_video_mjpeg_frames", "text_topic_decay",
     "lm_ppl_buckets", "text_classify_counted",
     "dsir_resample", "text_repetition",
+    # text_bpe_vocab's driver check is rows-only by design (its real pin
+    # is pytest + the in-window hash-exact text_bpe_encode application
+    # pass); text_question_spam shares topics.py with in-window
+    # text_topic_once.
+    "text_bpe_vocab", "text_question_spam",
 ]
 # Tier 2: never driver-verified, but the round-3 judge (VERDICT.md /
 # ADVICE.md) ran tools/check_entry.py on each and recorded a pass —
@@ -2740,6 +2764,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # audio fingerprinting + near-duplicate audio dedup
         "mm_audio_afp": _q_audio_afp,
         "mm_audio_afp_dedup": _q_afp_dedup,
+        # per-frame video fingerprints + near-duplicate video dedup
+        "mm_video_vfp": _q_video_fp,
+        "mm_video_neardup": _q_video_neardup,
         "sim_neardup": _q_neardup,
         "sim_knn_join": _q_knn_join,
         # PageRank domain ranking over the kNN graph (integer fixed-point)
@@ -3534,6 +3561,10 @@ FROM s ORDER BY cosine DESC, vec_id LIMIT 10""",
         "mm_audio_afp": sql_oracles.audio_afp_sql(n=64),
         "mm_audio_afp_dedup": sql_oracles.afp_dedup_sql(
             n=64, max_hamming=7
+        ),
+        "mm_video_vfp": sql_oracles.video_fp_sql(n=32),
+        "mm_video_neardup": sql_oracles.video_neardup_sql(
+            n=32, max_hamming=7, min_frames=6
         ),
         "text_hash_embed": f"""SELECT doc_id,
   generate_subscripts(embedding, 1) - 1 AS i,

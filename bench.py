@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "text_bpe_encode",
     "mm_image_phash_dedup",
     "mm_audio_afp_dedup",
+    "mm_video_neardup",
 ]
 
 

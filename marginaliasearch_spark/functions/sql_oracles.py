@@ -2802,3 +2802,89 @@ SELECT a.media_id AS media_a, b.media_id AS media_b,
        bit_count(xor(a.afp, b.afp))::INT AS hamming
 FROM afp a JOIN afp b ON a.media_id < b.media_id
 WHERE bit_count(xor(a.afp, b.afp)) <= {max_hamming}"""
+
+
+def _vfp_ctes(n: int) -> str:
+    """CTE chain ``... , vfp(media_id, frame_idx, fhash)``: the
+    video-dedup fixture's closed-form lumas (synth_vfp_media /
+    vfp_clip_lumas: 8 frames of 32×32, base half seeded by
+    md5('vfd:'||id) over flat index q = frame*1024 + pixel, dup half a
+    copy of ``id - n/2`` re-randomized at ``q % 101 == id % 101`` from
+    md5('vfp:'||id)) reduced to the per-frame wraparound dHash of
+    ``multimodal.dhash_plane``."""
+    from ..operators.multimodal import (
+        _N_PIX,
+        DHASH_GRID,
+        IMG_W,
+        VFP_FRAMES,
+    )
+
+    n2 = n // 2
+    nq = VFP_FRAMES * _N_PIX
+    bw = IMG_W // DHASH_GRID
+    int64_min = "(-9223372036854775807 - 1)"
+    return f"""
+vmm AS (SELECT unnest(range({n})) AS media_id),
+vseed AS (
+  SELECT media_id,
+         {sql64.md5_u64(f"'vfd:' || (CASE WHEN media_id < {n2} THEN media_id ELSE media_id - {n2} END)")} AS sb,
+         {sql64.md5_u64("'vfp:' || media_id")} AS sp
+  FROM vmm
+),
+vq0 AS (
+  SELECT media_id, q,
+         CASE WHEN media_id >= {n2} AND q % 101 = media_id % 101
+              THEN {sql64.add64('sp', 'q::UBIGINT')}
+              ELSE {sql64.add64('sb', 'q::UBIGINT')} END AS x
+  FROM vseed CROSS JOIN (SELECT unnest(range({nq})) AS q) qq
+),
+vpx AS (
+  SELECT media_id, q // {_N_PIX} AS frame_idx, q % {_N_PIX} AS pxl,
+         ({sql64.sm64('x')} & 255::UBIGINT)::BIGINT AS v
+  FROM vq0
+),
+vblk AS (
+  SELECT media_id, frame_idx,
+         (pxl // {IMG_W}) // {bw} AS br, (pxl % {IMG_W}) // {bw} AS bc,
+         sum(v) AS bs
+  FROM vpx GROUP BY 1, 2, 3, 4
+),
+vbits AS (
+  SELECT b1.media_id, b1.frame_idx, b1.br * {DHASH_GRID} + b1.bc AS k,
+         (b1.bs > b2.bs) AS bit
+  FROM vblk b1
+  JOIN vblk b2 ON b2.media_id = b1.media_id
+              AND b2.frame_idx = b1.frame_idx AND b2.br = b1.br
+              AND b2.bc = (b1.bc + 1) % {DHASH_GRID}
+),
+vfp AS (
+  SELECT media_id, frame_idx::INT AS frame_idx,
+         SUM(CASE WHEN bit THEN
+               CASE WHEN k = 63 THEN {int64_min}
+                    ELSE (1::BIGINT << k) END
+             ELSE 0 END)::BIGINT AS fhash
+  FROM vbits GROUP BY media_id, frame_idx
+)"""
+
+
+def video_fp_sql(n: int = 32) -> str:
+    """Exact oracle for ``multimodal.video_fingerprints`` over the
+    video-dedup y4m fixture."""
+    return f"WITH {_vfp_ctes(n)} SELECT media_id, frame_idx, fhash FROM vfp"
+
+
+def video_neardup_sql(
+    n: int = 32, max_hamming: int = 7, min_frames: int = 6
+) -> str:
+    """Exact oracle for ``multimodal.video_neardup_pairs`` — all-pairs
+    per frame position; the engine's per-frame banded join finds the same
+    matched-frame set by the pigeonhole bound."""
+    assert 64 % (max_hamming + 1) == 0
+    return f"""WITH {_vfp_ctes(n)}
+SELECT a.media_id AS media_a, b.media_id AS media_b,
+       count(*)::BIGINT AS n_frames
+FROM vfp a
+JOIN vfp b ON a.media_id < b.media_id AND a.frame_idx = b.frame_idx
+WHERE bit_count(xor(a.fhash, b.fhash)) <= {max_hamming}
+GROUP BY 1, 2
+HAVING count(*) >= {min_frames}"""

@@ -4646,17 +4646,7 @@ def dhash_image(img: np.ndarray) -> int:
     integer-exact and replayable in SQL. Concept: Krawetz's dHash
     (hackerfactor 2013); adaptation documented in COVERAGE.md.
     """
-    h, w = img.shape[:2]
-    g = DHASH_GRID
-    if h % g or w % g:
-        raise ValueError("dhash requires dims divisible by 8")
-    gray = img.astype(np.int64).sum(axis=2)
-    blocks = gray.reshape(g, h // g, g, w // g).sum(axis=(1, 3))
-    bits = blocks > np.roll(blocks, -1, axis=1)
-    k = np.arange(63, dtype=np.uint64)
-    flat = bits.reshape(-1)
-    val = int((flat[:63].astype(np.uint64) << k).sum(dtype=np.uint64))
-    return val - (1 << 63) if flat[63] else val
+    return dhash_plane(img.astype(np.int64).sum(axis=2))
 
 
 def dhash_features(
@@ -4845,6 +4835,184 @@ def synth_afp_media(spark, n: int = 64) -> DataFrame:
                 0,
                 0,
                 len(s) * 1000 // AUDIO_RATE,
+            )
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+# --- video fingerprinting / near-duplicate video dedup ---------------------
+#
+# Completes the near-dup story across all four modalities (text simhash,
+# image dHash, audio envelope, video): per-frame dHash over the decoded
+# luma planes, then the SAME banded-hamming kernel with frame_idx riding
+# the join key (positional alignment), then a per-pair matched-frame
+# count. Candidate generation stays pigeonhole-exact per frame.
+
+
+def dhash_plane(gray: np.ndarray) -> int:
+    """HxW integer plane → 64-bit wraparound difference hash (the kernel
+    ``dhash_image`` applies to its channel-sum plane; video callers pass
+    the decoded luma plane directly)."""
+    h, w = gray.shape
+    g = DHASH_GRID
+    if h % g or w % g:
+        raise ValueError("dhash requires dims divisible by 8")
+    blocks = gray.astype(np.int64).reshape(g, h // g, g, w // g).sum(axis=(1, 3))
+    bits = blocks > np.roll(blocks, -1, axis=1)
+    k = np.arange(63, dtype=np.uint64)
+    flat = bits.reshape(-1)
+    val = int((flat[:63].astype(np.uint64) << k).sum(dtype=np.uint64))
+    return val - (1 << 63) if flat[63] else val
+
+
+def video_fingerprints(
+    media: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """video → one row per frame (media_id, frame_idx, fhash): real
+    container decode (y4m / MJPEG-AVI / GIF / MKV), per-frame luma dHash.
+    Same partition-local explode shape as frame_sample — no shuffle."""
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, hs = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                lumas, _ = decode_video(bytes(payload))
+                for i, frame in enumerate(lumas):
+                    ids.append(mid)
+                    idxs.append(i)
+                    hs.append(dhash_plane(frame))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "fhash": hs}
+            )
+
+    return media.select("media_id", payload_col).mapInPandas(
+        batch, schema="media_id long, frame_idx int, fhash long"
+    )
+
+
+def video_neardup_pairs(
+    fingerprints: DataFrame, max_hamming: int = 7, min_frames: int = 6
+) -> DataFrame:
+    """(media_id, frame_idx, fhash) → (media_a, media_b, n_frames) video
+    pairs whose SAME-INDEX frames are within ``max_hamming`` dHash bits
+    for at least ``min_frames`` frame positions.
+
+    frame_idx rides the banded join key, so candidates only meet when the
+    same frame position collides — the temporal-alignment analogue of the
+    per-band bucket. Per frame the banding is pigeonhole-exact
+    (max_hamming+1 bands), so the matched-frame COUNT equals the all-pairs
+    count and the oracle can emit the all-pairs form."""
+    nbands = max_hamming + 1
+    width = 64 // nbands
+    fp = fingerprints.select(
+        "media_id", "frame_idx", "fhash"
+    ).localCheckpoint(eager=True)
+    banded = fp.select(
+        "media_id",
+        "frame_idx",
+        "fhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("fhash"), i * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for i in range(nbands)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    a = banded.select(
+        F.col("media_id").alias("media_a"),
+        F.col("fhash").alias("h_a"),
+        "frame_idx",
+        "band",
+        "band_val",
+    )
+    b = banded.select(
+        F.col("media_id").alias("media_b"),
+        F.col("fhash").alias("h_b"),
+        "frame_idx",
+        "band",
+        "band_val",
+    )
+    matched = (
+        a.join(b, ["frame_idx", "band", "band_val"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .dropDuplicates(["media_a", "media_b", "frame_idx"])
+        .filter(
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))) <= max_hamming
+        )
+    )
+    return (
+        matched.groupBy("media_a", "media_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_frames"))
+        .filter(F.col("n_frames") >= min_frames)
+    )
+
+
+VFP_FRAMES = 8  # frames per fixture clip
+
+
+def encode_y4m_mono(frames: np.ndarray, fps: int = 25) -> bytes:
+    """(n, h, w) uint8 luma planes → YUV4MPEG2 ``Cmono`` stream (the
+    lossless interchange encoding ``_decode_y4m`` reads back verbatim)."""
+    n, h, w = frames.shape
+    out = [f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 Cmono\n".encode()]
+    for f in range(n):
+        out.append(b"FRAME\n")
+        out.append(frames[f].tobytes())
+    return b"".join(out)
+
+
+def vfp_luma_seed(media_id: int, tag: str = "vfd") -> np.uint64:
+    """Closed-form luma seed for the video-dedup fixture — first 8 bytes
+    of ``md5(tag || ':' || media_id)`` (SQL twin verbatim)."""
+    return np.uint64(
+        int(hashlib.md5(f"{tag}:{media_id}".encode()).hexdigest()[:16], 16)
+    )
+
+
+def vfp_clip_lumas(media_id: int, n: int) -> np.ndarray:
+    """Closed-form luma planes of fixture clip ``media_id``: base half
+    ``i < n/2`` is ``splitmix64(md5('vfd:'||i) + q) & 255`` over flat
+    index ``q = frame*1024 + pixel`` (8 frames of 32×32); dup half copies
+    base ``i - n/2`` re-randomized (seed md5('vfp:'||i)) at
+    ``q % 101 == i % 101``."""
+    n2 = n // 2
+    base = media_id if media_id < n2 else media_id - n2
+    nq = VFP_FRAMES * _N_PIX
+    idx = np.arange(nq, dtype=np.uint64)
+    v = (_splitmix64(vfp_luma_seed(base) + idx) & np.uint64(255)).astype(
+        np.uint8
+    )
+    if media_id >= n2:
+        mask = (np.arange(nq) % 101) == (media_id % 101)
+        p = (
+            _splitmix64(vfp_luma_seed(media_id, "vfp") + idx) & np.uint64(255)
+        ).astype(np.uint8)
+        v = np.where(mask, p, v)
+    return v.reshape(VFP_FRAMES, IMG_H, IMG_W)
+
+
+def synth_vfp_media(spark, n: int = 32) -> DataFrame:
+    """REAL mono-y4m fixture with PLANTED near-duplicate clip pairs (see
+    vfp_clip_lumas): entries decode through the genuine YUV4MPEG2 path
+    while the oracle recomputes lumas from the closed form."""
+    assert n % 2 == 0
+    rows = []
+    for i in range(n):
+        lumas = vfp_clip_lumas(i, n)
+        payload = encode_y4m_mono(lumas)
+        rows.append(
+            (
+                i,
+                "video",
+                bytearray(payload),
+                "video/x-yuv4mpeg",
+                IMG_W,
+                IMG_H,
+                VFP_FRAMES * 40,
             )
         )
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

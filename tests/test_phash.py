@@ -155,3 +155,63 @@ def test_afp_planted_pairs_end_to_end(spark):
     }
     assert set(pairs) == {(i, i + 32) for i in range(32)}
     assert all(h <= 7 for h in pairs.values())
+
+
+# --- video fingerprint twin --------------------------------------------------
+
+
+def test_dhash_plane_consistency():
+    """dhash_image == dhash_plane over the channel-sum plane (the
+    delegation contract), and luma planes hash like 2-D images."""
+    rng = np.random.RandomState(23)
+    img = rng.randint(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    assert mm.dhash_image(img) == mm.dhash_plane(
+        img.astype(np.int64).sum(axis=2)
+    )
+
+
+def test_y4m_mono_roundtrip():
+    rng = np.random.RandomState(29)
+    frames = rng.randint(0, 256, size=(5, 32, 32), dtype=np.uint8)
+    dec, fps = mm.decode_video(mm.encode_y4m_mono(frames, fps=10))
+    assert (dec == frames).all() and fps == 10.0
+
+
+def test_video_planted_pairs_end_to_end(spark):
+    """Real-y4m fixture through decode → per-frame dhash → aligned banded
+    join: exactly the 16 planted (i, i+16) pairs, all 8 frames matched."""
+    media = mm.synth_vfp_media(spark, n=32)
+    fps = mm.video_fingerprints(media.repartition(5))
+    got = {
+        (r.media_a, r.media_b): r.n_frames
+        for r in mm.video_neardup_pairs(fps, max_hamming=7, min_frames=6).collect()
+    }
+    assert got == {(i, i + 16): 8 for i in range(16)}
+
+
+def test_video_neardup_counts_against_bruteforce(spark):
+    """Matched-frame COUNT equals brute-force all-pairs at a hamming
+    budget where partial matches occur (max_hamming=2 over the fixture:
+    some planted frames exceed 2 bits, exercising the HAVING cut)."""
+    media = mm.synth_vfp_media(spark, n=16)
+    fps = mm.video_fingerprints(media)
+    rows = fps.collect()
+    hs: dict[int, dict[int, int]] = {}
+    for r in rows:
+        hs.setdefault(r.media_id, {})[r.frame_idx] = r.fhash
+    want = {}
+    for a in hs:
+        for b in hs:
+            if a < b:
+                c = sum(
+                    1
+                    for f in hs[a]
+                    if _ham(hs[a][f], hs[b][f]) <= 2
+                )
+                if c >= 3:
+                    want[(a, b)] = c
+    got = {
+        (r.media_a, r.media_b): r.n_frames
+        for r in mm.video_neardup_pairs(fps, max_hamming=2, min_frames=3).collect()
+    }
+    assert got == want and len(got) > 0
