@@ -2434,6 +2434,17 @@ def _q_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.filter_chain(_docs(spark, sf_dir))
 
 
+def _q_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end pretraining-corpus prep manifest: the SAME filter-chain
+    mask -> exact dedup of survivors -> deterministic 98/1/1 hash split ->
+    per-(split, lang) release aggregates (`plans/pretrain.pretrain_manifest`).
+    Pins operator COMPOSITION hash-exactly: any divergence in any stage
+    changes the kept set and therefore every aggregate."""
+    from marginaliasearch_spark.plans.pretrain import pretrain_manifest
+
+    return pretrain_manifest(_docs(spark, sf_dir))
+
+
 def _q_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunking (context-window prep): 32-token chunks
     with 8 tokens of overlap; pure JVM explode/slice, no shuffle."""
@@ -2510,6 +2521,7 @@ _NEW_THIS_ROUND: list[str] = [
     "text_bpe_encode", "mm_image_dhash", "mm_image_phash_dedup",
     "mm_audio_afp", "mm_audio_afp_dedup",
     "mm_video_vfp", "mm_video_neardup",
+    "pipeline_pretrain",
 ]
 _NEVER_DRIVER_VERIFIED = [
     "sample_stratified",
@@ -2706,6 +2718,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_quality,
         # composite keep/drop + reason bitmask (C4/Gopher chain, one pass)
         "text_filter_chain": _q_filter_chain,
+        # end-to-end corpus prep: filter chain -> exact dedup -> hash
+        # split -> per-(split, lang) release manifest (composition pin)
+        "pipeline_pretrain": _q_pipeline_pretrain,
         "text_pii_redact": _q_pii_redact,
         "sample_chunks": _q_chunks,
         # BPE vocab induction (iterative; rows-only check by design —
@@ -2832,7 +2847,7 @@ def oracle_sql() -> dict[str, str]:
         lang_hits.append(
             f"len(list_filter(toks, t -> t IN ({marks})))::BIGINT AS hits_{lang}"
         )
-    return {
+    sqls = {
         "fulltext_bm25_single": _bm25_sql([["spark"]]),
         "fulltext_bm25_and": _bm25_sql([["spark", "join"]]),
         "fulltext_bm25_exclude": _bm25_sql([["hash", "join"]], exclude=["dup"]),
@@ -3289,7 +3304,37 @@ FROM feat""",
         # the threshold comparisons are bit-identical), combined into the
         # Gopher/C4 reason bitmask
         "text_filter_chain": f"""
-WITH base AS (
+WITH {{FC_CTES}}
+SELECT doc_id, n_words, reasons, reasons = 0 AS keep FROM mask""",
+        # end-to-end pretraining-corpus prep: the SAME filter-chain mask
+        # (shared CTE text) -> exact dedup of survivors -> hash split ->
+        # per-(split, lang) manifest aggregates. Pins operator COMPOSITION
+        # hash-exactly: any divergence in any stage changes the kept set
+        # and therefore every aggregate.
+        "pipeline_pretrain": f"""
+WITH {{FC_CTES}},
+kd AS (
+  SELECT d.doc_id, d.lang, d.text, m.n_words
+  FROM documents d JOIN mask m USING (doc_id)
+  WHERE m.reasons = 0
+),
+canon AS (SELECT min(doc_id) AS doc_id FROM kd GROUP BY md5(lower(text))),
+surv AS (SELECT k.* FROM kd k JOIN canon c USING (doc_id)),
+hs AS (
+  SELECT *, ('0x' || substr(md5('split-v1:' || doc_id::VARCHAR), 1, 15))::UBIGINT
+            % 100 AS bucket
+  FROM surv
+)
+SELECT CASE WHEN bucket < 98 THEN 'train'
+            WHEN bucket < 99 THEN 'val'
+            ELSE 'test' END AS split,
+       lang,
+       count(*)::BIGINT AS n_docs,
+       sum(n_words)::BIGINT AS sum_words,
+       sum(length(text))::BIGINT AS sum_chars,
+       sum(doc_id)::BIGINT AS id_checksum
+FROM hs GROUP BY 1, 2""",
+        "__fc_ctes__": f"""base AS (
   SELECT doc_id, lower(text) AS lw, length(text)::BIGINT AS n_chars,
          list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
                      t -> t <> '') AS words,
@@ -3360,8 +3405,7 @@ mask AS (
      + (CASE WHEN dcf > 0.2 THEN 32 ELSE 0 END)
      + (CASE WHEN tbf > 0.18 THEN 64 ELSE 0 END))::BIGINT AS reasons
   FROM sig
-)
-SELECT doc_id, n_words, reasons, reasons = 0 AS keep FROM mask""",
+)""",
         # sliding-window chunking, max=32 overlap=8 → stride 24; chunk
         # count (n-32+23)//24+1 for n>32 else 1; DuckDB list slice is
         # 1-based inclusive
@@ -3728,3 +3772,10 @@ FROM swk, swb
 WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= swb.hi - INTERVAL 30 MINUTE
 GROUP BY 1, 2""",
     }
+    # text_filter_chain and pipeline_pretrain share the filter-mask CTE
+    # text verbatim — the composite is only a composition pin if its mask
+    # is literally the same SQL as the standalone entry's
+    fc_ctes = sqls.pop("__fc_ctes__")
+    for k in ("text_filter_chain", "pipeline_pretrain"):
+        sqls[k] = sqls[k].replace("{FC_CTES}", fc_ctes)
+    return sqls

@@ -302,7 +302,9 @@ FILTER_GATES: tuple[tuple[int, str, str], ...] = (
 )
 
 
-def filter_chain(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def filter_chain(
+    docs: DataFrame, text_col: str = "text", carry: tuple[str, ...] = ()
+) -> DataFrame:
     """Composite keep/drop decision with a reason bitmask — the C4/Gopher
     pre-training filter chain as ONE narrow projection.
 
@@ -337,8 +339,12 @@ def filter_chain(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # keep references the materialized reasons column (not a second copy of
     # the expression tree): the twice-referenced non-cheap projection stops
     # CollapseProject from inlining, so the signals evaluate once per row
+    # carry lets composite plans (plans/pretrain.py) keep payload columns
+    # in the SAME single-scan projection instead of joining the mask back
+    # onto the corpus — a self-join shuffle that would dominate at scale
     return docs.select(
         "doc_id",
+        *carry,
         q["n_words"].alias("n_words"),
         reasons.alias("reasons"),
     ).withColumn("keep", F.col("reasons") == 0)

@@ -190,3 +190,72 @@ def test_filter_chain_consistent_with_signal_operators(spark):
             want |= 64
         assert r["reasons"] == want and r["keep"] == (want == 0)
     assert {r["keep"] for r in out} == {True, False}, "both classes present"
+
+
+# --- pretrain manifest (filter -> dedup -> split composition) ---------------
+
+
+def test_pretrain_manifest_brute_force(spark):
+    """The composite manifest must equal a driver-side recomputation from
+    the already-tested stage operators: filter_chain survivors, min-id per
+    exact text group, md5 hash split, per-(split, lang) sums."""
+    from marginaliasearch_spark.plans.pretrain import pretrain_manifest
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # plant exact duplicates across split/lang boundaries so the dedup
+    # stage genuinely bites: every third doc gets one of 7 shared texts,
+    # built from all-distinct tokens (plus one stopword) so every filter
+    # gate passes and the planted docs reach the dedup stage
+    shared = {
+        v: "the " + " ".join(f"zq{v}n{i}" for i in range(79)) for v in range(7)
+    }
+    variant = None
+    for v, txt in shared.items():
+        cond = F.col("doc_id") % 7 == v
+        variant = F.when(cond, txt) if variant is None else variant.when(cond, txt)
+    planted = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 3 == 0, variant).otherwise(F.col("text")),
+    )
+    got = {
+        (r["split"], r["lang"]): (
+            r["n_docs"], r["sum_words"], r["sum_chars"], r["id_checksum"]
+        )
+        for r in pretrain_manifest(planted).collect()
+    }
+
+    rows = planted.select("doc_id", "lang", "text").collect()
+    mask = {
+        r["doc_id"]: r
+        for r in textstats.filter_chain(planted).collect()
+    }
+    kept = [r for r in rows if mask[r["doc_id"]]["reasons"] == 0]
+    canon: dict[str, int] = {}
+    for r in kept:
+        h = hashlib.md5(r["text"].lower().encode()).hexdigest()
+        canon[h] = min(canon.get(h, r["doc_id"]), r["doc_id"])
+    surv = [r for r in kept if canon[
+        hashlib.md5(r["text"].lower().encode()).hexdigest()] == r["doc_id"]]
+    assert len(surv) < len(kept), "dedup stage must bite"
+    want: dict[tuple, list] = {}
+    for r in surv:
+        b = _bucket(r["doc_id"])
+        split = "train" if b < 98 else ("val" if b < 99 else "test")
+        agg = want.setdefault((split, r["lang"]), [0, 0, 0, 0])
+        agg[0] += 1
+        agg[1] += mask[r["doc_id"]]["n_words"]
+        agg[2] += len(r["text"])
+        agg[3] += r["doc_id"]
+    assert got == {k: tuple(v) for k, v in want.items()}
+
+
+def test_pretrain_manifest_partitioning_invariant(spark):
+    """Manifest rows must be byte-identical regardless of input layout —
+    the resumability claim (a re-run over a differently-bucketed copy of
+    the corpus publishes the same manifest)."""
+    from marginaliasearch_spark.plans.pretrain import pretrain_manifest
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {tuple(r) for r in pretrain_manifest(docs).collect()}
+    b = {tuple(r) for r in pretrain_manifest(docs.repartition(17)).collect()}
+    assert a == b and a
