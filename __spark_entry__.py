@@ -2434,6 +2434,27 @@ def _q_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.filter_chain(_docs(spark, sf_dir))
 
 
+def _q_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT (prompt, response) example extraction over multi-turn
+    conversations (`operators/sft.sft_pairs`): every assistant turn becomes
+    a training pair whose prompt is the last 3 prior turns rendered
+    'role: text'. The multi-turn relation is synthesized deterministically
+    from documents (conv = doc_id div 5, turn = doc_id mod 5, roles
+    alternate user/assistant by turn parity) so the DuckDB twin recomputes
+    the identical conversations with a windowed string_agg."""
+    from marginaliasearch_spark.operators import sft
+
+    turns = _docs(spark, sf_dir).select(
+        F.expr("doc_id div 5").alias("conv_id"),
+        F.pmod("doc_id", F.lit(5)).cast("long").alias("turn_idx"),
+        F.when(F.pmod("doc_id", F.lit(5)) % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        "text",
+    )
+    return sft.sft_pairs(turns, max_context_turns=3)
+
+
 def _q_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end pretraining-corpus prep manifest: the SAME filter-chain
     mask -> exact dedup of survivors -> deterministic 98/1/1 hash split ->
@@ -2521,7 +2542,7 @@ _NEW_THIS_ROUND: list[str] = [
     "text_bpe_encode", "mm_image_dhash", "mm_image_phash_dedup",
     "mm_audio_afp", "mm_audio_afp_dedup",
     "mm_video_vfp", "mm_video_neardup",
-    "pipeline_pretrain",
+    "pipeline_pretrain", "sft_pairs",
 ]
 _NEVER_DRIVER_VERIFIED = [
     "sample_stratified",
@@ -2721,6 +2742,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # end-to-end corpus prep: filter chain -> exact dedup -> hash
         # split -> per-(split, lang) release manifest (composition pin)
         "pipeline_pretrain": _q_pipeline_pretrain,
+        # SFT (prompt, response) pair extraction from multi-turn convs
+        "sft_pairs": _q_sft_pairs,
         "text_pii_redact": _q_pii_redact,
         "sample_chunks": _q_chunks,
         # BPE vocab induction (iterative; rows-only check by design —
@@ -3334,6 +3357,31 @@ SELECT CASE WHEN bucket < 98 THEN 'train'
        sum(length(text))::BIGINT AS sum_chars,
        sum(doc_id)::BIGINT AS id_checksum
 FROM hs GROUP BY 1, 2""",
+        # SFT pair extraction: identical turn synthesis (conv = doc_id div
+        # 5, alternating roles), causal context as a windowed string_agg
+        # with the SAME last-3-turns frame the Spark slice implements
+        "sft_pairs": """
+WITH t AS (
+  SELECT doc_id // 5 AS conv_id, (doc_id % 5)::BIGINT AS turn_idx,
+         CASE WHEN doc_id % 5 % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         text
+  FROM documents
+),
+w AS (
+  SELECT conv_id, turn_idx, role, text,
+    string_agg(role || ': ' || text, chr(10)) OVER win AS prompt,
+    count(*) OVER win AS n_ctx
+  FROM t
+  WINDOW win AS (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+)
+SELECT conv_id::BIGINT AS conv_id, turn_idx, prompt, text AS response,
+       n_ctx::BIGINT AS n_context_turns,
+       coalesce(len(list_filter(regexp_split_to_array(trim(prompt), '\\s+'),
+                                x -> x <> '')), 0)::BIGINT AS n_prompt_words,
+       len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                       x -> x <> ''))::BIGINT AS n_response_words
+FROM w WHERE role = 'assistant'""",
         "__fc_ctes__": f"""base AS (
   SELECT doc_id, lower(text) AS lw, length(text)::BIGINT AS n_chars,
          list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),

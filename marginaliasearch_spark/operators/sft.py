@@ -1,0 +1,89 @@
+"""SFT example extraction from multi-turn transcripts.
+
+The one transcript-native pipeline step the generic document operators
+don't cover: turning conversations into (prompt, response) supervised
+fine-tuning pairs. For every assistant turn, the example's prompt is the
+rendered context — all prior turns in stable ``turn_idx`` order, each as
+``role: text`` joined with newlines — and the response is the assistant
+turn's text. This is the conversation analogue of the reference's
+document→index handoff (documents keyed by conv_id with turns concatenated
+under stable turn ordering — the same contract the index builder uses,
+see operators/ingest.py); here the concatenation is *causal* (strictly
+prior turns) instead of whole-document.
+
+Scale shape: ONE shuffle on ``conv_id`` (the window partition key).
+Per-conversation state is bounded by the longest conversation — the same
+bound the sessionization and index-ingest paths already rely on — so no
+skew treatment is needed beyond what a 10^12-turn corpus's conv_id
+hash-partitioning already provides. Everything is JVM column expressions
+(collect_list window + transform/array_join); no Python touches the rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["sft_pairs"]
+
+# whitespace word-count spec shared with the DuckDB twin:
+# len(list_filter(regexp_split_to_array(trim(x), '\s+'), t -> t <> ''))
+def _n_words(col: F.Column) -> F.Column:
+    toks = F.split(F.trim(col), r"\s+")
+    return F.size(F.filter(toks, lambda t: t != "")).cast("long")
+
+
+def sft_pairs(
+    turns: DataFrame,
+    max_context_turns: int | None = None,
+    response_role: str = "assistant",
+) -> DataFrame:
+    """One row per ``response_role`` turn: the SFT training example.
+
+    Output: ``conv_id, turn_idx, prompt, response, n_context_turns,
+    n_prompt_words, n_response_words``. ``prompt`` is NULL when the turn
+    has no prior context (a conversation-opening assistant turn) — such
+    examples are usually dropped, and NULL makes that filter explicit
+    rather than hiding it in an empty string.
+
+    ``max_context_turns`` keeps only the LAST k prior turns (the context
+    window a trainer actually packs); None keeps the whole prefix. The
+    truncation happens after the window gather but before rendering, so
+    the shuffled state is one struct per turn either way.
+    """
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ctx = F.collect_list(
+        F.struct(F.col("role"), F.col("text"))
+    ).over(w)
+    out = turns.select("conv_id", "turn_idx", "role", "text", ctx.alias("_ctx"))
+    if max_context_turns is not None:
+        k = int(max_context_turns)
+        out = out.withColumn(
+            "_ctx",
+            F.slice(
+                F.col("_ctx"),
+                F.greatest(F.size("_ctx") - F.lit(k) + 1, F.lit(1)),
+                F.lit(k),
+            ),
+        )
+    rendered = F.array_join(
+        F.transform(F.col("_ctx"), lambda s: F.concat(s.role, F.lit(": "), s.text)),
+        "\n",
+    )
+    prompt = F.when(F.size("_ctx") > 0, rendered)
+    return (
+        out.filter(F.col("role") == response_role)
+        .select(
+            "conv_id",
+            "turn_idx",
+            prompt.alias("prompt"),
+            F.col("text").alias("response"),
+            F.size("_ctx").cast("long").alias("n_context_turns"),
+            F.coalesce(_n_words(prompt), F.lit(0)).alias("n_prompt_words"),
+            _n_words(F.col("text")).alias("n_response_words"),
+        )
+    )

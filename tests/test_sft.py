@@ -1,0 +1,109 @@
+"""SFT pair extraction: brute-force parity, context truncation, causality,
+partitioning invariance, and the JVM-only one-shuffle plan shape."""
+
+from pyspark.sql import functions as F
+
+from marginaliasearch_spark.operators import sft
+
+
+def _turns(spark):
+    rows = []
+    for conv in range(6):
+        n = 1 + (conv % 5)  # 1..5 turns
+        for t in range(n):
+            role = ["user", "assistant", "tool", "assistant"][t % 4]
+            rows.append((f"c{conv}", t, role, f"text {conv} {t} word{t}"))
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+
+
+def _brute(rows, k=None, response_role="assistant"):
+    by_conv = {}
+    for r in rows:
+        by_conv.setdefault(r[0], []).append(r)
+    out = {}
+    for conv, ts in by_conv.items():
+        ts.sort(key=lambda r: r[1])
+        for i, r in enumerate(ts):
+            if r[2] != response_role:
+                continue
+            ctx = ts[:i]
+            if k is not None:
+                ctx = ctx[-k:]
+            prompt = "\n".join(f"{c[2]}: {c[3]}" for c in ctx) if ctx else None
+            out[(conv, r[1])] = (
+                prompt,
+                r[3],
+                len(ctx),
+                len(prompt.split()) if prompt else 0,
+                len(r[3].split()),
+            )
+    return out
+
+
+def test_sft_pairs_brute_force(spark):
+    turns = _turns(spark)
+    rows = [tuple(r) for r in turns.collect()]
+    got = {
+        (r["conv_id"], r["turn_idx"]): (
+            r["prompt"], r["response"], r["n_context_turns"],
+            r["n_prompt_words"], r["n_response_words"],
+        )
+        for r in sft.sft_pairs(turns).collect()
+    }
+    assert got == _brute(rows)
+    # conversation-opening assistant turns exist and carry NULL prompts
+    # only when there genuinely is no context
+    assert all((v[0] is None) == (v[2] == 0) for v in got.values())
+
+
+def test_sft_pairs_truncation_and_role(spark):
+    turns = _turns(spark)
+    rows = [tuple(r) for r in turns.collect()]
+    for k in (1, 2):
+        got = {
+            (r["conv_id"], r["turn_idx"]): (
+                r["prompt"], r["response"], r["n_context_turns"],
+                r["n_prompt_words"], r["n_response_words"],
+            )
+            for r in sft.sft_pairs(turns, max_context_turns=k).collect()
+        }
+        assert got == _brute(rows, k=k)
+    got_tool = {
+        (r["conv_id"], r["turn_idx"])
+        for r in sft.sft_pairs(turns, response_role="tool").collect()
+    }
+    assert got_tool == set(_brute(rows, response_role="tool"))
+
+
+def test_sft_pairs_causal_and_invariant(spark):
+    """Prompt must never contain the response turn or later turns, and the
+    result must be identical under any input partitioning/order."""
+    turns = _turns(spark)
+    out = sft.sft_pairs(turns, max_context_turns=3)
+    for r in out.collect():
+        if r["prompt"] is None:
+            continue
+        for line in r["prompt"].split("\n"):
+            _, txt = line.split(": ", 1)
+            t = int(txt.split()[2])
+            assert t < r["turn_idx"]
+    a = {tuple(r) for r in out.collect()}
+    shuffled = turns.orderBy(F.rand(7)).repartition(13)
+    b = {tuple(r) for r in sft.sft_pairs(shuffled, max_context_turns=3).collect()}
+    assert a == b
+
+
+def test_sft_pairs_plan_is_jvm_one_shuffle(spark):
+    turns = _turns(spark)
+    plan = (
+        sft.sft_pairs(turns, max_context_turns=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                "CartesianProduct"):
+        assert bad not in plan, plan
+    # createDataFrame inputs arrive via a parallelize RDD scan, so the only
+    # Exchange is the window's conv_id hash partition
+    assert plan.count("Exchange") == 1, plan
