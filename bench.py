@@ -154,6 +154,8 @@ BENCH_QUERIES = [
     "mm_image_phash_dedup",
     "mm_audio_afp_dedup",
     "mm_video_neardup",
+    "pipeline_pretrain",
+    "sft_pairs",
 ]
 
 

@@ -683,6 +683,46 @@ def main() -> None:
         )
     )
 
+    from marginaliasearch_spark.plans.pretrain import pretrain_manifest
+
+    raw_docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sections.append(
+        (
+            "Pretrain-corpus manifest (filter chain → dedup → split → agg)",
+            "Things to check: the whole C4/Gopher filter mask is folded "
+            "into the `Filter` directly above the parquet scan (documents "
+            "failing any gate never reach a shuffle); the dedup window's "
+            "`Exchange hashpartitioning(text_hash)` moves ONLY "
+            "(doc_id, lang, n_words, n_chars, digest) — the text column "
+            "is projected away before the exchange; the final groupBy "
+            "has a map-side partial `HashAggregate` under the second "
+            "Exchange. Two shuffles total, no Python, no join.",
+            fmt(pretrain_manifest(raw_docs)),
+        )
+    )
+
+    from marginaliasearch_spark.operators import sft
+
+    sft_turns = raw_docs.select(
+        F.expr("doc_id div 5").alias("conv_id"),
+        F.pmod("doc_id", F.lit(5)).cast("long").alias("turn_idx"),
+        F.when(F.pmod("doc_id", F.lit(5)) % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        "text",
+    )
+    sections.append(
+        (
+            "SFT pair extraction (causal context window over conv_id)",
+            "Things to check: ONE `Exchange hashpartitioning(conv_id)` "
+            "feeding `Sort(turn_idx)` + `Window` (the collect_list prefix "
+            "gather); the role filter and all prompt rendering "
+            "(transform/array_join/slice) are JVM expressions after the "
+            "window — no Python operators, no second shuffle.",
+            fmt(sft.sft_pairs(sft_turns, max_context_turns=3)),
+        )
+    )
+
     out = ["# EXPLAIN — formatted physical plans of the hot paths",
            "",
            "Generated by `python tools/dump_plans.py` over the sf0.001 driver",
