@@ -2455,6 +2455,31 @@ def _q_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sft.sft_pairs(turns, max_context_turns=3)
 
 
+def _q_conv_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-prefix dedup (`dedup.conv_prefix_dedup`): retry
+    families grouped by a digest of the first 2 turns. Same deterministic
+    multi-turn synthesis as sft_pairs, with a canned opening planted on
+    every 7th conversation so the dedup genuinely bites."""
+    conv = F.expr("doc_id div 5")
+    tix = F.pmod("doc_id", F.lit(5)).cast("long")
+    canned = (conv % 7 == 0) & (tix < 2)
+    turns = _docs(spark, sf_dir).select(
+        conv.alias("conv_id"),
+        tix.alias("turn_idx"),
+        F.when(tix % 2 == 0, F.lit("user")).otherwise(F.lit("assistant")).alias("role"),
+        F.when(
+            canned, F.concat(F.lit("canned greeting "), tix.cast("string"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = dedup.conv_prefix_dedup(turns, prefix_turns=2)
+    return out.select(
+        F.col("conv_id").cast("long").alias("conv_id"),
+        F.col("n_dups").cast("long").alias("n_dups"),
+    )
+
+
 def _q_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end pretraining-corpus prep manifest: the SAME filter-chain
     mask -> exact dedup of survivors -> deterministic 98/1/1 hash split ->
@@ -2542,7 +2567,7 @@ _NEW_THIS_ROUND: list[str] = [
     "text_bpe_encode", "mm_image_dhash", "mm_image_phash_dedup",
     "mm_audio_afp", "mm_audio_afp_dedup",
     "mm_video_vfp", "mm_video_neardup",
-    "pipeline_pretrain", "sft_pairs",
+    "pipeline_pretrain", "sft_pairs", "dedup_conv_prefix",
 ]
 _NEVER_DRIVER_VERIFIED = [
     "sample_stratified",
@@ -2744,6 +2769,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_pretrain": _q_pipeline_pretrain,
         # SFT (prompt, response) pair extraction from multi-turn convs
         "sft_pairs": _q_sft_pairs,
+        # conversation-prefix dedup (agent-retry families)
+        "dedup_conv_prefix": _q_conv_prefix,
         "text_pii_redact": _q_pii_redact,
         "sample_chunks": _q_chunks,
         # BPE vocab induction (iterative; rows-only check by design —
@@ -3357,6 +3384,25 @@ SELECT CASE WHEN bucket < 98 THEN 'train'
        sum(length(text))::BIGINT AS sum_chars,
        sum(doc_id)::BIGINT AS id_checksum
 FROM hs GROUP BY 1, 2""",
+        # conversation-prefix dedup: identical turn synthesis + canned
+        # opening planted on every 7th conv; group by 2-turn-prefix digest
+        "dedup_conv_prefix": """
+WITH t AS (
+  SELECT doc_id // 5 AS conv_id, (doc_id % 5)::BIGINT AS turn_idx,
+         CASE WHEN doc_id % 5 % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         CASE WHEN (doc_id // 5) % 7 = 0 AND doc_id % 5 < 2
+              THEN 'canned greeting ' || (doc_id % 5)::VARCHAR
+              ELSE text END AS text
+  FROM documents
+),
+p AS (
+  SELECT conv_id,
+         md5(string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx))
+           AS prefix_hash
+  FROM t WHERE turn_idx < 2 GROUP BY conv_id
+)
+SELECT min(conv_id)::BIGINT AS conv_id, count(*)::BIGINT AS n_dups
+FROM p GROUP BY prefix_hash""",
         # SFT pair extraction: identical turn synthesis (conv = doc_id div
         # 5, alternating roles), causal context as a windowed string_agg
         # with the SAME last-3-turns frame the Spark slice implements

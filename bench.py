@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "mm_video_neardup",
     "pipeline_pretrain",
     "sft_pairs",
+    "dedup_conv_prefix",
 ]
 
 

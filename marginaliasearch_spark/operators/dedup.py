@@ -974,3 +974,41 @@ def strip_boilerplate(docs: DataFrame, min_count: int = 3) -> DataFrame:
         )
         .select(*docs.columns)
     )
+
+
+def conv_prefix_dedup(turns: DataFrame, prefix_turns: int = 3) -> DataFrame:
+    """Conversation-prefix dedup: the retried-agent-run signature.
+
+    Agent logs are full of conversations that share an identical opening —
+    the same system prompt + user request re-run after a tool failure or a
+    sampling retry. Grouping conversations by a digest of their first
+    ``prefix_turns`` turns (rendered ``role: text`` in stable ``turn_idx``
+    order) finds those retry families; the smallest ``conv_id`` is the
+    canonical run. Returns one row per family: ``(conv_id, n_dups)`` —
+    the conversation analogue of :func:`exact_dedup`.
+
+    Relies on the ingest contract's dense 0-based ``turn_idx`` (the same
+    stable-turn-ordering invariant the index builder concatenates under —
+    sources/transcripts.py), so the ``turn_idx < prefix_turns`` pre-filter
+    bounds shuffle rows at ``prefix_turns`` per conversation: at 10^12
+    turns the first shuffle moves only the k-turn heads, never whole
+    conversations. Two hash aggregations total (conv_id, then digest);
+    everything is JVM expressions.
+    """
+    rendered = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("turn_idx", "role", "text"))),
+            lambda s: F.concat(s.role, F.lit(": "), s.text),
+        ),
+        "\n",
+    )
+    pfx = (
+        turns.filter(F.col("turn_idx") < prefix_turns)
+        .groupBy("conv_id")
+        .agg(F.md5(rendered).alias("prefix_hash"))
+    )
+    return (
+        pfx.groupBy("prefix_hash")
+        .agg(F.min("conv_id").alias("conv_id"), F.count("*").alias("n_dups"))
+        .select("conv_id", "n_dups")
+    )

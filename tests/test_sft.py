@@ -107,3 +107,51 @@ def test_sft_pairs_plan_is_jvm_one_shuffle(spark):
     # createDataFrame inputs arrive via a parallelize RDD scan, so the only
     # Exchange is the window's conv_id hash partition
     assert plan.count("Exchange") == 1, plan
+
+
+# --- conversation-prefix dedup (same transcript synthesis family) -----------
+
+
+def test_conv_prefix_dedup_brute_force(spark):
+    from marginaliasearch_spark.operators import dedup
+
+    turns = _turns(spark)
+    # plant a shared 2-turn opening on even conversations
+    turns = turns.withColumn(
+        "text",
+        F.when(
+            (F.regexp_extract("conv_id", r"c(\d+)", 1).cast("int") % 2 == 0)
+            & (F.col("turn_idx") < 2),
+            F.concat(F.lit("canned "), F.col("turn_idx").cast("string")),
+        ).otherwise(F.col("text")),
+    )
+    rows = [tuple(r) for r in turns.collect()]
+    for k in (1, 2, 3):
+        got = {
+            (r["conv_id"], r["n_dups"])
+            for r in dedup.conv_prefix_dedup(turns, prefix_turns=k).collect()
+        }
+        fam = {}
+        for conv in sorted({r[0] for r in rows}):
+            pfx = sorted((r for r in rows if r[0] == conv), key=lambda r: r[1])[:k]
+            key = "\n".join(f"{r[2]}: {r[3]}" for r in pfx)
+            fam.setdefault(key, []).append(conv)
+        want = {(min(cs), len(cs)) for cs in fam.values()}
+        assert got == want, k
+    # with k=2: c2/c4 share both canned turns (family of 2, canonical c2);
+    # c0 has only one turn, so its shorter prefix stays a singleton
+    got2 = {r["conv_id"]: r["n_dups"]
+            for r in dedup.conv_prefix_dedup(turns, prefix_turns=2).collect()}
+    assert got2["c2"] == 2 and got2["c0"] == 1
+
+
+def test_conv_prefix_dedup_jvm_plan(spark):
+    from marginaliasearch_spark.operators import dedup
+
+    plan = (
+        dedup.conv_prefix_dedup(_turns(spark), prefix_turns=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                "CartesianProduct"):
+        assert bad not in plan, plan
