@@ -2455,6 +2455,28 @@ def _q_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sft.sft_pairs(turns, max_context_turns=3)
 
 
+def _q_pref_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO/RLHF preference-pair assembly (`sft.preference_pairs`): docs
+    become candidate responses grouped into 40 prompt families
+    (doc_id mod 40), scored by whitespace word count; chosen/rejected are
+    the (score, digest)-lexicographic argmax/argmin — deterministic under
+    ties, which the word-soup corpus genuinely produces."""
+    from marginaliasearch_spark.operators import sft
+
+    cands = _docs(spark, sf_dir).select(
+        F.concat(F.lit("prompt "), F.pmod("doc_id", F.lit(40)).cast("string")).alias(
+            "prompt"
+        ),
+        F.col("text").alias("response"),
+        F.size(
+            F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "")
+        )
+        .cast("long")
+        .alias("score"),
+    )
+    return sft.preference_pairs(cands)
+
+
 def _q_conv_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation-prefix dedup (`dedup.conv_prefix_dedup`): retry
     families grouped by a digest of the first 2 turns. Same deterministic
@@ -2567,7 +2589,7 @@ _NEW_THIS_ROUND: list[str] = [
     "text_bpe_encode", "mm_image_dhash", "mm_image_phash_dedup",
     "mm_audio_afp", "mm_audio_afp_dedup",
     "mm_video_vfp", "mm_video_neardup",
-    "pipeline_pretrain", "sft_pairs", "dedup_conv_prefix",
+    "pipeline_pretrain", "sft_pairs", "dedup_conv_prefix", "sft_pref_pairs",
 ]
 _NEVER_DRIVER_VERIFIED = [
     "sample_stratified",
@@ -2771,6 +2793,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_pairs": _q_sft_pairs,
         # conversation-prefix dedup (agent-retry families)
         "dedup_conv_prefix": _q_conv_prefix,
+        # DPO/RLHF preference-pair assembly (chosen/rejected per prompt)
+        "sft_pref_pairs": _q_pref_pairs,
         "text_pii_redact": _q_pii_redact,
         "sample_chunks": _q_chunks,
         # BPE vocab induction (iterative; rows-only check by design —
@@ -3384,6 +3408,36 @@ SELECT CASE WHEN bucket < 98 THEN 'train'
        sum(length(text))::BIGINT AS sum_chars,
        sum(doc_id)::BIGINT AS id_checksum
 FROM hs GROUP BY 1, 2""",
+        # preference-pair assembly: same prompt families + word-count
+        # score; the digest tie-break re-derived with row_number windows
+        # (DuckDB arg_max can't take a struct order key)
+        "sft_pref_pairs": """
+WITH c AS (
+  SELECT 'prompt ' || (doc_id % 40)::VARCHAR AS prompt, text AS response,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> ''))::BIGINT AS score
+  FROM documents
+),
+d AS (
+  SELECT prompt, response, max(score) AS score
+  FROM c GROUP BY prompt, response
+),
+rk AS (
+  SELECT prompt, response, score,
+    row_number() OVER (PARTITION BY prompt
+                       ORDER BY score DESC, md5(response) DESC) AS rc,
+    row_number() OVER (PARTITION BY prompt
+                       ORDER BY score ASC, md5(response) ASC) AS rr,
+    count(*) OVER (PARTITION BY prompt) AS n
+  FROM d
+)
+SELECT prompt,
+       max(CASE WHEN rc = 1 THEN response END) AS chosen,
+       max(CASE WHEN rr = 1 THEN response END) AS rejected,
+       max(CASE WHEN rc = 1 THEN score END)::BIGINT AS score_chosen,
+       max(CASE WHEN rr = 1 THEN score END)::BIGINT AS score_rejected,
+       max(n)::BIGINT AS n_candidates
+FROM rk GROUP BY prompt HAVING max(n) >= 2""",
         # conversation-prefix dedup: identical turn synthesis + canned
         # opening planted on every 7th conv; group by 2-turn-prefix digest
         "dedup_conv_prefix": """

@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "pipeline_pretrain",
     "sft_pairs",
     "dedup_conv_prefix",
+    "sft_pref_pairs",
 ]
 
 

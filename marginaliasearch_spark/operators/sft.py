@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["sft_pairs"]
+__all__ = ["sft_pairs", "preference_pairs"]
 
 # whitespace word-count spec shared with the DuckDB twin:
 # len(list_filter(regexp_split_to_array(trim(x), '\s+'), t -> t <> ''))
@@ -85,5 +85,53 @@ def sft_pairs(
             F.size("_ctx").cast("long").alias("n_context_turns"),
             F.coalesce(_n_words(prompt), F.lit(0)).alias("n_prompt_words"),
             _n_words(F.col("text")).alias("n_response_words"),
+        )
+    )
+
+
+def preference_pairs(
+    candidates: DataFrame,
+    prompt_col: str = "prompt",
+    response_col: str = "response",
+    score_col: str = "score",
+) -> DataFrame:
+    """Assemble (prompt, chosen, rejected) preference pairs — the DPO/RLHF
+    data-prep step downstream of candidate generation.
+
+    For every prompt with >= 2 distinct candidate responses, the chosen
+    response is the score-argmax and the rejected one the score-argmin,
+    with a response-digest tie-break so the pair is deterministic under
+    any partitioning (a bare max_by would be free to return either of two
+    equal-scored candidates). Exact duplicates of (response) within a
+    prompt group collapse first — a duplicated candidate must not be able
+    to become both chosen AND rejected.
+
+    Two hash aggregations (candidate dedup, then argmax/argmin via
+    max_by/min_by with a lexicographic (score, digest) struct order —
+    partial-aggregatable, so map-side combine applies); prompt groups of
+    any size never materialize as arrays. Output: ``prompt, chosen,
+    rejected, score_chosen, score_rejected, n_candidates``.
+    """
+    p, r, s = F.col(prompt_col), F.col(response_col), F.col(score_col)
+    dedup = candidates.groupBy(p.alias("prompt"), r.alias("response")).agg(
+        F.max(s).alias("score")
+    )
+    s2, r2 = F.col("score"), F.col("response")
+    ordk2 = F.struct(s2.alias("s"), F.md5(r2).alias("d"))
+    pick = F.struct(s2.alias("s"), r2.alias("r"))
+    out = dedup.groupBy("prompt").agg(
+        F.max_by(pick, ordk2).alias("_c"),
+        F.min_by(pick, ordk2).alias("_r"),
+        F.count("*").cast("long").alias("n_candidates"),
+    )
+    return (
+        out.filter(F.col("n_candidates") >= 2)
+        .select(
+            "prompt",
+            F.col("_c.r").alias("chosen"),
+            F.col("_r.r").alias("rejected"),
+            F.col("_c.s").alias("score_chosen"),
+            F.col("_r.s").alias("score_rejected"),
+            "n_candidates",
         )
     )

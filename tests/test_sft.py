@@ -155,3 +155,70 @@ def test_conv_prefix_dedup_jvm_plan(spark):
     for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                 "CartesianProduct"):
         assert bad not in plan, plan
+
+
+# --- preference pairs -------------------------------------------------------
+
+
+def _cands(spark):
+    rows = [
+        # p0: clear winner/loser
+        ("p0", "long answer with many words", 5),
+        ("p0", "short", 1),
+        ("p0", "middling answer here", 3),
+        # p1: score TIE at the top — digest must break it
+        ("p1", "alpha", 4), ("p1", "bravo", 4), ("p1", "zulu", 2),
+        # p2: duplicate candidate (same response twice) + one other
+        ("p2", "dup", 2), ("p2", "dup", 2), ("p2", "other", 7),
+        # p3: only one distinct response (duplicated) -> filtered out
+        ("p3", "solo", 9), ("p3", "solo", 9),
+        # p4: singleton -> filtered out
+        ("p4", "alone", 1),
+    ]
+    return spark.createDataFrame(rows, "prompt string, response string, score long")
+
+
+def test_preference_pairs_brute_force(spark):
+    import hashlib
+
+    from marginaliasearch_spark.operators import sft
+
+    got = {
+        r["prompt"]: (
+            r["chosen"], r["rejected"], r["score_chosen"],
+            r["score_rejected"], r["n_candidates"],
+        )
+        for r in sft.preference_pairs(_cands(spark)).collect()
+    }
+
+    def d(x):
+        return hashlib.md5(x.encode()).hexdigest()
+
+    cands = {}
+    for p, rsp, s in [tuple(r) for r in _cands(spark).collect()]:
+        cands.setdefault(p, {})[rsp] = max(s, cands.get(p, {}).get(rsp, s))
+    want = {}
+    for p, group in cands.items():
+        if len(group) < 2:
+            continue
+        ch = max(group, key=lambda r: (group[r], d(r)))
+        rj = min(group, key=lambda r: (group[r], d(r)))
+        want[p] = (ch, rj, group[ch], group[rj], len(group))
+    assert got == want
+    # the tie in p1 resolved by digest, not input order
+    assert got["p1"][0] == max(["alpha", "bravo"], key=d)
+    # duplicated candidate never becomes both chosen and rejected
+    assert got["p2"] == ("other", "dup", 7, 2, 2)
+    assert "p3" not in got and "p4" not in got
+
+
+def test_preference_pairs_partitioning_invariant(spark):
+    from marginaliasearch_spark.operators import sft
+
+    c = _cands(spark)
+    a = {tuple(r) for r in sft.preference_pairs(c).collect()}
+    b = {
+        tuple(r)
+        for r in sft.preference_pairs(c.orderBy(F.rand(3)).repartition(11)).collect()
+    }
+    assert a == b and a
