@@ -2434,17 +2434,12 @@ def _q_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.filter_chain(_docs(spark, sf_dir))
 
 
-def _q_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SFT (prompt, response) example extraction over multi-turn
-    conversations (`operators/sft.sft_pairs`): every assistant turn becomes
-    a training pair whose prompt is the last 3 prior turns rendered
-    'role: text'. The multi-turn relation is synthesized deterministically
-    from documents (conv = doc_id div 5, turn = doc_id mod 5, roles
-    alternate user/assistant by turn parity) so the DuckDB twin recomputes
-    the identical conversations with a windowed string_agg."""
-    from marginaliasearch_spark.operators import sft
-
-    turns = _docs(spark, sf_dir).select(
+def _synth_turns(docs: DataFrame) -> DataFrame:
+    """Deterministic multi-turn synthesis shared by the sft/conv-prefix
+    entries AND mirrored verbatim in their DuckDB twins: conv = doc_id div
+    5, turn = doc_id mod 5, roles alternate user/assistant by turn parity.
+    ONE definition so entry and twin can't drift independently."""
+    return docs.select(
         F.expr("doc_id div 5").alias("conv_id"),
         F.pmod("doc_id", F.lit(5)).cast("long").alias("turn_idx"),
         F.when(F.pmod("doc_id", F.lit(5)) % 2 == 0, F.lit("user"))
@@ -2452,7 +2447,18 @@ def _q_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("role"),
         "text",
     )
-    return sft.sft_pairs(turns, max_context_turns=3)
+
+
+def _q_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT (prompt, response) example extraction over multi-turn
+    conversations (`operators/sft.sft_pairs`): every assistant turn becomes
+    a training pair whose prompt is the last 3 prior turns rendered
+    'role: text'. The multi-turn relation comes from `_synth_turns` so the
+    DuckDB twin recomputes the identical conversations with a windowed
+    string_agg."""
+    from marginaliasearch_spark.operators import sft
+
+    return sft.sft_pairs(_synth_turns(_docs(spark, sf_dir)), max_context_turns=3)
 
 
 def _q_pref_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2479,21 +2485,15 @@ def _q_pref_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_conv_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation-prefix dedup (`dedup.conv_prefix_dedup`): retry
-    families grouped by a digest of the first 2 turns. Same deterministic
-    multi-turn synthesis as sft_pairs, with a canned opening planted on
-    every 7th conversation so the dedup genuinely bites."""
-    conv = F.expr("doc_id div 5")
-    tix = F.pmod("doc_id", F.lit(5)).cast("long")
-    canned = (conv % 7 == 0) & (tix < 2)
-    turns = _docs(spark, sf_dir).select(
-        conv.alias("conv_id"),
-        tix.alias("turn_idx"),
-        F.when(tix % 2 == 0, F.lit("user")).otherwise(F.lit("assistant")).alias("role"),
+    families grouped by a digest of the first 2 turns. `_synth_turns`
+    conversations with a canned opening planted on every 7th conversation
+    so the dedup genuinely bites."""
+    turns = _synth_turns(_docs(spark, sf_dir)).withColumn(
+        "text",
         F.when(
-            canned, F.concat(F.lit("canned greeting "), tix.cast("string"))
-        )
-        .otherwise(F.col("text"))
-        .alias("text"),
+            (F.col("conv_id") % 7 == 0) & (F.col("turn_idx") < 2),
+            F.concat(F.lit("canned greeting "), F.col("turn_idx").cast("string")),
+        ).otherwise(F.col("text")),
     )
     out = dedup.conv_prefix_dedup(turns, prefix_turns=2)
     return out.select(
@@ -3451,8 +3451,9 @@ WITH t AS (
 ),
 p AS (
   SELECT conv_id,
-         md5(string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx))
-           AS prefix_hash
+         md5(string_agg(length(role)::VARCHAR || ':' || role || ':'
+                        || length(text)::VARCHAR || ':' || text,
+                        chr(10) ORDER BY turn_idx)) AS prefix_hash
   FROM t WHERE turn_idx < 2 GROUP BY conv_id
 )
 SELECT min(conv_id)::BIGINT AS conv_id, count(*)::BIGINT AS n_dups

@@ -982,10 +982,17 @@ def conv_prefix_dedup(turns: DataFrame, prefix_turns: int = 3) -> DataFrame:
     Agent logs are full of conversations that share an identical opening —
     the same system prompt + user request re-run after a tool failure or a
     sampling retry. Grouping conversations by a digest of their first
-    ``prefix_turns`` turns (rendered ``role: text`` in stable ``turn_idx``
-    order) finds those retry families; the smallest ``conv_id`` is the
-    canonical run. Returns one row per family: ``(conv_id, n_dups)`` —
-    the conversation analogue of :func:`exact_dedup`.
+    ``prefix_turns`` turns in stable ``turn_idx`` order finds those retry
+    families; the smallest ``conv_id`` is the canonical run. Returns one
+    row per family: ``(conv_id, n_dups)`` — the conversation analogue of
+    :func:`exact_dedup`.
+
+    The digested encoding is length-prefixed
+    (``len(role):role:len(text):text`` per turn), NOT a pretty-printed
+    join: turn text routinely contains newlines and ``role:`` -looking
+    lines (code blocks, tool output), and a plain rendered join would let
+    such text forge a turn boundary and merge genuinely different
+    conversations into one family.
 
     Relies on the ingest contract's dense 0-based ``turn_idx`` (the same
     stable-turn-ordering invariant the index builder concatenates under —
@@ -998,7 +1005,11 @@ def conv_prefix_dedup(turns: DataFrame, prefix_turns: int = 3) -> DataFrame:
     rendered = F.array_join(
         F.transform(
             F.array_sort(F.collect_list(F.struct("turn_idx", "role", "text"))),
-            lambda s: F.concat(s.role, F.lit(": "), s.text),
+            lambda s: F.concat(
+                F.length(s.role).cast("string"), F.lit(":"), s.role,
+                F.lit(":"),
+                F.length(s.text).cast("string"), F.lit(":"), s.text,
+            ),
         ),
         "\n",
     )

@@ -48,28 +48,20 @@ def sft_pairs(
 
     ``max_context_turns`` keeps only the LAST k prior turns (the context
     window a trainer actually packs); None keeps the whole prefix. The
-    truncation happens after the window gather but before rendering, so
-    the shuffled state is one struct per turn either way.
+    bound goes into the window FRAME (``ROWS k PRECEDING .. 1 PRECEDING``)
+    rather than a post-gather slice, so a row of a 10k-turn conversation
+    buffers k structs, not its whole prefix — per-row work is O(k), not
+    O(position).
     """
-    w = (
-        Window.partitionBy("conv_id")
-        .orderBy("turn_idx")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    if max_context_turns is not None:
+        w = w.rowsBetween(-int(max_context_turns), -1)
+    else:
+        w = w.rowsBetween(Window.unboundedPreceding, -1)
     ctx = F.collect_list(
         F.struct(F.col("role"), F.col("text"))
     ).over(w)
     out = turns.select("conv_id", "turn_idx", "role", "text", ctx.alias("_ctx"))
-    if max_context_turns is not None:
-        k = int(max_context_turns)
-        out = out.withColumn(
-            "_ctx",
-            F.slice(
-                F.col("_ctx"),
-                F.greatest(F.size("_ctx") - F.lit(k) + 1, F.lit(1)),
-                F.lit(k),
-            ),
-        )
     rendered = F.array_join(
         F.transform(F.col("_ctx"), lambda s: F.concat(s.role, F.lit(": "), s.text)),
         "\n",

@@ -13,6 +13,10 @@ def _turns(spark):
         for t in range(n):
             role = ["user", "assistant", "tool", "assistant"][t % 4]
             rows.append((f"c{conv}", t, role, f"text {conv} {t} word{t}"))
+    # c6 OPENS with the response role: the conversation-opening example
+    # must surface with a NULL prompt and n_prompt_words == 0
+    rows += [("c6", 0, "assistant", "text 6 0 word0"),
+             ("c6", 1, "user", "text 6 1 word1")]
     return spark.createDataFrame(
         rows, "conv_id string, turn_idx int, role string, text string"
     )
@@ -56,6 +60,9 @@ def test_sft_pairs_brute_force(spark):
     # conversation-opening assistant turns exist and carry NULL prompts
     # only when there genuinely is no context
     assert all((v[0] is None) == (v[2] == 0) for v in got.values())
+    # ...and the fixture genuinely exercises that branch (c6 opens with
+    # the response role): NULL prompt, zero counted prompt words
+    assert got[("c6", 0)] == (None, "text 6 0 word0", 0, 0, 4)
 
 
 def test_sft_pairs_truncation_and_role(spark):
@@ -143,6 +150,25 @@ def test_conv_prefix_dedup_brute_force(spark):
     got2 = {r["conv_id"]: r["n_dups"]
             for r in dedup.conv_prefix_dedup(turns, prefix_turns=2).collect()}
     assert got2["c2"] == 2 and got2["c0"] == 1
+
+
+def test_conv_prefix_dedup_delimiter_injection(spark):
+    """A turn whose TEXT contains a newline + 'role: text'-looking line
+    must NOT collide with a genuinely two-turn prefix — the digest encoding
+    is length-prefixed, not a pretty-printed join."""
+    from marginaliasearch_spark.operators import dedup
+
+    turns = spark.createDataFrame(
+        [
+            ("a", 0, "user", "hi\n9:assistant:2:ok"),
+            ("b", 0, "user", "hi"),
+            ("b", 1, "assistant", "ok"),
+        ],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    got = {r["conv_id"]: r["n_dups"]
+           for r in dedup.conv_prefix_dedup(turns, prefix_turns=2).collect()}
+    assert got == {"a": 1, "b": 1}
 
 
 def test_conv_prefix_dedup_jvm_plan(spark):

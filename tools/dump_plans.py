@@ -685,7 +685,6 @@ def main() -> None:
 
     from marginaliasearch_spark.plans.pretrain import pretrain_manifest
 
-    raw_docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     sections.append(
         (
             "Pretrain-corpus manifest (filter chain → dedup → split → agg)",
@@ -702,15 +701,9 @@ def main() -> None:
     )
 
     from marginaliasearch_spark.operators import sft
+    from __spark_entry__ import _synth_turns  # the entry/twin-shared synthesis
 
-    sft_turns = raw_docs.select(
-        F.expr("doc_id div 5").alias("conv_id"),
-        F.pmod("doc_id", F.lit(5)).cast("long").alias("turn_idx"),
-        F.when(F.pmod("doc_id", F.lit(5)) % 2 == 0, F.lit("user"))
-        .otherwise(F.lit("assistant"))
-        .alias("role"),
-        "text",
-    )
+    sft_turns = _synth_turns(raw_docs)
     sections.append(
         (
             "SFT pair extraction (causal context window over conv_id)",
