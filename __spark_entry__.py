@@ -2575,7 +2575,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # see _NEW_THIS_ROUND.
 _NEW_THIS_ROUND: list[str] = [
     "mm_audio_meta", "mm_subtitles", "mm_subtitle_stats", "report_datacard",
-    "mm_image_tiff_features", "mm_image_tiff_resize",
+    "mm_image_tiff_features",
     "index_subject_keywords", "streaming_dedup", "streaming_windows",
     "mm_image_png_features", "mm_image_png_resize",
     "fulltext_searchset", "index_search_set",
@@ -2586,10 +2586,16 @@ _NEW_THIS_ROUND: list[str] = [
     "mm_image_jpeg_progressive", "mm_video_gif_frames",
     "fulltext_conv", "sim_kmeans", "dedup_semantic_kmeans",
     "sim_pq_topk", "sim_ivfpq_topk", "text_hash_embed", "dedup_semantic_text",
-    "text_bpe_encode", "mm_image_dhash", "mm_image_phash_dedup",
-    "mm_audio_afp", "mm_audio_afp_dedup",
-    "mm_video_vfp", "mm_video_neardup",
+    "text_bpe_encode", "mm_image_phash_dedup",
+    "mm_audio_afp_dedup", "mm_video_neardup",
     "pipeline_pretrain", "sft_pairs", "dedup_conv_prefix", "sft_pref_pairs",
+    # mm_image_dhash / mm_audio_afp / mm_video_vfp / mm_image_tiff_resize
+    # moved to the sibling-covered tail when the four round-4-continuation
+    # entries above landed: their kernels run INSIDE the in-window
+    # *_dedup/_neardup composites (and png/gif resize keep the resize
+    # kernel in-window), so they are the cheapest rows to trade for
+    # keeping the never-driver-verified keywords/topics/ranking entries
+    # inside the driver's historical ~50-entry window.
 ]
 _NEVER_DRIVER_VERIFIED = [
     "sample_stratified",
@@ -2620,6 +2626,11 @@ _NEVER_DRIVER_VERIFIED = [
     # pass); text_question_spam shares topics.py with in-window
     # text_topic_once.
     "text_bpe_vocab", "text_question_spam",
+    # round-4-continuation demotions (kernel runs inside an in-window
+    # composite: dhash/afp/vfp feed the *_dedup/_neardup entries above;
+    # the tiff decode is in-window via mm_image_tiff_features and the
+    # resize kernel via png/gif resize)
+    "mm_image_dhash", "mm_audio_afp", "mm_video_vfp", "mm_image_tiff_resize",
 ]
 # Tier 2: never driver-verified, but the round-3 judge (VERDICT.md /
 # ADVICE.md) ran tools/check_entry.py on each and recorded a pass —
