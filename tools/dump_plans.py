@@ -716,6 +716,37 @@ def main() -> None:
         )
     )
 
+    sections.append(
+        (
+            "Conversation-prefix dedup (length-prefixed digest, two aggs)",
+            "Things to check: the `turn_idx < k` filter sits directly on "
+            "the scan (only conversation HEADS reach the first Exchange); "
+            "two `HashAggregate` pairs (conv_id digest, then family "
+            "grouping), each with a map-side partial under its Exchange; "
+            "no Python operators, no window, no join.",
+            fmt(dedup.conv_prefix_dedup(sft_turns, prefix_turns=2)),
+        )
+    )
+
+    pref_cands = raw_docs.select(
+        F.concat(F.lit("prompt "), F.pmod("doc_id", F.lit(40)).cast("string")).alias(
+            "prompt"
+        ),
+        F.col("text").alias("response"),
+        F.length("text").cast("long").alias("score"),
+    )
+    sections.append(
+        (
+            "Preference-pair assembly (max_by/min_by, no arrays)",
+            "Things to check: two `HashAggregate` pairs (candidate dedup, "
+            "then max_by/min_by argmax/argmin) each with a map-side "
+            "partial under its Exchange — NO Window operator, no "
+            "collect_list, so a million-candidate prompt group costs "
+            "O(1) aggregation state per task, not an array.",
+            fmt(sft.preference_pairs(pref_cands)),
+        )
+    )
+
     out = ["# EXPLAIN — formatted physical plans of the hot paths",
            "",
            "Generated by `python tools/dump_plans.py` over the sf0.001 driver",
