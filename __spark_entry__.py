@@ -2502,6 +2502,36 @@ def _q_conv_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_refusal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canned-refusal audit (`sft.refusal_stats`): anchored-marker
+    detection over assistant turns, per-conversation counts + rate.
+    Refusal texts are planted on a deterministic slice of `_synth_turns`
+    assistant turns — one straight plant, one exercising the ltrim+case
+    normalization."""
+    from marginaliasearch_spark.operators import sft
+
+    a = F.col("role") == "assistant"
+    planted = _synth_turns(_docs(spark, sf_dir)).withColumn(
+        "text",
+        F.when(
+            a & (F.col("conv_id") % 3 == 0) & (F.col("turn_idx") == 1),
+            F.lit("I cannot help with that request."),
+        )
+        .when(
+            a & (F.col("conv_id") % 3 == 1) & (F.col("turn_idx") == 3),
+            F.lit("  As an AI, here's some context first."),
+        )
+        .otherwise(F.col("text")),
+    )
+    out = sft.refusal_stats(planted)
+    return out.select(
+        F.col("conv_id").cast("long").alias("conv_id"),
+        "n_responses",
+        "n_refusals",
+        "refusal_rate",
+    )
+
+
 def _q_pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end pretraining-corpus prep manifest: the SAME filter-chain
     mask -> exact dedup of survivors -> deterministic 98/1/1 hash split ->
@@ -2579,7 +2609,7 @@ _NEW_THIS_ROUND: list[str] = [
     "index_subject_keywords", "streaming_dedup", "streaming_windows",
     "mm_image_png_features", "mm_image_png_resize",
     "fulltext_searchset", "index_search_set",
-    "mm_image_gif_features", "mm_image_gif_resize",
+    "mm_image_gif_features",
     "fulltext_qs_wand", "fulltext_qs_gate",
     "mm_audio_containers", "mm_video_mkv_frames",
     "mm_audio_compressed", "mm_image_jpeg_features",
@@ -2589,6 +2619,7 @@ _NEW_THIS_ROUND: list[str] = [
     "text_bpe_encode", "mm_image_phash_dedup",
     "mm_audio_afp_dedup", "mm_video_neardup",
     "pipeline_pretrain", "sft_pairs", "dedup_conv_prefix", "sft_pref_pairs",
+    "sft_refusal_stats",
     # mm_image_dhash / mm_audio_afp / mm_video_vfp / mm_image_tiff_resize
     # moved to the sibling-covered tail when the four round-4-continuation
     # entries above landed: their kernels run INSIDE the in-window
@@ -2631,6 +2662,7 @@ _NEVER_DRIVER_VERIFIED = [
     # the tiff decode is in-window via mm_image_tiff_features and the
     # resize kernel via png/gif resize)
     "mm_image_dhash", "mm_audio_afp", "mm_video_vfp", "mm_image_tiff_resize",
+    "mm_image_gif_resize",
 ]
 # Tier 2: never driver-verified, but the round-3 judge (VERDICT.md /
 # ADVICE.md) ran tools/check_entry.py on each and recorded a pass —
@@ -2806,6 +2838,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_conv_prefix": _q_conv_prefix,
         # DPO/RLHF preference-pair assembly (chosen/rejected per prompt)
         "sft_pref_pairs": _q_pref_pairs,
+        # canned-refusal audit over assistant turns (SFT curation)
+        "sft_refusal_stats": _q_refusal_stats,
         "text_pii_redact": _q_pii_redact,
         "sample_chunks": _q_chunks,
         # BPE vocab induction (iterative; rows-only check by design —
@@ -2918,7 +2952,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     qv = ", ".join(repr(x) for x in _QVEC)
+    import re as _re
+
     import numpy as np
+
+    from marginaliasearch_spark.operators import sft as _sft
+
+    # the refusal regex built from the SAME marker constant the operator
+    # compiles (apostrophes doubled for the SQL string literal)
+    refusal_re = (
+        "^(?:" + "|".join(_re.escape(m) for m in _sft.REFUSAL_MARKERS) + ")"
+    ).replace("'", "''")
 
     qnorm = repr(float(np.linalg.norm(np.asarray(_QVEC, dtype=np.float64))))
     stops_en = textstats.LANG_MARKERS["en"]
@@ -3419,6 +3463,37 @@ SELECT CASE WHEN bucket < 98 THEN 'train'
        sum(length(text))::BIGINT AS sum_chars,
        sum(doc_id)::BIGINT AS id_checksum
 FROM hs GROUP BY 1, 2""",
+        # refusal audit: identical plants + the same anchored alternation
+        # regex the operator compiles (built above from REFUSAL_MARKERS)
+        "sft_refusal_stats": f"""
+WITH t AS (
+  SELECT doc_id // 5 AS conv_id, (doc_id % 5)::BIGINT AS turn_idx,
+         CASE WHEN doc_id % 5 % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         text
+  FROM documents
+),
+pl AS (
+  SELECT conv_id, turn_idx, role,
+    CASE WHEN role = 'assistant' AND conv_id % 3 = 0 AND turn_idx = 1
+           THEN 'I cannot help with that request.'
+         WHEN role = 'assistant' AND conv_id % 3 = 1 AND turn_idx = 3
+           THEN '  As an AI, here''s some context first.'
+         ELSE text END AS text
+  FROM t
+),
+fl AS (
+  SELECT conv_id, (role = 'assistant')::INT AS is_resp,
+    (role = 'assistant'
+     AND regexp_matches(ltrim(lower(text)), '{refusal_re}'))::INT AS is_ref
+  FROM pl
+)
+SELECT conv_id::BIGINT AS conv_id,
+       sum(is_resp)::BIGINT AS n_responses,
+       sum(is_ref)::BIGINT AS n_refusals,
+       CASE WHEN sum(is_resp) > 0
+            THEN round(sum(is_ref)::DOUBLE / sum(is_resp)::DOUBLE, 6)
+            ELSE 0.0 END AS refusal_rate
+FROM fl GROUP BY conv_id""",
         # preference-pair assembly: same prompt families + word-count
         # score; the digest tie-break re-derived with row_number windows
         # (DuckDB arg_max can't take a struct order key)

@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "sft_pairs",
     "dedup_conv_prefix",
     "sft_pref_pairs",
+    "sft_refusal_stats",
 ]
 
 

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["sft_pairs", "preference_pairs"]
+__all__ = ["sft_pairs", "preference_pairs", "refusal_flags", "refusal_stats"]
 
 # whitespace word-count spec shared with the DuckDB twin:
 # len(list_filter(regexp_split_to_array(trim(x), '\s+'), t -> t <> ''))
@@ -126,4 +126,74 @@ def preference_pairs(
             F.col("_r.s").alias("score_rejected"),
             "n_candidates",
         )
+    )
+
+
+# Canned-refusal openers, normalized (lowercase, leading whitespace
+# trimmed). A curation-time dictionary in the same spirit as the topic
+# detectors' term lists (operators/topics.py): data, deliberately small,
+# and overridable per deployment.
+REFUSAL_MARKERS: tuple[str, ...] = (
+    "i can't help with",
+    "i cannot help with",
+    "i can't assist with",
+    "i cannot assist with",
+    "i'm sorry, but i can't",
+    "i am sorry, but i cannot",
+    "i'm unable to",
+    "i am unable to",
+    "i won't be able to",
+    "as an ai",
+)
+
+
+def refusal_flags(
+    turns: DataFrame,
+    markers: tuple[str, ...] = REFUSAL_MARKERS,
+    response_role: str = "assistant",
+) -> DataFrame:
+    """Flag canned-refusal response turns — the SFT-curation step that
+    strips "I can't help with that" boilerplate before training.
+
+    A turn is a refusal when its normalized text (lowercased, trimmed)
+    OPENS with any marker — prefix-anchored on purpose: a response that
+    merely quotes or discusses a refusal phrase mid-text is not itself a
+    refusal. The markers compile to one anchored alternation regex
+    (Java ∩ RE2 subset, same portability rule as redact.py), so detection
+    is a single JVM ``rlike`` per row: no shuffle, no Python, and the
+    flag column fuses into whatever scan feeds it.
+
+    Output: the input columns plus ``is_refusal``. Compose with
+    :func:`sft_pairs` (drop flagged responses before pairing) or
+    aggregate per conversation for corpus refusal-rate dashboards.
+    """
+    import re as _re
+
+    pat = "^(?:" + "|".join(_re.escape(m) for m in markers) + ")"
+    norm = F.ltrim(F.lower(F.col("text")))
+    return turns.withColumn(
+        "is_refusal", (F.col("role") == response_role) & norm.rlike(pat)
+    )
+
+
+def refusal_stats(
+    turns: DataFrame,
+    markers: tuple[str, ...] = REFUSAL_MARKERS,
+    response_role: str = "assistant",
+) -> DataFrame:
+    """Per-conversation refusal audit: response-turn count, refusal count,
+    and the 6-decimal refusal rate. One hash aggregation on conv_id with
+    map-side partials; the rate a curation job slices on before deciding
+    which conversations to drop wholesale."""
+    flagged = refusal_flags(turns, markers, response_role)
+    n_resp = F.sum((F.col("role") == response_role).cast("long"))
+    n_ref = F.sum(F.col("is_refusal").cast("long"))
+    return flagged.groupBy("conv_id").agg(
+        n_resp.alias("n_responses"),
+        n_ref.alias("n_refusals"),
+        F.when(
+            n_resp > 0, F.round(n_ref.cast("double") / n_resp.cast("double"), 6)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("refusal_rate"),
     )

@@ -248,3 +248,51 @@ def test_preference_pairs_partitioning_invariant(spark):
         for r in sft.preference_pairs(c.orderBy(F.rand(3)).repartition(11)).collect()
     }
     assert a == b and a
+
+
+# --- refusal detection ------------------------------------------------------
+
+
+def test_refusal_flags_brute_force(spark):
+    import re
+
+    turns = spark.createDataFrame(
+        [
+            ("a", 0, "user", "I cannot help with this"),      # wrong role
+            ("a", 1, "assistant", "I cannot help with that"),  # refusal
+            ("a", 2, "user", "why not"),
+            ("a", 3, "assistant", "  AS AN AI, I must decline"),  # ltrim+case
+            ("b", 0, "user", "hello"),
+            # marker mid-text only -> NOT a refusal (prefix-anchored)
+            ("b", 1, "assistant", "sure: I cannot help with X is a refusal"),
+            ("b", 3, "assistant", "I'm unable to verify that claim"),  # refusal
+            ("c", 0, "user", "hi"),
+            ("c", 1, "assistant", "here is a real answer"),
+        ],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    from marginaliasearch_spark.operators import sft
+
+    got = {(r["conv_id"], r["turn_idx"]): r["is_refusal"]
+           for r in sft.refusal_flags(turns).collect()}
+    pat = re.compile("^(?:" + "|".join(re.escape(m) for m in sft.REFUSAL_MARKERS) + ")")
+    want = {(r[0], r[1]): (r[2] == "assistant"
+                           and bool(pat.match(r[3].lower().lstrip())))
+            for r in [tuple(x) for x in turns.collect()]}
+    assert got == want
+    assert got[("a", 1)] and got[("a", 3)] and got[("b", 3)]
+    assert not got[("a", 0)] and not got[("b", 1)] and not got[("c", 1)]
+
+    stats = {r["conv_id"]: (r["n_responses"], r["n_refusals"], r["refusal_rate"])
+             for r in sft.refusal_stats(turns).collect()}
+    assert stats == {"a": (2, 2, 1.0), "b": (2, 1, 0.5), "c": (1, 0, 0.0)}, stats
+
+
+def test_refusal_flags_jvm_plan(spark):
+    from marginaliasearch_spark.operators import sft
+
+    turns = _turns(spark)
+    plan = (sft.refusal_flags(turns)
+            ._jdf.queryExecution().executedPlan().toString())
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "Exchange"):
+        assert bad not in plan, plan  # flag fuses into the scan: no shuffle
