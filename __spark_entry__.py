@@ -2346,6 +2346,17 @@ def _q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.learn_bpe(_docs(spark, sf_dir), n_merges=16)
 
 
+def _q_sample_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded global training-order permutation (epoch shuffle): every
+    document gets a contiguous position 0..N-1 ordered by salted md5 hash
+    — exact positions via the same two-pass count→offset prefix sum as
+    sample_pack, never a global sort (`sampling.epoch_order`). The bucket
+    count defaults to the session's parallelism, so this entry doubles as
+    a partition-count-invariance proof: the permutation is a pure
+    function of (seed, doc_id)."""
+    return sampling.epoch_order(_docs(spark, sf_dir), seed="epoch-1")
+
+
 def _q_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concatenation sequence packing at context length 512: exact global
     token offsets via a two-pass distributed prefix sum — the count→offset
@@ -2619,7 +2630,7 @@ _NEW_THIS_ROUND: list[str] = [
     "text_bpe_encode", "mm_image_phash_dedup",
     "mm_audio_afp_dedup", "mm_video_neardup",
     "pipeline_pretrain", "sft_pairs", "dedup_conv_prefix", "sft_pref_pairs",
-    "sft_refusal_stats",
+    "sft_refusal_stats", "sample_epoch_order",
     # mm_image_dhash / mm_audio_afp / mm_video_vfp / mm_image_tiff_resize
     # moved to the sibling-covered tail when the four round-4-continuation
     # entries above landed: their kernels run INSIDE the in-window
@@ -2820,6 +2831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # temperature-scaled mixing quota (mC4/XLM-R style)
         "sample_temperature": _q_sample_temperature,
         # sequence packing via two-pass distributed prefix sum (W1)
+        "sample_epoch_order": _q_sample_epoch_order,
         "sample_pack": _q_sample_pack,
         # train/eval n-gram decontamination audit (GPT-3 appendix C)
         "decontam_overlap": _q_contamination,
@@ -3315,6 +3327,13 @@ WHERE rn <= least(n, ceil(8.0 * sqrt(n::DOUBLE)))""",
         # concatenation packing: exclusive running token sum over the
         # salted-hash order, sequence indices by integer division — the
         # single-window oracle twin of the distributed two-pass prefix sum
+        "sample_epoch_order": """
+SELECT doc_id,
+       (row_number() OVER (
+          ORDER BY ('0x' || substr(md5('epoch-1:' || doc_id::VARCHAR), 1, 15))
+                     ::UBIGINT,
+                   doc_id) - 1)::BIGINT AS pos
+FROM documents""",
         "sample_pack": """
 WITH pt AS (
   SELECT doc_id,

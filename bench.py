@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "dedup_conv_prefix",
     "sft_pref_pairs",
     "sft_refusal_stats",
+    "sample_epoch_order",
 ]
 
 

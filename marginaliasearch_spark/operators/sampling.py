@@ -275,6 +275,69 @@ def pack_sequences(
     )
 
 
+def epoch_order(
+    docs: DataFrame,
+    seed: str = "epoch-0",
+    id_col: str = "doc_id",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Deterministic global training-order permutation: assign every
+    document a contiguous position ``0..N-1`` in a seeded pseudorandom
+    order — the "shuffle the corpus before each epoch" step of a
+    pretraining pipeline (vary ``seed`` per epoch for a fresh
+    permutation). The order key is the salted 60-bit md5 hash this module
+    uses everywhere (tiebreak: id), so the permutation is a pure function
+    of (seed, id): re-runs, resumes, and different cluster sizes all
+    produce the identical order, unlike ``orderBy(rand(seed))`` whose
+    draw depends on the physical partitioning.
+
+    Positions are exact and contiguous WITHOUT a global sort bottleneck —
+    the same two-pass count→offset prefix sum as :func:`pack_sequences`
+    (SURVEY §2 W1): rows bucket by fixed hash ranges (the bucket id is a
+    PREFIX of the order key, so per-bucket order concatenated in bucket
+    order IS the global order); pass 1 counts per bucket (``n_buckets``
+    rows to the driver — bytes); pass 2 ranks within each bucket in
+    parallel and adds the bucket's exclusive-scanned base offset via a
+    broadcast join. All JVM-side: one shuffle (the bucket
+    repartition), one per-bucket window sort, no Python. At 100 TB set
+    ``n_buckets`` so a bucket (~N/n_buckets rows) sort fits an executor
+    — e.g. 64k buckets for 10^12 turns.
+
+    Returns ``(doc_id, pos)``. Oracle twin: a single
+    ``row_number() OVER (ORDER BY hash, id) - 1`` — equivalent because
+    bucket-major order equals hash order.
+    """
+    P = n_buckets or docs.sparkSession.sparkContext.defaultParallelism
+    width = -(-HASH_MOD // P)  # ceil → pid < P
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _hash60(F.col(id_col), seed).alias("h"),
+    ).withColumn("pid", F.expr(f"h DIV {width}"))
+
+    counts = base.groupBy("pid").agg(F.count("*").alias("c"))
+    rows = sorted(
+        (r["pid"], r["c"]) for r in counts.collect()
+    )  # n_buckets rows — driver-sized by construction
+    offsets, acc = [], 0
+    for pid, c in rows:
+        offsets.append((pid, acc))
+        acc += c
+    off = F.broadcast(
+        docs.sparkSession.createDataFrame(offsets, "pid long, base long")
+    )
+
+    w = Window.partitionBy("pid").orderBy("h", "doc_id")
+    return (
+        base.repartition(P, "pid")
+        .withColumn("rn", F.row_number().over(w))
+        .join(off, "pid")
+        .select(
+            "doc_id",
+            (F.col("base") + F.col("rn") - 1).cast("long").alias("pos"),
+        )
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     max_tokens: int = 512,

@@ -288,3 +288,47 @@ class TestChunkDocuments:
         docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         with pytest.raises(ValueError):
             chunk_documents(docs, 8, 8)
+
+
+class TestEpochOrder:
+    def test_matches_brute_force_permutation(self, spark):
+        """Positions are exactly the hash-order ranks a driver-side sort
+        produces — the two-pass prefix sum introduces no approximation."""
+        import hashlib
+
+        ids = list(range(137))
+        df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        got = {
+            r["doc_id"]: r["pos"]
+            for r in sampling.epoch_order(df, seed="epoch-7").collect()
+        }
+
+        def h(i):
+            return int(
+                hashlib.md5(f"epoch-7:{i}".encode()).hexdigest()[:15], 16
+            )
+
+        want = {
+            i: p for p, i in enumerate(sorted(ids, key=lambda i: (h(i), i)))
+        }
+        assert got == want
+
+    def test_invariant_to_bucket_count(self, spark):
+        """The permutation is a pure function of (seed, id): any bucket
+        count — including 1 and more-buckets-than-rows — yields identical
+        positions (the cluster-size-portability property)."""
+        df = spark.createDataFrame([(i,) for i in range(101)], "doc_id long")
+        ref = sorted(
+            sampling.epoch_order(df, n_buckets=1).collect()
+        )
+        for p in (3, 16, 257):
+            assert sorted(sampling.epoch_order(df, n_buckets=p).collect()) == ref
+
+    def test_distinct_seeds_distinct_orders(self, spark):
+        df = spark.createDataFrame([(i,) for i in range(64)], "doc_id long")
+        a = {r["doc_id"]: r["pos"] for r in sampling.epoch_order(df, "epoch-0").collect()}
+        b = {r["doc_id"]: r["pos"] for r in sampling.epoch_order(df, "epoch-1").collect()}
+        assert a != b
+        # both are bijections onto 0..N-1
+        assert sorted(a.values()) == list(range(64))
+        assert sorted(b.values()) == list(range(64))
