@@ -2357,6 +2357,14 @@ def _q_sample_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.epoch_order(_docs(spark, sf_dir), seed="epoch-1")
 
 
+def _q_sample_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equal-count length bucketing (SQL ntile semantics) over the
+    whitespace token count — sorted-batching prep that minimizes padding
+    waste. Global ranks come from the per-token-count two-pass scan, never
+    a single-partition window (`sampling.length_buckets`)."""
+    return sampling.length_buckets(_docs(spark, sf_dir), n_buckets=8)
+
+
 def _q_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concatenation sequence packing at context length 512: exact global
     token offsets via a two-pass distributed prefix sum — the count→offset
@@ -2630,7 +2638,7 @@ _NEW_THIS_ROUND: list[str] = [
     "text_bpe_encode", "mm_image_phash_dedup",
     "mm_audio_afp_dedup", "mm_video_neardup",
     "pipeline_pretrain", "sft_pairs", "dedup_conv_prefix", "sft_pref_pairs",
-    "sft_refusal_stats", "sample_epoch_order",
+    "sft_refusal_stats", "sample_epoch_order", "sample_length_buckets",
     # mm_image_dhash / mm_audio_afp / mm_video_vfp / mm_image_tiff_resize
     # moved to the sibling-covered tail when the four round-4-continuation
     # entries above landed: their kernels run INSIDE the in-window
@@ -2832,6 +2840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_temperature": _q_sample_temperature,
         # sequence packing via two-pass distributed prefix sum (W1)
         "sample_epoch_order": _q_sample_epoch_order,
+        "sample_length_buckets": _q_sample_length_buckets,
         "sample_pack": _q_sample_pack,
         # train/eval n-gram decontamination audit (GPT-3 appendix C)
         "decontam_overlap": _q_contamination,
@@ -3333,6 +3342,17 @@ SELECT doc_id,
           ORDER BY ('0x' || substr(md5('epoch-1:' || doc_id::VARCHAR), 1, 15))
                      ::UBIGINT,
                    doc_id) - 1)::BIGINT AS pos
+FROM documents""",
+        # exact ntile twin of the distributed per-token-count rank scan
+        "sample_length_buckets": """
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       t -> t <> ''))::BIGINT AS n_tokens,
+       ntile(8) OVER (
+         ORDER BY len(list_filter(
+                    regexp_split_to_array(trim(lower(text)), '\\s+'),
+                    t -> t <> '')),
+                  doc_id)::BIGINT AS bucket
 FROM documents""",
         "sample_pack": """
 WITH pt AS (

@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "sft_pref_pairs",
     "sft_refusal_stats",
     "sample_epoch_order",
+    "sample_length_buckets",
 ]
 
 

@@ -338,6 +338,85 @@ def epoch_order(
     )
 
 
+def length_buckets(
+    docs: DataFrame,
+    n_buckets: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact equal-count length bucketing (SQL ``ntile`` semantics) over
+    the whitespace token count — the sorted-batching prep that cuts
+    padding waste when sequences are batched by similar length
+    (bucket 1 = shortest ``ceil(N/k)`` docs, … bucket k = longest).
+
+    ``ntile`` needs every document's exact global rank in (token count,
+    id) order; a window over an un-partitioned ORDER BY is a
+    single-partition sort. Instead this reuses the module's two-pass
+    scan with the ORDER KEY ITSELF as the bucket: pass 1 aggregates
+    per-token-count doc counts (cardinality ≤ max document length —
+    driver-sized for any real corpus; it is a count relation, not data)
+    and exclusive-scans them into per-count base ranks; pass 2 ranks
+    within each token-count group (window partitioned by ``tok``) and
+    adds the broadcast base. Same-length runs are the only skew surface
+    (a corpus where most documents have identical token counts serializes
+    that one group's window — the stratified-sample giant-stratum note
+    applies).
+
+    Returns ``(doc_id, n_tokens, bucket)`` with buckets 1-based and sizes
+    matching SQL ntile exactly: the first ``N mod k`` buckets get
+    ``N div k + 1`` rows, the rest ``N div k``.
+    """
+    toks = F.size(
+        F.filter(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+            lambda t: t != "",
+        )
+    ).cast("long")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("tok")
+    )
+
+    counts = sorted(
+        (r["tok"], r["c"])
+        for r in base.groupBy("tok").agg(F.count("*").alias("c")).collect()
+    )
+    n_total = sum(c for _, c in counts)
+    offsets, acc = [], 0
+    for tok, c in counts:
+        offsets.append((tok, acc))
+        acc += c
+    off = F.broadcast(
+        docs.sparkSession.createDataFrame(offsets, "tok long, base long")
+    )
+
+    k = n_buckets
+    q, r = divmod(n_total, k)
+    w = Window.partitionBy("tok").orderBy("doc_id")
+    ranked = (
+        base.repartition("tok")
+        .join(off, "tok")
+        # exact global 1-based rank in (tok, doc_id) order; integer DIV
+        # below (never float /) so ranks near 10^12 can't round across a
+        # bucket boundary
+        .withColumn("rn", F.col("base") + F.row_number().over(w))
+    )
+    # SQL ntile: buckets 1..r take q+1 rows, buckets r+1..k take q
+    split = r * (q + 1)
+    tail = (
+        F.expr(f"{r} + (rn - {split} - 1) DIV {q}") if q else F.lit(r - 1)
+    )
+    bucket = (
+        F.when(F.col("rn") <= split, F.expr(f"(rn - 1) DIV {q + 1}"))
+        .otherwise(tail)
+        + 1
+    )
+    return ranked.select(
+        "doc_id",
+        F.col("tok").alias("n_tokens"),
+        bucket.cast("long").alias("bucket"),
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     max_tokens: int = 512,

@@ -332,3 +332,42 @@ class TestEpochOrder:
         # both are bijections onto 0..N-1
         assert sorted(a.values()) == list(range(64))
         assert sorted(b.values()) == list(range(64))
+
+
+class TestLengthBuckets:
+    @staticmethod
+    def _brute_ntile(rows, k):
+        """(doc_id, text) -> {doc_id: bucket} with SQL ntile semantics."""
+        order = sorted(
+            ((len(t.split()), i) for i, t in rows),
+        )
+        n = len(order)
+        q, r = divmod(n, k)
+        out = {}
+        for pos, (_, i) in enumerate(order):  # pos 0-based
+            if pos < r * (q + 1):
+                out[i] = pos // (q + 1) + 1
+            else:
+                out[i] = r + (pos - r * (q + 1)) // q + 1
+        return out
+
+    def test_matches_brute_force_with_ties(self, spark):
+        """Heavily tied lengths (few distinct counts) still rank exactly;
+        bucket sizes follow ntile (first N mod k buckets one larger)."""
+        rows = [(i, " ".join(["w"] * (i % 5 + 1))) for i in range(103)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["bucket"]
+            for r in sampling.length_buckets(df, n_buckets=4).collect()
+        }
+        assert got == self._brute_ntile(rows, 4)
+
+    def test_more_buckets_than_rows(self, spark):
+        """k > N (q = 0): row j lands alone in bucket j+1, like SQL ntile."""
+        rows = [(i, " ".join(["w"] * (i + 1))) for i in range(3)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["bucket"]
+            for r in sampling.length_buckets(df, n_buckets=8).collect()
+        }
+        assert got == {0: 1, 1: 2, 2: 3}

@@ -747,6 +747,21 @@ def main() -> None:
         )
     )
 
+    from marginaliasearch_spark.operators import sampling
+
+    sections.append(
+        (
+            "Epoch-shuffle training order (two-pass prefix sum, no global sort)",
+            "Things to check: ONE `Exchange hashpartitioning(pid)` feeding a "
+            "per-bucket `Sort` + `Window` (row_number within fixed hash-range "
+            "buckets — never a range or single-partition exchange), then a "
+            "`BroadcastHashJoin` against the n_buckets-row offset table; all "
+            "whole-stage codegen, no Python operators. The count pass ran "
+            "eagerly before this plan (n_buckets rows to the driver — bytes).",
+            fmt(sampling.epoch_order(raw_docs.select("doc_id"), seed="epoch-1")),
+        )
+    )
+
     out = ["# EXPLAIN — formatted physical plans of the hot paths",
            "",
            "Generated by `python tools/dump_plans.py` over the sf0.001 driver",
