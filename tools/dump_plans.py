@@ -762,6 +762,18 @@ def main() -> None:
         )
     )
 
+    sections.append(
+        (
+            "Length bucketing (exact ntile via per-token-count rank scan)",
+            "Things to check: the window is partitioned by `tok` (per-"
+            "token-count groups rank in parallel) — NEVER a single-"
+            "partition un-partitioned ORDER BY window; the base-rank "
+            "table arrives through a `BroadcastHashJoin`; bucket math is "
+            "integer DIV inside whole-stage codegen.",
+            fmt(sampling.length_buckets(raw_docs, n_buckets=8)),
+        )
+    )
+
     out = ["# EXPLAIN — formatted physical plans of the hot paths",
            "",
            "Generated by `python tools/dump_plans.py` over the sf0.001 driver",
