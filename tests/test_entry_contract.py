@@ -50,11 +50,24 @@ def test_verification_order_is_a_permutation():
     # _verification_order is applied inside queries(); reordering must
     # neither drop nor duplicate entries
     assert len(base) == len(set(base))
-    # new-this-round entries genuinely lead the dict (inside any plausible
-    # driver window)
+    # the self-rotating invariant: EVERY entry the driver has never
+    # recorded (no row in any CORRECTNESS_r*.json) leads EVERY entry it
+    # has — so each round's ~50-entry sweep window automatically covers
+    # what prior rounds missed
     keys = list(base)
+    recorded = m._recorded_entries()
+    idx = {k: i for i, k in enumerate(keys)}
+    unrec = [idx[k] for k in keys if k not in recorded]
+    rec = [idx[k] for k in keys if k in recorded]
+    if unrec and rec:
+        assert max(unrec) < min(rec), (
+            "recorded entry ahead of an unrecorded one",
+            [k for k in keys if k in recorded][:3],
+        )
+    # new-this-round entries lead the dict while they lack a driver row
     for k in m._NEW_THIS_ROUND:
-        assert keys.index(k) < 50, (k, keys.index(k))
+        if k not in recorded:
+            assert keys.index(k) < 50, (k, keys.index(k))
 
 
 def test_oracle_sql_only_references_registered_tables():
