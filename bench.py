@@ -505,6 +505,13 @@ def main() -> None:
                     "build": build,
                     "cores": args.cores,
                     "host": {"before": probe_before, "after": _host_probe()},
+                    # authoritative north-rule scaling record (bench.py
+                    # --scaling, spark-submit 1-vs-4 median-of-3), measured
+                    # in the last healthy host window — see BASELINE.md
+                    # "Scaling ladders" + the 2026-08-18 incident note for
+                    # why degraded-window ladders are box measurements
+                    "scaling_efficiency_recorded": 0.828,
+                    "scaling_record_source": "BASELINE.md round-3 final-tree spark-submit ladder (pre-incident)",
                 }
         )
     finally:

@@ -351,16 +351,24 @@ def length_buckets(
 
     ``ntile`` needs every document's exact global rank in (token count,
     id) order; a window over an un-partitioned ORDER BY is a
-    single-partition sort. Instead this reuses the module's two-pass
-    scan with the ORDER KEY ITSELF as the bucket: pass 1 aggregates
-    per-token-count doc counts (cardinality ≤ max document length —
-    driver-sized for any real corpus; it is a count relation, not data)
-    and exclusive-scans them into per-count base ranks; pass 2 ranks
-    within each token-count group (window partitioned by ``tok``) and
-    adds the broadcast base. Same-length runs are the only skew surface
-    (a corpus where most documents have identical token counts serializes
-    that one group's window — the stratified-sample giant-stratum note
-    applies).
+    single-partition sort. Instead the rank decomposes exactly into
+    three addends, none of which ever sorts more than one id-range of
+    one token count:
+
+    1. per-token-count base ranks — pass 1 aggregates per-``tok`` doc
+       counts (cardinality ≤ max document length — driver-sized for any
+       real corpus; it is a count relation, not data) and
+       exclusive-scans them on the driver;
+    2. within-``tok`` id-range offsets — each token-count group is
+       subdivided into fixed id ranges (width from the corpus min/max
+       id — deterministic aggregates, never sampled boundaries), and a
+       tiny window over the (tok, range) COUNT relation (≤ n_subbuckets
+       rows per group) exclusive-scans range offsets. This is what
+       keeps a corpus where most documents share one length — e.g. the
+       output of :func:`chunk_documents`, where most chunks are exactly
+       ``max_tokens`` — from serializing into a single giant sort;
+    3. a row_number window partitioned by (tok, range): every sort is
+       one id-range of one length group, parallel across both.
 
     Returns ``(doc_id, n_tokens, bucket)`` with buckets 1-based and sizes
     matching SQL ntile exactly: the first ``N mod k`` buckets get
@@ -372,33 +380,62 @@ def length_buckets(
             lambda t: t != "",
         )
     ).cast("long")
+    spark = docs.sparkSession
     base = docs.select(
         F.col(id_col).alias("doc_id"), toks.alias("tok")
     )
 
-    counts = sorted(
+    S = spark.sparkContext.defaultParallelism
+    ext = base.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"),
+        F.count("*").alias("n")
+    ).first()
+    n_total = ext["n"]
+    if n_total == 0:
+        return spark.createDataFrame(
+            [], "doc_id long, n_tokens long, bucket long"
+        )
+    lo = ext["lo"]
+    width = max(1, (ext["hi"] - lo) // S + 1)
+
+    sub = base.withColumn("sb", F.expr(f"(doc_id - {lo}) DIV {width}"))
+    cnt = sub.groupBy("tok", "sb").agg(F.count("*").alias("c"))
+    # addend 1: per-tok base (driver-sized: one row per distinct length)
+    tok_counts = sorted(
         (r["tok"], r["c"])
-        for r in base.groupBy("tok").agg(F.count("*").alias("c")).collect()
+        for r in cnt.groupBy("tok").agg(F.sum("c").alias("c")).collect()
     )
-    n_total = sum(c for _, c in counts)
     offsets, acc = [], 0
-    for tok, c in counts:
+    for tok, c in tok_counts:
         offsets.append((tok, acc))
         acc += c
-    off = F.broadcast(
-        docs.sparkSession.createDataFrame(offsets, "tok long, base long")
+    tok_off = F.broadcast(
+        spark.createDataFrame(offsets, "tok long, base long")
     )
+    # addend 2: within-tok id-range offsets — a window over the COUNT
+    # relation (≤ S rows per tok group), never over data rows
+    wo = Window.partitionBy("tok").orderBy("sb")
+    sb_off = cnt.withColumn(
+        "sb_base",
+        F.coalesce(
+            F.sum("c").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).select("tok", "sb", "sb_base")
 
     k = n_buckets
     q, r = divmod(n_total, k)
-    w = Window.partitionBy("tok").orderBy("doc_id")
+    # addend 3: rank within one id-range of one length group
+    w = Window.partitionBy("tok", "sb").orderBy("doc_id")
     ranked = (
-        base.repartition("tok")
-        .join(off, "tok")
+        sub.join(sb_off, ["tok", "sb"])
+        .join(tok_off, "tok")
         # exact global 1-based rank in (tok, doc_id) order; integer DIV
         # below (never float /) so ranks near 10^12 can't round across a
         # bucket boundary
-        .withColumn("rn", F.col("base") + F.row_number().over(w))
+        .withColumn(
+            "rn", F.col("base") + F.col("sb_base") + F.row_number().over(w)
+        )
     )
     # SQL ntile: buckets 1..r take q+1 rows, buckets r+1..k take q
     split = r * (q + 1)

@@ -371,3 +371,17 @@ class TestLengthBuckets:
             for r in sampling.length_buckets(df, n_buckets=8).collect()
         }
         assert got == {0: 1, 1: 2, 2: 3}
+
+    def test_giant_same_length_group(self, spark):
+        """The realistic worst case — 90% of docs share one length (the
+        chunk_documents output shape) — still ranks exactly; the id-range
+        sub-buckets keep it from being one serialized sort."""
+        rows = [(i + 1000, "w " * 7) for i in range(450)]
+        rows += [(i, " ".join(["v"] * (i % 9 + 1))) for i in range(50)]
+        rows = [(i, t.strip()) for i, t in rows]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["bucket"]
+            for r in sampling.length_buckets(df, n_buckets=7).collect()
+        }
+        assert got == self._brute_ntile(rows, 7)

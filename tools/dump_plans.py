@@ -765,11 +765,14 @@ def main() -> None:
     sections.append(
         (
             "Length bucketing (exact ntile via per-token-count rank scan)",
-            "Things to check: the window is partitioned by `tok` (per-"
-            "token-count groups rank in parallel) — NEVER a single-"
-            "partition un-partitioned ORDER BY window; the base-rank "
-            "table arrives through a `BroadcastHashJoin`; bucket math is "
-            "integer DIV inside whole-stage codegen.",
+            "Things to check: the data-row window is partitioned by "
+            "`(tok, sb)` — one id-range of one length group, so a corpus "
+            "where most docs share a length (chunked corpora) still ranks "
+            "in parallel; the only other window runs over the (tok, sb) "
+            "COUNT relation (≤ subbucket rows per group); the per-tok "
+            "base table arrives through a `BroadcastHashJoin`; bucket "
+            "math is integer DIV inside whole-stage codegen. NEVER a "
+            "single-partition un-partitioned ORDER BY window.",
             fmt(sampling.length_buckets(raw_docs, n_buckets=8)),
         )
     )
