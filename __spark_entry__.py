@@ -2723,9 +2723,16 @@ def _recorded_entries() -> set[str]:
     for p in sorted(_glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
             with open(p) as f:
-                out |= set(_json.load(f))
+                rec = _json.load(f)
         except Exception:  # noqa: BLE001 — a malformed record never breaks queries()
             continue
+        for name, row in rec.items():
+            # only a CLEAN row counts as recorded: an errored attempt
+            # (sweep timeout, missing oracle, raised query) must keep the
+            # entry in the never-recorded lead so it gets re-checked —
+            # e.g. r01's six "no_oracle" rows, whose oracles landed later
+            if isinstance(row, dict) and not row.get("err"):
+                out.add(name)
     return out
 
 
@@ -3373,9 +3380,9 @@ tr AS (
 )
 SELECT doc_id, lang FROM tr
 WHERE rn <= least(n, ceil(8.0 * sqrt(n::DOUBLE)))""",
-        # concatenation packing: exclusive running token sum over the
-        # salted-hash order, sequence indices by integer division — the
-        # single-window oracle twin of the distributed two-pass prefix sum
+        # epoch shuffle: single-window rank twin of the distributed
+        # bucket-major prefix sum (bucket id is a hash prefix, so the
+        # hash order IS the bucket-major order)
         "sample_epoch_order": """
 SELECT doc_id,
        (row_number() OVER (
@@ -3394,6 +3401,9 @@ SELECT doc_id,
                     t -> t <> '')),
                   doc_id)::BIGINT AS bucket
 FROM documents""",
+        # concatenation packing: exclusive running token sum over the
+        # salted-hash order, sequence indices by integer division — the
+        # single-window oracle twin of the distributed two-pass prefix sum
         "sample_pack": """
 WITH pt AS (
   SELECT doc_id,

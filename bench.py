@@ -505,13 +505,18 @@ def main() -> None:
                     "build": build,
                     "cores": args.cores,
                     "host": {"before": probe_before, "after": _host_probe()},
-                    # authoritative north-rule scaling record (bench.py
-                    # --scaling, spark-submit 1-vs-4 median-of-3), measured
-                    # in the last healthy host window — see BASELINE.md
-                    # "Scaling ladders" + the 2026-08-18 incident note for
-                    # why degraded-window ladders are box measurements
-                    "scaling_efficiency_recorded": 0.828,
-                    "scaling_record_source": "BASELINE.md round-3 final-tree spark-submit ladder (pre-incident)",
+                    # pointer to the authoritative north-rule scaling
+                    # record — an UNREMEASURED historical value, clearly
+                    # labeled as such (this run did not measure scaling;
+                    # run `bench.py --scaling` for a fresh ladder). See
+                    # BASELINE.md "Scaling ladders" + the 2026-08-18
+                    # incident note for why degraded-window ladders are
+                    # box measurements.
+                    "scaling_reference": {
+                        "efficiency": 0.828,
+                        "measured": "round-3 final-tree spark-submit 1-vs-4 ladder, median-of-3, pre-incident",
+                        "note": "historical record from BASELINE.md, not measured by this run",
+                    },
                 }
         )
     finally:

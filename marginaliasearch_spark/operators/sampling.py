@@ -305,9 +305,13 @@ def epoch_order(
 
     Returns ``(doc_id, pos)``. Oracle twin: a single
     ``row_number() OVER (ORDER BY hash, id) - 1`` — equivalent because
-    bucket-major order equals hash order.
+    bucket-major order equals hash order. A NULL id has no defined place
+    in the permutation — the count pass detects one and raises rather
+    than silently dropping or misplacing the row.
     """
     P = n_buckets or docs.sparkSession.sparkContext.defaultParallelism
+    if P < 1:
+        raise ValueError("need n_buckets >= 1")
     width = -(-HASH_MOD // P)  # ceil → pid < P
     base = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -315,9 +319,10 @@ def epoch_order(
     ).withColumn("pid", F.expr(f"h DIV {width}"))
 
     counts = base.groupBy("pid").agg(F.count("*").alias("c"))
-    rows = sorted(
-        (r["pid"], r["c"]) for r in counts.collect()
-    )  # n_buckets rows — driver-sized by construction
+    raw = [(r["pid"], r["c"]) for r in counts.collect()]
+    if any(pid is None for pid, _ in raw):
+        raise ValueError(f"epoch_order: NULL {id_col} has no defined position")
+    rows = sorted(raw)  # n_buckets rows — driver-sized by construction
     offsets, acc = [], 0
     for pid, c in rows:
         offsets.append((pid, acc))
@@ -374,9 +379,17 @@ def length_buckets(
     matching SQL ntile exactly: the first ``N mod k`` buckets get
     ``N div k + 1`` rows, the rest ``N div k``.
     """
+    if n_buckets < 1:
+        raise ValueError("need n_buckets >= 1")
+    # NULL text counts as the empty document (0 tokens) — the corpus may
+    # legitimately carry them, and an undefined NULL length would sort
+    # differently in Spark (NULLS FIRST) vs DuckDB (NULLS LAST)
     toks = F.size(
         F.filter(
-            F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+            F.split(
+                F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))),
+                r"\s+",
+            ),
             lambda t: t != "",
         )
     ).cast("long")
@@ -386,20 +399,27 @@ def length_buckets(
     )
 
     S = spark.sparkContext.defaultParallelism
+    # the text column prunes out of this scan — min/max/count touch ids only
     ext = base.agg(
         F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"),
-        F.count("*").alias("n")
+        F.count("*").alias("n"), F.count("doc_id").alias("n_ids")
     ).first()
     n_total = ext["n"]
     if n_total == 0:
         return spark.createDataFrame(
             [], "doc_id long, n_tokens long, bucket long"
         )
+    if ext["n_ids"] != n_total:
+        raise ValueError(f"length_buckets: NULL {id_col} has no defined rank")
     lo = ext["lo"]
     width = max(1, (ext["hi"] - lo) // S + 1)
 
     sub = base.withColumn("sb", F.expr(f"(doc_id - {lo}) DIV {width}"))
-    cnt = sub.groupBy("tok", "sb").agg(F.count("*").alias("c"))
+    # persisted: the count relation (≤ distinct lengths × S rows — far too
+    # wide to collect at scale, but trivial to cache) feeds BOTH the
+    # per-tok driver scan and the sb_off window below; without the persist
+    # each reader would re-tokenize the whole corpus
+    cnt = sub.groupBy("tok", "sb").agg(F.count("*").alias("c")).persist()
     # addend 1: per-tok base (driver-sized: one row per distinct length)
     tok_counts = sorted(
         (r["tok"], r["c"])

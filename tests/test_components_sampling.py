@@ -385,3 +385,30 @@ class TestLengthBuckets:
             for r in sampling.length_buckets(df, n_buckets=7).collect()
         }
         assert got == self._brute_ntile(rows, 7)
+
+    def test_null_text_counts_as_empty(self, spark):
+        """A NULL text row is the empty document (0 tokens, lowest rank
+        block) — never a crash, never engine-dependent NULL ordering."""
+        rows = [(1, "a b c"), (2, None), (3, "a")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["bucket"])
+            for r in sampling.length_buckets(df, n_buckets=3).collect()
+        }
+        assert got == {2: (0, 1), 3: (1, 2), 1: (3, 3)}
+
+    def test_rejects_bad_inputs(self, spark):
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            sampling.length_buckets(df, n_buckets=0)
+        null_id = spark.createDataFrame(
+            [(None, "x")], "doc_id long, text string"
+        )
+        with pytest.raises(ValueError, match="NULL"):
+            sampling.length_buckets(null_id, n_buckets=2)
+
+
+def test_epoch_order_rejects_null_ids(spark):
+    df = spark.createDataFrame([(1,), (None,)], "doc_id long")
+    with pytest.raises(ValueError, match="NULL"):
+        sampling.epoch_order(df)

@@ -129,6 +129,7 @@ def main() -> None:
     names = sorted(set(a) | set(b))
     report = {"sf_dir": args.sf_dir, "cells": args.cells, "entries": {}}
     n_match = n_mismatch = n_err = 0
+    n_missing = 0
     for name in names:
         ra, rb = a.get(name, {}), b.get(name, {})
         if "error" in ra or "error" in rb:
@@ -137,6 +138,14 @@ def main() -> None:
                 "err": ra.get("error") or rb.get("error"),
             }
             n_err += 1
+        elif not ra or not rb:
+            # present in only one cell (e.g. an entry committed between
+            # the two runs) — a coverage gap, NOT nondeterminism
+            report["entries"][name] = {
+                "status": "missing",
+                "cell": args.cells[0] if not ra else args.cells[1],
+            }
+            n_missing += 1
         elif ra.get("hash") == rb.get("hash"):
             report["entries"][name] = {"status": "match", "rows": ra["rows"]}
             n_match += 1
@@ -149,7 +158,7 @@ def main() -> None:
             n_mismatch += 1
     report["summary"] = {
         "match": n_match, "mismatch": n_mismatch, "error": n_err,
-        "total": len(names),
+        "missing": n_missing, "total": len(names),
     }
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
@@ -157,6 +166,10 @@ def main() -> None:
     mism = [n for n, v in report["entries"].items() if v["status"] != "match"]
     if mism:
         print("non-matching:", " ".join(mism))
+    # a determinism proof that can't fail is no proof: nonzero exit on any
+    # real mismatch or errored entry (missing = coverage gap, exit 0)
+    if n_mismatch or n_err:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
