@@ -2642,7 +2642,7 @@ _NEW_THIS_ROUND: list[str] = [
     # mm_image_dhash / mm_audio_afp / mm_video_vfp / mm_image_tiff_resize
     # moved to the sibling-covered tail when the four round-4-continuation
     # entries above landed: their kernels run INSIDE the in-window
-    # *_dedup/_neardup composites (and png/gif resize keep the resize
+    # *_dedup/_neardup composites (and png resize keeps the resize
     # kernel in-window), so they are the cheapest rows to trade for
     # keeping the never-driver-verified keywords/topics/ranking entries
     # inside the driver's historical ~50-entry window.
@@ -2679,7 +2679,7 @@ _NEVER_DRIVER_VERIFIED = [
     # round-4-continuation demotions (kernel runs inside an in-window
     # composite: dhash/afp/vfp feed the *_dedup/_neardup entries above;
     # the tiff decode is in-window via mm_image_tiff_features and the
-    # resize kernel via png/gif resize)
+    # resize kernel via png resize; gif resize itself sits in this tier)
     "mm_image_dhash", "mm_audio_afp", "mm_video_vfp", "mm_image_tiff_resize",
     "mm_image_gif_resize",
 ]
@@ -3026,11 +3026,11 @@ def oracle_sql() -> dict[str, str]:
 
     from marginaliasearch_spark.operators import sft as _sft
 
-    # the refusal regex built from the SAME marker constant the operator
-    # compiles (apostrophes doubled for the SQL string literal)
-    refusal_re = (
-        "^(?:" + "|".join(_re.escape(m) for m in _sft.REFUSAL_MARKERS) + ")"
-    ).replace("'", "''")
+    # the refusal regex is the operator's OWN construction — not a
+    # re-implementation — so operator, oracle, and test can never drift
+    # (apostrophes doubled for the SQL string literal; the backslash
+    # escapes pass through DuckDB's ordinary string literal to RE2 intact)
+    refusal_re = _sft.refusal_pattern().replace("'", "''")
 
     qnorm = repr(float(np.linalg.norm(np.asarray(_QVEC, dtype=np.float64))))
     stops_en = textstats.LANG_MARKERS["en"]
@@ -3573,7 +3573,7 @@ pl AS (
 fl AS (
   SELECT conv_id, (role = 'assistant')::INT AS is_resp,
     (role = 'assistant'
-     AND regexp_matches(ltrim(lower(text)), '{refusal_re}'))::INT AS is_ref
+     AND regexp_matches(lower(text), '{refusal_re}'))::INT AS is_ref
   FROM pl
 )
 SELECT conv_id::BIGINT AS conv_id,

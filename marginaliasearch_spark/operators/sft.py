@@ -24,7 +24,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["sft_pairs", "preference_pairs", "refusal_flags", "refusal_stats"]
+__all__ = [
+    "sft_pairs",
+    "preference_pairs",
+    "refusal_pattern",
+    "refusal_flags",
+    "refusal_stats",
+]
 
 # whitespace word-count spec shared with the DuckDB twin:
 # len(list_filter(regexp_split_to_array(trim(x), '\s+'), t -> t <> ''))
@@ -147,6 +153,31 @@ REFUSAL_MARKERS: tuple[str, ...] = (
 )
 
 
+def refusal_pattern(markers: tuple[str, ...] = REFUSAL_MARKERS) -> str:
+    """THE anchored refusal regex — one construction shared verbatim by
+    :func:`refusal_flags`, the DuckDB oracle twin, and the test oracle, so
+    the three can never drift. Leading whitespace is consumed by an
+    explicit ASCII class (``[ \\t\\n\\x0B\\f\\r]`` — exactly Java ``\\s``;
+    Spark ``ltrim`` strips only 0x20 spaces and RE2 ``\\s`` omits
+    ``\\x0B``, so neither is a portable spelling). Java ∩ RE2 ∩ Python
+    ``re`` subset throughout, same portability rule as redact.py.
+
+    An empty marker tuple would compile to ``^(?:)`` — an alternation that
+    matches EVERYTHING, silently flagging the whole corpus — so it raises.
+    """
+    import re as _re
+
+    if not markers:
+        raise ValueError(
+            "refusal markers must be non-empty: '^(?:)' matches every string"
+        )
+    return (
+        r"^[ \t\n\x0B\f\r]*(?:"
+        + "|".join(_re.escape(m) for m in markers)
+        + ")"
+    )
+
+
 def refusal_flags(
     turns: DataFrame,
     markers: tuple[str, ...] = REFUSAL_MARKERS,
@@ -155,24 +186,25 @@ def refusal_flags(
     """Flag canned-refusal response turns — the SFT-curation step that
     strips "I can't help with that" boilerplate before training.
 
-    A turn is a refusal when its normalized text (lowercased, trimmed)
-    OPENS with any marker — prefix-anchored on purpose: a response that
-    merely quotes or discusses a refusal phrase mid-text is not itself a
-    refusal. The markers compile to one anchored alternation regex
-    (Java ∩ RE2 subset, same portability rule as redact.py), so detection
-    is a single JVM ``rlike`` per row: no shuffle, no Python, and the
-    flag column fuses into whatever scan feeds it.
+    A turn is a refusal when its normalized text (lowercased, leading
+    ASCII whitespace skipped — see :func:`refusal_pattern`) OPENS with any
+    marker — prefix-anchored on purpose: a response that merely quotes or
+    discusses a refusal phrase mid-text is not itself a refusal. The
+    markers compile to one anchored alternation regex, so detection is a
+    single JVM ``rlike`` per row: no shuffle, no Python, and the flag
+    column fuses into whatever scan feeds it. A NULL text is never a
+    refusal (the flag is two-state, so both ``filter(is_refusal)`` and
+    ``filter(~is_refusal)`` partition the turns exactly).
 
     Output: the input columns plus ``is_refusal``. Compose with
     :func:`sft_pairs` (drop flagged responses before pairing) or
     aggregate per conversation for corpus refusal-rate dashboards.
     """
-    import re as _re
-
-    pat = "^(?:" + "|".join(_re.escape(m) for m in markers) + ")"
-    norm = F.ltrim(F.lower(F.col("text")))
+    pat = refusal_pattern(markers)
     return turns.withColumn(
-        "is_refusal", (F.col("role") == response_role) & norm.rlike(pat)
+        "is_refusal",
+        (F.col("role") == response_role)
+        & F.coalesce(F.lower(F.col("text")).rlike(pat), F.lit(False)),
     )
 
 

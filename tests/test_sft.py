@@ -1,6 +1,7 @@
 """SFT pair extraction: brute-force parity, context truncation, causality,
 partitioning invariance, and the JVM-only one-shuffle plan shape."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from marginaliasearch_spark.operators import sft
@@ -268,6 +269,9 @@ def test_refusal_flags_brute_force(spark):
             ("b", 3, "assistant", "I'm unable to verify that claim"),  # refusal
             ("c", 0, "user", "hi"),
             ("c", 1, "assistant", "here is a real answer"),
+            ("d", 0, "user", "?"),
+            ("d", 1, "assistant", "\t\nI cannot help with tabs"),  # non-space ws
+            ("d", 3, "assistant", None),  # NULL text: never a refusal
         ],
         "conv_id string, turn_idx int, role string, text string",
     )
@@ -275,17 +279,25 @@ def test_refusal_flags_brute_force(spark):
 
     got = {(r["conv_id"], r["turn_idx"]): r["is_refusal"]
            for r in sft.refusal_flags(turns).collect()}
-    pat = re.compile("^(?:" + "|".join(re.escape(m) for m in sft.REFUSAL_MARKERS) + ")")
-    want = {(r[0], r[1]): (r[2] == "assistant"
-                           and bool(pat.match(r[3].lower().lstrip())))
+    # the SAME pattern construction the operator and the SQL oracle use
+    pat = re.compile(sft.refusal_pattern())
+    want = {(r[0], r[1]): (r[2] == "assistant" and r[3] is not None
+                           and bool(pat.match(r[3].lower())))
             for r in [tuple(x) for x in turns.collect()]}
     assert got == want
-    assert got[("a", 1)] and got[("a", 3)] and got[("b", 3)]
+    assert got[("a", 1)] and got[("a", 3)] and got[("b", 3)] and got[("d", 1)]
     assert not got[("a", 0)] and not got[("b", 1)] and not got[("c", 1)]
+    # two-state, never NULL: a tri-state flag silently drops rows from
+    # both filter(is_refusal) and filter(~is_refusal)
+    assert got[("d", 3)] is False
 
     stats = {r["conv_id"]: (r["n_responses"], r["n_refusals"], r["refusal_rate"])
              for r in sft.refusal_stats(turns).collect()}
-    assert stats == {"a": (2, 2, 1.0), "b": (2, 1, 0.5), "c": (1, 0, 0.0)}, stats
+    assert stats == {"a": (2, 2, 1.0), "b": (2, 1, 0.5), "c": (1, 0, 0.0),
+                     "d": (2, 1, 0.5)}, stats
+
+    with pytest.raises(ValueError, match="non-empty"):
+        sft.refusal_pattern(())
 
 
 def test_refusal_flags_jvm_plan(spark):

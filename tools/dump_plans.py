@@ -5,6 +5,7 @@ expression work stays in WholeStageCodegen.
 
 Usage: python tools/dump_plans.py  (writes EXPLAIN.md at the repo root)
 """
+import re
 import io
 import os
 import sys
@@ -27,7 +28,10 @@ def fmt(df) -> str:
     buf = io.StringIO()
     with redirect_stdout(buf):
         df.explain("formatted")
-    return buf.getvalue()
+    # normalize the per-run temp dir so regenerations are byte-stable
+    # except for REAL plan changes (random /tmp suffixes otherwise churn
+    # every file-index line and drown genuine diffs)
+    return re.sub(r"/tmp/plans_idx_\w+", "/tmp/PLANS_TMP", buf.getvalue())
 
 
 def main() -> None:

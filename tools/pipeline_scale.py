@@ -8,7 +8,7 @@ materialization, identical at any parallelism), sized so the filter chain
 keeps a majority and the dedup stage genuinely collapses planted
 duplicate families.
 
-Usage: python tools/pipeline_scale.py [--docs 400000] [--n 2] [--repeat 3]
+Usage: python tools/pipeline_scale.py [--docs N(default 60000)] [--n 2] [--repeat 3]
 Prints one JSON line per cell plus a summary with scaling efficiency.
 """
 
@@ -78,9 +78,9 @@ def run_cell(cores: int, n_docs: int) -> dict:
         docs = synth_docs(spark, n_docs)
         # warmup: JIT/codegen + first-job overheads out of the timed run
         pretrain_manifest(docs.limit(4000)).collect()
-        t0 = time.time()
+        t0 = time.perf_counter()
         rows = pretrain_manifest(docs).collect()
-        dt = time.time() - t0
+        dt = time.perf_counter() - t0
         total = sum(r["n_docs"] for r in rows)
         checksum = sum(r["id_checksum"] for r in rows)
         return {
@@ -117,8 +117,14 @@ def main() -> None:
             proc = subprocess.run(
                 [sys.executable, __file__, "--cell", str(cores),
                  "--docs", str(args.docs)],
-                capture_output=True, text=True, check=True,
+                capture_output=True, text=True,
             )
+            if proc.returncode != 0:
+                # surface the child's Spark stderr — a bare
+                # CalledProcessError hides the only diagnostic
+                sys.stderr.write(proc.stderr)
+                raise SystemExit(f"cell local[{cores}] rep failed "
+                                 f"(exit {proc.returncode})")
             line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
             runs.append(json.loads(line))
             print(line, flush=True)
