@@ -2357,7 +2357,9 @@ def kmeans_semantic_pairs_sql(
   JOIN ({kmeans_sql(k, iters, quant)}) b
     ON a.cluster = b.cluster AND a.vec_id < b.vec_id
   JOIN embeddings ea ON ea.vec_id = a.vec_id
-  JOIN embeddings eb ON eb.vec_id = b.vec_id) p
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE sqrt({_sq_chain('ea.embedding', dim)}) > 0
+    AND sqrt({_sq_chain('eb.embedding', dim)}) > 0) p
 WHERE cosine >= {threshold!r}"""
 
 

@@ -148,15 +148,24 @@ def bpe_encode(
     pass — one narrow mapInPandas over the corpus, merges broadcast in
     the closure)."""
     import hashlib
+    import re as _re
 
     ms = list(merges)
+    # ASCII \s, NOT str.split(): the learner (line 49, JVM Java-regex
+    # \s+) and the DuckDB twin (RE2 \s+) both split on ASCII whitespace
+    # only, while Python str.split() also splits on NBSP/U+2028/\x1c-\x1f
+    # — a Unicode-whitespace doc would tokenize differently in the three
+    # engines (same portability rule as plans/commands.py's re.ASCII)
+    _ws = _re.compile(r"\s+", _re.ASCII)
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             n_toks, digests = [], []
             for text in pdf["text"].fillna(""):
                 toks: list[str] = []
-                for w in str(text).lower().split():
+                for w in _ws.split(str(text).lower().strip(" \t\n\x0b\f\r")):
+                    if not w:
+                        continue
                     syms = list(w) + [END]
                     for left, right in ms:
                         j, res = 0, []

@@ -722,9 +722,16 @@ def kmeans_neardup_pairs(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    cos = dot / (_norm_expr(F.col("vec_a")) * _norm_expr(F.col("vec_b")))
+    na, nb = _norm_expr(F.col("vec_a")), _norm_expr(F.col("vec_b"))
+    cos = dot / (na * nb)
+    # zero-norm guard: a zero embedding (hash_embed_documents emits one
+    # for token-free docs) yields 0/0 = NaN, and Spark's NaN-is-greatest
+    # ordering would make `NaN >= threshold` TRUE — pairing the empty doc
+    # with its whole cluster and letting canonicalize delete real docs.
+    # A zero vector has no direction, hence no cosine neighbors.
     return (
-        pairs.withColumn("cosine", cos)
+        pairs.filter((na > F.lit(0.0)) & (nb > F.lit(0.0)))
+        .withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -920,30 +927,12 @@ def pq_topk(
     whole corpus read is m bytes/row. All-integer arithmetic → the DuckDB
     twin reproduces distances bit-for-bit."""
     rows = cents.collect()
-    m = 1 + max(r["sub"] for r in rows)
-    ksub = 1 + max(r["cid"] for r in rows)
-    q = np.floor(np.asarray(qvec, dtype=np.float64) * quant).astype(np.int64)
-    subdim = q.size // m
-    lut = np.zeros((m, ksub), dtype=np.int64)
-    for r in rows:
-        dq = q[r["sub"] * subdim : (r["sub"] + 1) * subdim] - np.asarray(
-            r["cq"], dtype=np.int64
+    if not rows:  # empty corpus trains an empty codebook: no neighbors
+        return codes_df.sparkSession.createDataFrame(
+            [], f"{id_col} long, adc_d2 long"
         )
-        lut[r["sub"], r["cid"]] = int((dq * dq).sum())
-    lut_col = F.array(
-        *[F.array(*[F.lit(int(v)) for v in row]) for row in lut]
-    )
-    adc = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, i: acc
-        + F.element_at(
-            F.element_at(lut_col, (i + 1).cast("int")),
-            (F.element_at(F.col("codes"), (i + 1).cast("int")) + 1).cast(
-                "int"
-            ),
-        ),
-    )
+    q = np.floor(np.asarray(qvec, dtype=np.float64) * quant).astype(np.int64)
+    adc = _adc_expr(_adc_lut(q, rows))
     return (
         codes_df.select(F.col(id_col), adc.alias("adc_d2"))
         .orderBy(F.col("adc_d2").asc(), F.col(id_col))
@@ -965,6 +954,26 @@ def _adc_lut(q_lat: np.ndarray, cent_rows) -> np.ndarray:
         )
         lut[r["sub"], r["cid"]] = int((dq * dq).sum())
     return lut
+
+
+def _adc_expr(lut: np.ndarray) -> F.Column:
+    """The per-row ADC sum ``Σ_sub lut[sub][codes[sub]]`` with the LUT
+    riding the scan as a nested int64 array literal — THE fold shared by
+    ``pq_topk`` and ``ivfpq_topk``'s per-cell dispatch."""
+    lut_col = F.array(
+        *[F.array(*[F.lit(int(v)) for v in row]) for row in lut]
+    )
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(int(lut.shape[0]) - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.element_at(
+            F.element_at(lut_col, (i + 1).cast("int")),
+            (F.element_at(F.col("codes"), (i + 1).cast("int")) + 1).cast(
+                "int"
+            ),
+        ),
+    )
 
 
 def ivfpq_topk(
@@ -1000,12 +1009,18 @@ def ivfpq_topk(
     pts = _kmeans_pts(emb, quant, id_col, vec_col)
     coarse = _kmeans_train(pts, coarse_k, iters, id_col)
     assigned = _kmeans_assign_to(pts, coarse, id_col, with_vq=True)
-    res = assigned.join(
-        F.broadcast(coarse), assigned.cluster == coarse.cid
-    ).select(
-        id_col,
-        "cluster",
-        F.zip_with("vq", "cq", lambda a, b: a - b).alias("rq"),
+    res = (
+        assigned.join(F.broadcast(coarse), assigned.cluster == coarse.cid)
+        .select(
+            id_col,
+            "cluster",
+            F.zip_with("vq", "cq", lambda a, b: a - b).alias("rq"),
+        )
+        # materialized once: the residual relation is re-read by every PQ
+        # Lloyd iteration, the encode pass, and the codes join — without
+        # this each reader re-runs the corpus-sized coarse-argmin shuffle
+        # (same policy as kmeans_neardup_pairs' assignment checkpoint)
+        .localCheckpoint(eager=True)
     )
     rpts = _pq_split(res, F.col("rq"), m, id_col)
     pq_cents = _pq_train_pts(rpts, ksub, iters, id_col)
@@ -1027,6 +1042,10 @@ def ivfpq_topk(
         for r in coarse_rows
     )
     probes = [cid for _, cid in cd[:nprobe]]
+    if not probes:  # empty corpus (no centroids) or nprobe < 1
+        return emb.sparkSession.createDataFrame(
+            [], f"{id_col} long, adc_d2 long"
+        )
     pq_rows = pq_cents.collect()
     by_cid = {r["cid"]: np.asarray(r["cq"], dtype=np.int64) for r in coarse_rows}
     luts = {
@@ -1034,25 +1053,9 @@ def ivfpq_topk(
     }
 
     # cell → LUT dispatch as a chained CASE over nprobe literal tables
-    def _cell_adc(lut: np.ndarray) -> F.Column:
-        lut_col = F.array(
-            *[F.array(*[F.lit(int(v)) for v in row]) for row in lut]
-        )
-        return F.aggregate(
-            F.sequence(F.lit(0), F.lit(int(lut.shape[0]) - 1)),
-            F.lit(0).cast("long"),
-            lambda acc, i: acc
-            + F.element_at(
-                F.element_at(lut_col, (i + 1).cast("int")),
-                (F.element_at(F.col("codes"), (i + 1).cast("int")) + 1).cast(
-                    "int"
-                ),
-            ),
-        )
-
     adc = None
     for c, lut in luts.items():
-        cell_adc = _cell_adc(lut)
+        cell_adc = _adc_expr(lut)
         adc = (
             F.when(F.col("cluster") == c, cell_adc)
             if adc is None

@@ -187,8 +187,6 @@ def test_mkv_lacing_roundtrip_property(sizes, mode, fixed_size, n_fixed):
     if mode == "none":
         sizes = sizes[:1]
     frames = [bytes([i % 251]) * sz for i, sz in enumerate(sizes)]
-    if mode == "fixed" or not frames:
-        pass
     payload = mm.encode_mkv(frames, "V_TEST", 4, 4, lacing=mode)
     s, e = _simpleblock_of(payload)
     flags = payload[s + 3]

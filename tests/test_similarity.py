@@ -307,16 +307,21 @@ class TestKMeans:
         assert a == b
 
     def test_iterations_do_not_worsen_cost(self, spark, emb):
-        # Lloyd on the lattice: total within-cluster d2 after 2 iterations
-        # must not exceed the cost right after init assignment (floor
-        # re-quantization perturbs by <1 lattice step per dim, so use the
-        # documented slack of dim * quant-step ~ negligible vs d2 scale)
+        # Lloyd with EXACT means is monotone, but the integer lattice
+        # floors each updated centroid coordinate by δ ∈ [0,1), which can
+        # RAISE cost by up to Σ_points Σ_dims (2|x−c*| + δ²) per update —
+        # a 1-d counterexample: points {0,1,1}, centroid 1 (cost 1)
+        # updates to floor(2/3)=0 (cost 2). Assert monotonicity up to the
+        # Cauchy-Schwarz bound on that requantization term, not exactly.
         df, _ = emb
         c0 = similarity.kmeans_assign(df, k=5, iters=0)
         c2 = similarity.kmeans_assign(df, k=5, iters=2)
         s0 = c0.agg(F.sum("d2")).first()[0]
         s2 = c2.agg(F.sum("d2")).first()[0]
-        assert s2 <= s0
+        n = df.count()
+        dims = len(df.first()["embedding"])
+        slack = 2 * (s0 * n * dims) ** 0.5 + n * dims
+        assert s2 <= s0 + slack, (s2, s0, slack)
 
     def test_empty_cluster_keeps_previous_centroid(self, spark):
         # 1 far outlier + a tight blob, k=3: at least one init centroid
@@ -408,6 +413,19 @@ class TestKMeans:
             a, b = v[r["id_a"]], v[r["id_b"]]
             cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
             assert cos >= 0.9 - 1e-9
+
+    def test_zero_vector_never_pairs(self, spark):
+        """A zero embedding (how hash_embed_documents encodes token-free
+        docs) has no direction: 0/0 = NaN, and Spark's NaN-is-greatest
+        ordering would make `NaN >= τ` TRUE without the norm guard —
+        pairing the empty doc with its whole cluster and letting
+        canonicalize delete real documents."""
+        rng = np.random.default_rng(5)
+        rows = [(i, rng.standard_normal(8).tolist()) for i in range(20)]
+        rows.append((99, [0.0] * 8))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = similarity.kmeans_neardup_pairs(df, threshold=0.9, k=2).collect()
+        assert all(r["id_a"] != 99 and r["id_b"] != 99 for r in got)
 
 
 class TestProductQuantization:
