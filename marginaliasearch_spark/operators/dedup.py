@@ -605,6 +605,7 @@ def hamming_band_pairs(
     hash_col: str,
     max_hamming: int,
     out_prefix: str,
+    extra_keys: tuple[str, ...] = (),
 ) -> DataFrame:
     """Generic banded-hamming self-join over any (id, 64-bit hash)
     relation: pairs with ``hamming(hash) ≤ max_hamming``, never all-pairs.
@@ -612,8 +613,11 @@ def hamming_band_pairs(
     Pigeonhole: split 64 bits into max_hamming+1 bands; any pair within
     the hamming budget must agree exactly on ≥1 band, so candidates meet
     in band-value buckets. Exact hamming verified with bit_count on the
-    survivors. Shared kernel of ``simhash_pairs`` (text) and
-    ``multimodal.phash_dedup`` / ``afp_dedup`` (image / audio hashes).
+    survivors. Shared kernel of ``simhash_pairs`` (text),
+    ``multimodal.phash_dedup`` / ``afp_dedup`` (image / audio), and
+    ``multimodal.video_neardup_pairs`` (``extra_keys=("frame_idx",)`` —
+    extra columns ride the join key, so candidates only meet when those
+    ALSO match; output carries them per pair row).
 
     The (id, hash) relation is eagerly materialized (localCheckpoint)
     before the self-join: Spark plans a self-join's lineage twice and
@@ -624,11 +628,13 @@ def hamming_band_pairs(
     bytes per row, the cheapest thing in the pipeline by far."""
     nbands = max_hamming + 1
     width = 64 // nbands
-    hashed = hashed.select(id_col, hash_col).localCheckpoint(eager=True)
+    ex = list(extra_keys)
+    hashed = hashed.select(id_col, hash_col, *ex).localCheckpoint(eager=True)
     ka, kb = f"{out_prefix}_a", f"{out_prefix}_b"
     banded = hashed.select(
         id_col,
         hash_col,
+        *ex,
         F.posexplode(
             F.array(
                 *[
@@ -641,18 +647,20 @@ def hamming_band_pairs(
         ).alias("band", "band_val"),
     )
     a = banded.select(
-        F.col(id_col).alias(ka), F.col(hash_col).alias("sh_a"), "band", "band_val"
+        F.col(id_col).alias(ka), F.col(hash_col).alias("sh_a"),
+        *ex, "band", "band_val"
     )
     b = banded.select(
-        F.col(id_col).alias(kb), F.col(hash_col).alias("sh_b"), "band", "band_val"
+        F.col(id_col).alias(kb), F.col(hash_col).alias("sh_b"),
+        *ex, "band", "band_val"
     )
     return (
-        a.join(b, ["band", "band_val"])
+        a.join(b, [*ex, "band", "band_val"])
         .filter(F.col(ka) < F.col(kb))
-        .dropDuplicates([ka, kb])
+        .dropDuplicates([ka, kb, *ex])
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= max_hamming)
-        .select(ka, kb, "hamming")
+        .select(ka, kb, *ex, "hamming")
     )
 
 
@@ -1002,13 +1010,18 @@ def conv_prefix_dedup(turns: DataFrame, prefix_turns: int = 3) -> DataFrame:
     conversations. Two hash aggregations total (conv_id, then digest);
     everything is JVM expressions.
     """
+    # NULL text encodes as the empty string ("0:") — concat(..., NULL)
+    # would make the whole element NULL and array_join SKIPS nulls, so an
+    # unguarded encoding would digest a NULL-text turn as ABSENT and merge
+    # genuinely different conversations into one family
+    txt = lambda s: F.coalesce(s.text, F.lit(""))  # noqa: E731
     rendered = F.array_join(
         F.transform(
             F.array_sort(F.collect_list(F.struct("turn_idx", "role", "text"))),
             lambda s: F.concat(
                 F.length(s.role).cast("string"), F.lit(":"), s.role,
                 F.lit(":"),
-                F.length(s.text).cast("string"), F.lit(":"), s.text,
+                F.length(txt(s)).cast("string"), F.lit(":"), txt(s),
             ),
         ),
         "\n",

@@ -4652,15 +4652,24 @@ def dhash_image(img: np.ndarray) -> int:
 def dhash_features(
     media: DataFrame, fake: bool = True, payload_col: str = "payload"
 ) -> DataFrame:
-    """media_id → 64-bit perceptual dHash (one Arrow batch at a time)."""
+    """media_id → 64-bit perceptual dHash (one Arrow batch at a time).
+
+    Per-item error policy: an undecodable payload or a sub-8×8 image is
+    SKIPPED (row dropped), never fatal — at corpus scale one malformed
+    blob must not kill the dedup job four task-retries at a time. All
+    fixture payloads decode, so the oracle entries see every row."""
 
     def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = [
-                dhash_image(decode_image(bytes(p), fake=fake))
-                for p in pdf[payload_col]
-            ]
-            yield pd.DataFrame({"media_id": pdf["media_id"], "dhash": out})
+            ids, out = [], []
+            for mid, p in zip(pdf["media_id"], pdf[payload_col]):
+                try:
+                    h = dhash_image(decode_image(bytes(p), fake=fake))
+                except (ValueError, NotImplementedError):
+                    continue
+                ids.append(mid)
+                out.append(h)
+            yield pd.DataFrame({"media_id": ids, "dhash": out})
 
     return media.select("media_id", payload_col).mapInPandas(
         batch, schema="media_id long, dhash long"
@@ -4755,10 +4764,16 @@ def afp_fingerprint(samples: np.ndarray) -> int:
 
 
 def afp_features(
-    media: DataFrame, fake: bool = True, payload_col: str = "payload"
+    media: DataFrame, fake: bool = False, payload_col: str = "payload"
 ) -> DataFrame:
     """media_id → 64-bit audio fingerprint (one Arrow batch at a time).
-    Fake mode derives ``n_samples`` from duration_ms like audio_features."""
+
+    Default is the REAL decode (every current caller's choice): fake mode
+    derives ``n_samples = duration_ms·RATE/1000`` like audio_features,
+    which quantizes to millisecond granularity — up to RATE/1000 − 1
+    trailing samples truncate, so a fake-mode fingerprint of a real WAV
+    clip whose length isn't a multiple of RATE/1000 differs from the real
+    decode's. Fake mode is for opaque placeholder payloads only."""
 
     def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -4855,8 +4870,15 @@ def dhash_plane(gray: np.ndarray) -> int:
     the decoded luma plane directly)."""
     h, w = gray.shape
     g = DHASH_GRID
+    if h < g or w < g:
+        raise ValueError(f"dhash needs at least {g}x{g} pixels")
     if h % g or w % g:
-        raise ValueError("dhash requires dims divisible by 8")
+        # deterministic top-left crop to the largest multiple-of-8 dims:
+        # arbitrary real-world sizes hash instead of killing the job, and
+        # equal-size blocks keep the integer-exact property (fixtures are
+        # all multiples of 8, so every oracle is unaffected)
+        h, w = h - h % g, w - w % g
+        gray = gray[:h, :w]
     blocks = gray.astype(np.int64).reshape(g, h // g, g, w // g).sum(axis=(1, 3))
     bits = blocks > np.roll(blocks, -1, axis=1)
     k = np.arange(63, dtype=np.uint64)
@@ -4897,52 +4919,22 @@ def video_neardup_pairs(
     pairs whose SAME-INDEX frames are within ``max_hamming`` dHash bits
     for at least ``min_frames`` frame positions.
 
-    frame_idx rides the banded join key, so candidates only meet when the
-    same frame position collides — the temporal-alignment analogue of the
-    per-band bucket. Per frame the banding is pigeonhole-exact
-    (max_hamming+1 bands), so the matched-frame COUNT equals the all-pairs
-    count and the oracle can emit the all-pairs form."""
-    nbands = max_hamming + 1
-    width = 64 // nbands
-    fp = fingerprints.select(
-        "media_id", "frame_idx", "fhash"
-    ).localCheckpoint(eager=True)
-    banded = fp.select(
+    frame_idx rides the banded join key (the shared
+    ``dedup.hamming_band_pairs`` kernel's ``extra_keys``), so candidates
+    only meet when the same frame position collides — the
+    temporal-alignment analogue of the per-band bucket. Per frame the
+    banding is pigeonhole-exact (max_hamming+1 bands), so the
+    matched-frame COUNT equals the all-pairs count and the oracle can
+    emit the all-pairs form."""
+    from .dedup import hamming_band_pairs
+
+    matched = hamming_band_pairs(
+        fingerprints.select("media_id", "frame_idx", "fhash"),
         "media_id",
-        "frame_idx",
         "fhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("fhash"), i * width).bitwiseAND(
-                        F.lit((1 << width) - 1)
-                    )
-                    for i in range(nbands)
-                ]
-            )
-        ).alias("band", "band_val"),
-    )
-    a = banded.select(
-        F.col("media_id").alias("media_a"),
-        F.col("fhash").alias("h_a"),
-        "frame_idx",
-        "band",
-        "band_val",
-    )
-    b = banded.select(
-        F.col("media_id").alias("media_b"),
-        F.col("fhash").alias("h_b"),
-        "frame_idx",
-        "band",
-        "band_val",
-    )
-    matched = (
-        a.join(b, ["frame_idx", "band", "band_val"])
-        .filter(F.col("media_a") < F.col("media_b"))
-        .dropDuplicates(["media_a", "media_b", "frame_idx"])
-        .filter(
-            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))) <= max_hamming
-        )
+        max_hamming,
+        "media",
+        extra_keys=("frame_idx",),
     )
     return (
         matched.groupBy("media_a", "media_b")

@@ -68,22 +68,38 @@ def sft_pairs(
         F.struct(F.col("role"), F.col("text"))
     ).over(w)
     out = turns.select("conv_id", "turn_idx", "role", "text", ctx.alias("_ctx"))
+    # NULL text renders as "role: " — concat(role, ': ', NULL) is NULL
+    # and array_join SKIPS nulls, so an unguarded render would silently
+    # drop the turn from the prompt while n_context_turns still counts it
     rendered = F.array_join(
-        F.transform(F.col("_ctx"), lambda s: F.concat(s.role, F.lit(": "), s.text)),
+        F.transform(
+            F.col("_ctx"),
+            lambda s: F.concat(
+                s.role, F.lit(": "), F.coalesce(s.text, F.lit(""))
+            ),
+        ),
         "\n",
     )
     prompt = F.when(F.size("_ctx") > 0, rendered)
-    return (
-        out.filter(F.col("role") == response_role)
-        .select(
-            "conv_id",
-            "turn_idx",
-            prompt.alias("prompt"),
-            F.col("text").alias("response"),
-            F.size("_ctx").cast("long").alias("n_context_turns"),
-            F.coalesce(_n_words(prompt), F.lit(0)).alias("n_prompt_words"),
-            _n_words(F.col("text")).alias("n_response_words"),
-        )
+    # materialize the prompt ONCE, then derive the word count from the
+    # materialized column — referencing the render expression twice makes
+    # Catalyst evaluate the k-turn array_join twice per row (the
+    # textstats.filter_chain shared-column pattern)
+    staged = out.filter(F.col("role") == response_role).select(
+        "conv_id",
+        "turn_idx",
+        prompt.alias("prompt"),
+        F.col("text").alias("response"),
+        F.size("_ctx").cast("long").alias("n_context_turns"),
+    )
+    return staged.select(
+        "conv_id",
+        "turn_idx",
+        "prompt",
+        "response",
+        "n_context_turns",
+        F.coalesce(_n_words(F.col("prompt")), F.lit(0)).alias("n_prompt_words"),
+        _n_words(F.col("response")).alias("n_response_words"),
     )
 
 

@@ -47,9 +47,15 @@ def test_dhash_matches_naive_mirror():
     assert mm.dhash_image(np.full((32, 32, 3), 100, np.uint8)) == 0
 
 
-def test_dhash_rejects_nondivisible_dims():
+def test_dhash_crops_nondivisible_dims():
+    """Arbitrary real-world sizes hash via a deterministic top-left crop
+    to the largest multiple-of-8 dims (a single odd-sized image must not
+    kill a corpus-scale dedup job); sub-8x8 stays a hard error."""
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 255, (30, 33, 3), dtype=np.uint8)
+    assert mm.dhash_image(img) == mm.dhash_image(img[:24, :32])
     with pytest.raises(ValueError):
-        mm.dhash_image(np.zeros((30, 32, 3), np.uint8))
+        mm.dhash_image(np.zeros((7, 64, 3), np.uint8))
 
 
 def test_dhash_shift_invariance_properties():

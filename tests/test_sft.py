@@ -308,3 +308,33 @@ def test_refusal_flags_jvm_plan(spark):
             ._jdf.queryExecution().executedPlan().toString())
     for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "Exchange"):
         assert bad not in plan, plan  # flag fuses into the scan: no shuffle
+
+
+def test_sft_pairs_null_text_context_renders_empty(spark):
+    """A NULL-text context turn renders as 'role: ' (concat would NULL the
+    element and array_join would silently DROP it, leaving the prompt one
+    turn short of n_context_turns)."""
+    turns = spark.createDataFrame(
+        [("a", 0, "user", "hi"), ("a", 1, "tool", None),
+         ("a", 2, "assistant", "answer words")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    r = sft.sft_pairs(turns).collect()[0]
+    assert r["n_context_turns"] == 2
+    assert r["prompt"] == "user: hi\ntool: "
+    assert r["n_prompt_words"] == 3  # 'user:', 'hi', 'tool:'
+
+
+def test_conv_prefix_dedup_null_text_not_absent(spark):
+    """A NULL-text turn must digest as an EMPTY turn ('0:'), not vanish:
+    ['hi', NULL] and ['hi'] are different prefixes."""
+    from marginaliasearch_spark.operators import dedup
+
+    turns = spark.createDataFrame(
+        [("a", 0, "user", "hi"), ("a", 1, "assistant", None),
+         ("b", 0, "user", "hi")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    got = {r["conv_id"]: r["n_dups"]
+           for r in dedup.conv_prefix_dedup(turns, prefix_turns=2).collect()}
+    assert got == {"a": 1, "b": 1}
