@@ -2818,15 +2818,18 @@ def _decode_avi_mjpeg(payload: bytes) -> tuple[np.ndarray, float]:
         raise ValueError("not a RIFF/AVI payload")
     fps = 25.0
     frames: list[np.ndarray] = []
-    stack = [(12, len(payload))]  # (pos, end) spans to walk
-    while stack:
-        pos, end = stack.pop()
+
+    # recurse into LIST bodies IN PLACE: a deferred-stack walk would pop
+    # sibling 'rec ' LISTs (the grouping interleaved AVI muxers emit, one
+    # per frame) in LIFO order and silently decode frames reversed
+    def walk(pos: int, end: int) -> None:
+        nonlocal fps
         while pos + 8 <= end:
             cid = payload[pos : pos + 4]
             size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
             body_start = pos + 8
             if cid == b"LIST":
-                stack.append((body_start + 4, body_start + size))
+                walk(body_start + 4, body_start + size)
             elif cid == b"avih":
                 usec = int.from_bytes(
                     payload[body_start : body_start + 4], "little"
@@ -2840,6 +2843,8 @@ def _decode_avi_mjpeg(payload: bytes) -> tuple[np.ndarray, float]:
                     ]
                 )
             pos = body_start + size + (size & 1)
+
+    walk(12, len(payload))
     if not frames:
         raise ValueError("AVI contains no video chunks")
     return np.stack(frames), fps

@@ -276,9 +276,15 @@ class IndexReader:
         from .searchset import load_search_set
 
         if name not in self._searchset_cache:
-            self._searchset_cache[name] = load_search_set(
-                self.spark, self.paths.root, name
-            )
+            try:
+                self._searchset_cache[name] = load_search_set(
+                    self.spark, self.paths.root, name
+                )
+            except ValueError:
+                # a user-typed set: name outside [a-z0-9_] (the write-path
+                # traversal guard) is just an unloadable set — the
+                # reference treats those as no-constraint, never an error
+                self._searchset_cache[name] = None
         return self._searchset_cache[name]
 
     @property
@@ -583,10 +589,15 @@ def run_query(
         members = reader.doc_stats.join(
             F.broadcast(sdf), "conv_id", "left_semi"
         ).select("doc_id")
-        if members.limit(MAX_DRIVER_CANDIDATES + 1).count() > MAX_DRIVER_CANDIDATES:
+        # ONE job does both the size probe and the id fetch (a separate
+        # count() would re-run the whole doc_stats semi-join): collect
+        # cap+1 ids; more than cap rows back = oversized, degrade to the
+        # distributed post-filter
+        capped = _collect_ids_u64(members.limit(MAX_DRIVER_CANDIDATES + 1))
+        if capped.size > MAX_DRIVER_CANDIDATES:
             set_post_filters.append(members)
             continue
-        ids = np.sort(_collect_ids_u64(members))
+        ids = np.sort(capped)
         if ids.size == 0:
             return empty()
         conv_doc_ids = (

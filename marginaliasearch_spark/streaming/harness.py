@@ -114,4 +114,11 @@ def replay(
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name)
+    # drain and DROP the memory sink: each replay otherwise leaves its
+    # full materialized output pinned under a uuid table for the session
+    # lifetime (a 144-entry sweep + bench reps would accumulate them all)
+    out = spark.table(name)
+    rows = out.collect()
+    result = spark.createDataFrame(rows, out.schema)
+    spark.catalog.dropTempView(name)
+    return result

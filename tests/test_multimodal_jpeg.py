@@ -354,3 +354,34 @@ def test_video_frame_stats_matches_duckdb_oracle(spark):
         for row in _duckdb.sql(mjpeg_frames_sql(5)).fetchall()
     }
     assert got == exp
+
+
+def test_mjpeg_rec_grouped_frames_decode_in_order():
+    """Interleaved AVI muxers wrap each frame's chunks in a 'LIST rec '
+    group; a deferred-stack walk pops sibling LISTs LIFO and reverses the
+    frame order. Frames must come back in file order."""
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + len(body).to_bytes(4, "little") + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    q = np.full(64, 16, dtype=np.int64)
+    frames = []
+    for k in (7, -30, 55):
+        coeffs = np.zeros((1, 1, 3, 64), dtype=np.int64)
+        coeffs[..., 0, 0] = k
+        frames.append(mm.encode_jpeg(coeffs, 8, 8, q))
+    avih = (100_000).to_bytes(4, "little") + b"\x00" * 52
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+    movi = chunk(
+        b"LIST",
+        b"movi"
+        + b"".join(
+            chunk(b"LIST", b"rec " + chunk(b"00dc", f)) for f in frames
+        ),
+    )
+    payload = chunk(b"RIFF", b"AVI " + hdrl + movi)
+    lumas, fps = mm.decode_video(payload)
+    assert fps == 10.0 and lumas.shape == (3, 8, 8)
+    for i, k in enumerate((7, -30, 55)):
+        assert np.all(lumas[i] == 2 * k + 128), i

@@ -125,6 +125,20 @@ def test_invalid_set_name_rejected(spark, built):
         load_search_set(spark, root, "../escape")
 
 
+def test_invalid_set_name_in_query_is_no_constraint(spark, built):
+    """A user-typed set: name outside [a-z0-9_] (e.g. 'set:my-blogs') is
+    just an unloadable set — the reference treats those as imposing no
+    constraint (RankingSearchSet.java:73-82), never a query error. The
+    write-path traversal guard must not surface to run_query."""
+    root, reader = built
+    base = {r["conv_id"] for r in run_query(reader, "factor2", k=100).collect()}
+    got = {
+        r["conv_id"]
+        for r in run_query(reader, "factor2 set:my-blogs", k=100).collect()
+    }
+    assert got == base
+
+
 def test_pagerank_set_builder_matches_topk(spark):
     """ranking_search_set over pagerank scores = the ids of pagerank_topk
     (same tie pin), i.e. the builder selects exactly the top-depth ranked
