@@ -220,9 +220,15 @@ def _print_budgeted(payload: dict) -> None:
     line = json.dumps(compact)
     if len(line) > _LINE_BUDGET:
         # last-resort floor: aggregates only, everything else in the file
+        # (includes the scaling-mode payload's keys — dropping those
+        # would strip the N-vs-4N numbers the budgeting exists to keep)
         compact = {
             k: compact[k]
-            for k in ("metric", "value", "unit", "sf", "cores")
+            for k in (
+                "metric", "value", "unit", "sf", "cores",
+                "n_cores", "throughput_n", "throughput_4n",
+                "scaling_efficiency", "scaling_efficiency_median",
+            )
             if k in compact
         }
         compact["detail"] = os.path.basename(_DETAIL_FILE)

@@ -40,13 +40,21 @@ def data_card(
     from .textstats import ws_token_count
 
     toks = ws_token_count(F.col(text_col))
+    # char length: use the table's stored n_chars when present (the
+    # driver schema carries it, == length(text) there), else derive from
+    # text_col — the operator's parameters alone must be sufficient
+    nc = (
+        F.col("n_chars")
+        if "n_chars" in docs.columns
+        else F.length(F.col(text_col)).cast("long")
+    )
     return docs.groupBy(*[F.col(c) for c in group_cols]).agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.count(F.lit(1)) - F.countDistinct(F.md5(F.col(text_col)))).alias(
             "n_exact_dups"
         ),
-        F.sum("n_chars").alias("total_chars"),
+        F.sum(nc).alias("total_chars"),
         F.sum(toks).alias("total_tokens"),
-        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50_chars"),
-        F.round(F.expr("percentile(n_chars, 0.9)"), 6).alias("p90_chars"),
+        F.round(F.percentile(nc, F.lit(0.5)), 6).alias("p50_chars"),
+        F.round(F.percentile(nc, F.lit(0.9)), 6).alias("p90_chars"),
     )

@@ -3983,9 +3983,9 @@ def _decode_mkv(payload: bytes) -> tuple[np.ndarray, float]:
     default_dur_ns = 0
     ts_scale = 1_000_000  # ns per timestamp tick (Matroska default)
     frames: list[tuple[int, bytes]] = []  # (abs ts ticks, frame bytes)
+    cluster_spans: list[tuple[int, int]] = []  # walked after Tracks parse
 
-    def walk_cluster(pos: int, end: int) -> None:
-        cluster_ts = 0
+    def walk_cluster(pos: int, end: int, cluster_ts: int = 0) -> None:
         for eid, s, e in _ebml_children(payload, pos, end):
             if eid == 0xE7:  # Timestamp
                 cluster_ts = int.from_bytes(payload[s:e], "big")
@@ -4008,7 +4008,15 @@ def _decode_mkv(payload: bytes) -> tuple[np.ndarray, float]:
                         )
                     )
                     fpos += sz
-            elif eid == 0xA0:  # BlockGroup: recurse for its Block
+            elif eid == 0xA0:  # BlockGroup: recurse for its Block —
+                # CARRYING the cluster timestamp (a fresh 0 would strip
+                # every Block-in-BlockGroup frame of its Cluster Timestamp,
+                # the standard mkvmerge/ffmpeg layout with BlockDuration)
+                walk_cluster(s, e, cluster_ts)
+            elif eid == 0x1F43B675:  # nested Cluster: an UNKNOWN-SIZE
+                # cluster extends to the segment end, so every following
+                # cluster arrives as a "child" here (live-muxed/streamed
+                # Matroska) — restart with a fresh timestamp scope
                 walk_cluster(s, e)
 
     for eid, s, e in _ebml_children(payload, 0, len(payload)):
@@ -4065,8 +4073,14 @@ def _decode_mkv(payload: bytes) -> tuple[np.ndarray, float]:
                             track_no = t_no
                             codec = t_codec
                             default_dur_ns = t_dur
-                elif sid == 0x1F43B675:  # Cluster
-                    walk_cluster(ss, se)
+                elif sid == 0x1F43B675:  # Cluster: DEFER until the whole
+                    # segment header is parsed — a SeekHead-driven layout
+                    # may put Clusters before Tracks, and walking early
+                    # (track_no still None) would accept blocks from
+                    # audio/subtitle tracks as video frames
+                    cluster_spans.append((ss, se))
+    for ss, se in cluster_spans:
+        walk_cluster(ss, se)
     if track_no is None or not frames:
         raise ValueError("Matroska stream has no video frames")
     frames.sort(key=lambda t: t[0])
@@ -4511,7 +4525,7 @@ def opus_meta(payload: bytes) -> dict:
         for _ in range(ncom):
             clen = int.from_bytes(t[p : p + 4], "little")
             p += 4
-            c = t[p : p + clen].decode()
+            c = t[p : p + clen].decode(errors="replace")
             p += clen
             if c.upper().startswith("TITLE="):
                 title = c[6:]

@@ -7,6 +7,8 @@ recursive-CTE oracle (the driver-gate twin).
 """
 
 import duckdb
+import zlib
+
 import numpy as np
 import pytest
 
@@ -161,7 +163,7 @@ def test_audio_compressed_matches_duckdb_oracle(spark):
 
 @pytest.mark.parametrize("mode", ["left_side", "right_side", "mid_side"])
 def test_flac_stereo_decorrelation_reconstructs_left(mode):
-    rng = np.random.default_rng(hash(mode) & 0xFFFF)
+    rng = np.random.default_rng(zlib.crc32(mode.encode()) & 0xFFFF)
     left = rng.integers(-32768, 32768, 400).astype(np.int64)
     right = rng.integers(-32768, 32768, 400).astype(np.int64)
     got, sr = mm.decode_flac(mm.encode_flac_stereo(left, right, mode))

@@ -145,3 +145,41 @@ def test_mkv_frames_matches_duckdb_oracle(spark):
         for row in duckdb.sql(mkv_frames_sql(16)).fetchall()
     }
     assert got == exp
+
+
+def test_blockgroup_keeps_cluster_timestamp_and_tracks_after_clusters():
+    """Two layouts the fixture encoder never emits, both legal Matroska:
+    (a) Blocks wrapped in BlockGroups (mkvmerge's layout) must keep their
+    Cluster Timestamp — a recursion that resets it to 0 collapses every
+    cluster onto ts 0 and breaks the fps fallback and frame order;
+    (b) Clusters BEFORE the Tracks element (SeekHead-driven layout) must
+    still resolve the video track and not be walked with track_no=None."""
+    eb, ebu = mm._eb, mm._eb_uint
+    video = ebu(0xB0, 16) + ebu(0xBA, 16) + eb(0x2EB524, b"Y800")
+    track = eb(
+        0xAE,
+        ebu(0xD7, 1) + ebu(0x73C5, 1) + ebu(0x83, 1)
+        + eb(0x86, b"V_UNCOMPRESSED") + eb(0xE0, video),
+    )
+    info = eb(0x1549A966, ebu(0x2AD7B1, 1_000_000))
+    clusters = b""
+    for f, fb in enumerate(FB[:3]):
+        block = b"\x81" + (0).to_bytes(2, "big", signed=True) + b"\x80" + fb
+        clusters += eb(
+            0x1F43B675,
+            ebu(0xE7, (2 - f) * 100)  # deliberately decreasing file order
+            + eb(0xA0, eb(0xA3, block)),  # Block inside a BlockGroup
+        )
+    header = eb(
+        0x1A45DFA3,
+        ebu(0x4286, 1) + ebu(0x42F7, 1) + ebu(0x42F2, 4) + ebu(0x42F3, 8)
+        + eb(0x4282, b"matroska") + ebu(0x4287, 4) + ebu(0x4285, 2),
+    )
+    # clusters FIRST, tracks last
+    payload = header + eb(0x18538067, info + clusters + eb(0x1654AE6B, track))
+    lumas, fps = mm.decode_video(payload)
+    assert lumas.shape == (3, 16, 16)
+    # ts order 200,100,0 reverses file order: frame 0 in output = FB[2]
+    assert np.array_equal(lumas[0], FRAMES[2])
+    assert np.array_equal(lumas[2], FRAMES[0])
+    assert fps == 10.0  # 100ms deltas via the fallback, not ts-0 collapse
