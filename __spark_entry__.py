@@ -1729,8 +1729,17 @@ def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means on the integer lattice
     (`similarity.kmeans_assign`): the SemDeDup cluster step / IVF list
     trainer. Exact int64 arithmetic end-to-end, so assignments AND squared
-    distances are hash-compared against the unrolled-CTE DuckDB twin."""
-    return similarity.kmeans_assign(_emb(spark, sf_dir), k=8, iters=2)
+    distances are hash-compared against the unrolled-CTE DuckDB twin.
+
+    The entry output is made deterministic under ANY driver hash protocol
+    (r04's sole red row): total-order sort on vec_id (cheap at entry
+    scale) and int64 dtypes on both sides (cluster cast here; the
+    oracle's HUGEINT d2 cast in ``sql_oracles.kmeans_sql``)."""
+    return (
+        similarity.kmeans_assign(_emb(spark, sf_dir), k=8, iters=2)
+        .withColumn("cluster", F.col("cluster").cast("long"))
+        .orderBy("vec_id")
+    )
 
 
 def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2727,13 +2736,36 @@ def _recorded_entries() -> set[str]:
         except Exception:  # noqa: BLE001 — a malformed record never breaks queries()
             continue
         for name, row in rec.items():
-            # only a CLEAN row counts as recorded: an errored attempt
-            # (sweep timeout, missing oracle, raised query) must keep the
-            # entry in the never-recorded lead so it gets re-checked —
-            # e.g. r01's six "no_oracle" rows, whose oracles landed later
-            if isinstance(row, dict) and not row.get("err"):
+            if _driver_row_passed(name, row):
                 out.add(name)
     return out
+
+
+# the one entry whose driver check is rows-only BY DESIGN (no oracle_sql;
+# pinned by pytest + the in-window hash-exact text_bpe_encode pass) — a
+# driver "no_oracle" row for it is a successful rows-only record, not a gap
+_ROWS_ONLY_BY_DESIGN = {"text_bpe_vocab"}
+
+
+def _driver_row_passed(name: str, row) -> bool:
+    """Only a PASSED row counts as recorded. An errored attempt (sweep
+    timeout, raised query, missing-but-expected oracle — e.g. r01's six
+    "no_oracle" rows, whose oracles landed later) AND a failed check
+    (hash/rows/schema mismatch — r04's ``sim_kmeans`` hash-FAIL) must both
+    keep the entry in the never-recorded lead so the driver re-checks it;
+    counting a red row as recorded would rotate the one failing entry OUT
+    of the window forever (the r04 verdict's rotation bug)."""
+    if not isinstance(row, dict):
+        return False
+    if row.get("hash_match"):
+        return True
+    if (
+        name in _ROWS_ONLY_BY_DESIGN
+        and row.get("err") in (None, "no_oracle")
+        and row.get("spark_rows") is not None
+    ):
+        return True
+    return False
 
 
 def _verification_order(base: dict) -> dict:
@@ -3088,7 +3120,7 @@ GROUP BY tk.doc_id, t.term, f.tf""",
         ),
         "fulltext_gate_pass": _bm25_sql([["spark", "join"]], role_mod=2),
         "fulltext_gate_empty": f"""{_COMMON}
-SELECT doc_id, 0.0 AS score FROM doclen WHERE 1 = 0""",
+SELECT doc_id, CAST(0.0 AS DOUBLE) AS score FROM doclen WHERE 1 = 0""",
         "fulltext_bm25_flags": _bm25_sql([["spark", "join"]], flag_score=True),
         "fulltext_bm25_penalty": _bm25_sql([["scan"]], penalties=True),
         "fulltext_bm25_lang": _bm25_sql([["spark", "join"]], lang="en"),
@@ -3391,13 +3423,19 @@ SELECT doc_id,
                    doc_id) - 1)::BIGINT AS pos
 FROM documents""",
         # exact ntile twin of the distributed per-token-count rank scan
+        # coalesce(text, '') mirrors the operator's NULL-text policy
+        # (sampling.py length_buckets counts a NULL document as 0 tokens);
+        # without it DuckDB's NULL n_tokens sorts NULLS LAST while Spark
+        # ranks 0 first — the twins must encode the same NULL policy
         "sample_length_buckets": """
 SELECT doc_id,
-       len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       len(list_filter(regexp_split_to_array(
+             trim(lower(coalesce(text, ''))), '\\s+'),
                        t -> t <> ''))::BIGINT AS n_tokens,
        ntile(8) OVER (
          ORDER BY len(list_filter(
-                    regexp_split_to_array(trim(lower(text)), '\\s+'),
+                    regexp_split_to_array(
+                      trim(lower(coalesce(text, ''))), '\\s+'),
                     t -> t <> '')),
                   doc_id)::BIGINT AS bucket
 FROM documents""",
@@ -3626,8 +3664,12 @@ WITH t AS (
 ),
 p AS (
   SELECT conv_id,
+         -- coalesce: the operator digests NULL text as '' with length 0
+         -- (dedup.py conv_prefix_dedup); an unguarded || is NULL and
+         -- string_agg would silently drop the turn from the digest
          md5(string_agg(length(role)::VARCHAR || ':' || role || ':'
-                        || length(text)::VARCHAR || ':' || text,
+                        || length(coalesce(text, ''))::VARCHAR || ':'
+                        || coalesce(text, ''),
                         chr(10) ORDER BY turn_idx)) AS prefix_hash
   FROM t WHERE turn_idx < 2 GROUP BY conv_id
 )
@@ -3645,7 +3687,10 @@ WITH t AS (
 ),
 w AS (
   SELECT conv_id, turn_idx, role, text,
-    string_agg(role || ': ' || text, chr(10)) OVER win AS prompt,
+    -- coalesce: the operator renders a NULL-text turn as 'role: '
+    -- (sft.py sft_pairs); an unguarded || is NULL and string_agg would
+    -- silently SKIP the turn while n_ctx still counts it
+    string_agg(role || ': ' || coalesce(text, ''), chr(10)) OVER win AS prompt,
     count(*) OVER win AS n_ctx
   FROM t
   WINDOW win AS (PARTITION BY conv_id ORDER BY turn_idx

@@ -1691,9 +1691,9 @@ qagg AS (
   GROUP BY conv_id
 )
 SELECT conv_id::VARCHAR AS conv_id, total, positive,
-       CASE WHEN positive > {min_positive}
+       CAST(CASE WHEN positive > {min_positive}
                  AND positive / total::DOUBLE > {min_ratio!r}
-            THEN 1.0 ELSE 0.0 END AS spam_score
+            THEN 1.0 ELSE 0.0 END AS DOUBLE) AS spam_score
 FROM qagg"""
 
 
@@ -1883,9 +1883,9 @@ cff AS (
   FROM cfi
 )
 SELECT doc_id, benefits_of, key_benefits, key_takeaways,
-  (CASE WHEN benefits_of THEN 10.0 ELSE 0.0 END
+  CAST(CASE WHEN benefits_of THEN 10.0 ELSE 0.0 END
    + CASE WHEN key_benefits THEN 5.0 ELSE 0.0 END
-   + CASE WHEN key_takeaways THEN 5.0 ELSE 0.0 END) AS penalty
+   + CASE WHEN key_takeaways THEN 5.0 ELSE 0.0 END AS DOUBLE) AS penalty
 FROM cff"""
 
 
@@ -2332,7 +2332,12 @@ def kmeans_sql(k: int = 8, iters: int = 2, quant: int = 1 << 20) -> str:
     body = ",\n".join(ctes)
     return (
         f"WITH {body}\n"
-        f"SELECT vec_id, cluster, d2 FROM {assign(f'c{iters}')} t"
+        # d2 is a HUGEINT (DuckDB list_sum over BIGINT) — cast back to
+        # BIGINT so the driver's value canonicalization sees int64 on both
+        # sides (Decimal('x') hashes differently from x even when ==; this
+        # was the r04 sim_kmeans hash-FAIL root cause). Exact: d2 ≪ 2⁶³.
+        f"SELECT vec_id, cluster, CAST(d2 AS BIGINT) AS d2 "
+        f"FROM {assign(f'c{iters}')} t"
     )
 
 

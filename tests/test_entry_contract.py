@@ -6,6 +6,7 @@ tier lists) is load-bearing: a typo'd key silently demotes an entry out of
 the driver's check window, and a queries/oracle_sql key mismatch means an
 entry ships without its gate. These checks are pure-Python (no session)."""
 
+import os
 import re
 
 
@@ -68,6 +69,69 @@ def test_verification_order_is_a_permutation():
     for k in m._NEW_THIS_ROUND:
         if k not in recorded:
             assert keys.index(k) < 50, (k, keys.index(k))
+
+
+def test_failed_driver_rows_do_not_count_as_recorded():
+    """The r04 rotation bug: a row that FAILED a check (sim_kmeans's
+    hash_match=false) or errored must NOT count as recorded, else the one
+    red entry is the one the rotation forgets — it would sort into the
+    recorded tail, outside the driver's ~50-entry window, and never be
+    re-verified. Only a green row (or a rows-only success for the one
+    by-design oracle-less entry) retires an entry from the lead."""
+    m = _entry_mod()
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True,
+          "spark_rows": 5, "oracle_rows": 5, "err": None}
+    hash_fail = dict(ok, hash_match=False)
+    errored = dict(ok, hash_match=None, rows_match=None, err="boom")
+    no_oracle = {"rows_match": None, "schema_match": None,
+                 "hash_match": None, "spark_rows": 5, "oracle_rows": None,
+                 "err": "no_oracle"}
+    assert m._driver_row_passed("any", ok)
+    assert not m._driver_row_passed("sim_kmeans", hash_fail)
+    assert not m._driver_row_passed("any", errored)
+    assert not m._driver_row_passed("any", "not-a-dict")
+    # an expected oracle that was missing when the driver ran → re-check
+    assert not m._driver_row_passed("dedup_minhash_lsh", no_oracle)
+    # …but the by-design rows-only entry IS retired by a no_oracle row
+    assert m._driver_row_passed("text_bpe_vocab", no_oracle)
+    assert not m._driver_row_passed(
+        "text_bpe_vocab", dict(no_oracle, spark_rows=None))
+    # and the live records: r04's sim_kmeans red row must leave the entry
+    # unrecorded so it leads the round-5 window
+    assert "sim_kmeans" not in m._recorded_entries()
+
+
+def test_oracle_outputs_carry_no_decimal_columns():
+    """DuckDB widens BIGINT sums to HUGEINT and float literals to
+    DECIMAL; those surface to the driver as decimal128 columns whose
+    values hash differently from the Spark side's int64/double even when
+    numerically equal (``Decimal('123') == 123`` but
+    ``repr/str/bytes`` differ) — the root cause of r04's sole red row,
+    ``sim_kmeans``. Every oracle's output schema must therefore be
+    decimal-free: add an explicit CAST in the SQL where DuckDB widens."""
+    import duckdb
+    import pytest
+
+    if not os.path.isdir("/root/testdata/sf0.001"):
+        pytest.skip("driver testdata not present")
+    m = _entry_mod()
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS "
+            f"SELECT * FROM '/root/testdata/sf0.001/{t}.parquet'"
+        )
+    offenders = {}
+    for name, sql in m.oracle_sql().items():
+        schema = con.execute(
+            f"SELECT * FROM ({sql}) LIMIT 0"
+        ).arrow().schema
+        decs = [(f.name, str(f.type)) for f in schema
+                if "decimal" in str(f.type)]
+        if decs:
+            offenders[name] = decs
+    assert not offenders, offenders
 
 
 def test_oracle_sql_only_references_registered_tables():
