@@ -512,16 +512,17 @@ def main() -> None:
                     "cores": args.cores,
                     "host": {"before": probe_before, "after": _host_probe()},
                     # pointer to the authoritative north-rule scaling
-                    # record — an UNREMEASURED historical value, clearly
-                    # labeled as such (this run did not measure scaling;
-                    # run `bench.py --scaling` for a fresh ladder). See
+                    # record BY NAME ONLY — no number is duplicated into
+                    # this fresh measurement payload, so a historical
+                    # constant can't be mistaken for a current reading
+                    # (this run did not measure scaling; run
+                    # `bench.py --scaling` for a fresh ladder). See
                     # BASELINE.md "Scaling ladders" + the 2026-08-18
                     # incident note for why degraded-window ladders are
                     # box measurements.
                     "scaling_reference": {
-                        "efficiency": 0.828,
-                        "measured": "round-3 final-tree spark-submit 1-vs-4 ladder, median-of-3, pre-incident",
-                        "note": "historical record from BASELINE.md, not measured by this run",
+                        "see": "BASELINE.md 'Scaling ladders' (round-3 final-tree spark-submit 1-vs-4 ladder, median-of-3, pre-incident)",
+                        "note": "not measured by this run",
                     },
                 }
         )

@@ -38,6 +38,12 @@ MEDIA_SCHEMA = (
 
 IMG_H = IMG_W = 32
 _N_PIX = IMG_H * IMG_W  # 1024 pixels, 3 channels
+# container walkers (RIFF LIST / Matroska BlockGroup) recurse per nesting
+# level; real files nest a handful deep, so a generous cap converts a
+# malformed deeply-nested blob from RecursionError (NOT in the per-item
+# skip allowlist → kills the job after task retries) into the ValueError
+# the skip policy is built around
+_MAX_CONTAINER_DEPTH = 64
 HIST_BINS = 8
 # intensity bin = min((r+g+b) // 96, 7): integer arithmetic, identical in
 # numpy and SQL (np.histogram's float bin edges are not replayable in SQL)
@@ -2821,15 +2827,22 @@ def _decode_avi_mjpeg(payload: bytes) -> tuple[np.ndarray, float]:
 
     # recurse into LIST bodies IN PLACE: a deferred-stack walk would pop
     # sibling 'rec ' LISTs (the grouping interleaved AVI muxers emit, one
-    # per frame) in LIFO order and silently decode frames reversed
-    def walk(pos: int, end: int) -> None:
+    # per frame) in LIFO order and silently decode frames reversed.
+    # Depth is capped: real AVIs nest 2-3 LIST levels, and an unbounded
+    # walk would let a few-KB payload with ~1000 nested LISTs raise
+    # RecursionError — which is NOT in the per-item (ValueError,
+    # NotImplementedError) skip allowlist, so one malformed blob would
+    # kill the whole job four task-retries at a time
+    def walk(pos: int, end: int, depth: int = 0) -> None:
         nonlocal fps
+        if depth > _MAX_CONTAINER_DEPTH:
+            raise ValueError("AVI LIST nesting exceeds sanity cap")
         while pos + 8 <= end:
             cid = payload[pos : pos + 4]
             size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
             body_start = pos + 8
             if cid == b"LIST":
-                walk(body_start + 4, body_start + size)
+                walk(body_start + 4, body_start + size, depth + 1)
             elif cid == b"avih":
                 usec = int.from_bytes(
                     payload[body_start : body_start + 4], "little"
@@ -3985,39 +3998,58 @@ def _decode_mkv(payload: bytes) -> tuple[np.ndarray, float]:
     frames: list[tuple[int, bytes]] = []  # (abs ts ticks, frame bytes)
     cluster_spans: list[tuple[int, int]] = []  # walked after Tracks parse
 
-    def walk_cluster(pos: int, end: int, cluster_ts: int = 0) -> None:
-        for eid, s, e in _ebml_children(payload, pos, end):
-            if eid == 0xE7:  # Timestamp
-                cluster_ts = int.from_bytes(payload[s:e], "big")
-            elif eid in (0xA3, 0xA1):  # SimpleBlock / Block (in group)
-                tno, p = _ebml_vint(payload, s, strip=True)
-                if track_no is not None and tno != track_no:
-                    continue
-                rel = int.from_bytes(payload[p : p + 2], "big", signed=True)
-                flags = payload[p + 2]
-                sizes, data_start = _mkv_lace_sizes(payload, p + 3, flags, e)
-                fpos = data_start
-                lace_dur = (
-                    default_dur_ns // ts_scale if default_dur_ns else 0
-                )
-                for j, sz in enumerate(sizes):
-                    frames.append(
-                        (
-                            cluster_ts + rel + j * lace_dur,
-                            payload[fpos : fpos + sz],
-                        )
+    def walk_cluster(
+        pos: int, end: int, cluster_ts: int = 0, depth: int = 0
+    ) -> None:
+        # BlockGroup nesting is recursion (real files: one level) with a
+        # sanity cap; nested Clusters go through a WORKLIST, not
+        # recursion — unknown-size clusters chain linearly in live-muxed
+        # streams (each following cluster parses as a child of the
+        # previous one), so recursing per cluster would RecursionError on
+        # a legitimate ~1000-cluster stream
+        if depth > _MAX_CONTAINER_DEPTH:
+            raise ValueError("Matroska BlockGroup nesting exceeds sanity cap")
+        pending: list[tuple[int, int, int]] = [(pos, end, cluster_ts)]
+        while pending:
+            pos, end, cluster_ts = pending.pop(0)
+            for eid, s, e in _ebml_children(payload, pos, end):
+                if eid == 0xE7:  # Timestamp
+                    cluster_ts = int.from_bytes(payload[s:e], "big")
+                elif eid in (0xA3, 0xA1):  # SimpleBlock / Block (in group)
+                    tno, p = _ebml_vint(payload, s, strip=True)
+                    if track_no is not None and tno != track_no:
+                        continue
+                    rel = int.from_bytes(
+                        payload[p : p + 2], "big", signed=True
                     )
-                    fpos += sz
-            elif eid == 0xA0:  # BlockGroup: recurse for its Block —
-                # CARRYING the cluster timestamp (a fresh 0 would strip
-                # every Block-in-BlockGroup frame of its Cluster Timestamp,
-                # the standard mkvmerge/ffmpeg layout with BlockDuration)
-                walk_cluster(s, e, cluster_ts)
-            elif eid == 0x1F43B675:  # nested Cluster: an UNKNOWN-SIZE
-                # cluster extends to the segment end, so every following
-                # cluster arrives as a "child" here (live-muxed/streamed
-                # Matroska) — restart with a fresh timestamp scope
-                walk_cluster(s, e)
+                    flags = payload[p + 2]
+                    sizes, data_start = _mkv_lace_sizes(
+                        payload, p + 3, flags, e
+                    )
+                    fpos = data_start
+                    lace_dur = (
+                        default_dur_ns // ts_scale if default_dur_ns else 0
+                    )
+                    for j, sz in enumerate(sizes):
+                        frames.append(
+                            (
+                                cluster_ts + rel + j * lace_dur,
+                                payload[fpos : fpos + sz],
+                            )
+                        )
+                        fpos += sz
+                elif eid == 0xA0:  # BlockGroup: recurse for its Block —
+                    # CARRYING the cluster timestamp (a fresh 0 would strip
+                    # every Block-in-BlockGroup frame of its Cluster
+                    # Timestamp, the standard mkvmerge/ffmpeg layout with
+                    # BlockDuration)
+                    walk_cluster(s, e, cluster_ts, depth + 1)
+                elif eid == 0x1F43B675:  # nested Cluster: an UNKNOWN-SIZE
+                    # cluster extends to the segment end, so every
+                    # following cluster arrives as a "child" here
+                    # (live-muxed/streamed Matroska) — queue it with a
+                    # fresh timestamp scope; FIFO keeps stream order
+                    pending.append((s, e, 0))
 
     for eid, s, e in _ebml_children(payload, 0, len(payload)):
         if eid == 0x1A45DFA3:  # EBML header

@@ -418,7 +418,9 @@ def length_buckets(
     # persisted: the count relation (≤ distinct lengths × S rows — far too
     # wide to collect at scale, but trivial to cache) feeds BOTH the
     # per-tok driver scan and the sb_off window below; without the persist
-    # each reader would re-tokenize the whole corpus
+    # each reader would re-tokenize the whole corpus. Released below once
+    # sb_off is checkpointed — a bare persist would pin a cached dataset
+    # per invocation for the whole session (sweeps, bench reps).
     cnt = sub.groupBy("tok", "sb").agg(F.count("*").alias("c")).persist()
     # addend 1: per-tok base (driver-sized: one row per distinct length)
     tok_counts = sorted(
@@ -435,13 +437,25 @@ def length_buckets(
     # addend 2: within-tok id-range offsets — a window over the COUNT
     # relation (≤ S rows per tok group), never over data rows
     wo = Window.partitionBy("tok").orderBy("sb")
-    sb_off = cnt.withColumn(
-        "sb_base",
-        F.coalesce(
-            F.sum("c").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0),
-        ),
-    ).select("tok", "sb", "sb_base")
+    # eager localCheckpoint: materializes the (small) offset relation from
+    # the still-cached cnt and truncates its lineage, so cnt can be
+    # unpersisted NOW instead of leaking for the session lifetime — the
+    # checkpoint blocks are reference-tracked and released when the
+    # returned DataFrame is garbage collected. Total corpus tokenizations
+    # stay at two (the driver scan above + the caller's action), same as
+    # with the persist held open.
+    sb_off = (
+        cnt.withColumn(
+            "sb_base",
+            F.coalesce(
+                F.sum("c").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .select("tok", "sb", "sb_base")
+        .localCheckpoint(eager=True)
+    )
+    cnt.unpersist(blocking=False)
 
     k = n_buckets
     q, r = divmod(n_total, k)

@@ -385,3 +385,14 @@ def test_mjpeg_rec_grouped_frames_decode_in_order():
     assert fps == 10.0 and lumas.shape == (3, 8, 8)
     for i, k in enumerate((7, -30, 55)):
         assert np.all(lumas[i] == 2 * k + 128), i
+
+
+def test_avi_list_bomb_raises_valueerror_not_recursionerror():
+    """~200 nested LIST chunks in a few-KB RIFF payload must raise
+    ValueError (the per-item skip allowlist), never RecursionError."""
+    body = b"junk"
+    for _ in range(200):
+        body = b"LIST" + (len(body) + 4).to_bytes(4, "little") + b"rec " + body
+    payload = b"RIFF" + (len(body) + 4).to_bytes(4, "little") + b"AVI " + body
+    with pytest.raises(ValueError, match="nesting"):
+        mm._decode_avi_mjpeg(payload)

@@ -183,3 +183,70 @@ def test_blockgroup_keeps_cluster_timestamp_and_tracks_after_clusters():
     assert np.array_equal(lumas[0], FRAMES[2])
     assert np.array_equal(lumas[2], FRAMES[0])
     assert fps == 10.0  # 100ms deltas via the fallback, not ts-0 collapse
+
+
+def test_blockgroup_bomb_raises_valueerror_not_recursionerror():
+    """~200 nested BlockGroups in a few-KB payload: must raise ValueError
+    (in the per-item skip allowlist) — RecursionError would escape the
+    skip policy and kill the whole job after task retries."""
+    eb, ebu = mm._eb, mm._eb_uint
+    video = ebu(0xB0, 16) + ebu(0xBA, 16) + eb(0x2EB524, b"Y800")
+    track = eb(
+        0xAE,
+        ebu(0xD7, 1) + ebu(0x73C5, 1) + ebu(0x83, 1)
+        + eb(0x86, b"V_UNCOMPRESSED") + eb(0xE0, video),
+    )
+    block = b"\x81" + (0).to_bytes(2, "big", signed=True) + b"\x80" + FB[0]
+    body = eb(0xA3, block)
+    for _ in range(200):
+        body = eb(0xA0, body)
+    cluster = eb(0x1F43B675, ebu(0xE7, 0) + body)
+    header = eb(
+        0x1A45DFA3,
+        ebu(0x4286, 1) + ebu(0x42F7, 1) + ebu(0x42F2, 4) + ebu(0x42F3, 8)
+        + eb(0x4282, b"matroska") + ebu(0x4287, 4) + ebu(0x4285, 2),
+    )
+    payload = header + eb(
+        0x18538067, eb(0x1549A966, ebu(0x2AD7B1, 1_000_000))
+        + eb(0x1654AE6B, track) + cluster
+    )
+    with pytest.raises(ValueError, match="nesting"):
+        mm.decode_video(payload)
+
+
+def test_unknown_size_cluster_chain_is_linear_not_recursive():
+    """300 unknown-size Clusters: each following cluster parses as a
+    child of the previous one (live-muxed layout), chaining linearly.
+    The walker must handle the chain iteratively — per-cluster recursion
+    would RecursionError on a legitimate long stream."""
+    eb, ebu = mm._eb, mm._eb_uint
+    video = ebu(0xB0, 16) + ebu(0xBA, 16) + eb(0x2EB524, b"Y800")
+    track = eb(
+        0xAE,
+        ebu(0xD7, 1) + ebu(0x73C5, 1) + ebu(0x83, 1)
+        + eb(0x86, b"V_UNCOMPRESSED") + eb(0xE0, video),
+    )
+    n = 300
+    clusters = b""
+    for i in range(n):
+        block = (
+            b"\x81" + (0).to_bytes(2, "big", signed=True) + b"\x80"
+            + FB[i % len(FB)]
+        )
+        body = ebu(0xE7, i * 100) + eb(0xA3, block)
+        # unknown-size: id + all-ones 1-byte size vint, body runs on
+        clusters += (0x1F43B675).to_bytes(4, "big") + b"\xff" + body
+    header = eb(
+        0x1A45DFA3,
+        ebu(0x4286, 1) + ebu(0x42F7, 1) + ebu(0x42F2, 4) + ebu(0x42F3, 8)
+        + eb(0x4282, b"matroska") + ebu(0x4287, 4) + ebu(0x4285, 2),
+    )
+    payload = header + eb(
+        0x18538067, eb(0x1549A966, ebu(0x2AD7B1, 1_000_000))
+        + eb(0x1654AE6B, track) + clusters
+    )
+    lumas, fps = mm.decode_video(payload)
+    assert lumas.shape == (n, 16, 16)
+    for i in (0, 1, n - 1):  # ts order == file order here
+        assert np.array_equal(lumas[i], FRAMES[i % len(FRAMES)])
+    assert fps == 10.0  # 100ms deltas
