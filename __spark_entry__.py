@@ -205,6 +205,89 @@ def _get_merged_reader(spark: SparkSession, sf_dir: str) -> IndexReader:
     return _MERGED_READERS[key]
 
 
+_RESUMED_READERS: dict[tuple[str, str], IndexReader] = {}
+
+
+def _get_resumed_reader(spark: SparkSession, sf_dir: str) -> IndexReader:
+    """Reader over a build that was KILLED mid-way and resumed — the
+    north rule's restart-identical clause exercised under the driver's
+    oracle gate, not just pytest. A 4-bucket build is crashed after 2
+    committed lineage units (``fail_after_bucket`` — the injected-crash
+    hook the kill/resume test uses, ``index_build.py``), the partial
+    manifest is verified to hold exactly 2 committed buckets, and a
+    second ``build_index`` on the same root resumes the remaining
+    steps. Queries served from the resumed index must hash-match the
+    full-build BM25 oracle exactly."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _RESUMED_READERS:
+        import shutil as _shutil
+
+        from marginaliasearch_spark.operators.index_build import read_manifest
+
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join("/tmp", f"msq_entry_resumed_{_CACHE_VERSION}", tag)
+        paths = IndexPaths(root)
+        marker = os.path.join(root, "_resumed_build_ok")
+        if not os.path.exists(marker):
+            # clean slate so the injected kill is genuine even if a prior
+            # process died between the crash and the marker
+            _shutil.rmtree(root, ignore_errors=True)
+            old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+            try:
+                tx = documents_as_transcripts(spark, sf_dir)
+                ranks = ingest_ops.conv_ranks_by_quality(tx)
+                try:
+                    build_index(
+                        spark, tx, root,
+                        n_buckets=4, partitions=32, ranks=ranks,
+                        fail_after_bucket=2,
+                    )
+                    raise AssertionError(
+                        "injected build failure did not fire"
+                    )
+                except RuntimeError as e:
+                    if "injected failure" not in str(e):
+                        raise
+                partial = read_manifest(paths)
+                if len(partial) != 2:
+                    raise AssertionError(
+                        f"expected 2 committed buckets, got {len(partial)}"
+                    )
+                # resume: committed lineage units skip, the rest build
+                build_index(
+                    spark, tx, root, n_buckets=4, partitions=32, ranks=ranks
+                )
+                done = read_manifest(paths)
+                if len(done) != 4 or any(
+                    m["status"] != "committed" for m in done
+                ):
+                    raise AssertionError(f"resume left manifest: {done}")
+                with open(marker, "w") as f:
+                    f.write("killed-after-2-of-4, resumed\n")
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        _RESUMED_READERS[key] = IndexReader(spark, paths)
+    return _RESUMED_READERS[key]
+
+
+def _q_resumed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kill/resume build equivalence through the driver gate: a BM25
+    query served from the killed-then-resumed 4-bucket index against the
+    oracle of an uninterrupted build — the resume is only right if the
+    results are hash-identical (north rule: resumable from per-partition
+    checkpoints with lineage manifests)."""
+    reader = _get_resumed_reader(spark, sf_dir)
+    res = run_query(
+        reader,
+        "customer query -slow",
+        k=_K,
+        round_score_to=6,
+        tie_break=F.col("conv_id").cast("long"),
+    )
+    return res.select(F.col("conv_id").cast("long").alias("doc_id"), "score")
+
+
 _DELETED_ROOTS: dict[tuple[str, str], tuple[str, str]] = {}
 
 
@@ -2632,6 +2715,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # core) trails. New entries added after round 3 are prepended in tier 0 —
 # see _NEW_THIS_ROUND.
 _NEW_THIS_ROUND: list[str] = [
+    # round 5: the kill/resume north-rule clause under the driver gate —
+    # the ONE new entry this round (everything else in the round-5 window
+    # budget goes to landing rows for the never-driver-verified tier)
+    "fulltext_resumed",
     "mm_audio_meta", "mm_subtitles", "mm_subtitle_stats", "report_datacard",
     "mm_image_tiff_features",
     "index_subject_keywords", "streaming_dedup", "streaming_windows",
@@ -2864,6 +2951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # incremental merge served through the gate: merged(half A, half B)
         # must hash-match the FULL-build oracle
         "fulltext_merged": _q_merged,
+        "fulltext_resumed": _q_resumed,
         # per-result keyword positions/tf (keywordScores decoration)
         "fulltext_keywords": _q_keywords,
         "fulltext_group_cap": _search_group_cap("scan", cap=2, mod=10),
@@ -3083,6 +3171,11 @@ def oracle_sql() -> dict[str, str]:
         # the merged-index query vs the FULL-corpus oracle: equality IS the
         # merge-correctness statement (same stats, same ids, same scores)
         "fulltext_merged": _bm25_sql([["batch", "scan"]], exclude=["slow"]),
+        # the resumed index must serve identically to an uninterrupted
+        # build, so its oracle IS the plain full-corpus BM25 twin
+        "fulltext_resumed": _bm25_sql(
+            [["customer", "query"]], exclude=["slow"]
+        ),
         # keyword decoration: the top-k CTE nests the full BM25 oracle;
         # first_pos/tf re-derived from the shared slot-position relation
         "fulltext_keywords": f"""{_COMMON},
@@ -3666,7 +3759,7 @@ p AS (
   SELECT conv_id,
          -- coalesce: the operator digests NULL text as '' with length 0
          -- (dedup.py conv_prefix_dedup); an unguarded || is NULL and
-         -- string_agg would silently drop the turn from the digest
+         -- string_agg would silently omit that turn's digest element
          md5(string_agg(length(role)::VARCHAR || ':' || role || ':'
                         || length(coalesce(text, ''))::VARCHAR || ':'
                         || coalesce(text, ''),
