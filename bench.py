@@ -161,6 +161,54 @@ BENCH_QUERIES = [
     "sft_refusal_stats",
     "sample_epoch_order",
     "sample_length_buckets",
+    # round-5 completion: every remaining entry, so the per-round trend
+    # line covers the WHOLE surface instead of silently sampling it
+    # (r04 verdict item 4). Mostly cheap variants (gate/limit/priority
+    # query shapes, *_resize kernels, keyword extractors); order appends
+    # after the stable core to keep cross-round deltas comparable.
+    "fulltext_bm25_limit",
+    "fulltext_bm25_priority",
+    "fulltext_bm25_rank",
+    "fulltext_bm25_penalty",
+    "fulltext_bm25_old",
+    "fulltext_positional",
+    "fulltext_wand",
+    "fulltext_gate_pass",
+    "fulltext_gate_empty",
+    "fulltext_qs_wand",
+    "fulltext_qs_gate",
+    "fulltext_merged",
+    "fulltext_resumed",
+    "fulltext_deleted_compacted",
+    "fulltext_serp_dedup",
+    "index_corpus_stats",
+    "index_doc_stats",
+    "index_search_set",
+    "index_tfidf_keywords",
+    "index_name_keywords",
+    "index_artifact_keywords",
+    "dedup_jaccard",
+    "dedup_ngram_jaccard",
+    "sim_neardup",
+    "dsir_weights",
+    "lm_ppl_buckets",
+    "text_fingerprint",
+    "text_token_counts",
+    "text_classify_counted",
+    "text_topic_decay",
+    "text_content_farm",
+    "text_bpe_vocab",
+    "assist_convert",
+    "assist_math_eval",
+    "mm_frame_sample",
+    "mm_image_dhash",
+    "mm_audio_afp",
+    "mm_video_vfp",
+    "mm_image_gif_features",
+    "mm_image_gif_resize",
+    "mm_image_png_resize",
+    "mm_image_tiff_resize",
+    "mm_subtitle_stats",
 ]
 
 
