@@ -363,6 +363,14 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     # couple of tasks) isn't billed to the first measured query
     entry_mod._get_reader(spark, sf_dir)
     qs["fulltext_proximity"](spark, sf_dir).count()
+    # same reason for the derived-index readers: on a fresh box the
+    # merged reader builds two half-indexes + merge and the resumed
+    # reader builds a 4-bucket index TWICE (injected crash + resume) —
+    # minutes of one-off build that must not be billed as the query's
+    # latency in the cross-round trend line
+    entry_mod._get_merged_reader(spark, sf_dir)
+    entry_mod._get_resumed_reader(spark, sf_dir)
+    entry_mod._get_deleted_roots(spark, sf_dir)
     # ... and one tiny binary-payload mapInPandas: the FIRST Arrow
     # transfer of a binary column pays a one-off setup cost (~3s)
     # that a long-lived cluster amortizes, so it isn't billed to the

@@ -28,6 +28,7 @@ practice of The Pile / Gopher / Dolma pipelines.
 
 from __future__ import annotations
 
+import weakref
 from typing import Iterator
 
 import numpy as np
@@ -343,6 +344,26 @@ def epoch_order(
     )
 
 
+def _unpersist_on_gc(result: DataFrame, cached: DataFrame) -> None:
+    """Release ``cached``'s storage when ``result`` is garbage collected.
+
+    The safe middle ground between a bare ``persist`` (pins a cached
+    dataset for the session per invocation — the r4-ADVICE leak) and
+    ``localCheckpoint`` (reference-tracked, but truncates lineage, so an
+    executor losing the blocks fails the job unrecoverably): persist
+    lineage stays intact, so a release that fires while a derived
+    DataFrame is still in use merely costs recomputation.
+    """
+
+    def _release(jdf=cached._jdf):
+        try:
+            jdf.unpersist(False)
+        except Exception:  # noqa: BLE001 — JVM may already be gone at exit
+            pass
+
+    weakref.finalize(result, _release)
+
+
 def length_buckets(
     docs: DataFrame,
     n_buckets: int = 8,
@@ -361,9 +382,12 @@ def length_buckets(
     one token count:
 
     1. per-token-count base ranks — pass 1 aggregates per-``tok`` doc
-       counts (cardinality ≤ max document length — driver-sized for any
-       real corpus; it is a count relation, not data) and
-       exclusive-scans them on the driver;
+       counts (cardinality ≤ max document length; a count relation, not
+       data) and exclusive-scans them with a single-partition window
+       over that tiny relation — declarative (no driver collect), read
+       off the shared cached count relation, whose storage a GC
+       finalizer on the returned DataFrame releases (recoverable:
+       persist keeps lineage, unlike a checkpoint);
     2. within-``tok`` id-range offsets — each token-count group is
        subdivided into fixed id ranges (width from the corpus min/max
        id — deterministic aggregates, never sampled boundaries), and a
@@ -415,47 +439,40 @@ def length_buckets(
     width = max(1, (ext["hi"] - lo) // S + 1)
 
     sub = base.withColumn("sb", F.expr(f"(doc_id - {lo}) DIV {width}"))
-    # persisted: the count relation (≤ distinct lengths × S rows — far too
-    # wide to collect at scale, but trivial to cache) feeds BOTH the
-    # per-tok driver scan and the sb_off window below; without the persist
-    # each reader would re-tokenize the whole corpus. Released below once
-    # sb_off is checkpointed — a bare persist would pin a cached dataset
-    # per invocation for the whole session (sweeps, bench reps).
+    # persisted: the count relation (≤ distinct lengths × S rows — far
+    # too wide to collect at scale, but trivial to cache) feeds BOTH
+    # addend windows below; without the cache each would re-tokenize the
+    # whole corpus. The cache is released by a GC finalizer on the
+    # returned DataFrame (see below) — persist keeps lineage intact, so
+    # even a premature release degrades to recomputation, never failure
+    # (unlike localCheckpoint, whose truncated lineage an executor loss
+    # cannot recompute), and the finalizer keeps it from pinning the
+    # session (the r4-ADVICE leak).
     cnt = sub.groupBy("tok", "sb").agg(F.count("*").alias("c")).persist()
-    # addend 1: per-tok base (driver-sized: one row per distinct length)
-    tok_counts = sorted(
-        (r["tok"], r["c"])
-        for r in cnt.groupBy("tok").agg(F.sum("c").alias("c")).collect()
+    # addend 1: per-tok base — exclusive prefix sum via a single-partition
+    # window over the TOK-LEVEL count relation (one row per distinct
+    # length), never over data rows
+    tok_w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("tok")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets, acc = [], 0
-    for tok, c in tok_counts:
-        offsets.append((tok, acc))
-        acc += c
-    tok_off = F.broadcast(
-        spark.createDataFrame(offsets, "tok long, base long")
+    tok_off = (
+        cnt.groupBy("tok")
+        .agg(F.sum("c").alias("tc"))
+        .withColumn("base", F.coalesce(F.sum("tc").over(tok_w), F.lit(0)))
+        .select("tok", "base")
     )
     # addend 2: within-tok id-range offsets — a window over the COUNT
     # relation (≤ S rows per tok group), never over data rows
     wo = Window.partitionBy("tok").orderBy("sb")
-    # eager localCheckpoint: materializes the (small) offset relation from
-    # the still-cached cnt and truncates its lineage, so cnt can be
-    # unpersisted NOW instead of leaking for the session lifetime — the
-    # checkpoint blocks are reference-tracked and released when the
-    # returned DataFrame is garbage collected. Total corpus tokenizations
-    # stay at two (the driver scan above + the caller's action), same as
-    # with the persist held open.
-    sb_off = (
-        cnt.withColumn(
-            "sb_base",
-            F.coalesce(
-                F.sum("c").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
-                F.lit(0),
-            ),
-        )
-        .select("tok", "sb", "sb_base")
-        .localCheckpoint(eager=True)
-    )
-    cnt.unpersist(blocking=False)
+    sb_off = cnt.withColumn(
+        "sb_base",
+        F.coalesce(
+            F.sum("c").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).select("tok", "sb", "sb_base")
 
     k = n_buckets
     q, r = divmod(n_total, k)
@@ -463,7 +480,7 @@ def length_buckets(
     w = Window.partitionBy("tok", "sb").orderBy("doc_id")
     ranked = (
         sub.join(sb_off, ["tok", "sb"])
-        .join(tok_off, "tok")
+        .join(F.broadcast(tok_off), "tok")
         # exact global 1-based rank in (tok, doc_id) order; integer DIV
         # below (never float /) so ranks near 10^12 can't round across a
         # bucket boundary
@@ -481,11 +498,13 @@ def length_buckets(
         .otherwise(tail)
         + 1
     )
-    return ranked.select(
+    out = ranked.select(
         "doc_id",
         F.col("tok").alias("n_tokens"),
         bucket.cast("long").alias("bucket"),
     )
+    _unpersist_on_gc(out, cnt)
+    return out
 
 
 def chunk_documents(

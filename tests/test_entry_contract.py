@@ -96,9 +96,17 @@ def test_failed_driver_rows_do_not_count_as_recorded():
     assert m._driver_row_passed("text_bpe_vocab", no_oracle)
     assert not m._driver_row_passed(
         "text_bpe_vocab", dict(no_oracle, spark_rows=None))
-    # and the live records: r04's sim_kmeans red row must leave the entry
-    # unrecorded so it leads the round-5 window
-    assert "sim_kmeans" not in m._recorded_entries()
+    # and the live r04 record specifically: its sim_kmeans hash-FAIL row
+    # must not pass (scoped to r04 — NOT to _recorded_entries(), which
+    # unions later rounds where the row is expected to go green)
+    import json
+    import os as _os
+
+    r04 = _os.path.join(_os.path.dirname(__file__), "..",
+                        "CORRECTNESS_r04.json")
+    with open(r04) as f:
+        row = json.load(f)["sim_kmeans"]
+    assert not m._driver_row_passed("sim_kmeans", row)
 
 
 def test_oracle_outputs_carry_no_decimal_columns():
