@@ -1223,7 +1223,14 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         src_col="vec_id",
         dst_col="neighbor_id",
     )
-    return ranking.pagerank_topk(scores, k=20).withColumnRenamed("id", "vec_id")
+    # rank rides as int64 on both sides: the driver's value hash is
+    # dtype-sensitive (the r04 sim_kmeans lesson) and the DuckDB twin's
+    # row_number() is BIGINT
+    return (
+        ranking.pagerank_topk(scores, k=20)
+        .withColumnRenamed("id", "vec_id")
+        .withColumn("rank", F.col("rank").cast("long"))
+    )
 
 
 def _adj_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
