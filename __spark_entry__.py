@@ -2811,7 +2811,7 @@ _STALE_SINCE_R02 = [
 ]
 
 
-def _recorded_entries() -> set[str]:
+def _recorded_entries(record_dir: str | None = None) -> set[str]:
     """Entry names with a row in ANY driver-recorded CORRECTNESS_r*.json
     in the repo root. The driver's sweep truncates at ~50 entries, so the
     ordering below rotates: entries it has already recorded yield their
@@ -2821,8 +2821,13 @@ def _recorded_entries() -> set[str]:
     import glob as _glob
     import json as _json
 
-    here = os.path.dirname(os.path.abspath(__file__))
-    out: set[str] = set()
+    here = record_dir or os.path.dirname(os.path.abspath(__file__))
+    # LATEST round wins per entry: an entry green in r03 but red in a
+    # later round must RE-ENTER the never-recorded lead — a
+    # union-of-greens would retire a since-regressed entry on the
+    # strength of the stale green row (the rotation bug, one step
+    # removed). Files sort r01 < r02 < …, so later records override.
+    latest: dict[str, bool] = {}
     for p in sorted(_glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
             with open(p) as f:
@@ -2830,9 +2835,8 @@ def _recorded_entries() -> set[str]:
         except Exception:  # noqa: BLE001 — a malformed record never breaks queries()
             continue
         for name, row in rec.items():
-            if _driver_row_passed(name, row):
-                out.add(name)
-    return out
+            latest[name] = _driver_row_passed(name, row)
+    return {name for name, ok in latest.items() if ok}
 
 
 # the one entry whose driver check is rows-only BY DESIGN (no oracle_sql;
@@ -2857,6 +2861,11 @@ def _driver_row_passed(name: str, row) -> bool:
         name in _ROWS_ONLY_BY_DESIGN
         and row.get("err") in (None, "no_oracle")
         and row.get("spark_rows") is not None
+        # an explicit failed check must never count, even here: if the
+        # entry gains an oracle later and the driver records a red row,
+        # the rows-only branch must not resurrect the r04 rotation bug
+        and row.get("hash_match") is not False
+        and row.get("rows_match") is not False
     ):
         return True
     return False

@@ -96,6 +96,11 @@ def test_failed_driver_rows_do_not_count_as_recorded():
     assert m._driver_row_passed("text_bpe_vocab", no_oracle)
     assert not m._driver_row_passed(
         "text_bpe_vocab", dict(no_oracle, spark_rows=None))
+    # an explicit red check never counts, even for the rows-only entry
+    # (covers the entry later gaining an oracle while still listed)
+    assert not m._driver_row_passed(
+        "text_bpe_vocab", dict(no_oracle, err=None, hash_match=False,
+                               rows_match=True))
     # and the live r04 record specifically: its sim_kmeans hash-FAIL row
     # must not pass (scoped to r04 — NOT to _recorded_entries(), which
     # unions later rounds where the row is expected to go green)
@@ -107,6 +112,24 @@ def test_failed_driver_rows_do_not_count_as_recorded():
     with open(r04) as f:
         row = json.load(f)["sim_kmeans"]
     assert not m._driver_row_passed("sim_kmeans", row)
+
+
+def test_recorded_entries_latest_round_wins(tmp_path):
+    """An entry green in an earlier round but red in a LATER round must
+    re-enter the never-recorded lead: a union-of-greens would retire a
+    since-regressed entry on the strength of the stale green row."""
+    import json
+
+    m = _entry_mod()
+    green = {"rows_match": True, "schema_match": True, "hash_match": True,
+             "spark_rows": 5, "oracle_rows": 5, "err": None}
+    red = dict(green, hash_match=False)
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"x": green, "y": red, "z": green}))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"x": red, "y": green}))
+    rec = m._recorded_entries(record_dir=str(tmp_path))
+    assert rec == {"y", "z"}, rec  # x regressed in r02; y recovered
 
 
 def test_oracle_outputs_carry_no_decimal_columns():
