@@ -20,6 +20,7 @@ plumbing gets a hash-exact check, not a rows-only one.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import math
 from collections.abc import Iterator
@@ -44,6 +45,40 @@ _N_PIX = IMG_H * IMG_W  # 1024 pixels, 3 channels
 # skip allowlist → kills the job after task retries) into the ValueError
 # the skip policy is built around
 _MAX_CONTAINER_DEPTH = 64
+
+
+def _malformed_to_valueerror(kind: str):
+    """Boundary guard for the public decode entry points.
+
+    The decoders are spec-faithful on valid inputs, but payload bytes are
+    UNTRUSTED: a flipped byte can surface as an out-of-range read
+    (IndexError), an exhausted bit-stream (StopIteration), a corrupted
+    Huffman/table lookup (KeyError), or absurd arithmetic
+    (OverflowError). The per-item error policy (see ``dhash_features``)
+    skips exactly (ValueError, NotImplementedError) — anything else
+    kills the whole job four task-retries at a time — so parsing
+    ACCIDENTS are normalized to ValueError here, at the API boundary
+    (mutation-fuzzed: tools/fuzz record in BASELINE.md). Genuine
+    resource errors (MemoryError, RecursionError) still surface; the
+    dimension/depth/count guards exist to keep those unreachable from
+    payload bytes."""
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            try:
+                return fn(*args, **kwargs)
+            except (ValueError, NotImplementedError):
+                raise
+            except (IndexError, KeyError, StopIteration, OverflowError,
+                    ZeroDivisionError) as e:
+                raise ValueError(
+                    f"malformed {kind} payload: {type(e).__name__}: {e}"
+                ) from e
+
+        return wrapper
+
+    return deco
 HIST_BINS = 8
 # intensity bin = min((r+g+b) // 96, 7): integer arithmetic, identical in
 # numpy and SQL (np.histogram's float bin edges are not replayable in SQL)
@@ -250,7 +285,12 @@ def _decode_png(payload: bytes) -> np.ndarray:
     def stride_for(width: int) -> int:
         return (width * nch * depth + 7) // 8
 
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        # normalize to the per-item skip allowlist: a corrupted deflate
+        # stream is a malformed payload (ValueError), not a job-killer
+        raise ValueError(f"PNG IDAT inflate failed: {e}") from e
     if inter == 0:
         samples = _png_samples(
             _png_unfilter(raw, h, stride_for(w), bpp), w, nch, depth
@@ -474,6 +514,11 @@ def _decode_gif_frames(
         raise NotImplementedError("not a GIF payload")
     sw = int.from_bytes(payload[6:8], "little")
     sh = int.from_bytes(payload[8:10], "little")
+    # decompression-bomb guard: a corrupted logical-screen size would
+    # otherwise allocate an sh×sw×3 canvas (up to ~12.9 GB at 16-bit
+    # maxima) per composed frame — skippable ValueError instead
+    if sw * sh > 1 << 26:  # zero dims are harmless (empty canvas)
+        raise ValueError(f"GIF logical screen unreasonable: {sw}x{sh}")
     packed = payload[10]
     bg_index = payload[11]
     pos = 13
@@ -510,6 +555,10 @@ def _decode_gif_frames(
             top = int.from_bytes(payload[pos + 3 : pos + 5], "little")
             w = int.from_bytes(payload[pos + 5 : pos + 7], "little")
             h = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+            # same bomb guard per frame: _lzw_decode materializes w*h
+            # indices before the canvas shape check would catch it
+            if w * h > 1 << 26:
+                raise ValueError(f"GIF frame unreasonable: {w}x{h}")
             ip = payload[pos + 9]
             pos += 10
             pal = gct
@@ -791,12 +840,27 @@ def _decode_tiff(payload: bytes) -> np.ndarray:
         if typ not in TYPE_SIZE:
             continue  # RATIONAL/ASCII metadata — irrelevant here
         sz = TYPE_SIZE[typ]
-        voff = base + 8 if count * sz <= 4 else u(base + 8, 4)
+        if count * sz <= 4:
+            voff = base + 8
+        else:
+            voff = u(base + 8, 4)
+            # bound BEFORE materializing: a corrupted 32-bit count would
+            # otherwise drive a multi-billion-element read loop — a
+            # poison-pill DoS (minutes of CPU + GBs of list) that no
+            # exception allowlist can catch. Out-of-line values must
+            # physically fit inside the payload.
+            if voff + count * sz > len(payload):
+                raise ValueError("TIFF tag value array past end of payload")
         tags[tag] = [u(voff + k * sz, sz) for k in range(count)]
     try:
         w, h = tags[256][0], tags[257][0]
     except KeyError as e:
         raise ValueError("TIFF missing required tag") from e
+    # decompression-bomb guard (same idea as PIL's MAX_IMAGE_PIXELS): a
+    # corrupted dimension tag must raise the skippable ValueError, not
+    # OOM an executor allocating h×w planes
+    if not (0 < w <= 1 << 20 and 0 < h <= 1 << 20 and w * h <= 1 << 28):
+        raise ValueError(f"TIFF dimensions unreasonable: {w}x{h}")
     bps_list = tags.get(258, [1])
     spp = tags.get(277, [1])[0]
     if len(set(bps_list)) != 1 or bps_list[0] not in (8, 16):
@@ -1380,6 +1444,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 raise NotImplementedError("only 8-bit sample precision")
             h_img = int.from_bytes(body[1:3], "big")
             w_img = int.from_bytes(body[3:5], "big")
+            # decompression-bomb guard: corrupted SOF dimensions must be
+            # the skippable ValueError, not a multi-GB coefficient-plane
+            # allocation (also shields the MJPEG AVI/MKV per-frame path)
+            if not (0 < w_img and 0 < h_img and w_img * h_img <= 1 << 28):
+                raise ValueError(
+                    f"JPEG dimensions unreasonable: {w_img}x{h_img}"
+                )
             ncomp = body[5]
             for c in range(ncomp):
                 cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
@@ -1789,6 +1860,7 @@ def encode_jpeg_progressive(
     return out + b"\xff\xd9"
 
 
+@_malformed_to_valueerror("image")
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """payload → HxWx3 uint8 array.
 
@@ -2227,6 +2299,7 @@ def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return samples.astype(np.int64), sample_rate
 
 
+@_malformed_to_valueerror("audio")
 def decode_audio(
     payload: bytes, fake: bool = False, n_samples: int | None = None
 ) -> tuple[np.ndarray, int]:
@@ -2842,7 +2915,14 @@ def _decode_avi_mjpeg(payload: bytes) -> tuple[np.ndarray, float]:
             size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
             body_start = pos + 8
             if cid == b"LIST":
-                walk(body_start + 4, body_start + size, depth + 1)
+                # clamp to the physical payload: a corrupted 32-bit size
+                # would otherwise set `end` gigabytes past the data and
+                # spin the scan loop over empty slices for minutes
+                walk(
+                    body_start + 4,
+                    min(body_start + size, len(payload)),
+                    depth + 1,
+                )
             elif cid == b"avih":
                 usec = int.from_bytes(
                     payload[body_start : body_start + 4], "little"
@@ -2890,6 +2970,7 @@ def encode_avi_mjpeg(
     return chunk(b"RIFF", b"AVI " + hdrl + movi)
 
 
+@_malformed_to_valueerror("video")
 def decode_video(payload: bytes) -> tuple[np.ndarray, float]:
     """payload → (Y planes ``(n_frames, h, w)`` uint8, fps).
 
@@ -3663,6 +3744,11 @@ def _read_ext80(b: bytes) -> int:
     mant = int.from_bytes(b[2:10], "big")
     if exp == -16383 and mant == 0:
         return 0
+    # a real sample rate fits comfortably in 32 bits; a corrupted
+    # exponent otherwise overflows the float multiply (OverflowError —
+    # not in the skip allowlist) or yields a nonsense multi-GHz rate
+    if not (-63 <= exp <= 63):
+        raise ValueError(f"AIFF sample-rate exponent unreasonable: {exp}")
     val = mant * 2.0 ** (exp - 63)
     return int(round(-val if b[0] & 0x80 else val))
 
@@ -3888,10 +3974,14 @@ def _ebml_vint(data: bytes, pos: int, strip: bool = True) -> tuple[int, int]:
     """One EBML variable-length integer at ``pos`` → (value, new_pos).
     ``strip`` removes the length-marker bit (sizes, lacing); element IDs
     conventionally keep it (``strip=False``)."""
+    if pos >= len(data):
+        raise ValueError("truncated EBML stream (vint past end)")
     first = data[pos]
     if first == 0:
         raise ValueError("invalid EBML vint (>8 byte width)")
     w = 9 - first.bit_length()
+    if pos + w > len(data):
+        raise ValueError("truncated EBML vint")
     val = int.from_bytes(data[pos : pos + w], "big")
     if strip:
         val &= (1 << (7 * w)) - 1
@@ -4378,6 +4468,7 @@ def encode_mpeg_stream(
     return bytes(out)
 
 
+@_malformed_to_valueerror("MPEG audio")
 def mpeg_audio_meta(payload: bytes) -> dict:
     """MPEG-1 Layer III elementary stream → container metadata (no sample
     decode): frame count, rate, channels, floor-integer duration/bitrate,
@@ -4533,6 +4624,7 @@ def _ogg_last_granule(payload: bytes) -> int:
     return last
 
 
+@_malformed_to_valueerror("Ogg-Opus")
 def opus_meta(payload: bytes) -> dict:
     """Ogg-Opus stream → container metadata: channel count and pre-skip
     from OpusHead, TITLE from OpusTags, duration from the final granule
