@@ -89,7 +89,12 @@ def parse_compiled(expr: str):
             if t == "(":
                 pos += 1
                 items.append(parse_or())
-                assert tokens[pos] == ")", "unbalanced parens"
+                # explicit raise, not assert: queries are user input, so
+                # a truncated "(a" must be the catchable ValueError (an
+                # assert is also stripped under python -O, and tokens[pos]
+                # alone would IndexError past the end)
+                if pos >= len(tokens) or tokens[pos] != ")":
+                    raise ValueError(f"unbalanced parens in {expr!r}")
                 pos += 1
             else:
                 pos += 1
@@ -107,7 +112,8 @@ def parse_compiled(expr: str):
         return alts[0] if len(alts) == 1 else Or(tuple(alts))
 
     root = parse_and(set())
-    assert pos == len(tokens), f"trailing tokens in {expr!r}"
+    if pos != len(tokens):  # e.g. a stray ")" — user input, not assert
+        raise ValueError(f"trailing tokens in {expr!r}")
     return root
 
 

@@ -93,3 +93,26 @@ def test_bomb_guards_raise_valueerror():
     # the explicit dim guards:
     with pytest.raises(ValueError, match="unreasonable"):
         mm._read_ext80(bytes([0x7F, 0xFF] + [0x80] + [0] * 7))
+
+
+def test_query_parser_rejects_garbage_with_valueerror():
+    """Queries are user input: any garbage string must parse or raise
+    ValueError — never IndexError (truncated '(a') or AssertionError
+    (stray ')', which an `assert` would also skip under python -O)."""
+    import random
+
+    from marginaliasearch_spark.plans import parser as qp
+
+    for q in ["(a", "a)", "((", "(a | ", "|", "( | )", ")(", "(()"]:
+        try:
+            qp.parse_query(q)
+        except ValueError:
+            pass
+    rng = random.Random(3)
+    chars = "abz01 ()|?\"'-:<>=*^\\/{}"
+    for _ in range(500):
+        s = "".join(rng.choice(chars) for _ in range(rng.randint(0, 30)))
+        try:
+            qp.parse_query(s)
+        except ValueError:
+            pass
