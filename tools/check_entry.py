@@ -47,6 +47,15 @@ def _cv(v):
     return v
 
 
+def _decimal_cols(con, sql: str) -> list[str]:
+    """Oracle output columns that are DECIMAL in the ARROW schema — the
+    r04 sim_kmeans trap: this script's pandas path silently converts
+    decimals to float64 (so == passes), but a dtype-sensitive driver
+    hash sees decimal128 and fails. Probe the arrow schema directly."""
+    schema = con.execute(f"SELECT * FROM ({sql}) LIMIT 0").arrow().schema
+    return [f.name for f in schema if "decimal" in str(f.type)]
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -93,6 +102,16 @@ def main() -> int:
             n_fail += 1
             continue
         problems = []
+        try:
+            decs = _decimal_cols(con, oracles[name])
+        except Exception:  # noqa: BLE001 — schema probe must not mask the run
+            decs = []
+        if decs:
+            problems.append(
+                f"oracle emits decimal columns {decs} — the driver hash "
+                "distinguishes Decimal from int/double even when values "
+                "compare equal; CAST in the SQL (r04 sim_kmeans trap)"
+            )
         if len(sdf) != len(odf):
             problems.append(f"rowcount spark={len(sdf)} oracle={len(odf)}")
         if sorted(sdf.columns) != sorted(odf.columns):
