@@ -583,6 +583,15 @@ def _decode_gif_frames(
                 disp = np.empty_like(idx)
                 disp[_gif_interlace_rows(h)] = idx
                 idx = disp
+            # AGGREGATE budget, not just per-frame: each composed frame
+            # appends a full canvas copy, and LZW amplifies ~O(n²), so a
+            # small payload with many frames could otherwise OOM (a
+            # MemoryError evades the skip allowlist). 2^27 total pixels
+            # ≈ 402 MB of stacked RGB frames.
+            if (len(frames) + 1) * sh * sw > 1 << 27:
+                raise ValueError(
+                    "GIF animation exceeds the total composed-pixel budget"
+                )
             region = pal[np.minimum(idx, len(pal) - 1)]
             saved = (
                 canvas[top : top + h, left : left + w].copy()
@@ -859,7 +868,9 @@ def _decode_tiff(payload: bytes) -> np.ndarray:
     # decompression-bomb guard (same idea as PIL's MAX_IMAGE_PIXELS): a
     # corrupted dimension tag must raise the skippable ValueError, not
     # OOM an executor allocating h×w planes
-    if not (0 < w <= 1 << 20 and 0 < h <= 1 << 20 and w * h <= 1 << 28):
+    # 2^26 px budgets the real peak (predictor cumsum runs in wide
+    # integers, ~8 B/px → ~540 MB), not just the output plane
+    if not (0 < w <= 1 << 20 and 0 < h <= 1 << 20 and w * h <= 1 << 26):
         raise ValueError(f"TIFF dimensions unreasonable: {w}x{h}")
     bps_list = tags.get(258, [1])
     spp = tags.get(277, [1])[0]
@@ -1445,9 +1456,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             h_img = int.from_bytes(body[1:3], "big")
             w_img = int.from_bytes(body[3:5], "big")
             # decompression-bomb guard: corrupted SOF dimensions must be
-            # the skippable ValueError, not a multi-GB coefficient-plane
-            # allocation (also shields the MJPEG AVI/MKV per-frame path)
-            if not (0 < w_img and 0 < h_img and w_img * h_img <= 1 << 28):
+            # the skippable ValueError, not a multi-GB allocation (also
+            # shields the MJPEG AVI/MKV per-frame path). The cap budgets
+            # the REAL footprint — coefficients are int64 × up to 3
+            # components plus float64 dequant/IDCT temporaries (~30
+            # bytes/pixel peak), so 2^24 px (e.g. 4096×4096) keeps peak
+            # memory ~500 MB where 2^28 would have allowed ~8 GB.
+            if not (0 < w_img and 0 < h_img and w_img * h_img <= 1 << 24):
                 raise ValueError(
                     f"JPEG dimensions unreasonable: {w_img}x{h_img}"
                 )

@@ -96,6 +96,12 @@ def parse_compiled(expr: str):
                 if pos >= len(tokens) or tokens[pos] != ")":
                     raise ValueError(f"unbalanced parens in {expr!r}")
                 pos += 1
+            elif t in (")", "|"):
+                # only reachable at the ROOT (inside parens these are in
+                # `stop`): a stray ")" or a top-level "|" is malformed —
+                # without this they'd silently parse as literal terms
+                # (Term(')')) and participate in path enumeration
+                raise ValueError(f"unexpected {t!r} in {expr!r}")
             else:
                 pos += 1
                 items.append(Term(t))
@@ -112,7 +118,10 @@ def parse_compiled(expr: str):
         return alts[0] if len(alts) == 1 else Or(tuple(alts))
 
     root = parse_and(set())
-    if pos != len(tokens):  # e.g. a stray ")" — user input, not assert
+    # defense in depth: with the stray-")"/"|" rejection above, the root
+    # parse consumes every token or raises there — but keep the explicit
+    # check (never an assert: stripped under -O) as the contract
+    if pos != len(tokens):
         raise ValueError(f"trailing tokens in {expr!r}")
     return root
 

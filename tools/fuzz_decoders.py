@@ -9,8 +9,12 @@ Round-5 findings, all fixed: PNG zlib.error escape; MKV EBML-vint
 IndexError on truncation; TIFF IFD count DoS (+ dim bomb); GIF
 logical-screen/frame dim bombs; JPEG SOF dim bomb (shields MJPEG
 AVI/MKV); AVI LIST size-past-payload scan spin; AIFF ext80 exponent
-OverflowError; plus boundary normalization of parse accidents. Final
-state: 27,000 mutations across 18 format seeds, 0 escapes, 0 slow.
+OverflowError; plus boundary normalization of parse accidents. A review
+pass then found the DELETION mutation was a no-op (`del b[i:][:n]`
+deletes from a slice copy) — with real truncation mutations enabled and
+the GIF aggregate-pixel budget + tightened JPEG/TIFF caps in place, the
+final record is 27,000 mutations across the format seeds, 0 escapes,
+0 slow.
 
 Run: python tools/fuzz_decoders.py   (~8 min)
 """
@@ -64,7 +68,8 @@ for name, payload in S:
             if op < 0.5 and len(b) > 1:
                 b[rng.randrange(len(b))] = rng.randrange(256)
             elif op < 0.75 and len(b) > 8:
-                del b[rng.randrange(len(b)-4):][:rng.randint(1,4)]
+                i = rng.randrange(len(b) - 4)
+                del b[i : i + rng.randint(1, 4)]
             else:
                 pos = rng.randrange(len(b)+1)
                 b[pos:pos] = bytes(rng.randrange(256) for _ in range(rng.randint(1,4)))
